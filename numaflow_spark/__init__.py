@@ -1,0 +1,22 @@
+"""numaflow_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of numaproj/numaflow.
+
+Not a port: numaflow's execution machinery (JetStream ISB, tokio actors, gRPC
+UDF sidecars, K8s pods-per-vertex) is replaced by Spark Structured Streaming +
+the DataFrame/Catalyst stack. What is preserved is the *semantics*: the
+Message data model, the operator surface (sources, transformers, maps,
+windowed reduces, sinks), tag routing, watermarks, and delivery guarantees —
+see SURVEY.md for the file:line mapping into the reference.
+
+Layout:
+    session     — tuned SparkSession builder (local + cluster-ready configs)
+    message     — the Message envelope schema (reference: message.rs:96-128)
+    pipeline    — Pipeline/Vertex/Edge spec + validation (pipeline_types.go)
+    compiler    — spec -> DataFrame program (batch and streaming)
+    operators/  — map, reduce/window, routing, dedup, similarity, text, ...
+    sources/    — generator, file/parquet replay, kafka wrapper
+    functions/  — scalar helper column functions
+    streaming/  — watermark helpers, sinks (fallback/on-success/retry)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,109 @@
+"""The Message envelope — numaflow's unit of data, as a Spark schema.
+
+Reference: ``rust/numaflow-core/src/message.rs:96-128`` defines Message as
+{keys, tags, value(bytes), offset, event_time, watermark, id, headers,
+metadata, is_late}. We keep that envelope as a fixed StructType with an
+opaque BinaryType payload; typed projection of the payload happens in map
+stages (``from_json`` / ``get_json_object`` / pandas UDF decode), which is
+where numaflow runs user UDF containers.
+
+The two magic routing tags (message.rs:93-94): DROP short-circuits a message
+before any sink write; NACK requests redelivery. In this engine DROP becomes
+a filter, NACK becomes DLQ routing in the sink stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# message.rs:93-94 — the tag values are the literal strings below.
+DROP_TAG = "U+005C__DROP__"
+NACK_TAG = "U+005C__NACK__"
+
+# MessageID{vertex_name, offset, index} — message.rs:569-575. `index`
+# disambiguates flat-map fanout so dedup stays correct after 1->N maps.
+MESSAGE_ID_TYPE = T.StructType(
+    [
+        T.StructField("vertex_name", T.StringType(), False),
+        T.StructField("offset", T.StringType(), False),
+        T.StructField("index", T.IntegerType(), False),
+    ]
+)
+
+# The full envelope (message.rs:96-128 -> SURVEY.md §1.4 mapping table).
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType()), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("event_time", T.TimestampType(), True),
+        T.StructField("watermark", T.TimestampType(), True),
+        T.StructField("id", MESSAGE_ID_TYPE, True),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("is_late", T.BooleanType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+    ]
+)
+
+ENVELOPE_COLUMNS = [f.name for f in MESSAGE_SCHEMA.fields]
+
+
+def drop_filter(df: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """Remove DROP-tagged messages (message.rs:409-415, writer.rs:81-95).
+
+    numaflow drops a message when its tags contain the DROP marker; the
+    filter is null-safe because untagged messages must pass through.
+    """
+    c = F.col(tags_col)
+    return df.filter(c.isNull() | ~F.array_contains(c, DROP_TAG))
+
+
+def message_id(vertex_name: str, offset_col, index_col=None):
+    """Build the MessageID struct column (message.rs:569-575)."""
+    idx = index_col if index_col is not None else F.lit(0)
+    return F.struct(
+        F.lit(vertex_name).alias("vertex_name"),
+        offset_col.cast("string").alias("offset"),
+        idx.cast("int").alias("index"),
+    )
+
+
+def as_envelope(
+    df: DataFrame,
+    *,
+    keys=None,
+    value=None,
+    event_time=None,
+    tags=None,
+    headers=None,
+    vertex_name: str = "source",
+    offset=None,
+) -> DataFrame:
+    """Project an arbitrary DataFrame into the Message envelope.
+
+    This is what a numaflow *source* does: wrap raw records in the envelope,
+    assigning keys / event_time / id (message.rs:96-128). Unset fields get
+    typed nulls so downstream operators see one stable schema.
+    """
+    off = offset if offset is not None else F.monotonically_increasing_id()
+    cols = {
+        "keys": keys if keys is not None else F.lit(None).cast(T.ArrayType(T.StringType())),
+        "tags": tags if tags is not None else F.lit(None).cast(T.ArrayType(T.StringType())),
+        "value": value if value is not None else F.lit(None).cast(T.BinaryType()),
+        "event_time": event_time
+        if event_time is not None
+        else F.lit(None).cast(T.TimestampType()),
+        "watermark": F.lit(None).cast(T.TimestampType()),
+        "headers": headers
+        if headers is not None
+        else F.lit(None).cast(T.MapType(T.StringType(), T.StringType())),
+        "is_late": F.lit(False),
+        "offset": off.cast("long"),
+        "partition": F.lit(0),
+    }
+    out = df
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    out = out.withColumn("id", message_id(vertex_name, F.col("offset")))
+    return out

@@ -1,0 +1,11 @@
+"""Operator surface of the engine (SURVEY.md §2).
+
+Each module maps one region of the reference's operator inventory:
+    map_ops    — §2.2/§2.3 source transformer + map/flat-map/filter
+    reduce_ops — §2.4 fixed / sliding / session / accumulator windows
+    routing    — §2.6 conditional forwarding, fan-in/fan-out, partitioning
+    dedup      — north-star: exact + near-duplicate detection
+    similarity — north-star: embedding similarity search (brute force + LSH)
+    text       — north-star: language-ID, quality, tokens, fingerprints
+    multimodal — north-star: opaque binary columns + batch decode plumbing
+"""

@@ -1,0 +1,95 @@
+"""Map-surface operators (SURVEY.md §2.2 source transformer, §2.3 maps).
+
+The reference runs user code in gRPC sidecars in three modes — unary map
+(map.proto:29-52), batch map (map/batch.rs) and stream map
+(mapstream.proto:30-35); all are 1->N flat-maps that may rewrite
+keys/value/tags, and the DROP tag filters. The deprecated builtin
+transformers (filter / eventTimeExtractor / timeExtractionFilter,
+docs/user-guide/sources/transformer/builtin-transformers/) are expression
+stages.
+
+Spark realization: declarative stages stay in Catalyst (filter/select/
+explode — codegen'd, pushdown-eligible); arbitrary user code goes through
+``mapInPandas`` (Arrow-batched — the analogue of the reference's *batch map*
+mode, which it added precisely to amortize per-message RPC overhead; a
+row-at-a-time Python UDF would be the unary mode and is deliberately not
+offered).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def filter_stage(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """Builtin ``filter`` transformer/map (docs/.../builtin-transformers/
+    filter.md). Catalyst pushes this into the parquet scan when possible."""
+    return df.filter(predicate)
+
+
+def project_stage(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Projection map — triggers column pruning down to the scan."""
+    return df.select(*cols)
+
+
+def event_time_extractor(df: DataFrame, expr: Column, ts_col: str = "event_time") -> DataFrame:
+    """Builtin ``eventTimeExtractor`` (docs/.../event-time-extractor.md) and
+    the SourceTransform event-time rewrite (sourcetransform.proto:73): the
+    only place event time may be (re)assigned from the payload."""
+    return df.withColumn(ts_col, expr)
+
+
+def flat_map_stage(df: DataFrame, array_expr: Column, out_col: str) -> DataFrame:
+    """Declarative 1->N fanout (map stream, mapstream.proto:30-35) for the
+    common case where the fanout is expressible as an array: explode stays
+    JVM-side."""
+    return df.withColumn(out_col, F.explode(array_expr))
+
+
+def map_in_pandas(
+    df: DataFrame,
+    fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    schema,
+) -> DataFrame:
+    """Arbitrary user map/flat-map (map.proto:29-52, batch mode map/batch.rs).
+
+    ``fn`` receives an iterator of Arrow-backed pandas batches and may yield
+    any number of rows per input row (1->N fanout and filtering included) —
+    the full generality of numaflow's map contract, minus the sidecar RPC.
+    """
+    return df.mapInPandas(fn, schema=schema)
+
+
+def batch_map(
+    df: DataFrame,
+    row_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """Batch-map convenience (map/batch.rs): one pandas call per Arrow batch."""
+
+    def _wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield row_fn(pdf)
+
+    return df.mapInPandas(_wrap, schema=schema)
+
+
+def with_keys(df: DataFrame, *key_exprs: Column) -> DataFrame:
+    """Key (re)assignment — maps may rewrite ``keys`` (map.proto Result.keys);
+    downstream reduces group on them."""
+    return df.withColumn("keys", F.array(*key_exprs))
+
+
+def json_payload(df: DataFrame, payload_col: str, schema, out_col: str = "payload") -> DataFrame:
+    """Typed projection of the opaque payload (SURVEY.md §1.1: schema lives in
+    UDFs; here it is a declarative from_json stage that Catalyst can prune)."""
+    col = F.col(payload_col)
+    return df.withColumn(out_col, F.from_json(col.cast("string"), schema))
+
+
+def identity(df: DataFrame) -> DataFrame:
+    """Builtin ``cat`` (docs/.../map/builtin-functions/README.md)."""
+    return df

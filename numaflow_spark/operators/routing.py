@@ -1,0 +1,85 @@
+"""Routing / partitioning / set ops — the relational algebra of the DAG
+(SURVEY.md §2.6).
+
+Reference semantics (``rust/numaflow-core/src/shared/forward.rs:9-71`` and
+``edge_types.go:76-107``): every edge may carry a tag condition —
+  * ``and`` — edge fires iff condition values ⊆ message tags
+  * ``or``  — edge fires iff condition values ∩ message tags ≠ ∅ (default)
+  * ``not`` — edge fires iff condition values ∩ message tags = ∅
+No conditions -> always forward. A message goes to EVERY edge whose condition
+passes (multicast fan-out, writer.rs:106-115); fan-in is an interleaved
+UNION ALL with no key semantics (join-vertex.md:1-44).
+
+Spark realization: each out-edge is a filtered branch of the same lazy
+DataFrame — Catalyst dedups the shared prefix when the branches feed one
+action (and `.cache()` can pin it when they feed several); fan-in is
+``unionByName``. Hash partitioning (forward.rs:31-41) is Spark's own shuffle
+partitioning — explicit ``repartition`` only when an operator needs
+co-location that the planner can't infer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from numaflow_spark.message import DROP_TAG
+
+
+def tag_condition(operator: str, values: Sequence[str], tags_col: str = "tags") -> Column:
+    """Compile one edge condition (forward.rs:45-71) to a boolean Column.
+
+    Null/empty tags behave as the reference does: ``and``/``or`` fail
+    (nothing to match), ``not`` passes (no forbidden tag present).
+    """
+    tags = F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+    vals = F.array(*[F.lit(v) for v in values])
+    op = operator.lower()
+    if op == "and":  # values ⊆ tags  ⇔  values \ tags = ∅
+        return F.size(F.array_except(vals, tags)) == 0
+    if op == "or":  # values ∩ tags ≠ ∅
+        return F.size(F.array_intersect(vals, tags)) > 0
+    if op == "not":  # values ∩ tags = ∅
+        return F.size(F.array_intersect(vals, tags)) == 0
+    raise ValueError(f"unknown tag operator {operator!r} (expected and|or|not)")
+
+
+def forward(df: DataFrame, operator: str | None, values: Sequence[str] | None,
+            tags_col: str = "tags") -> DataFrame:
+    """One out-edge branch: DROP filter + optional tag condition.
+
+    The DROP check runs before conditions, matching writer.rs:81-95 (DROP
+    short-circuits before any edge evaluation).
+    """
+    tags = F.col(tags_col)
+    out = df.filter(tags.isNull() | ~F.array_contains(tags, DROP_TAG))
+    if values:
+        out = out.filter(tag_condition(operator or "or", values, tags_col))
+    return out
+
+
+def fan_out(df: DataFrame, edges: Sequence[tuple[str | None, Sequence[str] | None]],
+            tags_col: str = "tags") -> list[DataFrame]:
+    """Multicast to every passing edge (writer.rs:106-115): returns one
+    filtered branch per edge; a message may appear in several branches."""
+    return [forward(df, op, vals, tags_col) for op, vals in edges]
+
+
+def fan_in(*branches: DataFrame) -> DataFrame:
+    """Join-vertex fan-in (join-vertex.md:1-44): interleaved UNION ALL by
+    column name — no dedup, no key semantics, exactly the reference."""
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def hash_partition(df: DataFrame, n: int, *cols: str) -> DataFrame:
+    """Explicit key-hash partitioning (forward.rs:31-41 / vertex partitions).
+
+    Only needed when a downstream per-partition operator (ordered FIFO
+    processing, mapInPandas with per-key state) must see co-located keys —
+    groupBy/join shuffle on their own keys without this.
+    """
+    return df.repartition(n, *[F.col(c) for c in cols])

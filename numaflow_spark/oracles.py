@@ -1,0 +1,172 @@
+"""DuckDB oracle SQL for every entry in ``queries.QUERIES``.
+
+The driver registers the parquet tables as views named ``region nation
+customer supplier part orders lineitem events documents embeddings`` and
+compares row-count + schema + order-insensitive value-hash at sf=0.01.
+
+Column names and types here are kept deliberately in lock-step with
+``queries.py`` (same aliases, same DECIMAL scales, same epoch-BIGINT window
+bounds, same ROUND placement) — see the determinism discipline note there.
+"""
+
+ORACLES: dict[str, str] = {
+    # R1 fixed keyed window — 10 min = 600 s buckets.
+    "fixed_window_keyed": """
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+               CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS window_end,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # R6 non-keyed window — 1 h buckets, single global group per window.
+    "fixed_window_global": """
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # R2 sliding window — 30 min length / 10 min slide: each event is in
+    # exactly 3 slide-aligned windows (sliding.rs semantics).
+    "sliding_window": """
+        SELECT CAST((floor(epoch(ts) / 600) - t.i) * 600 AS BIGINT) AS window_start,
+               CAST((floor(epoch(ts) / 600) - t.i) * 600 + 1800 AS BIGINT) AS window_end,
+               event_type,
+               count(*) AS n_events
+        FROM events, range(3) t(i)
+        GROUP BY 1, 2, 3
+    """,
+    # R3 session window — 30 min gap per user. A new session starts when the
+    # gap to the previous event is >= the gap duration (Spark merges while
+    # next.start < prev.end). Session end = last event + gap.
+    "session_window": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS window_start,
+               CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS window_end,
+               user_id,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    # T2/M5 builtin filter + JSON payload projection.
+    "filter_transform": """
+        SELECT event_id, user_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+          AND event_type <> 'error'
+    """,
+    # M3 flat-map fanout: one row per synthesized tag.
+    "flat_map": """
+        SELECT tag, count(*) AS n
+        FROM (
+            SELECT unnest([event_type,
+                           CASE WHEN value >= 10 THEN 'high' ELSE 'low' END]) AS tag
+            FROM events
+        )
+        GROUP BY tag
+    """,
+    # F1 `and`: {click,high} ⊆ tags where tags = [event_type] (+ 'high' iff value>=10).
+    "route_and": """
+        SELECT event_type, count(*) AS n
+        FROM events
+        WHERE event_type = 'click' AND value >= 10
+        GROUP BY event_type
+    """,
+    # F1 `or`: {click,view} ∩ tags ≠ ∅.
+    "route_or": """
+        SELECT event_type, count(*) AS n
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    """,
+    # F1 `not`: {error,high} ∩ tags = ∅.
+    "route_not": """
+        SELECT event_type, count(*) AS n
+        FROM events
+        WHERE event_type <> 'error' AND NOT value >= 10
+        GROUP BY event_type
+    """,
+    # F5 fan-in: interleaved UNION ALL of two tagged branches.
+    "fan_in_union": """
+        SELECT source_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        FROM (
+            SELECT 'input-one' AS source_id, value FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'input-two' AS source_id, value FROM events WHERE event_type = 'view'
+        )
+        GROUP BY source_id
+    """,
+    # F8 exact dedup surface.
+    "dedup_exact": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    # TPC-H Q1-style pricing summary (exact decimal arithmetic).
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(38,4)) AS sum_disc_price,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    # Star join + agg: revenue per nation.
+    "join_agg": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(38,4)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    # Top-K per group with deterministic tie-break.
+    "top_k": """
+        SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders
+        )
+        WHERE rank <= 3
+    """,
+    # Rollup over (returnflag, linestatus).
+    "rollup": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+}

@@ -1,0 +1,290 @@
+"""Declared query set: one entry per implemented operator (SURVEY.md §2),
+each with a DuckDB oracle in ``oracles.py``.
+
+Determinism discipline (so value-hashes match the oracle engine):
+  * window bounds -> epoch seconds BIGINT (timestamps hash engine-specific);
+  * money sums -> DECIMAL casts before summing (exact, order-independent),
+    final explicit cast so both engines emit the same scale;
+  * ratios/averages -> computed from exact decimal sums, cast to double and
+    ROUND()ed — a ratio is generically far from a rounding boundary, while a
+    double SUM at 1e9 magnitude is not;
+  * every computed column aliased identically here and in the oracle SQL;
+  * ordering never relied on (driver compare is order-insensitive) but ties
+    in top-k queries get explicit deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from numaflow_spark.operators import map_ops, reduce_ops, routing
+from numaflow_spark.session import load_table
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Reduce operators (§2.4) on the events stream table, batch-mode correctness.
+# ---------------------------------------------------------------------------
+
+def q_fixed_window_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 fixed/tumbling keyed window (fixed.rs:44-91): 10-minute windows per
+    event_type — the batch twin of reduce-one-e2e TestSimpleKeyedReducePipeline."""
+    events = load_table(spark, sf_dir, "events")
+    return reduce_ops.tumbling(
+        events,
+        "ts",
+        "10 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("sum_value"),
+        ],
+    )
+
+
+def q_fixed_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 non-keyed reduce (aligned/reducer.rs:26): all messages collapse to a
+    single group per window."""
+    events = load_table(spark, sf_dir, "events")
+    return reduce_ops.tumbling(
+        events,
+        "ts",
+        "1 hour",
+        keys=[],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("sum_value"),
+        ],
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 sliding window (sliding.rs:1-47): 30-minute length, 10-minute slide,
+    keyed by event_type — each event lands in exactly 3 windows."""
+    events = load_table(spark, sf_dir, "events")
+    return reduce_ops.sliding(
+        events,
+        "ts",
+        "30 minutes",
+        "10 minutes",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("n_events")],
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 session windows (session.rs:46-70): per-user sessions with a
+    30-minute inactivity gap; Spark's session_window performs the reference's
+    OPEN/APPEND/EXPAND/MERGE lifecycle."""
+    events = load_table(spark, sf_dir, "events")
+    return reduce_ops.session(
+        events,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count("*").alias("n_events")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map surface (§2.2/§2.3): filter / typed payload projection / flat-map.
+# ---------------------------------------------------------------------------
+
+def q_filter_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/M5 builtin filter transformer + payload field extraction
+    (docs/.../builtin-transformers/filter.md): predicate over a JSON payload
+    field, like udf-filtering.yaml's `json(payload).id < 100`."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .filter((F.col("k") < 50) & (F.col("event_type") != "error"))
+        .select("event_id", "user_id", "event_type", "k")
+    )
+
+
+def q_flat_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 flat-map 1->N fanout (mapstream.proto:30-35): each event emits one
+    row per tag; declarative explode keeps the fanout JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.withColumn(
+        "tag",
+        F.explode(
+            F.array(
+                F.col("event_type"),
+                F.when(F.col("value") >= 10, F.lit("high")).otherwise(F.lit("low")),
+            )
+        ),
+    )
+    return tagged.groupBy("tag").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Routing (§2.6): tag conditions and/or/not, fan-in union.
+# ---------------------------------------------------------------------------
+
+def _with_tags(events: DataFrame) -> DataFrame:
+    # Synthesize a tags column from payload fields, as a source transformer
+    # would (sourcetransform.proto Result.tags).
+    return events.withColumn(
+        "tags",
+        F.array_compact(
+            F.array(
+                F.col("event_type"),
+                F.when(F.col("value") >= 10, F.lit("high")),
+            )
+        ),
+    )
+
+
+def q_route_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 conditional forwarding, `and` operator (forward.rs:45-53): edge
+    fires iff condition values ⊆ message tags."""
+    events = _with_tags(load_table(spark, sf_dir, "events"))
+    branch = routing.forward(events, "and", ["click", "high"])
+    return branch.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_route_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 conditional forwarding, `or` operator (forward.rs:55-62)."""
+    events = _with_tags(load_table(spark, sf_dir, "events"))
+    branch = routing.forward(events, "or", ["click", "view"])
+    return branch.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_route_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 conditional forwarding, `not` operator (forward.rs:64-71)."""
+    events = _with_tags(load_table(spark, sf_dir, "events"))
+    branch = routing.forward(events, "not", ["error", "high"])
+    return branch.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_fan_in_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 fan-in / join vertex (join-vertex.md:1-44): two branches of the DAG
+    merge by interleaved UNION ALL, then a keyed window reduce — the
+    diamond-e2e topology."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "click").withColumn("source_id", F.lit("input-one"))
+    right = events.filter(F.col("event_type") == "view").withColumn("source_id", F.lit("input-two"))
+    merged = routing.fan_in(left, right)
+    return merged.groupBy("source_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (F8/ISB dedup + north-star exact dedup).
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 effectively-once dedup (js_writer.rs:167-171) in batch form: exact
+    duplicate collapse on a message-id equivalent, then a per-key count of
+    distinct payload shapes."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (§2.13 — free from DataFrame/SQL, in-scope extensions).
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem: multi-agg groupBy with
+    exact decimal arithmetic; Catalyst plans partial aggregation before the
+    single shuffle on the two group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    disc_price = price * (F.lit(1).cast(DEC) - disc)
+    filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    out = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+    return out
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join + aggregation: revenue per nation via
+    lineitem ⋈ orders ⋈ customer ⋈ nation. The dimension tables are
+    broadcast (they stay tiny at any scale factor); the only shuffle is the
+    final group-by on n_name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window ranking (§2.13 gap: the reference has no
+    ranking operators): top-3 orders by price per order priority, with a
+    deterministic (price desc, orderkey asc) tie-break."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            "rank",
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+        )
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (§2.13 gap: no grouping sets in the reference):
+    counts at (returnflag, linestatus), (returnflag), and grand-total levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "fixed_window_keyed": q_fixed_window_keyed,
+    "fixed_window_global": q_fixed_window_global,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+    "filter_transform": q_filter_transform,
+    "flat_map": q_flat_map,
+    "route_and": q_route_and,
+    "route_or": q_route_or,
+    "route_not": q_route_not,
+    "fan_in_union": q_fan_in_union,
+    "dedup_exact": q_dedup_exact,
+    "pricing_summary": q_pricing_summary,
+    "join_agg": q_join_agg,
+    "top_k": q_top_k,
+    "rollup": q_rollup,
+}

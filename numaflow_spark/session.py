@@ -1,0 +1,97 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are sized for the local[32]/128GiB test harness but every knob is
+chosen to also be the right *shape* at cluster scale: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), shuffle partitions
+sized to cores locally (on a real cluster this is overridden to ~2-3x total
+cores or left to AQE), UTC session timezone so event-time semantics match the
+DuckDB oracle and are deployment-independent, and Arrow enabled so any
+pandas-UDF slow path is batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle sizing: local harness => one partition per core. At cluster scale
+# callers should set spark.sql.shuffle.partitions (or rely on AQE coalescing
+# from a high initial value); everything in this repo keys off the session
+# config rather than hard-coding partition counts.
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "numaflow_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    All engine code and tests go through this factory so the oracle-critical
+    configs (UTC timezone, ANSI off, Arrow on) are applied uniformly.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: pushdown + vectorized reader are defaults, keep them
+        # explicit so a misconfigured deployment is caught by tests.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        # The synthetic testdata stores TIMESTAMP(NANOS) which the Spark
+        # parquet reader rejects; read them as epoch-nano longs and convert
+        # in load_table (micro truncation matches DuckDB's ns->us handling).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Timestamp columns per synthetic table; stored as TIMESTAMP(NANOS) in the
+# driver's parquet, surfaced as epoch-nano longs via nanosAsLong (see above).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Parquet scan for one synthetic table (TESTDATA.md). Column pruning and
+    predicate pushdown are handled by Catalyst on top of this scan; nano
+    timestamps are restored to TimestampType at micro precision."""
+    from pyspark.sql import functions as F
+
+    # Defensive: the driver may run queries() on its own session; these two
+    # confs are required for oracle-equivalent semantics regardless of how
+    # that session was built (both are runtime-settable SQL confs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer div keeps full precision (a double round-trip would not)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df

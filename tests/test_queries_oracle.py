@@ -1,0 +1,57 @@
+"""Every declared query hash-matches its DuckDB oracle at sf0.001.
+
+This mirrors the driver's t2 correctness gate (row count + columns +
+order-insensitive value multiset); the heavier sf0.01 run happens via
+tools/check_queries.py and the driver itself.
+"""
+
+from collections import Counter
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_queries import TABLES, _multiset
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only contract: must at least run
+        return
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_order = [duck_cols.index(c) for c in sorted(duck_cols)]
+    assert _multiset(spark_rows, s_order) == _multiset(duck_rows, d_order)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"window_start", "window_end", "event_type", "n_events", "sum_value"}

@@ -1,0 +1,68 @@
+"""Unit tests for tag routing semantics (forward.rs:45-71 and its tests at
+forward.rs:73-171): and/or/not operators, null-tag behavior, DROP filter,
+multicast fan-out, fan-in union."""
+
+from pyspark.sql import Row, functions as F
+
+from numaflow_spark.message import DROP_TAG, drop_filter
+from numaflow_spark.operators import routing
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, tags=["a", "b"]),
+            Row(id=2, tags=["a"]),
+            Row(id=3, tags=["c"]),
+            Row(id=4, tags=None),
+            Row(id=5, tags=[DROP_TAG]),
+        ],
+        "id int, tags array<string>",
+    )
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_and_subset(spark):
+    # and: values ⊆ tags
+    assert _ids(_df(spark).filter(routing.tag_condition("and", ["a", "b"]))) == [1]
+    assert _ids(_df(spark).filter(routing.tag_condition("and", ["a"]))) == [1, 2]
+
+
+def test_or_intersect(spark):
+    assert _ids(_df(spark).filter(routing.tag_condition("or", ["b", "c"]))) == [1, 3]
+
+
+def test_not_disjoint(spark):
+    # not: no condition tag present; null tags pass (nothing forbidden present)
+    assert _ids(_df(spark).filter(routing.tag_condition("not", ["a"]))) == [3, 4, 5]
+
+
+def test_null_tags_fail_and_or(spark):
+    df = _df(spark)
+    assert 4 not in _ids(df.filter(routing.tag_condition("and", ["a"])))
+    assert 4 not in _ids(df.filter(routing.tag_condition("or", ["a"])))
+
+
+def test_drop_filter(spark):
+    assert _ids(drop_filter(_df(spark))) == [1, 2, 3, 4]
+
+
+def test_forward_drops_before_conditions(spark):
+    df = _df(spark).withColumn("tags", F.array(F.lit(DROP_TAG), F.lit("a")))
+    assert _ids(routing.forward(df, "or", ["a"])) == []
+
+
+def test_fan_out_multicast(spark):
+    # one message may land in several branches (writer.rs:106-115)
+    branches = routing.fan_out(_df(spark), [("or", ["a"]), ("or", ["b"])])
+    assert _ids(branches[0]) == [1, 2]
+    assert _ids(branches[1]) == [1]
+
+
+def test_fan_in_union(spark):
+    df = _df(spark)
+    merged = routing.fan_in(df.filter("id = 1"), df.filter("id = 3"))
+    assert _ids(merged) == [1, 3]

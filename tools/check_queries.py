@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and an
+order-insensitive multiset of normalized row values. Stricter than any
+reasonable driver compare: values must match exactly after normalization
+(Decimal -> str at its own scale, float -> repr, timestamp -> isoformat).
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return f"b:{v.hex()}"
+    return f"{type(v).__name__}:{v}"
+
+
+def _multiset(rows, col_order):
+    return Counter(
+        "|".join(_norm(row[i]) for i in col_order) for row in rows
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from numaflow_spark.session import get_spark
+
+    spark = get_spark("check_queries")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        spark_cols = list(sdf.columns)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+
+        if name not in oracles:
+            print(f"  {name:24s} rows={len(spark_rows):7d}  (no oracle — rows-only)")
+            continue
+
+        res = con.execute(oracles[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+
+        ok = True
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"✗ {name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            ok = False
+        if len(spark_rows) != len(duck_rows):
+            print(f"✗ {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+            ok = False
+        if ok:
+            s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
+            d_order = [duck_cols.index(c) for c in sorted(duck_cols)]
+            ms, md = _multiset(spark_rows, s_order), _multiset(duck_rows, d_order)
+            if ms != md:
+                diff_s = list((ms - md).items())[:3]
+                diff_d = list((md - ms).items())[:3]
+                print(f"✗ {name}: value mismatch\n  spark-only: {diff_s}\n  duck-only:  {diff_d}")
+                ok = False
+        if ok:
+            print(f"✓ {name:24s} rows={len(spark_rows):7d}")
+        else:
+            failures.append(name)
+
+    if failures:
+        print(f"\nFAILED: {failures}")
+        return 1
+    print("\nall queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
