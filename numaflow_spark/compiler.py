@@ -1,0 +1,174 @@
+"""Spec -> DataFrame-program compiler (SURVEY.md §3.1 Spark equivalent).
+
+Where the reference's controller materializes a pipeline as K8s pods wired
+through JetStream buffers (pkg/reconciler/pipeline/controller.go:124-360),
+this compiler materializes it as ONE lazy DataFrame program per sink:
+
+  * each vertex's output is a DataFrame, built in topological order;
+  * an in-edge applies its tag condition + DROP filter (forward.rs:9-71)
+    to the upstream vertex's output — fan-out is just several filtered
+    branches of the same lazy plan (Catalyst shares the common prefix);
+  * fan-in unions the filtered in-edge branches (join-vertex.md:1-44);
+  * a reduce vertex compiles to a windowed groupBy (SURVEY.md §2.4);
+  * sinks name the final DataFrames (batch) or start streaming queries
+    (streaming compile, one query per sink, watermark on reduce inputs).
+
+There is no ISB: Spark's shuffle + (in streaming) checkpointing replace the
+buffer and its at-least-once ack machinery (message.rs:130-296).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from numaflow_spark.operators import reduce_ops, routing
+from numaflow_spark.pipeline import MapUDF, Pipeline, ReduceUDF, Vertex
+
+
+def _apply_reduce(v: Vertex, df: DataFrame, streaming: bool) -> DataFrame:
+    udf = v.udf
+    assert isinstance(udf, ReduceUDF)
+    (wkind, wargs), = udf.window.items()
+    if streaming:
+        if wkind == "fixed":
+            return reduce_ops.streaming_tumbling(
+                df, udf.ts_col, wargs, udf.allowed_lateness, udf.keys, udf.aggs
+            )
+        if wkind == "session":
+            return reduce_ops.streaming_session(
+                df, udf.ts_col, wargs, udf.allowed_lateness, udf.keys, udf.aggs
+            )
+        if wkind == "sliding":
+            length, slide = wargs
+            w = df.withWatermark(udf.ts_col, udf.allowed_lateness)
+            return reduce_ops.sliding(w, udf.ts_col, length, slide, udf.keys, udf.aggs)
+    if wkind == "fixed":
+        return reduce_ops.tumbling(df, udf.ts_col, wargs, udf.keys, udf.aggs)
+    if wkind == "sliding":
+        length, slide = wargs
+        return reduce_ops.sliding(df, udf.ts_col, length, slide, udf.keys, udf.aggs)
+    if wkind == "session":
+        return reduce_ops.session(df, udf.ts_col, wargs, udf.keys, udf.aggs)
+    raise ValueError(f"unknown window kind {wkind!r} on vertex {v.name!r}")
+
+
+def _vertex_output(p: Pipeline, v: Vertex, spark: SparkSession,
+                   outputs: dict[str, DataFrame], streaming: bool) -> DataFrame:
+    if v.kind == "source":
+        if streaming:
+            if v.source.stream_reader is None:
+                raise ValueError(f"source {v.name!r} has no stream_reader")
+            return v.source.stream_reader(spark)
+        return v.source.reader(spark)
+
+    # Gather in-edge branches: tag condition + DROP filter per edge
+    # (forward.rs evaluation order), then interleaved union (fan-in).
+    branches = []
+    for e in p.in_edges(v.name):
+        up = outputs[e.from_]
+        cond = e.condition
+        has_tags = "tags" in up.columns
+        if cond is not None and not has_tags:
+            raise ValueError(f"edge {e.from_}->{e.to} has a tag condition but upstream has no tags column")
+        if has_tags:
+            branches.append(
+                routing.forward(up, cond.operator if cond else None, cond.values if cond else None)
+            )
+        else:
+            branches.append(up)
+    df = routing.fan_in(*branches)
+
+    if v.kind == "sink":
+        return df
+    if isinstance(v.udf, MapUDF):
+        return v.udf.fn(df)
+    return _apply_reduce(v, df, streaming)
+
+
+def compile_batch(p: Pipeline, spark: SparkSession) -> dict[str, DataFrame]:
+    """Batch compile: returns {sink_vertex_name: DataFrame}. This is the
+    correctness harness — identical operator semantics to streaming, minus
+    watermark-driven emission (a closed batch emits every window)."""
+    p.validate()
+    outputs: dict[str, DataFrame] = {}
+    sinks: dict[str, DataFrame] = {}
+    for name in p.topo_order():
+        v = p.vertex(name)
+        outputs[name] = _vertex_output(p, v, spark, outputs, streaming=False)
+        if v.kind == "sink":
+            sinks[name] = outputs[name]
+    return sinks
+
+
+@dataclass
+class StreamingDeployment:
+    """Handle over the started queries (one per sink, §3.1 step 5)."""
+
+    queries: dict[str, object]
+
+    def process_all_available(self) -> None:
+        for q in self.queries.values():
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in self.queries.values():
+            q.stop()
+
+
+def compile_streaming(
+    p: Pipeline,
+    spark: SparkSession,
+    *,
+    checkpoint_root: str,
+    default_format: str = "memory",
+    trigger: dict | None = None,
+) -> StreamingDeployment:
+    """Streaming compile: one writeStream per sink vertex.
+
+    Sinks with a ``writer`` callable run it via foreachBatch (UDSink contract,
+    sink.proto:30-35 — per-batch status routing/fallback happens inside the
+    writer); others go to a named memory sink (the test harness's golden-sink,
+    mirroring the reference's Redis check sink, test/fixtures/redis_check.go).
+    """
+    p.validate()
+    outputs: dict[str, DataFrame] = {}
+    started: dict[str, object] = {}
+    for name in p.topo_order():
+        v = p.vertex(name)
+        outputs[name] = _vertex_output(p, v, spark, outputs, streaming=True)
+        if v.kind != "sink":
+            continue
+        df = outputs[name]
+        writer = df.writeStream
+        if trigger:
+            writer = writer.trigger(**trigger)
+        if v.sink.writer is not None:
+            # UDSink: durable, checkpoint-recoverable (WAL analogue of the
+            # reference's at-least-once ack chain, message.rs:130-296).
+            writer = writer.foreachBatch(v.sink.writer).option(
+                "checkpointLocation", f"{checkpoint_root}/{name}"
+            )
+        else:
+            # memory sink = test golden-sink; it cannot recover from a
+            # checkpoint, so it runs checkpoint-free (ephemeral by design).
+            writer = writer.format(default_format).queryName(name).outputMode("append")
+            if default_format != "memory":
+                writer = writer.option("checkpointLocation", f"{checkpoint_root}/{name}")
+        started[name] = writer.start()
+    return StreamingDeployment(started)
+
+
+def _has_reduce_upstream(p: Pipeline, name: str) -> bool:
+    seen: set[str] = set()
+    stack = [e.from_ for e in p.in_edges(name)]
+    while stack:
+        n = stack.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        if p.vertex(n).kind == "reduce":
+            return True
+        stack.extend(e.from_ for e in p.in_edges(n))
+    return False

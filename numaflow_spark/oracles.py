@@ -161,6 +161,26 @@ ORACLES: dict[str, str] = {
         )
         WHERE rank <= 3
     """,
+    # Full-DAG diamond pipeline: multicast branches then fan-in window sum.
+    # branch-a: or{click,view}; branch-b: and{high} (tags carry 'high' iff
+    # value >= 10); events matching both conditions count twice (multicast).
+    "pipeline_diamond": """
+        WITH branch_a AS (
+            SELECT ts, CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE event_type IN ('click', 'view')
+        ), branch_b AS (
+            SELECT ts, CAST(value AS DECIMAL(18,2)) * 2 AS v
+            FROM events WHERE value >= 10
+        ), merged AS (
+            SELECT * FROM branch_a UNION ALL SELECT * FROM branch_b
+        )
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
+               count(*) AS n_events,
+               CAST(sum(v) AS DECIMAL(38,2)) AS sum_value
+        FROM merged
+        GROUP BY 1, 2
+    """,
     # Rollup over (returnflag, linestatus).
     "rollup": """
         SELECT l_returnflag, l_linestatus,

@@ -268,6 +268,57 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full-DAG pipeline through the spec->DataFrame compiler (§3.1): the
+# diamond-e2e topology — source → tagger → two conditional branches with
+# different maps → fan-in → fixed-window reduce → sink. Multicast semantics:
+# an event matching BOTH edge conditions flows down both branches
+# (writer.rs:106-115), so it is counted twice — the oracle reproduces that
+# with UNION ALL of the two filtered selects.
+# ---------------------------------------------------------------------------
+
+def q_pipeline_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numaflow_spark.compiler import compile_batch
+    from numaflow_spark.pipeline import MapUDF, Pipeline, ReduceUDF, Sink, Source, Vertex
+
+    def read_events(s: SparkSession) -> DataFrame:
+        return _with_tags(load_table(s, sf_dir, "events"))
+
+    def enrich_a(df: DataFrame) -> DataFrame:
+        return df.select(F.col("ts"), F.col("value").cast(DEC).alias("v"), "tags")
+
+    def enrich_b(df: DataFrame) -> DataFrame:
+        return df.select(F.col("ts"), (F.col("value").cast(DEC) * 2).alias("v"), "tags")
+
+    p = (
+        Pipeline("diamond")
+        .add(Vertex("in", source=Source(read_events)))
+        .add(Vertex("branch-a", udf=MapUDF(enrich_a)))
+        .add(Vertex("branch-b", udf=MapUDF(enrich_b)))
+        .add(
+            Vertex(
+                "window-sum",
+                udf=ReduceUDF(
+                    window={"fixed": "1 hour"},
+                    keys=(),
+                    aggs=[
+                        F.count("*").alias("n_events"),
+                        F.sum("v").cast("decimal(38,2)").alias("sum_value"),
+                    ],
+                    ts_col="ts",
+                ),
+            )
+        )
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "branch-a", "or", ["click", "view"])
+        .connect("in", "branch-b", "and", ["high"])
+        .connect("branch-a", "window-sum")
+        .connect("branch-b", "window-sum")
+        .connect("window-sum", "out")
+    )
+    return compile_batch(p, spark)["out"]
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -287,4 +338,5 @@ QUERIES = {
     "join_agg": q_join_agg,
     "top_k": q_top_k,
     "rollup": q_rollup,
+    "pipeline_diamond": q_pipeline_diamond,
 }

@@ -1,0 +1,66 @@
+"""File sources: batch parquet scan + streaming replay.
+
+The replay source is the test-harness analogue of the reference's e2e input
+pumps (SURVEY.md §5): a directory of parquet part-files consumed
+``maxFilesPerTrigger`` at a time gives deterministic micro-batches, the way
+numaflow reads ``readBatchSize``(=500, const.go:185) messages per cycle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from numaflow_spark.session import load_table
+
+
+def batch_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return load_table(spark, sf_dir, table)
+
+
+def replay_stream(
+    spark: SparkSession,
+    directory: str,
+    *,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming read over a directory of parquet files, one batch per
+    ``max_files_per_trigger`` files. Schema is required by the streaming file
+    source; pass the batch scan's schema for the same directory."""
+    if schema is None:
+        schema = spark.read.parquet(directory).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+
+
+def write_replay_batches(
+    df: DataFrame, directory: str, *, batches: int, order_col: str
+) -> str:
+    """Materialize a DataFrame as N ordered parquet files so replay_stream
+    feeds them as N deterministic micro-batches (arrival order = order_col,
+    mirroring per-partition FIFO offsets, FIXTURES.md)."""
+    os.makedirs(directory, exist_ok=True)
+    pdf = df.orderBy(order_col).toPandas()
+    n = len(pdf)
+    per = max(1, (n + batches - 1) // batches)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(batches):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk) == 0:
+            break
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(directory, f"batch-{i:04d}.parquet"),
+            # micro (not nano) timestamps so the files read back as
+            # TimestampType under the engine's nanosAsLong setting
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return directory

@@ -1,0 +1,61 @@
+"""S1 Generator source (generator_source.go:23-52; generator.rs:10-24,70-101).
+
+The reference's generator emits ``rpu`` messages per ``duration`` tick with
+``keyCount`` cyclic keys, a fixed payload (``value``/``msgSize``), and an
+event-time ``jitter`` for out-of-orderness. Spark realization:
+``rate-micro-batch`` (deterministic rows-per-batch) with synthesized key /
+value / jittered event-time columns — all JVM-side expressions.
+
+Determinism note: jitter uses a hash of the row id rather than rand() so
+replays and retries produce identical streams (the reference seeds per-pod
+RNG; we go one better because checkpoint recovery must be idempotent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from numaflow_spark.message import as_envelope
+
+
+def generator_stream(
+    spark: SparkSession,
+    *,
+    rpu: int = 5,
+    key_count: int = 8,
+    value: int | None = None,
+    jitter_seconds: int = 0,
+    rows_per_batch: int | None = None,
+) -> DataFrame:
+    """Streaming generator in the Message envelope.
+
+    rpu -> rowsPerBatch with a 1s micro-batch (readTimeout default 1s,
+    const.go:186). Keys cycle ``key-0..key-{key_count-1}`` like
+    generator.rs; value defaults to (id % 3) + 1 matching the reduce-e2e
+    bodies "1"/"2"/"3" (reduce_one_test.go:62-66).
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch or rpu)
+        .load()
+    )  # columns: timestamp, value(long)
+    val = F.lit(value) if value is not None else (F.col("value") % 3 + 1)
+    jitter = (
+        (F.abs(F.hash(F.col("value"))) % (2 * jitter_seconds + 1) - jitter_seconds)
+        if jitter_seconds
+        else F.lit(0)
+    )
+    df = raw.withColumn("jit", jitter.cast("int")).select(
+        F.col("value").alias("gen_id"),
+        F.concat(F.lit("key-"), (F.col("value") % key_count).cast("string")).alias("key"),
+        val.cast("long").alias("gen_value"),
+        F.expr("timestamp + make_interval(0, 0, 0, 0, 0, jit, 0)").alias("event_time_raw"),
+    )
+    return as_envelope(
+        df,
+        keys=F.array(F.col("key")),
+        value=F.col("gen_value").cast("string").cast("binary"),
+        event_time=F.col("event_time_raw"),
+        vertex_name="generator",
+        offset=F.col("gen_id"),
+    ).drop("key", "gen_value", "event_time_raw")

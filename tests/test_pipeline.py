@@ -1,0 +1,135 @@
+"""Pipeline spec validation (reconciler/pipeline/validate.go semantics) and
+batch compilation of DAG topologies (diamond-e2e analogue)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.compiler import compile_batch
+from numaflow_spark.pipeline import (
+    Edge,
+    MapUDF,
+    Pipeline,
+    ReduceUDF,
+    Sink,
+    Source,
+    Vertex,
+    mono_vertex,
+)
+
+
+def _simple(spark):
+    src = Source(lambda s: s.range(10).select(F.col("id"), (F.col("id") % 2).alias("parity")))
+    return (
+        Pipeline("p")
+        .add(Vertex("in", source=src))
+        .add(Vertex("double", udf=MapUDF(lambda df: df.withColumn("id", F.col("id") * 2))))
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "double")
+        .connect("double", "out")
+    )
+
+
+def test_validate_ok(spark):
+    _simple(spark).validate()
+
+
+def test_duplicate_names(spark):
+    p = _simple(spark)
+    p.add(Vertex("double", udf=MapUDF(lambda df: df)))
+    with pytest.raises(ValueError, match="duplicate"):
+        p.validate()
+
+
+def test_unknown_vertex_edge(spark):
+    p = _simple(spark)
+    p.edges.append(Edge("double", "nope"))
+    with pytest.raises(ValueError, match="unknown vertex"):
+        p.validate()
+
+
+def test_source_in_edge_rejected(spark):
+    p = _simple(spark)
+    p.edges.append(Edge("double", "in"))
+    with pytest.raises(ValueError):
+        p.validate()
+
+
+def test_cycle_rejected(spark):
+    src = Source(lambda s: s.range(3))
+    p = (
+        Pipeline("c")
+        .add(Vertex("in", source=src))
+        .add(Vertex("a", udf=MapUDF(lambda df: df)))
+        .add(Vertex("b", udf=MapUDF(lambda df: df)))
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "a").connect("a", "b").connect("b", "a").connect("b", "out")
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        p.validate()
+
+
+def test_compile_batch_linear(spark):
+    sinks = compile_batch(_simple(spark), spark)
+    assert sorted(r.id for r in sinks["out"].collect()) == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+
+def test_mono_vertex(spark):
+    p = mono_vertex(
+        "mv",
+        Source(lambda s: s.range(5)),
+        Sink(),
+        map_fn=lambda df: df.filter(F.col("id") > 2),
+    )
+    sinks = compile_batch(p, spark)
+    assert sorted(r.id for r in sinks["mv-sink"].collect()) == [3, 4]
+
+
+def test_compile_diamond_multicast(spark):
+    """An element matching both edge conditions is multicast down both
+    branches (writer.rs:106-115) and double-counted at the fan-in."""
+    src = Source(
+        lambda s: s.range(4).withColumn(
+            "tags",
+            F.when(F.col("id") == 0, F.array(F.lit("a")))
+            .when(F.col("id") == 1, F.array(F.lit("b")))
+            .when(F.col("id") == 2, F.array(F.lit("a"), F.lit("b")))
+            .otherwise(F.array().cast("array<string>")),
+        )
+    )
+    p = (
+        Pipeline("d")
+        .add(Vertex("in", source=src))
+        .add(Vertex("ma", udf=MapUDF(lambda df: df)))
+        .add(Vertex("mb", udf=MapUDF(lambda df: df)))
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "ma", "or", ["a"])
+        .connect("in", "mb", "or", ["b"])
+        .connect("ma", "out")
+        .connect("mb", "out")
+    )
+    ids = sorted(r.id for r in compile_batch(p, spark)["out"].collect())
+    assert ids == [0, 1, 2, 2]  # id=2 multicast to both branches
+
+
+def test_compile_reduce_vertex(spark):
+    src = Source(
+        lambda s: s.createDataFrame(
+            [(i, f"2024-01-01 00:{i:02d}:00", 1) for i in range(20)],
+            "id long, et string, v long",
+        ).select(F.col("id"), F.col("et").cast("timestamp").alias("event_time"), F.col("v"))
+    )
+    p = (
+        Pipeline("r")
+        .add(Vertex("in", source=src))
+        .add(
+            Vertex(
+                "agg",
+                udf=ReduceUDF(window={"fixed": "10 minutes"}, aggs=[F.sum("v").alias("s")]),
+            )
+        )
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "agg")
+        .connect("agg", "out")
+    )
+    rows = compile_batch(p, spark)["out"].orderBy("window_start").collect()
+    assert [r.s for r in rows] == [10, 10]
