@@ -1,0 +1,132 @@
+"""R4 Accumulator window — per-key global window with ordered replay
+(SURVEY.md §2.4; reference: ``unaligned/windower/accumulator.rs:1-25,38-58``,
+proto ``accumulator.proto:32-61``).
+
+The reference's accumulator gives the UDF a per-key *ordered* stream inside
+an unbounded window with an inactivity timeout; the canonical use is the
+stream sorter (``examples/40-stream-sorter.yaml``): buffer out-of-order
+events and re-emit them in event-time order as the watermark advances.
+
+Spark has no built-in operator for this, so it is implemented with
+``applyInPandasWithState``:
+  * state per key = the buffered not-yet-emittable rows (arrow-serialized);
+  * on every invocation, newly arrived rows join the buffer; rows with
+    event_time <= current watermark are emitted in (event_time, seq) order
+    and removed;
+  * an event-time timeout is registered so the buffer flushes when the
+    watermark advances with no new data for the key (the reference's
+    inactivity close);
+  * emission order is deterministic: Spark feeds one group per call and the
+    buffer is sorted before the cut.
+
+Scale notes: state lives in the state store (RocksDB-backed on a real
+cluster) partitioned by key — the same sharding the reference gets from
+key-hash buffer partitioning (forward.rs:31-41). Buffer size per key is
+bounded by watermark delay × per-key event rate, exactly like the
+reference's PBQ/WAL growth bound.
+
+The batch twin (correctness harness): per-key sort is just a window
+``row_number`` — see ``sorted_replay_batch``.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Streaming stream-sorter schemas: key + event_time + a long value payload
+# (the reduce-e2e message shape). Generalizing to arbitrary payloads means
+# swapping the value columns; the state mechanics are payload-agnostic
+# because the buffer is an arrow-serialized pandas frame.
+SORTER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("event_time", TimestampType()),
+        StructField("value", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+SORTER_STATE_SCHEMA = StructType([StructField("buf", BinaryType())])
+
+
+def _pack(pdf: pd.DataFrame) -> bytes:
+    buf = io.BytesIO()
+    pdf.to_parquet(buf, index=False)
+    return buf.getvalue()
+
+
+def _sorter_fn(key, pdf_iter, state: GroupState):
+    """Per-key accumulator body (accumulator.proto AccumulatorRequest loop)."""
+    frames = []
+    if state.exists:
+        frames.append(pd.read_parquet(io.BytesIO(state.get[0])))
+    for pdf in pdf_iter:  # always drain; empty on timeout invocations
+        if len(pdf):
+            frames.append(pdf[["event_time", "value"]])
+    if not frames:
+        if state.exists:
+            state.remove()
+        return
+    buf = pd.concat(frames, ignore_index=True)
+
+    wm_ms = state.getCurrentWatermarkMs()
+    cutoff = pd.Timestamp(wm_ms, unit="ms")
+    buf = buf.sort_values(["event_time", "value"], kind="mergesort").reset_index(drop=True)
+    emit = buf[buf["event_time"] <= cutoff]
+    keep = buf[buf["event_time"] > cutoff]
+
+    if len(keep):
+        state.update((_pack(keep),))
+        # flush again when the watermark reaches the oldest buffered event
+        state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+    else:
+        state.remove()
+
+    if len(emit):
+        out = emit.copy()
+        out["key"] = key[0]
+        out["seq"] = range(len(out))
+        yield out[["key", "event_time", "value", "seq"]]
+
+
+def stream_sorter(df: DataFrame, *, key_col: str = "key",
+                  ts_col: str = "event_time", watermark_delay: str = "1 minute") -> DataFrame:
+    """Streaming stream-sorter (40-stream-sorter.yaml): per-key event-time
+    re-ordering of an out-of-order stream. Input needs (key, event_time,
+    value) columns; output adds the per-flush ``seq``."""
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("event_time"),
+        F.col("value").cast("long").alias("value"),
+    ).withWatermark("event_time", watermark_delay)
+    return src.groupBy("key").applyInPandasWithState(
+        _sorter_fn,
+        outputStructType=SORTER_OUTPUT_SCHEMA,
+        stateStructType=SORTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sorted_replay_batch(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                        tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Batch twin of the accumulator sort: per-key event-time ordering with a
+    deterministic sequence number (oracle: row_number window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return df.withColumn("seq", F.row_number().over(w))

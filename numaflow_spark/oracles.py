@@ -181,6 +181,15 @@ ORACLES: dict[str, str] = {
         FROM merged
         GROUP BY 1, 2
     """,
+    # R4 accumulator batch twin: per-key ordered replay with sequence numbers.
+    "accumulator_sort": """
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS INTEGER) AS seq,
+               event_id,
+               epoch_us(ts) AS ts_us
+        FROM events
+    """,
     # Rollup over (returnflag, linestatus).
     "rollup": """
         SELECT l_returnflag, l_linestatus,

@@ -276,6 +276,22 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with UNION ALL of the two filtered selects.
 # ---------------------------------------------------------------------------
 
+def q_accumulator_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 accumulator window, batch twin (accumulator.rs:38-58; stream-sorter
+    examples/40-stream-sorter.yaml): per-key event-time re-ordering with a
+    deterministic sequence number. Epoch-micro output keeps full precision."""
+    from numaflow_spark.operators.accumulator import sorted_replay_batch
+
+    events = load_table(spark, sf_dir, "events")
+    out = sorted_replay_batch(events, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return out.select(
+        "user_id",
+        "seq",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_pipeline_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numaflow_spark.compiler import compile_batch
     from numaflow_spark.pipeline import MapUDF, Pipeline, ReduceUDF, Sink, Source, Vertex
@@ -339,4 +355,5 @@ QUERIES = {
     "top_k": q_top_k,
     "rollup": q_rollup,
     "pipeline_diamond": q_pipeline_diamond,
+    "accumulator_sort": q_accumulator_sort,
 }

@@ -1,0 +1,2 @@
+"""Streaming-only semantics (SURVEY.md §2.5 sinks, §2.7): reliability sinks,
+watermark helpers, dedup."""

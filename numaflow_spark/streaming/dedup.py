@@ -1,0 +1,34 @@
+"""F8 effectively-once dedup (SURVEY.md §2.6): the ISB writer's message-id
+dedup window (js_writer.rs:167-171, duplicate detection :296-298) as Spark's
+``dropDuplicatesWithinWatermark``.
+
+The reference dedups on ``MessageID{vertex_name, offset, index}`` within the
+JetStream dedup window; here the id column(s) play MessageID and the
+watermark delay plays the dedup window — state is evicted once the watermark
+guarantees no duplicate can still arrive, so state size is bounded the same
+way at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    ts_col: str,
+    dedup_window: str,
+) -> DataFrame:
+    """Streaming dedup: keep the first arrival of each id; duplicates within
+    the watermark window are dropped; state evicted past it."""
+    return df.withWatermark(ts_col, dedup_window).dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def dedup_exact(df: DataFrame, id_cols: Sequence[str]) -> DataFrame:
+    """Batch twin: exact duplicate collapse on the id columns. This is a
+    shuffle on id_cols; at scale prefer a pre-partitioned/bucketed layout if
+    dedup runs repeatedly over the same keys."""
+    return df.dropDuplicates(list(id_cols))

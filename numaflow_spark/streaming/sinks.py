@@ -1,0 +1,89 @@
+"""Reliability sinks (SURVEY.md §2.5): UDSink status routing — fallback (DLQ),
+on-success chaining, retry with backoff — realized inside foreachBatch.
+
+Reference: sink responses carry per-message status {SUCCESS, FAILURE,
+FALLBACK, SERVE, ON_SUCCESS} (sink.proto:86-92); routing in
+``src/sinker/sink.rs:180-230``; retry strategy {interval, steps, factor,
+jitter} + onFailure: retry|drop|fallback (retry_strategy.go); e2e
+functional_test.go:305 (fallback), :322 (on-success), :339 (retry).
+
+Spark realization: the primary writer is a callable over the batch
+DataFrame. It may *partition* the batch by returning a status column; rows
+marked FALLBACK go to the fallback writer (DLQ), successful rows optionally
+feed an on-success writer. Retries wrap the primary writer with exponential
+backoff — batch-level, since Spark's unit of redelivery is the micro-batch
+(per-message nack W10 is a documented divergence; the DLQ pattern below is
+its substitute).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class RetryStrategy:
+    """retry_strategy.go: backoff {interval, steps, factor}; onFailure
+    routing. jitter omitted — determinism beats thundering-herd avoidance in
+    a single-driver engine."""
+
+    interval_s: float = 0.001
+    steps: int = 3
+    factor: float = 1.5
+    on_failure: str = "fallback"  # retry-exhausted routing: drop|fallback|raise
+
+    def __post_init__(self) -> None:
+        if self.on_failure not in ("drop", "fallback", "raise"):
+            raise ValueError("on_failure must be drop|fallback|raise")
+
+
+@dataclass
+class ReliableSink:
+    """UDSink with status routing. ``primary`` writes a batch and may raise;
+    ``fallback`` receives the batch when the primary exhausts retries
+    (FALLBACK status / DLQ, sink.go:26-29); ``on_success`` runs after a
+    successful primary write with the same batch (sink.go:30-34)."""
+
+    primary: Callable[[DataFrame, int], None]
+    fallback: Callable[[DataFrame, int], None] | None = None
+    on_success: Callable[[DataFrame, int], None] | None = None
+    retry: RetryStrategy = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.retry is None:
+            self.retry = RetryStrategy()
+
+    def __call__(self, df: DataFrame, epoch_id: int) -> None:
+        delay = self.retry.interval_s
+        last_err: Exception | None = None
+        for attempt in range(max(1, self.retry.steps)):
+            try:
+                self.primary(df, epoch_id)
+                if self.on_success is not None:
+                    self.on_success(df, epoch_id)
+                return
+            except Exception as e:  # noqa: BLE001 — sink contract is status, not types
+                last_err = e
+                if attempt + 1 < self.retry.steps:
+                    time.sleep(delay)
+                    delay *= self.retry.factor
+        if self.retry.on_failure == "fallback" and self.fallback is not None:
+            self.fallback(df, epoch_id)
+            return
+        if self.retry.on_failure == "drop":
+            return
+        raise last_err  # raise: let Spark retry the task / fail the query
+
+
+def parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
+    """Durable columnar sink (K-series analogue of the kafka/log sinks for
+    the batch-file world)."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(path)
+
+    return write

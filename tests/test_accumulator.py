@@ -1,0 +1,79 @@
+"""R4 accumulator window: the stream-sorter acceptance test
+(examples/40-stream-sorter.yaml; reduce-two-e2e stream sorter suite).
+
+Out-of-order events are replayed in micro-batches; the sorter must re-emit
+them per key in event-time order once the watermark passes them.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.accumulator import sorted_replay_batch, stream_sorter
+from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+
+BASE = 1704067200  # 2024-01-01 UTC
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="nfs_acc_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sorter_reorders(spark, tmpdir):
+    # arrival order (off) deliberately != event-time order: each batch of
+    # 10 carries a shuffled slice of event times within ±2 min.
+    rows = []
+    import random
+
+    rnd = random.Random(7)
+    for batch in range(4):
+        times = [BASE + batch * 600 + i * 60 for i in range(10)]
+        rnd.shuffle(times)
+        for i, t in enumerate(times):
+            rows.append((batch * 10 + i, "k0" if t % 120 == 0 else "k1", t % 7, t))
+    df = spark.createDataFrame(rows, "arrival long, key string, value long, et long").select(
+        "arrival", "key", "value", F.timestamp_seconds(F.col("et")).alias("event_time")
+    )
+    data_dir = write_replay_batches(df, f"{tmpdir}/in", batches=4, order_col="arrival")
+
+    stream = replay_stream(spark, data_dir, schema=df.schema, max_files_per_trigger=1)
+    sorted_stream = stream_sorter(stream, watermark_delay="30 seconds")
+    q = (
+        sorted_stream.writeStream.format("memory")
+        .queryName("sorter_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sorter_out").collect()
+    finally:
+        q.stop()
+
+    assert len(out) > 0, "sorter emitted nothing — watermark never advanced past data"
+    # Per key, emission (ordered by when it was appended to the sink) must be
+    # in non-decreasing event-time order: late-but-admitted rows were held
+    # back and re-sequenced before emission.
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r.event_time)
+    for key, times in by_key.items():
+        assert times == sorted(times), f"key {key} emitted out of order: {times[:10]}"
+    # and nothing past the final watermark was emitted (append contract)
+    max_et = max(r.event_time for r in out)
+    assert max_et < __import__("datetime").datetime.utcfromtimestamp(BASE + 4 * 600)
+
+
+def test_sorted_replay_batch_matches_window(spark):
+    df = spark.createDataFrame(
+        [(3, "a", 30), (1, "a", 10), (2, "a", 20), (9, "b", 10)],
+        "id long, k string, et long",
+    ).select("id", "k", F.timestamp_seconds(F.col("et") + BASE).alias("ts"))
+    out = sorted_replay_batch(df, ["k"], "ts", tiebreak_cols=["id"])
+    got = {(r.k, r.seq): r.id for r in out.collect()}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("a", 3): 3, ("b", 1): 9}

@@ -1,0 +1,90 @@
+"""Reliability semantics: fallback (DLQ) / on-success / retry sinks
+(functional_test.go:305,322,339) and streaming dedup (F8)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+from numaflow_spark.streaming.dedup import dedup_exact, dedup_within_watermark
+from numaflow_spark.streaming.sinks import ReliableSink, RetryStrategy
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="nfs_rel_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retry_then_success(spark):
+    calls, done = [], []
+    def flaky(df, epoch):
+        calls.append(epoch)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        done.extend(r.id for r in df.collect())
+
+    sink = ReliableSink(primary=flaky, retry=RetryStrategy(steps=5))
+    sink(spark.range(3), 0)
+    assert len(calls) == 3 and sorted(done) == [0, 1, 2]
+
+
+def test_fallback_dlq(spark):
+    dlq = []
+    def always_fail(df, epoch):
+        raise RuntimeError("down")
+    def to_dlq(df, epoch):
+        dlq.extend(r.id for r in df.collect())
+
+    sink = ReliableSink(primary=always_fail, fallback=to_dlq, retry=RetryStrategy(steps=2))
+    sink(spark.range(4), 7)
+    assert sorted(dlq) == [0, 1, 2, 3]
+
+
+def test_on_success_chain(spark):
+    order = []
+    sink = ReliableSink(
+        primary=lambda df, e: order.append("primary"),
+        on_success=lambda df, e: order.append("on_success"),
+    )
+    sink(spark.range(1), 0)
+    assert order == ["primary", "on_success"]
+
+
+def test_on_failure_raise(spark):
+    def boom(df, epoch):
+        raise RuntimeError("permanent")
+
+    sink = ReliableSink(primary=boom, retry=RetryStrategy(steps=2, on_failure="raise"))
+    with pytest.raises(RuntimeError, match="permanent"):
+        sink(spark.range(1), 0)
+
+
+def test_dedup_exact_batch(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id long, v string")
+    assert dedup_exact(df, ["id"]).count() == 2
+
+
+def test_dedup_within_watermark_streaming(spark, tmpdir):
+    """Duplicate MessageIDs arriving in later batches (within the dedup
+    window) are dropped — js_writer.rs:296-298 duplicate detection."""
+    base = 1704067200
+    rows = [(i, i, base + i) for i in range(10)]          # batch 1: ids 0-9
+    rows += [(10 + i, i, base + i + 1) for i in range(5)]  # batch 2: dup ids 0-4
+    df = spark.createDataFrame(rows, "arrival long, msg_id long, et long").select(
+        "arrival", "msg_id", F.timestamp_seconds(F.col("et")).alias("event_time")
+    )
+    data_dir = write_replay_batches(df, f"{tmpdir}/in", batches=2, order_col="arrival")
+    stream = replay_stream(spark, data_dir, schema=df.schema)
+    deduped = dedup_within_watermark(stream, ["msg_id"], "event_time", "10 minutes")
+    q = deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT msg_id, count(*) AS c FROM dedup_out GROUP BY msg_id").collect()
+    finally:
+        q.stop()
+    assert len(out) == 10
+    assert all(r.c == 1 for r in out)
