@@ -1,0 +1,226 @@
+"""Deduplication operators (north-star extension): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (this is the 100 TB story):
+  * exact dedup — one shuffle on the fingerprint hash; map-side partial
+    count first, so shuffle volume is #distinct fingerprints.
+  * exact n-gram Jaccard — candidate pairs via a shingle equi-join. Correct
+    but O(sum over shingles of group²) — the *oracle/ground-truth* path, not
+    the scale path.
+  * MinHash+LSH — the scale path: per-doc signature (k min-hashes, one pass,
+    no shuffle beyond the doc-level agg), banding (b bands × r rows), then a
+    self-join on (band, band-hash) buckets. Shuffle volume is #docs × b
+    band keys, independent of shingle cardinality; skewed buckets split by
+    AQE. Candidates are verified with exact Jaccard so precision is 1.
+  * SimHash — 64-bit signature per doc from token-hash bit votes; near-dup
+    candidates join on 16-bit chunks (Hamming ≤ 3 guarantees a matching
+    chunk by pigeonhole) and verify with bit_count(xor).
+
+All signature math is JVM-side (xxhash64 / bit ops / higher-order array
+functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from numaflow_spark.operators.text import fingerprint_md5, tokens
+
+# MinHash universe: permutations h_i(x) = (a_i * x + b_i) mod P over the
+# (P-reduced) murmur3 shingle hash. P = 2^31-1 keeps every intermediate
+# product < 2^62, inside signed-64 JVM arithmetic (no overflow under ANSI).
+_MINHASH_P = (1 << 31) - 1
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document: (id, sh). The explode happens
+    after tokenization; DISTINCT collapses repeats so Jaccard is set-based."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("sh"))
+        .where(F.size(toks) >= n)
+        .distinct()
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one hash
+    shuffle; returns (fingerprint, n_docs, min_doc_id) per group — dedup =
+    keep min_doc_id per fingerprint; groups with n_docs > 1 are the dups."""
+    fp = df.select(F.col(id_col).alias("doc"), fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc").alias("min_doc_id")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (ground truth / oracle path).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) from integer counts — bit-identical
+    across engines, so no rounding is needed on the output.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_common", "sz1", "sz2", "jaccard")
+    )
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P)) for _ in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: k columns ``mh_i``. One doc-level
+    aggregation; the k permutation mins are computed as k agg expressions
+    over the shingle hash (partial-aggregated map-side)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    # reduce the 32-bit murmur3 hash into [0, P) before the affine map
+    h = ((F.hash(F.col("sh")).cast("long") + F.lit(1 << 32)) % F.lit(_MINHASH_P)).alias("h")
+    hashed = sh.select("doc", h)
+    aggs = [
+        F.min((F.lit(ai) * F.col("h") + F.lit(bi)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
+        for i, (ai, bi) in enumerate(_minhash_params(k))
+    ]
+    return hashed.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard.
+
+    Banding: k/bands rows per band; a pair is a candidate if any band's
+    signature slice matches exactly (joined on a hash of the slice). With
+    k=64, b=16, r=4 the S-curve midpoint is ~0.5, so recall at J≥0.8 is
+    ≥1-(1-0.8⁴)¹⁶ ≈ 0.9998 per pair. Candidates then get exact-Jaccard
+    verification, so precision is exact and the output schema matches
+    ``jaccard_pairs``.
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k).cache()
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.hash(*cols).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, bside = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            bside,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard (precision = 1)
+    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    return candidates.join(exact, ["d1", "d2"]).select(
+        "d1", "d2", "n_common", "sz1", "sz2", "jaccard"
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, ±1 votes per bit, sign
+    fold. Emitted as (doc, simhash long). The top bit is left at 0 so the
+    value stays non-negative in a signed 64-bit column."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(63)
+    ]
+    voted = tok.groupBy("doc").agg(*votes)
+    sim = None
+    for i in range(63):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return voted.select("doc", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: by pigeonhole, Hamming ≤ 3 over 4
+    16-bit chunks forces at least one identical chunk — join per chunk,
+    verify with bit_count(xor)."""
+    sig = simhash64(df, id_col, text_col).cache()
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            sig.select(
+                "doc",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+        )
+    banded = chunks[0]
+    for ch in chunks[1:]:
+        banded = banded.unionByName(ch)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "d1", "d2", "hamming"
+    )

@@ -1,0 +1,100 @@
+"""Multimodal columns (north-star extension): image/audio/video as opaque
+``binary`` columns with typed metadata, plus batch decode/feature plumbing.
+
+The container has no image/audio libraries, so the actual decoders are
+STUBS: ``decode_image_real`` raises NotImplementedError with the intended
+dependency, and ``fake_decode_features`` is a deterministic stand-in that
+derives feature values purely from the bytes — the Spark-side plumbing
+(schema, Arrow batch shape, mapInPandas signature, partitioning) is real
+and tested, and is exactly what a real decoder would drop into.
+
+Scale notes: blobs ride as BinaryType through the scan; Parquet keeps them
+column-compressed and the decode stage is ``mapInPandas`` (Arrow batches,
+no per-row pickling). Decode parallelism = input partitions; a 100 TB media
+table is decoded with zero shuffles — partition count and
+``spark.sql.files.maxPartitionBytes`` are the only knobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Typed metadata envelope for a multimodal asset column.
+ASSET_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),  # image | audio | video | text
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def attach_blob(df: DataFrame, id_col: str, payload_col: str, *, modality: str = "image",
+                mime: str = "application/octet-stream", source_col: str | None = None) -> DataFrame:
+    """Wrap a payload column as (blob BINARY, meta STRUCT) — the multimodal
+    column convention every downstream operator consumes."""
+    blob = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        blob.alias("blob"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.length(blob).cast("long").alias("n_bytes"),
+            (F.col(source_col) if source_col else F.lit(None).cast("string")).alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(blob: bytes):  # pragma: no cover - intentional stub
+    """Real image decode — requires Pillow/opencv, absent from this
+    container. The mapInPandas plumbing in ``decode_features`` is what a
+    real implementation plugs into."""
+    raise NotImplementedError(
+        "image decoding requires Pillow or opencv-python; install one and "
+        "replace fake_decode_features in decode_features()"
+    )
+
+
+def fake_decode_features(blob: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in decode: 'width'/'height'/'checksum' derived
+    from the raw bytes only — stable across runs, partitionings, engines."""
+    n = len(blob)
+    width = n % 256
+    height = (n * 7) % 256
+    checksum = sum(blob[:64]) % 65536
+    return n, width, height, checksum
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Batch 'decode' of multimodal blobs to typed features via mapInPandas.
+
+    Input: (doc_id, blob, meta) from attach_blob. Output: FEATURE_SCHEMA.
+    This is the real plumbing — Arrow batch in, feature frame out — with the
+    stub doing the per-blob math a codec would do.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_features(b) for b in pdf["blob"]]
+            out = pd.DataFrame(
+                feats, columns=["n_bytes", "width", "height", "checksum"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.mapInPandas(decode, schema=FEATURE_SCHEMA)

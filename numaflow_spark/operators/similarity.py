@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Three paths, one output contract:
+  * brute-force cosine top-k — exact. Queries are broadcast as a numpy
+    matrix; each corpus partition computes a BLAS block product
+    (queries × block) inside ``mapInPandas`` and emits its local top-k
+    candidates; a final window rank merges them. Shuffle volume is
+    k × |queries| × #partitions — independent of corpus size.
+  * all-pairs similar_pairs — exact near-dup surface. The corpus matrix is
+    broadcast and every partition scores its block against it (block @ full).
+    O(n²) flops but BLAS-vectorized; usable to ~1M vectors, beyond which the
+    LSH path is the answer.
+  * LSH-bucketed ANN — the 100 TB path: random-hyperplane sign buckets;
+    queries only score their own bucket. Approximate (rows-only check).
+
+Determinism: all scores are float64, rounded to 6 decimals *before*
+thresholding/ranking, with neighbor-id tie-breaks — results are identical
+across partitionings and engines regardless of FP summation order (BLAS vs
+sequential differ at ~1e-13, absorbed by the rounding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TOPK_SCHEMA = "query_id long, neighbor_id long, cos_sim double"
+PAIR_SCHEMA = "id1 long, id2 long, cos_sim double"
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Column-expression float64 dot product (for single-pair use inside
+    larger expressions; bulk scoring goes through the numpy paths below)."""
+    prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+def _matrix(pdf_col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, rank, cos_sim),
+    self-matches excluded. One corpus pass + a k×|Q|×partitions-sized merge."""
+    spark = corpus.sparkSession
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    q_mat = _unit(_matrix(qpdf[vec_col]))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            cm = _unit(_matrix(pdf[vec_col]))
+            s = np.round(qm @ cm.T, 6)  # |Q| x |block|
+            # local top-k per query bounds the shuffle; +k slack covers
+            # self-match removal at the global merge
+            take = min(k + 1, s.shape[1])
+            out = []
+            for qi in range(s.shape[0]):
+                idx = np.argpartition(-s[qi], take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": ids[qi], "neighbor_id": c_ids[idx], "cos_sim": s[qi][idx]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def similar_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. Each partition BLAS-scores its
+    block against the broadcast corpus; the id1 < id2 guard dedups across
+    blocks. Ground truth for the LSH path; swap to LSH beyond ~1M vectors."""
+    spark = df.sparkSession
+    cpdf = df.select(id_col, vec_col).toPandas()
+    c_ids = cpdf[id_col].to_numpy()
+    c_mat = _unit(_matrix(cpdf[vec_col]))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf[id_col].to_numpy()
+            bm = _unit(_matrix(pdf[vec_col]))
+            s = np.round(bm @ cm.T, 6)  # |block| x |corpus|
+            bi, cj = np.nonzero((s >= threshold) & (b_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame({"id1": b_ids[bi], "id2": ids[cj], "cos_sim": s[bi, cj]})
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=PAIR_SCHEMA)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_np(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits * (1 << np.arange(planes.shape[0]))[None, :]).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors sharing the query's hyperplane
+    bucket (~2^-n_planes of the corpus per query on random data). Recall < 1
+    by construction — rows-only correctness check."""
+    spark = corpus.sparkSession
+    planes = _hyperplanes(dim, n_planes)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    q_mat = _unit(_matrix(qpdf[vec_col]))
+    q_buckets = lsh_bucket_np(q_mat, planes)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_buckets, planes))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm, qb, pl = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            cm = _unit(_matrix(pdf[vec_col]))
+            cb = lsh_bucket_np(cm, pl)
+            out = []
+            for qi in range(len(ids)):
+                mask = cb == qb[qi]
+                if not mask.any():
+                    continue
+                s = np.round(qm[qi] @ cm[mask].T, 6)
+                out.append(
+                    pd.DataFrame({"query_id": ids[qi], "neighbor_id": c_ids[mask], "cos_sim": s})
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

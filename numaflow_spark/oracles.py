@@ -190,6 +190,143 @@ ORACLES: dict[str, str] = {
                epoch_us(ts) AS ts_us
         FROM events
     """,
+    # Text quality stats (all integer-derived; stopword_ratio is int/int).
+    "text_stats": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w, strlen(text) AS nc FROM documents
+        ), s AS (
+            SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens, CAST(nc AS BIGINT) AS n_chars_m,
+                   CAST(len(list_filter(w, x -> x IN ('the','a','an','of','and','is','to','in')))
+                        AS INTEGER) AS n_stopwords
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_chars_m, n_stopwords,
+               n_stopwords * 1.0 / n_tokens AS stopword_ratio,
+               CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 AND n_stopwords * 10 >= n_tokens THEN 2
+                    WHEN n_tokens >= 5 AND n_stopwords > 0 THEN 1
+                    ELSE 0 END AS quality
+        FROM s
+    """,
+    # Marker-count language ID, precedence en>de>fr>es, else 'und'.
+    "lang_id": """
+        WITH c AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), n AS (
+            SELECT doc_id,
+                   len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_n,
+                   len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_n,
+                   len(list_filter(w, x -> x IN ('le','la','et','les','est'))) AS fr_n,
+                   len(list_filter(w, x -> x IN ('el','los','las','y','es'))) AS es_n
+            FROM c
+        )
+        SELECT doc_id,
+               CASE WHEN en_n > 0 AND en_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'en'
+                    WHEN de_n > 0 AND de_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'de'
+                    WHEN fr_n > 0 AND fr_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'fr'
+                    WHEN es_n > 0 AND es_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM n
+    """,
+    # Exact dedup groups by md5 fingerprint of normalized text.
+    "doc_fingerprint_dups": """
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM fp GROUP BY fingerprint
+    """,
+    # Exact 3-gram Jaccard near-dup pairs at J >= 0.8.
+    "ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), shingles AS (
+            SELECT DISTINCT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, len(w) - 1)]) AS sh
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+            FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, n_common, sa.sz AS sz1, sb.sz AS sz2,
+               n_common * 1.0 / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
+    """,
+    # MinHash+LSH with exact-Jaccard verification: output equals the exact
+    # pair set (banding recall >= 99.97% per pair at J >= 0.8 with k=64 b=16).
+    "minhash_neardup": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), shingles AS (
+            SELECT DISTINCT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, len(w) - 1)]) AS sh
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+            FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, n_common, sa.sz AS sz1, sb.sz AS sz2,
+               n_common * 1.0 / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
+    """,
+    # Brute-force cosine top-5 (scores rounded to 6 before ranking; id
+    # tie-break — deterministic across engines and partitionings).
+    "embedding_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / sqrt(list_dot_product(qv, qv))
+                         / sqrt(list_dot_product(cv, cv)), 6) AS cos_sim
+            FROM q, c WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    # All pairs with cosine >= 0.4.
+    "embedding_similar_pairs": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_dot_product(a.e, b.e)
+                     / sqrt(list_dot_product(a.e, a.e))
+                     / sqrt(list_dot_product(b.e, b.e)), 6) AS cos_sim
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.e, b.e)
+                    / sqrt(list_dot_product(a.e, a.e))
+                    / sqrt(list_dot_product(b.e, b.e)), 6) >= 0.4
+    """,
+    # Multimodal decode stub: features derived from payload bytes (ASCII
+    # text => byte == char, so the SQL twin uses substr/ascii).
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(strlen(text) % 256 AS BIGINT) AS width,
+               CAST((strlen(text) * 7) % 256 AS BIGINT) AS height,
+               CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''),
+                                            x -> ascii(x))) % 65536 AS BIGINT) AS checksum
+        FROM documents
+    """,
     # Rollup over (returnflag, linestatus).
     "rollup": """
         SELECT l_returnflag, l_linestatus,

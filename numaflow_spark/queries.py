@@ -335,6 +335,110 @@ def q_pipeline_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star extensions (BASELINE.json): text analysis, dedup, similarity,
+# multimodal — the LLM-training-data operator set, over documents/embeddings.
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token counts, stopword ratio, composite quality
+    band — all integer-derived (bit-identical across engines)."""
+    from numaflow_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.length(t).cast("bigint").alias("n_chars_m"),
+        X.stopword_count(t).alias("n_stopwords"),
+        (X.stopword_count(t) / X.token_count(t)).alias("stopword_ratio"),
+        X.quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID (deterministic CASE ladder over marker
+    counts; precedence en>de>fr>es, 'und' when no marker hits)."""
+    from numaflow_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint over normalized text: duplicate groups
+    (one hash shuffle; shuffle volume = #distinct fingerprints)."""
+    from numaflow_spark.operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at J≥0.8 (ground-truth path)."""
+    from numaflow_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified by exact Jaccard (the scale
+    path). Oracle = the exact-Jaccard pair set: banding (k=64, b=16, r=4)
+    has ≥99.97% per-pair recall at J≥0.8, and verification gives exact
+    precision, so the outputs coincide."""
+    from numaflow_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming ≤ 3 over 64-bit signatures).
+    xxhash64 has no cross-engine twin — rows-only correctness check."""
+    from numaflow_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<20 over the full
+    corpus (broadcast queries, one corpus pass, one top-k shuffle)."""
+    from numaflow_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.4 (embedding near-dup surface)."""
+    from numaflow_spark.operators.similarity import similar_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similar_pairs(emb, threshold=0.4)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; recall < 1 by design —
+    rows-only check)."""
+    from numaflow_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=6)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text payload → binary blob + typed metadata →
+    mapInPandas batch 'decode' to features (deterministic stub codec; the
+    Arrow plumbing is the real deliverable)."""
+    from numaflow_spark.operators.multimodal import attach_blob, decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_blob(docs, "doc_id", "text", source_col="source"))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -356,4 +460,14 @@ QUERIES = {
     "rollup": q_rollup,
     "pipeline_diamond": q_pipeline_diamond,
     "accumulator_sort": q_accumulator_sort,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint_dups": q_doc_fingerprint_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "multimodal_decode": q_multimodal_decode,
 }

@@ -1,0 +1,123 @@
+"""Unit tests for the north-star extension operators: dedup recall/precision,
+simhash behavior, similarity ranking, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from numaflow_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+from numaflow_spark.operators.multimodal import attach_blob, decode_features, fake_decode_features
+from numaflow_spark.operators.similarity import brute_force_topk, lsh_topk
+from numaflow_spark.operators.text import lang_id, quality_score, token_count
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+    (3, "a completely different document about spark engines and data processing"),
+    (4, "der hund und die katze und das haus und der baum und das auto"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    groups = {r.fingerprint: (r.n_docs, r.min_doc_id) for r in exact_dup_groups(docs, "doc_id", "text").collect()}
+    assert (2, 0) in groups.values()  # docs 0,1 collapse
+    assert sum(n for n, _ in groups.values()) == 5
+
+
+def test_word_shingles_set_semantics(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    # shingles: "a b a", "b a b" repeated -> DISTINCT collapses to 2
+    assert word_shingles(df, "doc_id", "text", 3).count() == 2
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {(r.d1, r.d2): r.jaccard for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_matches_exact(docs):
+    exact = {(r.d1, r.d2) for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_neardup(docs):
+    pairs = {(r.d1, r.d2) for r in simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert (0, 1) in pairs  # identical docs -> hamming 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "der hund und die katze"), (2, "xyz qrs")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame([(0, "the quick brown fox jumps over the lazy dog ok now")], "id long, text string")
+    r = df.select(token_count(F.col("text")).alias("n"), quality_score(F.col("text")).alias("q")).first()
+    assert r.n == 11 and r.q == 2
+
+
+def test_brute_force_topk_ranks(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.0]),
+        ]
+    )
+    out = brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_brute_force(spark):
+    import random
+
+    rnd = random.Random(0)
+    rows = [Row(vec_id=i, embedding=[rnd.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    vecs = spark.createDataFrame(rows)
+    q = vecs.filter("vec_id < 3")
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(vecs, q, k=99).collect()
+    }
+    ann = lsh_topk(vecs, q, k=5, dim=16, n_planes=4).collect()
+    assert len(ann) > 0
+    # ANN scores must agree exactly with brute force for the same pair
+    assert all(bf[(r.query_id, r.neighbor_id)] == r.cos_sim for r in ann)
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world", "s1")], "doc_id long, text string, source string")
+    assets = attach_blob(df, "doc_id", "text", source_col="source")
+    row = assets.first()
+    assert bytes(row.blob).decode() == "hello world"
+    assert row.meta.n_bytes == 11 and row.meta.modality == "image" and row.meta.source == "s1"
+    feats = decode_features(assets).first()
+    assert (feats.n_bytes, feats.width, feats.height, feats.checksum) == fake_decode_features(b"hello world")
+
+
+def test_decode_real_is_stubbed():
+    from numaflow_spark.operators.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image_real(b"\x89PNG")
