@@ -1,0 +1,96 @@
+"""As-of and range joins — custom operators Spark lacks natively
+(SURVEY.md §2.13 extension surface; the reference has no joins at all).
+
+As-of join strategy (the scale-first design): instead of a broadcast or a
+bucketized inequality join, both sides are tagged and unioned, then a single
+shuffle on the join key + an ordered window carries the most recent right
+row forward onto each left row (``last(ignorenulls)`` over rows-unbounded-
+preceding). Cost = one shuffle + one sort per key group — the same price as
+a plain equi-join with sort-merge, and no row explosion regardless of time
+skew. This beats per-group ``merge_asof`` in pandas (no Python in the path)
+and survives 100 TB because keys shard independently.
+
+Range join: small band/dimension tables broadcast with an inequality
+condition — Catalyst turns it into BroadcastNestedLoopJoin, which is the
+right plan when one side is tiny; for two large sides, bucketize the range
+key first (bucketing helper included).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``on`` key (backward
+    inclusive — DuckDB/pandas ``merge_asof`` semantics). Unmatched left rows
+    keep nulls.
+
+    Ties on the timestamp between right rows are broken by the LAST of
+    ``right_cols`` order — callers wanting a deterministic tie-break should
+    include a unique column in ``right_cols`` and order rights accordingly
+    upstream (with per-key-unique timestamps, the point is moot).
+    """
+    on = list(on)
+    lcols = left.columns
+    # side marker orders right rows before left at equal ts => inclusive <=
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    for c in lcols:
+        if c not in on:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    merged = l_tagged.select(
+        *on, "__ts", "__side", *[c for c in lcols if c not in on], *[f"{c}{suffix}" for c in right_cols]
+    ).unionByName(
+        r_tagged.select(
+            *on, "__ts", "__side", *[c for c in lcols if c not in on], *[f"{c}{suffix}" for c in right_cols]
+        )
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *on,
+        "__ts",
+        "__side",
+        *[c for c in lcols if c not in on],
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side", "__ts")
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, condition: Column, *, broadcast_right: bool = True
+) -> DataFrame:
+    """Inequality/banded join. With a tiny right side, broadcast-nested-loop
+    is the correct physical plan; for two large sides pre-bucketize (see
+    bucketize_range) and equi-join on the bucket before filtering."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition)
+
+
+def bucketize_range(df: DataFrame, value_col: str, bucket_width: float, out_col: str = "bucket") -> DataFrame:
+    """Attach a range bucket id so a large-large range join becomes an
+    equi-join on bucket (each side also joins adjacent buckets as needed)."""
+    return df.withColumn(out_col, F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long"))

@@ -327,6 +327,67 @@ ORACLES: dict[str, str] = {
                                             x -> ascii(x))) % 65536 AS BIGINT) AS checksum
         FROM documents
     """,
+    # As-of join: latest view <= click ts per user (backward inclusive).
+    "asof_join": """
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               v.event_id AS prev_event_id, epoch_us(v.ts) AS prev_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    # Range join against a 12-band price table.
+    "range_join_bands": """
+        WITH bands(band, lo, hi) AS (
+            SELECT i, 900.0 + i * 10.0, 900.0 + (i + 1) * 10.0 FROM range(10) t(i)
+        )
+        SELECT CAST(band AS INTEGER) AS band, count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+    # Cube over (returnflag, linestatus).
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    # Pivot linestatus into columns.
+    "pivot_agg": """
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O')
+                    AS DECIMAL(38,2)) AS qty_open,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F')
+                    AS DECIMAL(38,2)) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # Orders with no lineitems.
+    "set_except": """
+        SELECT o_orderkey AS orderkey FROM orders
+        EXCEPT
+        SELECT l_orderkey AS orderkey FROM lineitem
+    """,
+    # Customer keys present on both sides.
+    "set_intersect": """
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    # Exact linear-interpolation percentiles per priority.
+    "percentiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    # Ordered-window analytics: lag + running decimal sum per user.
+    "window_running": """
+        SELECT event_id, user_id,
+               lag(event_id) OVER w AS prev_event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS run_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     # Rollup over (returnflag, linestatus).
     "rollup": """
         SELECT l_returnflag, l_linestatus,

@@ -335,6 +335,110 @@ def q_pipeline_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom join operators (§2.13): as-of and range joins.
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the latest view ≤ click time by the same
+    user (single shuffle + ordered window; operators/asof.py)."""
+    from numaflow_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["event_id", "ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("event_id_asof").alias("prev_event_id"),
+        F.unix_micros(F.col("ts_asof")).alias("prev_ts_us"),
+    )
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a broadcast band table (price bands of width 250):
+    BroadcastNestedLoopJoin is the correct plan for a tiny inequality side."""
+    from numaflow_spark.operators.asof import range_join
+
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(i, 900.0 + i * 10.0, 900.0 + (i + 1) * 10.0) for i in range(10)],
+        "band int, lo double, hi double",
+    )
+    joined = range_join(
+        part, bands, (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast(DEC)).cast("decimal(38,2)").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining relational surface (§2.13): cube, pivot, set ops, percentiles,
+# ordered-window analytics.
+# ---------------------------------------------------------------------------
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitems (EXCEPT distinct semantics)."""
+    ordered = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    items = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return ordered.exceptAll(items.distinct()).distinct()
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer keys appearing in both customer and orders (INTERSECT)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordered = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.intersect(ordered)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (p50/p90)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window analytics per user: lag + running decimal sum (the
+    per-key FIFO shape of ordered processing, F9, as batch analytics)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.sum(F.col("value").cast(DEC)).over(run).cast("decimal(38,2)").alias("run_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # North-star extensions (BASELINE.json): text analysis, dedup, similarity,
 # multimodal — the LLM-training-data operator set, over documents/embeddings.
 # ---------------------------------------------------------------------------
@@ -470,4 +574,12 @@ QUERIES = {
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode": q_multimodal_decode,
+    "asof_join": q_asof_join,
+    "range_join_bands": q_range_join_bands,
+    "cube_agg": q_cube_agg,
+    "pivot_agg": q_pivot_agg,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "percentiles": q_percentiles,
+    "window_running": q_window_running,
 }

@@ -1,0 +1,51 @@
+"""As-of / range join operator semantics (operators/asof.py)."""
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.asof import asof_join, bucketize_range, range_join
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_seconds(F.col("t") + 1704067200)
+    )
+
+
+def test_asof_backward_inclusive(spark):
+    left = _ts(spark, [(1, "k", 100), (2, "k", 200), (3, "k", 50)], "id long, k string, t long")
+    right = _ts(spark, [(10, "k", 100), (11, "k", 150), (12, "x", 90)], "rid long, k string, t long")
+    out = asof_join(
+        left,
+        right.select("rid", "k", "ts"),
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["rid"],
+    )
+    got = {r.id: r.rid_asof for r in out.collect()}
+    # id=1 at t=100 matches rid=10 (equal ts inclusive); id=2 at t=200 -> rid=11;
+    # id=3 at t=50 -> no earlier right row -> null
+    assert got == {1: 10, 2: 11, 3: None}
+
+
+def test_asof_respects_keys(spark):
+    left = _ts(spark, [(1, "a", 100)], "id long, k string, t long")
+    right = _ts(spark, [(10, "b", 50)], "rid long, k string, t long")
+    out = asof_join(
+        left, right.select("rid", "k", "ts"), on=["k"], left_ts="ts", right_ts="ts", right_cols=["rid"]
+    )
+    assert out.first().rid_asof is None  # different key never matches
+
+
+def test_range_join_bands(spark):
+    vals = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id long, v double")
+    bands = spark.createDataFrame([(0, 0.0, 10.0), (1, 10.0, 20.0)], "band int, lo double, hi double")
+    out = range_join(vals, bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+    got = {r.id: r.band for r in out.collect()}
+    assert got == {1: 0, 2: 1}  # id=3 matches no band -> dropped (inner)
+
+
+def test_bucketize_range(spark):
+    df = spark.createDataFrame([(1, 7.0), (2, 23.0)], "id long, v double")
+    got = {r.id: r.bucket for r in bucketize_range(df, "v", 10.0).collect()}
+    assert got == {1: 0, 2: 2}
