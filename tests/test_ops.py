@@ -1,0 +1,110 @@
+"""Ops/observability surface (SURVEY.md §2.10): PipelineMonitor answers the
+daemon-service questions (rate, pending, watermarks, status, errors) from
+StreamingQuery progress — tested here against fake queries exposing the same
+``lastProgress``/``isActive``/``exception``/``status`` surface, so the
+contract is pinned without a live stream."""
+
+from __future__ import annotations
+
+import json
+
+from numaflow_spark.ops import PipelineMonitor, make_rate_listener
+
+
+class FakeQuery:
+    def __init__(self, progress=None, active=True, exc=None):
+        self.lastProgress = progress
+        self.isActive = active
+        self._exc = exc
+        self.status = {"message": "Processing new data"}
+
+    def exception(self):
+        return self._exc
+
+
+def _progress(rows=500, batch=1, wm="2026-01-01T00:00:10.000Z", rate=1234.5):
+    return {
+        "batchId": batch,
+        "numInputRows": rows,
+        "processedRowsPerSecond": rate,
+        "eventTime": {"watermark": wm},
+        "sources": [
+            {
+                "description": "RateStreamV2",
+                "startOffset": 0,
+                "endOffset": 10,
+                "latestOffset": 12,
+                "numInputRows": rows,
+            }
+        ],
+    }
+
+
+def test_vertex_metrics_latest_trigger():
+    mon = PipelineMonitor({"sink": FakeQuery(_progress())})
+    m = mon.get_vertex_metrics("sink")
+    assert m.processing_rate == 1234.5
+    assert m.num_input_rows == 500
+    assert m.batch_id == 1
+    # no history observed yet -> windowed rates default to 0, not crash
+    assert set(m.windowed_rates) == {"1m", "5m", "15m"}
+
+
+def test_windowed_rate_from_observations():
+    q = FakeQuery(_progress(rows=100, batch=1))
+    mon = PipelineMonitor({"v": q})
+    mon.observe()
+    q.lastProgress = _progress(rows=200, batch=2)
+    mon.observe()
+    q.lastProgress = _progress(rows=200, batch=2)
+    mon.observe()  # duplicate batch id must not double-count
+    hist = mon._hist["v"].samples
+    assert [b for (_t, _r, b) in hist] == [1, 2]
+
+
+def test_watermarks_and_pending():
+    mon = PipelineMonitor({"v": FakeQuery(_progress(wm="2026-02-02T00:00:00Z"))})
+    assert mon.get_watermarks() == {"v": "2026-02-02T00:00:00Z"}
+    pend = mon.get_pending("v")
+    assert pend["sources"][0]["latestOffset"] == 12
+    assert pend["sources"][0]["endOffset"] == 10  # lag derivable: latest - end
+
+
+def test_status_healthy_critical_inactive():
+    ok = PipelineMonitor({"a": FakeQuery(_progress())})
+    assert ok.get_status().status == "healthy"
+
+    bad = PipelineMonitor({"a": FakeQuery(_progress(), exc=RuntimeError("boom"))})
+    st = bad.get_status()
+    assert st.status == "critical" and "boom" in st.message
+
+    idle = PipelineMonitor({"a": FakeQuery(_progress(), active=False)})
+    assert idle.get_status().status == "inactive"
+
+
+def test_errors_and_snapshot_json():
+    mon = PipelineMonitor(
+        {"good": FakeQuery(_progress()), "bad": FakeQuery(None, exc=ValueError("x"))}
+    )
+    errs = mon.get_errors()
+    assert errs["good"] is None and "x" in errs["bad"]
+    snap = json.loads(mon.snapshot())
+    assert snap["status"]["status"] == "critical"
+    assert "good" in snap["metrics"]
+
+
+def test_no_progress_yet_is_safe():
+    mon = PipelineMonitor({"v": FakeQuery(None)})
+    mon.observe()
+    m = mon.get_vertex_metrics("v")
+    assert m.num_input_rows == 0 and m.batch_id == -1
+    assert mon.get_watermarks() == {"v": None}
+    assert mon.get_pending("v") == {"sources": []}
+
+
+def test_listener_constructs(spark):
+    # The push-based listener is a real StreamingQueryListener subclass.
+    mon = PipelineMonitor({})
+    listener = make_rate_listener(mon)
+    spark.streams.addListener(listener)
+    spark.streams.removeListener(listener)
