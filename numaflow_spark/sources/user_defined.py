@@ -1,0 +1,249 @@
+"""S9 User-defined source: the gRPC UDSource contract as a PySpark DataSource.
+
+Reference: a user-defined source is a sidecar implementing
+``ReadFn / AckFn / NackFn / PendingFn / PartitionsFn`` over bidi gRPC
+(pkg/apis/proto/source/v1/source.proto:29-56; client
+rust/numaflow-core/src/source/user_defined.rs). The engine repeatedly calls
+ReadFn for a batch, forwards, then AckFn confirms the batch so the source can
+release it — numaflow's at-least-once contract (message.rs:130-296).
+
+Spark realization: the same contract is a :class:`SourceHandle`, adapted to
+the PySpark Python DataSource API (pyspark.sql.datasource):
+
+  * streaming — :class:`SimpleDataSourceStreamReader`: ``initialOffset`` /
+    ``read(start) -> (rows, end)`` is ReadFn, ``commit(end)`` is AckFn
+    (called only after the offset range is durably committed to the
+    checkpoint — exactly the ack-after-durable semantics of the reference),
+    and ``readBetweenOffsets`` is the replay path (the WAL-replay analogue
+    for recovery, SURVEY.md §2.4 R7). NackFn has no per-message equivalent:
+    an uncommitted range is simply re-read (documented divergence W10).
+  * batch — :class:`DataSourceReader` with one :class:`InputPartition` per
+    ``partitions()`` entry (PartitionsFn); each Spark task drains its
+    partition through the same read/ack loop. This is the correctness
+    harness for the streaming path.
+
+``pending()`` (PendingFn — the lag surface autoscaling reads) is exposed via
+:func:`pending_of` on the driver-side handle, mirroring LagReader.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Callable, Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+# Envelope subset a source emits (message.rs:96-128): downstream stages add
+# tags / id via as_envelope.
+UDSOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("keys", T.ArrayType(T.StringType()), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("event_time", T.TimestampType(), True),
+    ]
+)
+
+
+class SourceHandle(ABC):
+    """The source.proto contract, one method per RPC.
+
+    Offsets are JSON-safe dicts (the reference's ``Offset`` is
+    source-defined bytes + partition, message.rs:356-401 — a dict is the
+    Python-native equivalent). ``read`` must be resumable from any offset it
+    returned, and ``read_between`` must deterministically re-produce a
+    committed range (replay on recovery).
+    """
+
+    def partitions(self) -> list[int]:  # PartitionsFn (source.proto:54)
+        return [0]
+
+    def pending(self) -> int:  # PendingFn (source.proto:50); -1 = unknown
+        return -1
+
+    @abstractmethod
+    def initial_offset(self) -> dict: ...
+
+    @abstractmethod
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        """ReadFn: one micro-batch from ``start``; returns (rows, end).
+
+        rows are tuples matching :data:`UDSOURCE_SCHEMA` (or the handle's
+        ``schema()``); returning ``([], start)`` means idle."""
+
+    def read_between(self, start: dict, end: dict) -> list[tuple]:
+        """Replay a committed range after restart. Default: re-drive ReadFn,
+        valid whenever ``read`` is deterministic from ``start``."""
+        rows, nxt = self.read(start)
+        out = list(rows)
+        while nxt != end:
+            if not rows and nxt == start:
+                break  # idle source cannot reach end — corrupt range
+            rows, nxt2 = self.read(nxt)
+            if nxt2 == nxt:
+                break
+            out.extend(rows)
+            nxt = nxt2
+        return out
+
+    def ack(self, end: dict) -> None:  # AckFn (source.proto:41)
+        """Called only after Spark durably committed the range ending at
+        ``end`` — safe to release/delete upstream data."""
+
+    def schema(self) -> T.StructType:
+        return UDSOURCE_SCHEMA
+
+
+class _HandleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, handle: SourceHandle):
+        self._h = handle
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API casing)
+        return self._h.initial_offset()
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows, end = self._h.read(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:  # noqa: N802
+        return iter(self._h.read_between(start, end))
+
+    def commit(self, end: dict) -> None:
+        self._h.ack(end)
+
+
+class _HandleBatchReader(DataSourceReader):
+    """Batch drain: every handle partition becomes a Spark task that loops
+    ReadFn→AckFn until the source reports no progress (pending drained)."""
+
+    def __init__(self, factory: Callable[[dict], SourceHandle], options: dict):
+        self._factory = factory
+        self._options = options
+        self._parts = factory(dict(options)).partitions()
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in self._parts]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        opts = dict(self._options)
+        opts["partition"] = str(partition.value)
+        h = self._factory(opts)
+        off = h.initial_offset()
+        while True:
+            rows, end = h.read(off)
+            if not rows and end == off:
+                return
+            yield from rows
+            h.ack(end)
+            off = end
+
+
+def make_udsource(
+    factory: Callable[[dict], SourceHandle], name: str = "numaflow_udsource"
+) -> type[DataSource]:
+    """Build a registrable DataSource class around a handle factory.
+
+    ``factory(options)`` receives the reader options (all-string, like the
+    reference's env-injected source config) and returns a fresh handle —
+    the analogue of the UDSource container image the CRD names.
+
+    Usage::
+
+        spark.dataSource.register(make_udsource(MySource.from_options))
+        df = spark.readStream.format("numaflow_udsource").load()   # streaming
+        df = spark.read.format("numaflow_udsource").load()         # batch
+    """
+
+    class _UDSource(DataSource):
+        _factory = staticmethod(factory)
+
+        @classmethod
+        def name(cls) -> str:  # noqa: N805
+            return cls._source_name
+
+        def schema(self) -> T.StructType:
+            return self._factory(dict(self.options)).schema()
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:  # noqa: N802
+            return _HandleStreamReader(self._factory(dict(self.options)))
+
+        def reader(self, schema) -> DataSourceReader:
+            return _HandleBatchReader(self._factory, dict(self.options))
+
+    _UDSource._source_name = name
+    return _UDSource
+
+
+def pending_of(handle: SourceHandle) -> int:
+    """PendingFn surface for lag reporting (LagReader; feeds PipelineMonitor
+    alongside progress-derived offsets, SURVEY.md §2.10)."""
+    return handle.pending()
+
+
+# ---------------------------------------------------------------------------
+# Reference handle: a deterministic sequence source (the udsource-e2e
+# simple-source analogue — test/udsource-e2e uses a counter source). Doubles
+# as the contract's executable documentation and the pytest fixture.
+# ---------------------------------------------------------------------------
+
+
+class SequenceSource(SourceHandle):
+    """Emits ``total`` numbered records across ``n_partitions``, at most
+    ``batch_size`` per ReadFn. Deterministic: record i has key
+    ``key-{i % key_count}``, value ``b"msg-{i}"``, event_time = epoch + i s —
+    so replay (read_between) is exact and the batch/streaming paths agree.
+
+    ``ack_log`` (optional path) appends one JSON line per AckFn call so tests
+    can assert ack-after-commit ordering from outside the reader process.
+    """
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", 100))
+        self.batch_size = int(options.get("batch_size", 10))
+        self.key_count = int(options.get("key_count", 4))
+        self.n_partitions = int(options.get("partitions", 1))
+        self.partition = int(options.get("partition", -1))
+        self.ack_log = options.get("ack_log")
+
+    def partitions(self) -> list[int]:
+        return list(range(self.n_partitions))
+
+    def _mine(self) -> list[int]:
+        ids = range(self.total)
+        if self.partition >= 0:
+            ids = [i for i in ids if i % self.n_partitions == self.partition]
+        return list(ids)
+
+    def initial_offset(self) -> dict:
+        return {"pos": 0}
+
+    def pending(self) -> int:
+        return len(self._mine())
+
+    def _row(self, i: int) -> tuple:
+        return (
+            i,
+            i % self.n_partitions,
+            [f"key-{i % self.key_count}"],
+            f"msg-{i}".encode(),
+            datetime.fromtimestamp(i, tz=timezone.utc),
+        )
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        ids = self._mine()
+        pos = start["pos"]
+        chunk = ids[pos : pos + self.batch_size]
+        return [self._row(i) for i in chunk], {"pos": pos + len(chunk)}
+
+    def ack(self, end: dict) -> None:
+        if self.ack_log:
+            with open(self.ack_log, "a") as f:
+                f.write(f'{{"acked_pos": {end["pos"]}}}\n')

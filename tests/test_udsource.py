@@ -1,0 +1,74 @@
+"""S9 user-defined source (source.proto contract on the PySpark DataSource
+API): batch drain, streaming read with ack-after-commit, replay determinism,
+and partition fan-out (udsource-e2e analogue)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.sources.user_defined import (
+    SequenceSource,
+    make_udsource,
+    pending_of,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(make_udsource(SequenceSource, name="seq_source"))
+    return "seq_source"
+
+
+def test_batch_drain_single_partition(spark, registered):
+    df = spark.read.format(registered).options(total="25", batch_size="7").load()
+    rows = df.orderBy("offset").collect()
+    assert len(rows) == 25
+    assert rows[0].offset == 0 and rows[24].offset == 24
+    assert rows[3].keys == ["key-3"] and bytes(rows[3].value) == b"msg-3"
+    assert rows[10].event_time.second == 10
+
+
+def test_batch_partition_fanout(spark, registered):
+    # PartitionsFn: 4 handle partitions -> 4 Spark tasks, exact union.
+    df = spark.read.format(registered).options(total="40", partitions="4").load()
+    assert df.count() == 40
+    per = {r.partition: r.cnt for r in df.groupBy("partition").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_streaming_read_and_ack(spark, registered, tmp_path):
+    ack_log = str(tmp_path / "acks.jsonl")
+    q = (
+        spark.readStream.format(registered)
+        .options(total="30", batch_size="10", ack_log=ack_log)
+        .load()
+        .writeStream.format("memory")
+        .queryName("udsource_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from udsource_stream").collect()
+        assert sorted(r.offset for r in got) == list(range(30))
+    finally:
+        q.stop()
+    # AckFn fired only for durably-committed ranges, monotonically.
+    acked = [json.loads(line)["acked_pos"] for line in open(ack_log)]
+    assert acked == sorted(acked) and acked[-1] <= 30
+
+
+def test_replay_is_deterministic():
+    h = SequenceSource({"total": "20", "batch_size": "6"})
+    _rows, end1 = h.read({"pos": 0})
+    _rows2, end2 = h.read(end1)
+    replayed = h.read_between({"pos": 0}, end2)
+    assert [r[0] for r in replayed] == list(range(12))
+
+
+def test_pending_lag_surface():
+    h = SequenceSource({"total": "17"})
+    assert pending_of(h) == 17
