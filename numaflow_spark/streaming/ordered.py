@@ -1,0 +1,81 @@
+"""F9 Ordered processing: FIFO per key-partition inside the micro-batch.
+
+Reference: numaflow's ordered processing guarantees arrival-order (offset
+order, not event-time order) per buffer partition; it requires a fixed
+``partitions`` count on the vertex so the key→partition mapping is stable
+(docs/user-guide/reference/ordered-processing.md:9-40;
+pipeline_types.go:525-550; e2e functional_test.go:381,413).
+
+Spark realization: order is a per-partition property, so we reproduce the
+contract exactly as the reference states it — hash keys to a fixed partition
+count, sort each partition by source offset, and process partitions
+sequentially row-by-row. Granularity divergence: ordering holds *within*
+each micro-batch and across batches for a checkpointed query (batches are
+processed serially), but a row from batch N+1 can never overtake batch N,
+so the per-key FIFO contract is preserved end-to-end.
+
+Scale note: ``repartition(n, keys)`` is one shuffle; the per-partition apply
+is ``mapInPandas`` (Arrow-batched, no driver collect), so ordered pipelines
+stay distributed — one task per partition, same as the reference's
+partition-pinned pods.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ordered_batch(
+    df: DataFrame,
+    partitions: int,
+    key_cols: Sequence[str] = ("keys",),
+    order_col: str = "offset",
+) -> DataFrame:
+    """Key-hash to a fixed partition count + offset sort within each —
+    the exact layout the reference's ordered forwarder maintains
+    (forward.rs:31-41 hash % partitions, then FIFO)."""
+    return df.repartition(partitions, *[F.col(c) for c in key_cols]).sortWithinPartitions(
+        order_col
+    )
+
+
+def apply_ordered(
+    df: DataFrame,
+    fn: Callable,
+    schema,
+    partitions: int,
+    key_cols: Sequence[str] = ("keys",),
+    order_col: str = "offset",
+) -> DataFrame:
+    """Run ``fn(pdf) -> pdf`` over offset-ordered per-partition pandas
+    frames. ``fn`` sees every partition's rows in ascending ``order_col``
+    (Arrow batches of one Spark partition arrive in partition order), so
+    stateful sequential logic (the map-UDF-with-ordering contract) is safe.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        chunks = [b for b in batches if not b.empty]
+        if not chunks:
+            return  # empty partition (fewer keys than partitions)
+        yield fn(pd.concat(chunks, ignore_index=True))
+
+    return ordered_batch(df, partitions, key_cols, order_col).mapInPandas(run, schema)
+
+
+def ordered_sink(
+    writer: Callable[[DataFrame, int], None],
+    partitions: int,
+    key_cols: Sequence[str] = ("keys",),
+    order_col: str = "offset",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch wrapper: the writer always receives the batch in ordered
+    layout (use with ``compile_streaming`` sinks for ordered vertices)."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        writer(ordered_batch(df, partitions, key_cols, order_col), epoch_id)
+
+    return write

@@ -1,0 +1,125 @@
+"""F9 ordered processing, W7 rate limiting, W6 pause/resume."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.sources.user_defined import SequenceSource, make_udsource
+from numaflow_spark.streaming.lifecycle import Lifecycle, RateLimit, Throttler
+from numaflow_spark.streaming.ordered import apply_ordered, ordered_batch
+
+
+# -- F9 ordered -------------------------------------------------------------
+
+
+@pytest.fixture()
+def messages(spark):
+    # Deliberately shuffled arrival: offsets interleaved across keys.
+    rows = [(off, [f"k{off % 3}"]) for off in (7, 2, 9, 0, 5, 1, 8, 3, 6, 4)]
+    return spark.createDataFrame(rows, "offset long, keys array<string>")
+
+
+def test_ordered_batch_layout(messages):
+    df = ordered_batch(messages, partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    # all rows of one key land in one partition (stable key->partition map)
+    per_key = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("keys")
+        .agg(F.countDistinct("pid").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_key)
+
+
+def test_apply_ordered_sees_fifo(messages):
+    def check(pdf):
+        import pandas as pd
+
+        out = []
+        for key, grp in pdf.explode("keys").groupby("keys"):
+            offs = grp["offset"].tolist()
+            out.append((key, len(offs), offs == sorted(offs)))
+        return pd.DataFrame(out, columns=["key", "n", "fifo"])
+
+    res = apply_ordered(
+        messages, check, "key string, n long, fifo boolean", partitions=3
+    ).collect()
+    assert sum(r.n for r in res) == 10
+    assert all(r.fifo for r in res), "per-key offset order violated"
+
+
+# -- W7 rate limit ----------------------------------------------------------
+
+
+def test_ramp_up_schedule():
+    rl = RateLimit(max_tps=100, min_tps=20, ramp_up_s=10)
+    assert rl.allowed_tps(0) == 20
+    assert rl.allowed_tps(5) == 60
+    assert rl.allowed_tps(10) == 100
+    assert rl.allowed_tps(999) == 100
+    flat = RateLimit(max_tps=50)
+    assert flat.allowed_tps(0) == 50
+    with pytest.raises(ValueError):
+        RateLimit(max_tps=10, min_tps=20)
+
+
+def test_source_options_admission():
+    opts = RateLimit(max_tps=500).source_options(trigger_interval_s=2)
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+
+
+def test_throttler_paces_batches():
+    class FakeBatch:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n
+
+    seen = []
+    th = Throttler(RateLimit(max_tps=200), lambda df, e: seen.append(e))
+    t0 = time.monotonic()
+    th(FakeBatch(30), 0)
+    th(FakeBatch(30), 1)
+    elapsed = time.monotonic() - t0
+    assert seen == [0, 1]
+    assert elapsed >= 60 / 200 - 0.01  # cumulative rate capped at max_tps
+
+
+# -- W6 pause/resume --------------------------------------------------------
+
+
+def test_pause_resume_continues_from_checkpoint(spark, tmp_path):
+    spark.dataSource.register(make_udsource(SequenceSource, name="seq_lifecycle"))
+    opts = {"total": "30", "batch_size": "10"}
+    collected: list[int] = []
+
+    def start():
+        def sink(df, epoch_id):
+            collected.extend(r.offset for r in df.collect())
+
+        return (
+            spark.readStream.format("seq_lifecycle")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    lc = Lifecycle(start)
+    lc.run()
+    lc.query.processAllAvailable()
+    lc.pause()
+    assert lc.phase == "Paused" and sorted(collected) == list(range(30))
+
+    # more data arrives while paused; resume must replay nothing committed
+    opts["total"] = "50"
+    lc.resume()
+    lc.query.processAllAvailable()
+    lc.pause()
+    assert sorted(collected) == list(range(50)), "duplicates or gaps after resume"
