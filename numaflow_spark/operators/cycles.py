@@ -1,0 +1,93 @@
+"""F6 Cycles: bounded retry-style reprocessing, emulated as a driver loop.
+
+Reference: an edge may point back to a self/ancestor vertex so failed work
+re-enters the DAG ("retry-style reprocessing"); cycles are disallowed
+toward reduce vertices, and a message's retry budget lives in user metadata
+(docs/user-guide/reference/join-vertex.md §Cycles; e2e
+diamond_test.go:110,136; redrive semantics test/redrive-e2e).
+
+Structured Streaming cannot express a cyclic plan, so the cycle is unrolled:
+the vertex body runs up to ``max_deliveries`` rounds per batch, rows the
+recycle predicate selects go around again with ``delivery_count + 1``
+(NackOptions.max_deliveries, message.rs:526-536), and rows that exhaust the
+budget are DROP-tagged for the DLQ — the same terminal states the reference
+reaches, with the unrolling bounded exactly where numaflow bounds redelivery.
+
+Scale note: each round is a narrow transformation over only the recycled
+subset (shrinking per round); ``localCheckpoint`` truncates the lineage so
+``max_deliveries`` cannot build an unbounded plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from numaflow_spark.message import DROP_TAG
+
+DELIVERY_COL = "delivery_count"
+
+
+def emulate_cycle(
+    df: DataFrame,
+    body: Callable[[DataFrame], DataFrame],
+    recycle: Column,
+    *,
+    max_deliveries: int = 3,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``body`` with a feedback edge selected by ``recycle``.
+
+    Returns ``(done, exhausted)``: rows that exited the cycle normally, and
+    rows that hit the delivery budget (DROP-tagged, route them to a fallback
+    sink). ``body`` must preserve schema; ``recycle`` is evaluated on its
+    output. ``delivery_count`` is added if absent (0-based, the reference's
+    metadata counter).
+    """
+    if max_deliveries < 1:
+        raise ValueError("max_deliveries must be >= 1")
+    cur = df
+    if DELIVERY_COL not in cur.columns:
+        cur = cur.withColumn(DELIVERY_COL, F.lit(0))
+    done_parts: list[DataFrame] = []
+    for _round in range(max_deliveries):
+        out = body(cur)
+        done_parts.append(out.filter(~recycle))
+        cur = out.filter(recycle).withColumn(DELIVERY_COL, F.col(DELIVERY_COL) + 1)
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=False)
+        if cur.isEmpty():
+            cur = None
+            break
+    done = done_parts[0]
+    for part in done_parts[1:]:
+        done = done.unionByName(part)
+    if cur is None:
+        exhausted = done.limit(0)
+    else:
+        tags = F.when(
+            F.col("tags").isNull(), F.array(F.lit(DROP_TAG))
+        ).otherwise(F.array_union(F.col("tags"), F.array(F.lit(DROP_TAG))))
+        exhausted = cur.withColumn("tags", tags) if "tags" in cur.columns else cur
+    return done, exhausted
+
+
+def cycle_sink(
+    body: Callable[[DataFrame], DataFrame],
+    recycle: Column,
+    primary: Callable[[DataFrame, int], None],
+    dlq: Callable[[DataFrame, int], None] | None = None,
+    *,
+    max_deliveries: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch form: per micro-batch, unroll the cycle and route
+    completed rows to ``primary``, budget-exhausted rows to ``dlq``."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        done, exhausted = emulate_cycle(df, body, recycle, max_deliveries=max_deliveries)
+        primary(done, epoch_id)
+        if dlq is not None and not exhausted.isEmpty():
+            dlq(exhausted, epoch_id)
+
+    return write

@@ -1,0 +1,83 @@
+"""W3/W4 Idle-source watermark advancement via in-band WMB heartbeats.
+
+Reference: when a source partition is idle past ``threshold``, numaflow
+publishes artificially advancing watermarks (``incrementBy`` every
+``stepInterval``, capped at now − maxDelay) so downstream windows still
+close (rust/numaflow-core/src/watermark/idle/source.rs:1-20;
+pipeline_types.go:613-615; e2e idle_source_test.go:46,88). The advance
+travels *in-band* as a control message of type WMB (message.rs:299-307;
+wmb.rs:12-21) that carries time but no data.
+
+Spark's watermark only advances when rows arrive — an idle source stalls
+every downstream window forever. We reproduce the reference's mechanism
+literally: union a **heartbeat stream** of `typ='WMB'` rows whose
+event_time tracks now − maxDelay. The watermark node (which observes rows
+*before* any filter) advances from the heartbeat rows; a `typ != 'WMB'`
+filter then removes them ahead of the aggregation, so they influence time
+and nothing else — exactly what a WMB is.
+
+Scale note: the heartbeat is O(1 row / stepInterval) regardless of data
+volume; the union adds no shuffle (it is a narrow interleave).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# message.rs:100 MessageType { Data, WMB }
+TYP_DATA = "Data"
+TYP_WMB = "WMB"
+
+
+def heartbeat_stream(
+    spark: SparkSession,
+    *,
+    step_interval_s: int = 1,
+    max_delay: str = "0 seconds",
+) -> DataFrame:
+    """One WMB row per ``step_interval_s`` whose event_time = processing
+    time − maxDelay (the idle-source cap, idle/source.rs): columns
+    ``(typ, event_time)``."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", max(1, int(1 / step_interval_s)))
+        .load()
+        .select(
+            F.lit(TYP_WMB).alias("typ"),
+            (F.col("timestamp") - F.expr(f"INTERVAL {max_delay}")).alias("event_time"),
+        )
+    )
+
+
+def with_idle_watermark(
+    data: DataFrame,
+    heartbeat: DataFrame,
+    *,
+    ts_col: str = "event_time",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Union data with WMB heartbeats, assign the watermark over both, then
+    drop the WMBs — downstream windowed aggs close on wall-clock progress
+    even when the data source is idle.
+
+    ``data`` may have any schema containing ``ts_col``; heartbeat rows carry
+    nulls for every data column (they are control, not data).
+    """
+    tagged = data.withColumn("typ", F.lit(TYP_DATA))
+    hb = heartbeat.withColumnRenamed("event_time", ts_col) if ts_col != "event_time" else heartbeat
+    merged = tagged.unionByName(hb, allowMissingColumns=True)
+    # The WMB filter must execute ABOVE the EventTimeWatermark operator —
+    # heartbeat rows have to reach the event-time stats collector before
+    # being discarded. A predicate on typ alone gets pushed below the
+    # watermark node and constant-folded per union branch (Filter false on
+    # the heartbeat branch), silencing the heartbeats entirely. Referencing
+    # the watermark column pins the filter: Catalyst never pushes a
+    # predicate that mentions the event-time attribute below
+    # EventTimeWatermark, and a comparison against a real timestamp cannot
+    # be folded. The sentinel disjunct is false for every WMB row (heartbeat
+    # event times track now − maxDelay, far after 1900) and data rows pass
+    # on the first disjunct regardless.
+    not_wmb = (F.col("typ") != TYP_WMB) | (
+        F.col(ts_col) < F.lit("1900-01-01").cast("timestamp")
+    )
+    return merged.withWatermark(ts_col, delay).filter(not_wmb).drop("typ")

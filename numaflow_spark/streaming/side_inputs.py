@@ -1,0 +1,79 @@
+"""W9 Side inputs: cron-refreshed broadcast config for UDF stages.
+
+Reference: a centralized side-input manager runs the user's retrieval
+function on a cron ``trigger``, persists the latest value, and every vertex
+container sees the newest value before processing its next batch
+(side_inputs.go; docs/user-guide/reference/side-inputs.md:1-40;
+sideinput.proto:35-40 RetrieveSideInput; rust/numaflow-sideinput/).
+
+Spark realization: the manager is a driver-side TTL cache — foreachBatch
+runs on the driver between micro-batches, which is exactly the "newest value
+before the next batch" sync point the reference guarantees. Two consumption
+shapes:
+
+  * :func:`with_side_inputs` — the UDF-closure shape: the batch writer
+    receives ``{name: latest_value}`` (small config blobs, thresholds,
+    models);
+  * :func:`side_table` — the relational shape: the value is rows, exposed
+    as a small DataFrame to broadcast-join against the batch (a
+    slowly-changing dimension). At 100 TB the fact side streams through
+    while the side input stays a broadcast — no shuffle is introduced.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+
+@dataclass
+class SideInput:
+    """One side input: ``fetch()`` is the user's RetrieveSideInput; the
+    manager re-runs it at most every ``interval_s`` (the cron trigger)."""
+
+    name: str
+    fetch: Callable[[], Any]
+    interval_s: float = 60.0
+    _value: Any = field(default=None, repr=False)
+    _fetched_at: float = field(default=-1.0, repr=False)
+
+    def value(self) -> Any:
+        now = time.monotonic()
+        if self._fetched_at < 0 or now - self._fetched_at >= self.interval_s:
+            self._value = self.fetch()
+            self._fetched_at = now
+        return self._value
+
+    def invalidate(self) -> None:
+        self._fetched_at = -1.0
+
+
+def with_side_inputs(
+    writer: Callable[[DataFrame, int, dict[str, Any]], None],
+    side_inputs: list[SideInput],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch wrapper: refresh-then-process per micro-batch, the
+    reference's vertex-side sync (side input synced before each read loop)."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        writer(df, epoch_id, {s.name: s.value() for s in side_inputs})
+
+    return write
+
+
+def side_table(
+    spark: SparkSession, side: SideInput, schema: str
+) -> DataFrame:
+    """Materialize the current side-input value (list of rows) as a small
+    broadcast DataFrame — join it against the batch inside the writer:
+
+        dim = side_table(spark, prices, "sku string, price double")
+        enriched = batch_df.join(dim, "sku", "left")
+    """
+    rows = side.value()
+    return broadcast(spark.createDataFrame(rows, schema))

@@ -1,0 +1,137 @@
+"""W9 side inputs, W3 idle-source watermark heartbeats, F6 cycle emulation."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.cycles import cycle_sink, emulate_cycle
+from numaflow_spark.sources.user_defined import SequenceSource, make_udsource
+from numaflow_spark.streaming.idle import heartbeat_stream, with_idle_watermark
+from numaflow_spark.streaming.side_inputs import SideInput, side_table, with_side_inputs
+
+
+# -- W9 side inputs ---------------------------------------------------------
+
+
+def test_side_input_ttl_refresh():
+    calls = []
+    si = SideInput("cfg", fetch=lambda: calls.append(1) or len(calls), interval_s=3600)
+    assert si.value() == 1 and si.value() == 1  # cached within TTL
+    si.invalidate()
+    assert si.value() == 2  # cron tick -> refetch
+
+    hot = SideInput("hot", fetch=lambda: calls.append(1) or len(calls), interval_s=0.0)
+    assert hot.value() < hot.value()  # zero TTL refreshes every sync point
+
+
+def test_with_side_inputs_passes_latest_to_writer(spark):
+    state = {"threshold": 10}
+    si = SideInput("limits", fetch=lambda: dict(state), interval_s=0.0)
+    seen = []
+    writer = with_side_inputs(lambda df, eid, sides: seen.append(sides["limits"]), [si])
+    batch = spark.range(1)
+    writer(batch, 0)
+    state["threshold"] = 99  # upstream config change between batches
+    writer(batch, 1)
+    assert [s["threshold"] for s in seen] == [10, 99]
+
+
+def test_side_table_broadcast_join(spark):
+    si = SideInput(
+        "prices", fetch=lambda: [("a", 1.0), ("b", 2.5)], interval_s=3600
+    )
+    dim = side_table(spark, si, "sku string, price double")
+    facts = spark.createDataFrame([("a", 3), ("b", 4), ("c", 5)], "sku string, qty int")
+    out = {r.sku: r.price for r in facts.join(dim, "sku", "left").collect()}
+    assert out == {"a": 1.0, "b": 2.5, "c": None}
+    # the dimension side must be broadcast (no shuffle at 100 TB fact scale)
+    assert "Broadcast" in facts.join(dim, "sku", "left")._jdf.queryExecution().executedPlan().toString()
+
+
+# -- W3 idle-source watermark ----------------------------------------------
+
+
+def test_heartbeat_advances_watermark_closes_windows(spark, tmp_path):
+    spark.dataSource.register(make_udsource(SequenceSource, name="seq_idle"))
+    # 5 events at epoch seconds 0..4 — one 10s window that plain append-mode
+    # aggregation would never emit: the data source goes idle forever.
+    data = (
+        spark.readStream.format("seq_idle")
+        .options(total="5", batch_size="5")
+        .load()
+        .select("offset", "event_time")
+    )
+    hb = heartbeat_stream(spark, step_interval_s=1, max_delay="0 seconds")
+    agg = (
+        with_idle_watermark(data, hb, delay="0 seconds")
+        .groupBy(F.window("event_time", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.sum("offset").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("idle_close")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.sql("select cnt, total from idle_close").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert rows, "idle-source window never closed despite WMB heartbeats"
+        assert rows[0].cnt == 5 and rows[0].total == 10
+    finally:
+        q.stop()
+
+
+# -- F6 cycles --------------------------------------------------------------
+
+
+@pytest.fixture()
+def work(spark):
+    # each row needs `target` passes through the vertex body
+    return spark.createDataFrame(
+        [(1, 1, 0), (2, 2, 0), (3, 3, 0)], "id int, target int, value int"
+    )
+
+
+def _body(df):
+    return df.withColumn("value", F.col("value") + 1)
+
+
+def test_cycle_completes_within_budget(work):
+    done, exhausted = emulate_cycle(
+        work, _body, F.col("value") < F.col("target"), max_deliveries=3
+    )
+    got = {r.id: (r.value, r.delivery_count) for r in done.collect()}
+    assert got == {1: (1, 0), 2: (2, 1), 3: (3, 2)}  # exited after exactly `target` passes
+    assert exhausted.count() == 0
+
+
+def test_cycle_budget_exhaustion_routes_to_dlq(work):
+    done, exhausted = emulate_cycle(
+        work, _body, F.col("value") < F.col("target"), max_deliveries=2
+    )
+    assert sorted(r.id for r in done.collect()) == [1, 2]
+    dead = exhausted.collect()
+    assert [r.id for r in dead] == [3] and dead[0].delivery_count == 2
+
+
+def test_cycle_sink_form(spark, work):
+    out, dlq = [], []
+    sink = cycle_sink(
+        _body,
+        F.col("value") < F.col("target"),
+        primary=lambda df, e: out.extend(r.id for r in df.collect()),
+        dlq=lambda df, e: dlq.extend(r.id for r in df.collect()),
+        max_deliveries=2,
+    )
+    sink(work, 0)
+    assert sorted(out) == [1, 2] and dlq == [3]
