@@ -1,0 +1,152 @@
+"""§2.12 Serving: request/response pipelines over the streaming engine.
+
+Reference: a ``ServingPipeline`` fronts a dataflow with an HTTP layer —
+requests enter with an id, are tracked through the DAG (tracker.rs:1-9),
+results land in a **serving store** via the ``serve`` sink
+(serve_sink.go; rust sink/serve/*.rs), and clients retrieve them
+synchronously, asynchronously, or via SSE (rust/serving/src/, ~6k LoC;
+store contract: Put/Get keyed by request id —
+pkg/apis/proto/serving/v1/store.proto:27-35).
+
+Spark realization: the store is a pluggable Put/Get KV (memory for tests,
+directory-of-files for cross-process durability — swap in Redis/DynamoDB on
+a cluster); the serve sink is a foreachBatch writer that groups each batch
+by request id and Puts the payload lists; :class:`ServingHarness` couples a
+file-fed streaming pipeline with the store to give the synchronous
+request→result round-trip (the reference's sync mode). Async mode is simply
+``submit`` now, ``get`` later — same store.
+
+Scale note: the serve sink's per-batch work is one ``groupBy(id)`` over the
+micro-batch (bounded), and Puts fan out from executors only when the store
+is remote; the local stores Put from the driver after a bounded collect of
+*result* rows (serving batches are request-sized, not table-sized).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class ServingStore(ABC):
+    """store.proto:27-35: Put(id, payloads) / Get(id) -> payloads."""
+
+    @abstractmethod
+    def put(self, request_id: str, payloads: list[bytes]) -> None: ...
+
+    @abstractmethod
+    def get(self, request_id: str) -> list[bytes] | None: ...
+
+
+class MemoryServingStore(ServingStore):
+    def __init__(self) -> None:
+        self._d: dict[str, list[bytes]] = {}
+
+    def put(self, request_id: str, payloads: list[bytes]) -> None:
+        self._d.setdefault(request_id, []).extend(payloads)
+
+    def get(self, request_id: str) -> list[bytes] | None:
+        return self._d.get(request_id)
+
+
+class DirectoryServingStore(ServingStore):
+    """File-per-request store: survives driver restarts and is readable from
+    any process — the JetStream-KV analogue for single-node deployments."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, request_id: str) -> str:
+        return os.path.join(self.root, f"{request_id}.json")
+
+    def put(self, request_id: str, payloads: list[bytes]) -> None:
+        existing = self.get(request_id) or []
+        existing.extend(payloads)
+        tmp = self._path(request_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([p.hex() for p in existing], f)
+        os.replace(tmp, self._path(request_id))  # atomic: readers never see partials
+
+    def get(self, request_id: str) -> list[bytes] | None:
+        try:
+            with open(self._path(request_id)) as f:
+                return [bytes.fromhex(h) for h in json.load(f)]
+        except FileNotFoundError:
+            return None
+
+
+def serve_sink(
+    store: ServingStore,
+    id_col: str = "request_id",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """K10 serve sink: per micro-batch, Put every request's result payloads
+    (one request may produce N results — flat-map fanout upstream)."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        grouped = df.groupBy(id_col).agg(F.collect_list(value_col).alias("payloads"))
+        for row in grouped.collect():
+            store.put(row[id_col], [bytes(p) for p in row["payloads"]])
+
+    return write
+
+
+class ServingHarness:
+    """Sync/async request-response over a running streaming query.
+
+    ``submit_fn(request_id, value)`` injects the request into the pipeline's
+    source (for the built-in file-fed shape, use :func:`file_request_writer`);
+    results are awaited in the store. This is the reference's
+    sync-serving contract: POST returns when the DAG has fully processed the
+    request (serving e2e test/serving-e2e)."""
+
+    def __init__(self, store: ServingStore, submit_fn: Callable[[str, bytes], None]):
+        self.store = store
+        self.submit = submit_fn
+
+    def request(self, value: bytes, *, request_id: str | None = None,
+                timeout_s: float = 30.0, poll_s: float = 0.1) -> list[bytes]:
+        """Sync mode: submit then block until the store has the result."""
+        rid = request_id or str(uuid.uuid4())
+        self.submit(rid, value)
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            got = self.store.get(rid)
+            if got is not None:
+                return got
+            time.sleep(poll_s)
+        raise TimeoutError(f"request {rid} not served within {timeout_s}s")
+
+    def request_async(self, value: bytes, *, request_id: str | None = None) -> str:
+        """Async mode: returns the id immediately; poll :meth:`result`."""
+        rid = request_id or str(uuid.uuid4())
+        self.submit(rid, value)
+        return rid
+
+    def result(self, request_id: str) -> list[bytes] | None:
+        return self.store.get(request_id)
+
+
+def file_request_writer(inbox_dir: str) -> Callable[[str, bytes], None]:
+    """Submit shape for a file-fed serving pipeline: each request becomes one
+    JSON file in the inbox, which a ``spark.readStream.format('json')``
+    source (schema: request_id string, value string) picks up on its next
+    trigger. Writes are atomic (tmp + rename) so half-written requests are
+    never read."""
+    os.makedirs(inbox_dir, exist_ok=True)
+
+    def submit(request_id: str, value: bytes) -> None:
+        path = os.path.join(inbox_dir, f"{request_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"request_id": request_id, "value": value.decode("utf-8")}, f)
+        os.replace(tmp, path)
+
+    return submit

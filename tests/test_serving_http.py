@@ -1,0 +1,147 @@
+"""§2.12 serving (store + serve sink + sync/async harness) and S2 HTTP
+source (header mapping, dedup ids, streaming ingestion)."""
+
+from __future__ import annotations
+
+import socket
+import time
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.serving import (
+    DirectoryServingStore,
+    MemoryServingStore,
+    ServingHarness,
+    file_request_writer,
+    serve_sink,
+)
+from numaflow_spark.sources.http_source import HttpSourceHandle
+from numaflow_spark.sources.user_defined import make_udsource
+
+
+def test_stores_roundtrip(tmp_path):
+    for store in (MemoryServingStore(), DirectoryServingStore(str(tmp_path / "kv"))):
+        assert store.get("nope") is None
+        store.put("r1", [b"a", b"b"])
+        store.put("r1", [b"c"])  # appends (flat-map fanout -> several puts)
+        assert store.get("r1") == [b"a", b"b", b"c"]
+
+
+def test_serve_sink_groups_by_request(spark):
+    store = MemoryServingStore()
+    batch = spark.createDataFrame(
+        [("r1", b"x"), ("r2", b"y"), ("r1", b"z")], "request_id string, value binary"
+    )
+    serve_sink(store)(batch, 0)
+    assert sorted(store.get("r1")) == [b"x", b"z"]
+    assert store.get("r2") == [b"y"]
+
+
+def test_sync_serving_roundtrip(spark, tmp_path):
+    """The serving-e2e shape: request in -> pipeline transform -> store ->
+    sync response."""
+    inbox = str(tmp_path / "inbox")
+    store = MemoryServingStore()
+    harness = ServingHarness(store, file_request_writer(inbox))
+    harness.submit("warmup", b"w")  # inbox dir must exist before readStream
+
+    pipeline = (
+        spark.readStream.schema("request_id string, value string")
+        .json(inbox)
+        .withColumn("value", F.upper("value").cast("binary"))
+    )
+    q = (
+        pipeline.writeStream.foreachBatch(serve_sink(store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert harness.request(b"hello", timeout_s=30) == [b"HELLO"]
+        rid = harness.request_async(b"later")
+        deadline = time.monotonic() + 30
+        while harness.result(rid) is None and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert harness.result(rid) == [b"LATER"]
+    finally:
+        q.stop()
+
+
+# -- S2 HTTP source ---------------------------------------------------------
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _post(port: int, body: bytes, headers: dict) -> None:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/vertices/in", data=body, headers=headers, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        assert resp.status == 200
+
+
+def test_http_handle_headers_and_ack():
+    port = _free_port()
+    h = HttpSourceHandle({"port": str(port)})
+    start = h.initial_offset()
+    _post(port, b"p1", {"x-numaflow-id": "m-1", "x-numaflow-keys": "a,b",
+                        "x-numaflow-event-time": "1700000000000"})
+    _post(port, b"p2", {})
+    rows, end = h.read(start)
+    assert len(rows) == 2 and end == {"seq": 2}
+    off, part, mid, keys, body, et, hdrs = rows[0]
+    assert (off, mid, keys, body) == (0, "m-1", ["a", "b"], b"p1")
+    assert int(et.timestamp() * 1000) == 1700000000000
+    assert hdrs["x-numaflow-id"] == "m-1"
+    assert rows[1][2] == "1"  # absent id header -> offset-derived dedup id
+    # replay of an uncommitted range, then ack releases it
+    assert [r[0] for r in h.read_between(start, end)] == [0, 1]
+    h.ack(end)
+    assert h.read(end) == ([], end) and h.pending() == 2
+
+
+def test_http_streaming_ingestion(spark, tmp_path):
+    port = _free_port()
+    spark.dataSource.register(make_udsource(HttpSourceHandle, name="http_in"))
+    q = (
+        spark.readStream.format("http_in")
+        .option("port", str(port))
+        .load()
+        .writeStream.format("memory")
+        .queryName("http_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        posted = False
+        rows = []
+        while time.monotonic() < deadline:
+            if not posted:
+                try:  # server starts inside the reader process — wait for it
+                    for i in range(3):
+                        _post(port, f"msg-{i}".encode(),
+                              {"x-numaflow-id": f"id-{i % 2}", "x-numaflow-keys": "k"})
+                    posted = True
+                except OSError:
+                    time.sleep(0.3)
+                    continue
+            rows = spark.sql("select * from http_sink").collect()
+            if len(rows) == 3:
+                break
+            time.sleep(0.3)
+        assert len(rows) == 3
+        assert {bytes(r.value) for r in rows} == {b"msg-0", b"msg-1", b"msg-2"}
+        # F8 effectively-once: the dedup id dedupes the duplicate client send
+        assert spark.sql(
+            "select count(distinct id) as n from http_sink"
+        ).first().n == 2
+    finally:
+        q.stop()
