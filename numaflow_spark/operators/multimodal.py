@@ -98,3 +98,23 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    n_frames_col: str = "n_frames",
+    stride: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame index
+    (0, stride, 2*stride, … < n_frames). The index expansion is a JVM-side
+    ``explode(sequence(...))`` — no Python until an actual decoder consumes
+    (doc_id, frame_idx), at which point a per-frame decode drops into the
+    same mapInPandas shape as ``decode_features``.
+
+    Input: (doc_id, blob, meta) from attach_blob plus a frame-count column
+    (from container metadata in a real pipeline). Scale: the blob column is
+    carried, not duplicated, per frame row only if selected downstream —
+    select (doc_id, frame_idx) before wide ops to keep the explode narrow."""
+    frames = F.sequence(F.lit(0), F.col(n_frames_col).cast("long") - 1, F.lit(stride))
+    return df.withColumn("frame_idx", F.explode(frames))

@@ -188,3 +188,77 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the ``n_probe`` nearest lists per query.
+
+    The coarse quantizer is deterministic — centroids are the
+    ``n_centroids`` lowest-id corpus vectors (a real deployment k-means
+    trains them; determinism matters more here so runs and engines agree).
+    Each corpus block assigns its rows to their nearest centroid and scores
+    them only against queries probing that list, scanning ~n_probe/
+    n_centroids of the corpus per query; n_probe == n_centroids degrades
+    gracefully to exact brute force. Recall < 1 by construction — rows-only
+    correctness check.
+
+    Scale shape: centroids and queries broadcast, corpus streams through
+    one ``mapInPandas`` pass (no shuffle before the k×|Q|×partitions
+    candidate merge) — the same contract as brute_force_topk, with the
+    list-pruned scan as the 100 TB win."""
+    spark = corpus.sparkSession
+    cent_pdf = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).toPandas()
+    )
+    c_mat = _unit(_matrix(cent_pdf[vec_col]))
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    q_mat = _unit(_matrix(qpdf[vec_col]))
+    # per-query probed lists: n_probe nearest centroids
+    q_cent_sims = q_mat @ c_mat.T  # |Q| x C
+    probe = min(n_probe, c_mat.shape[0])
+    q_lists = np.argsort(-q_cent_sims, axis=1)[:, :probe]  # |Q| x n_probe
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_lists, c_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm, lists, cm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf[id_col].to_numpy()
+            bm = _unit(_matrix(pdf[vec_col]))
+            assign = np.argmax(bm @ cm.T, axis=1)  # inverted-list id per row
+            out = []
+            for qi in range(len(ids)):
+                mask = np.isin(assign, lists[qi])
+                if not mask.any():
+                    continue
+                s = np.round(qm[qi] @ bm[mask].T, 6)
+                take = min(k + 1, s.shape[0])
+                idx = np.argpartition(-s, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": ids[qi], "neighbor_id": b_ids[mask][idx], "cos_sim": s[idx]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -396,4 +396,43 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    # BPE-ish token counting — identical alternation regex in both engines
+    # (plain character classes: same semantics in Java regex and RE2).
+    "token_count_bpe": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    # Keep-latest dedup: newest ts per user, event_id tie-break.
+    "dedup_keep_latest": """
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    # Top-3 orders per customer by price.
+    "rank_per_group": """
+        SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS price
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """,
+    # Frame sampling: stride-4 indices below the per-doc frame count.
+    "multimodal_frames": """
+        SELECT d.doc_id,
+               CAST(d.n_chars % 16 + 1 AS BIGINT) AS n_frames,
+               CAST(u.f AS INT) AS frame_idx
+        FROM documents d,
+             unnest(generate_series(0, CAST(d.n_chars % 16 AS BIGINT), 4)) u(f)
+    """,
+    # ivf_ann_topk: approximate by design — no oracle (rows-only check),
+    # like lsh_ann_topk / simhash_neardup.
 }

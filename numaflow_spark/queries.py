@@ -15,7 +15,7 @@ Determinism discipline (so value-hashes match the oracle engine):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from numaflow_spark.operators import map_ops, reduce_ops, routing
 from numaflow_spark.session import load_table
@@ -542,6 +542,83 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_blob(docs, "doc_id", "text", source_col="source"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (words | numbers | single punctuation) via one
+    regexp_extract_all — the token-budget pass of an LLM-data pipeline, all
+    inside WholeStageCodegen."""
+    from numaflow_spark.operators.text import tokens_re
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(tokens_re(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: one survivor per user_id — newest ts, event_id as
+    the deterministic tie-break (the crawl-dedup 'keep newest snapshot per
+    URL' shape). One shuffle on the key; row_number, not a self-join."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("event_type"),
+        )
+    )
+
+
+def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (rank-per-group top-k: window
+    ranking prunes map-side under AQE instead of a global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rnk",
+            F.col("o_totalprice").cast(DEC).cast("decimal(38,2)").alias("price"),
+        )
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: blob + frame-count metadata →
+    exploded sampled frame indices (stride 4), JVM-side sequence/explode —
+    the per-frame decode then rides the decode_features mapInPandas shape."""
+    from numaflow_spark.operators.multimodal import attach_blob, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_blob(docs, "doc_id", "text").join(
+        docs.select("doc_id", (F.col("n_chars") % 16 + 1).alias("n_frames")),
+        "doc_id",
+    )
+    return frame_sample(assets, stride=4).select("doc_id", "n_frames", "frame_idx")
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (deterministic coarse quantizer, 4/16 lists probed):
+    the bounded-scan scale path next to lsh_ann_topk. Approximate by design
+    — rows-only check."""
+    from numaflow_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -582,4 +659,9 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "percentiles": q_percentiles,
     "window_running": q_window_running,
+    "token_count_bpe": q_token_count_bpe,
+    "dedup_keep_latest": q_dedup_keep_latest,
+    "rank_per_group": q_rank_per_group,
+    "multimodal_frames": q_multimodal_frames,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }

@@ -1,0 +1,54 @@
+"""IVF ANN (inverted-list pruned scan) and multimodal frame sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.multimodal import attach_blob, frame_sample
+from numaflow_spark.operators.similarity import brute_force_topk, ivf_topk
+from numaflow_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_exact_when_probing_all_lists(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=3)
+    ivf_all = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf_all.collect()))
+
+
+def test_ivf_pruned_recall_reasonable(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4)
+    rows = approx.collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    # probing half the lists must retain most true neighbors and the
+    # per-query output stays a valid ranked top-k
+    assert len(got & exact) / len(exact) >= 0.5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_frame_sample_stride(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", 9), (2, "de", 1), (3, "fgh", 6)],
+        "doc_id long, text string, n_frames int",
+    )
+    assets = attach_blob(docs, "doc_id", "text").join(
+        docs.select("doc_id", "n_frames"), "doc_id"
+    )
+    out = frame_sample(assets, stride=4)
+    got = {(r.doc_id, r.frame_idx) for r in out.collect()}
+    assert got == {(1, 0), (1, 4), (1, 8), (2, 0), (3, 0), (3, 4)}
+    # blob/meta plumbing survives the explode
+    assert {"blob", "meta", "frame_idx"} <= set(out.columns)
