@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame, functions as F, types as T
 DROP_TAG = "U+005C__DROP__"
 NACK_TAG = "U+005C__NACK__"
 
+# Metadata{previous_vertex, sys/user KV groups} — message.rs:121 +
+# metadata.rs. previous_vertex is engine-maintained (rewritten at every
+# vertex hop); user_metadata is UDF-owned and propagates untouched across
+# vertices (e2e TestPipelineUserMetadataPropagation,
+# test/e2e/functional_test.go:360).
+METADATA_TYPE = T.StructType(
+    [
+        T.StructField("previous_vertex", T.StringType(), True),
+        T.StructField("sys_metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("user_metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
 # MessageID{vertex_name, offset, index} — message.rs:569-575. `index`
 # disambiguates flat-map fanout so dedup stays correct after 1->N maps.
 MESSAGE_ID_TYPE = T.StructType(
@@ -66,6 +79,49 @@ def message_id(vertex_name: str, offset_col, index_col=None):
         F.lit(vertex_name).alias("vertex_name"),
         offset_col.cast("string").alias("offset"),
         idx.cast("int").alias("index"),
+    )
+
+
+def with_metadata(
+    df: DataFrame,
+    previous_vertex: str | None = None,
+    user: dict[str, str] | None = None,
+    sys: dict[str, str] | None = None,
+) -> DataFrame:
+    """Set/update the metadata envelope field (message.rs:121; metadata.rs).
+
+    ``previous_vertex`` is rewritten on every call (the per-hop stamp the
+    engine maintains); ``user``/``sys`` entries MERGE into the existing KV
+    groups (map_concat right-biased), so user metadata written at one
+    vertex propagates through later vertices that add their own keys —
+    the TestPipelineUserMetadataPropagation contract."""
+    has = "metadata" in df.columns
+    cur_prev = F.col("metadata.previous_vertex") if has else F.lit(None).cast("string")
+    cur_sys = (
+        F.col("metadata.sys_metadata")
+        if has
+        else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+    )
+    cur_user = (
+        F.col("metadata.user_metadata")
+        if has
+        else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+    )
+
+    def merged(cur, extra: dict[str, str] | None):
+        if not extra:
+            return cur
+        lit_map = F.create_map(*[F.lit(x) for kv in extra.items() for x in kv])
+        return F.map_concat(F.coalesce(cur, F.create_map()), lit_map)
+
+    return df.withColumn(
+        "metadata",
+        F.struct(
+            (F.lit(previous_vertex) if previous_vertex is not None else cur_prev
+             ).alias("previous_vertex"),
+            merged(cur_sys, sys).alias("sys_metadata"),
+            merged(cur_user, user).alias("user_metadata"),
+        ),
     )
 
 

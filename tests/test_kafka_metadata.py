@@ -1,0 +1,65 @@
+"""S3/K3 Kafka envelope mapping (broker-free) and §1.1 metadata
+propagation (TestPipelineUserMetadataPropagation analogue)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.message import with_metadata
+from numaflow_spark.sources.kafka import kafka_envelope
+
+
+def _kafka_batch(spark):
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (b"k1", b"v1", "t", 0, 7, ts, [("h1", b"x"), ("h2", b"y")]),
+        (None, b"v2", "t", 1, 9, ts, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, headers array<struct<key string, value binary>>",
+    )
+
+
+def test_kafka_envelope_mapping(spark):
+    out = kafka_envelope(_kafka_batch(spark), vertex_name="src").collect()
+    r1, r2 = sorted(out, key=lambda r: r.offset)
+    assert r1.keys == ["k1"] and bytes(r1.value) == b"v1"
+    assert r1.id.vertex_name == "src" and r1.id.offset == "t-0-7"
+    assert r1.headers == {"h1": "x", "h2": "y"}
+    assert r1.event_time.year == 2026
+    assert r2.keys is None and r2.headers is None  # null-safe mapping
+    assert r2.id.offset == "t-1-9"
+
+
+def test_kafka_envelope_without_headers_column(spark):
+    df = _kafka_batch(spark).drop("headers")
+    out = kafka_envelope(df).collect()
+    assert all(r.headers is None for r in out)
+
+
+def test_metadata_propagation_across_vertices(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    # vertex A stamps itself and writes user metadata
+    a = with_metadata(df, previous_vertex="A", user={"trace": "abc"})
+    # vertex B rewrites previous_vertex, adds its own key, keeps A's
+    b = with_metadata(a, previous_vertex="B", user={"stage": "map"})
+    rows = b.collect()
+    for r in rows:
+        assert r.metadata.previous_vertex == "B"
+        assert r.metadata.user_metadata == {"trace": "abc", "stage": "map"}
+    # a vertex that sets nothing still carries everything through
+    c = with_metadata(b).collect()
+    assert c[0].metadata.user_metadata["trace"] == "abc"
+
+
+def test_metadata_sys_group_independent(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    m = with_metadata(df, previous_vertex="src", sys={"source": "kafka"})
+    m = with_metadata(m, user={"u": "1"})
+    r = m.first()
+    assert r.metadata.sys_metadata == {"source": "kafka"}
+    assert r.metadata.user_metadata == {"u": "1"}
