@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(predicate pushdown to the parquet scan, column pruning, broadcast of small
+join sides, map-side partial aggregation, no Python in JVM-only stages)
+asserted on `.explain("formatted")` output so a change that silently
+degrades the 100 TB plan fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from numaflow_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def nodes(plan: str, op: str) -> int:
+    """Count physical operators of a type (details section entries, one per
+    node regardless of how the tree render wraps)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_transform")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    # the event_type predicate must reach the parquet reader, not live only
+    # in a post-scan Filter
+    assert "event_type" in pushed
+
+
+def test_column_pruning_on_scan(spark):
+    plan = plan_of(spark, "top_k")
+    # top_k touches a subset of orders' columns; the scan must not read the
+    # unused wide columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_orderpriority" in read_schema  # the partition key is needed
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(spark, "join_agg")
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    # dimension joins must never shuffle the fact side on the join key
+    assert nodes(plan, "SortMergeJoin") == 0
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # numaflow has no per-vertex combine; Spark's map-side partial agg is
+    # load-bearing at 100 TB — the pre-shuffle HashAggregate must carry
+    # partial_sum functions
+    assert "partial_sum" in plan
+    assert nodes(plan, "HashAggregate") >= 2
+    assert nodes(plan, "Exchange") == 1
+
+
+def test_windowed_agg_single_shuffle(spark):
+    plan = plan_of(spark, "fixed_window_keyed")
+    # one exchange for the (window, keys) grouping; a second shuffle would
+    # mean the window expression broke partial aggregation
+    assert nodes(plan, "Exchange") == 1
+    assert "partial_" in plan
+
+
+def test_lsh_verification_broadcasts_candidates(spark):
+    plan = plan_of(spark, "minhash_neardup")
+    # candidate verification must broadcast the (small) candidate set, never
+    # sort-merge the shingle table against itself a second time
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "range_join_bands")
+    # a tiny inequality side must be BNLJ against the streamed fact side,
+    # not a cartesian shuffle
+    assert nodes(plan, "BroadcastNestedLoopJoin") >= 1
+    assert nodes(plan, "CartesianProduct") == 0
+
+
+@pytest.mark.parametrize("name", ["text_stats", "token_count_bpe", "lang_id"])
+def test_text_ops_stay_jvm_side(spark, name):
+    plan = plan_of(spark, name)
+    # pure column expressions: no Python evaluation stage anywhere
+    assert "EvalPython" not in plan
+    # and a bare scan->project shape: no shuffle at all
+    assert nodes(plan, "Exchange") == 0
