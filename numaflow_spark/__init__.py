@@ -13,10 +13,19 @@ Layout:
     message     — the Message envelope schema (reference: message.rs:96-128)
     pipeline    — Pipeline/Vertex/Edge spec + validation (pipeline_types.go)
     compiler    — spec -> DataFrame program (batch and streaming)
-    operators/  — map, reduce/window, routing, dedup, similarity, text, ...
-    sources/    — generator, file/parquet replay, kafka wrapper
-    functions/  — scalar helper column functions
-    streaming/  — watermark helpers, sinks (fallback/on-success/retry)
+    operators/  — map, reduce/window, routing, cycles, dedup, similarity,
+                  text, multimodal, as-of/range joins
+    sources/    — generator, file replay, HTTP, Kafka, user-defined
+                  (PySpark DataSource), gated broker connectors
+    streaming/  — sinks (fallback/on-success/retry), ordered FIFO,
+                  lifecycle (pause/resume, rate limit), side inputs,
+                  idle-source watermark heartbeats, streaming dedup
+    serving     — request/response store + harness
+    ops         — daemon-service observability facade
+
+The scalar-function surface is pyspark.sql.functions itself (SURVEY.md
+§2.8): the reference keeps all scalar work in UDF containers; this engine
+inverts that, so there is no separate functions/ module.
 """
 
 __version__ = "0.1.0"
