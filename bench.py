@@ -1,12 +1,17 @@
 """Engine benchmark: runs the declared query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "streaming_events_per_sec": ...}.
 
 Each query is materialized via a count-style action over its full result
 (collect of aggregated outputs), which exercises scan -> shuffle -> agg the
 way the driver's correctness run does. A JVM/catalog warmup query runs first
 so per-query numbers measure the plan, not session bootstrap.
+
+The streaming stage measures BASELINE.md's throughput anchor — events/s
+sustained through generator source -> map -> keyed fixed-window agg -> sink
+(the reference's 10K/s single-partition, <30K/s multi-partition ceilings) —
+as rows drained per wall-second over a fixed-size replay.
 """
 
 from __future__ import annotations
@@ -45,6 +50,8 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    streaming_rps = _streaming_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -53,9 +60,62 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming_events_per_sec": streaming_rps,
             }
         )
     )
+
+
+def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_000) -> float:
+    """Drain generator -> map -> keyed tumbling agg -> update-mode memory
+    sink and report end-to-end events/s (BASELINE.md streaming target:
+    >=10K/s single-partition, 30K/s multi-partition ceiling in the
+    reference; one Spark executor with shuffle partitions >= 3 plays the
+    multi-partition row)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.message import drop_filter
+    from numaflow_spark.sources.generator import generator_stream
+
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_")
+    src = generator_stream(spark, rows_per_batch=rows_per_batch, key_count=8)
+    mapped = drop_filter(src).select(
+        "keys", "event_time", F.col("value").cast("string").cast("long").alias("v")
+    )
+    agg = (
+        mapped.withWatermark("event_time", "0 seconds")
+        .groupBy(F.window("event_time", "10 seconds"), "keys")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bench_stream_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        t0 = time.perf_counter()
+        rows = 0
+        # drain a fixed event budget; rate-micro-batch emits one batch per
+        # trigger so wall time is compute-bound, not tick-bound
+        while rows < n_batches * rows_per_batch and time.perf_counter() - t0 < 120:
+            rows = sum(int(p.get("numInputRows", 0)) for p in q.recentProgress)
+            time.sleep(0.2)
+        dt = time.perf_counter() - t0
+        return round(rows / dt, 1) if dt > 0 else 0.0
+    finally:
+        try:
+            # stopping mid-epoch aborts the in-flight micro-batch; the
+            # interrupt surfaces as a (benign) commit error from stop()
+            q.stop()
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 if __name__ == "__main__":
