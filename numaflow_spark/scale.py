@@ -1,0 +1,87 @@
+"""Cluster-scale configuration presets: the 100 TB deployment shape.
+
+The local harness (session.py) runs local[32]; this module is the sizing
+math and config set for the real target — a ~1000-executor cluster reading
+~100 TB — so the same engine code deploys unchanged: everything in the repo
+keys off session configs, never hard-coded partition counts.
+
+Sizing model (why these numbers):
+  * scan parallelism comes from maxPartitionBytes (128m → ~800k input
+    splits over 100 TB compressed parquet — plenty for 1000×8 cores);
+  * shuffle partitions start at 2-3× total cores and AQE coalesces DOWN by
+    bytes (advisory 64-128m); undersizing is the unrecoverable direction —
+    a partition that exceeds executor memory spills or OOMs;
+  * streaming state lives in RocksDB with changelog checkpointing: state
+    size is bounded by keys×windows, not input volume, and changelog
+    uploads make commits O(delta) — the WAL+compactor role (SURVEY.md R7);
+  * skew: AQE skew-join splitting handles join skew; groupBy hot keys are
+    pre-salted by the dedup/similarity operators where power-law keys are
+    expected (band buckets, fingerprints).
+"""
+
+from __future__ import annotations
+
+
+def cluster_conf(
+    *,
+    executors: int = 1000,
+    cores_per_executor: int = 8,
+    executor_mem_gb: int = 32,
+    streaming: bool = False,
+) -> dict[str, str]:
+    """Config dict for ``SparkSession.builder.config(map=...)`` (or
+    ``get_spark(extra_conf=...)``) sized for the given fleet.
+
+    Returns only settings whose *shape* changes with scale; correctness
+    configs (UTC, Arrow, ANSI posture) stay in session.get_spark."""
+    total_cores = executors * cores_per_executor
+    conf = {
+        # scans: split count tracks bytes, not files; vectorized reader on
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.parquet.enableVectorizedReader": "true",
+        # shuffles: start wide, let AQE coalesce by bytes (parallelismFirst
+        # off so tiny stages do not fan out to 8000 tasks)
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # broadcast: dims up to 256m avoid shuffling the 100 TB fact side;
+        # executor memory comfortably holds 2-3 such tables
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        # resources
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverheadFactor": "0.2",  # Arrow/python workers
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        # python stages (pandas UDF paths): bounded Arrow batches
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
+    if streaming:
+        conf.update(
+            {
+                # RocksDB state store + changelog checkpointing: the
+                # WAL/compactor replacement (R7) — commit cost scales with
+                # the per-batch delta, recovery replays the changelog
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                ),
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+                # one state partition per 2 cores keeps stores mem-resident
+                "spark.sql.shuffle.partitions": str(total_cores // 2),
+                "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
+            }
+        )
+    return conf
+
+
+def partitions_for(input_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024) -> int:
+    """Partition count for a given input volume at the advisory size —
+    the number the repartition/bucketing call sites should use instead of
+    a constant (100 TB → ~800k)."""
+    return max(1, -(-input_bytes // target_partition_bytes))

