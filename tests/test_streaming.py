@@ -136,3 +136,67 @@ def test_streaming_generator_smoke(spark, tmpdir):
     assert r.keys[0].startswith("key-")
     assert r.id.vertex_name == "generator"
     assert bytes(r.value).decode() in {"1", "2", "3"}
+
+
+def test_streaming_session_window_merges(spark, tmpdir):
+    """R3 session windows in streaming compile: two bursts per key separated
+    by more than the gap form two sessions, and an out-of-order bridging
+    event delivered in a LATER replay batch merges them (the
+    sessionreduce.proto MERGE op, handled by Spark's session_window state)."""
+    base = 1704067200
+    rows = []
+    for k in ("a", "b"):
+        rows += [(len(rows), k, base + s) for s in (0, 60, 120)]        # burst 1
+        rows += [(len(rows) + i, k, base + 600 + 60 * i) for i in range(3)]  # burst 2 (gap 8 min > 5 min)
+    bridge = [(100, "a", base + 360)]  # lands between a's bursts: gap to both < 5 min
+    flush = [(200, "a", base + 7200), (201, "b", base + 7200)]  # pushes the final WM
+    events = spark.createDataFrame(
+        [(i, k, t) for (i, k, t) in rows], "id long, key string, sec long"
+    ).select("id", "key", F.timestamp_seconds("sec").alias("event_time"))
+    late = spark.createDataFrame(bridge, "id long, key string, sec long").select(
+        "id", "key", F.timestamp_seconds("sec").alias("event_time")
+    )
+    flush_df = spark.createDataFrame(flush, "id long, key string, sec long").select(
+        "id", "key", F.timestamp_seconds("sec").alias("event_time")
+    )
+    # batch 1 = both bursts, batch 2 = the bridging event (out-of-order,
+    # admitted because lateness > its lag), batch 3 = far-future events
+    # whose only job is to advance the watermark past every session end
+    data_dir = f"{tmpdir}/in"
+    events.coalesce(1).write.parquet(f"{data_dir}/b=0")
+    late.coalesce(1).write.parquet(f"{data_dir}/b=1")
+    flush_df.coalesce(1).write.parquet(f"{data_dir}/b=2")
+    schema = events.schema
+
+    def stream_reader(s):
+        return replay_stream(s, data_dir, schema=schema, max_files_per_trigger=1)
+
+    p = (
+        Pipeline("session-merge")
+        .add(Vertex("in", source=Source(reader=lambda s: events,
+                                        stream_reader=stream_reader)))
+        .add(
+            Vertex(
+                "agg",
+                udf=ReduceUDF(
+                    window={"session": "5 minutes"},
+                    keys=("key",),
+                    aggs=[F.count("*").alias("n")],
+                    allowed_lateness="6 minutes",
+                ),
+            )
+        )
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "agg")
+        .connect("agg", "out")
+    )
+    dep = compile_streaming(p, spark, checkpoint_root=f"{tmpdir}/ckpt")
+    try:
+        dep.process_all_available()
+        got = {(r.key, r.n) for r in spark.sql("SELECT key, n FROM out").collect()}
+    finally:
+        dep.stop()
+    # key b: two separate 3-event sessions closed by the final watermark;
+    # key a: the bridge merged both bursts into one 7-event session
+    assert ("a", 7) in got, f"merge failed: {got}"
+    assert ("b", 3) in got
