@@ -1,0 +1,133 @@
+"""Incremental near-dup dedup: MinHash+LSH against a persistent band store.
+
+Batch near-dup dedup (operators/dedup.py) answers "which pairs in this
+corpus are near-dups". A continuously-ingesting pipeline needs the online
+form: *as documents arrive, drop the ones near-duplicate to anything
+already accepted* — the F8 effectively-once idea lifted from exact ids to
+similarity space, which no single Spark builtin provides.
+
+Design (per micro-batch, inside foreachBatch):
+  1. band-hash the new docs (same k/bands S-curve as minhash_lsh_pairs);
+  2. candidate-join the new bands against the persistent band store — a
+     parquet table of (band, band_hash, doc) for every previously ACCEPTED
+     doc. The join is band-bucketed, so per-batch cost tracks batch size ×
+     collision rate, never corpus size;
+  3. also self-join the batch's own bands (intra-batch dups);
+  4. survivors (no candidate match, or lowest id among intra-batch
+     colliders) are emitted AND their bands appended to the store.
+
+Candidate match = any shared band (the LSH decision, no exact-Jaccard
+verification in the hot path — the store holds bands, not shingles;
+verification precision can be added by storing signatures and re-checking
+estimated Jaccard from signature agreement).
+
+Scale notes: the store grows O(accepted_docs × bands) rows of 20 bytes;
+partition it by ``band`` (done below via partitionBy on write) so the
+candidate join prunes to matching band partitions. Store compaction =
+standard parquet file compaction. At cluster scale swap the parquet dir
+for a Delta/Iceberg table — the operator only needs append + equi-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from numaflow_spark.operators.dedup import minhash_signatures, shingle_hashes
+
+
+def band_table(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64, bands: int = 16
+) -> DataFrame:
+    """(doc, band, band_hash) — bands rows per doc, one pass."""
+    rows = k // bands
+    sh = shingle_hashes(df, id_col, text_col, n)
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, shingles=sh)
+    band_hashes = F.array(
+        *[F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]) for b in range(bands)]
+    )
+    return sig.select(F.col("doc"), F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
+class StreamingNearDup:
+    """foreachBatch operator: emit only docs not near-duplicate to any
+    previously accepted doc (or to a lower-id doc in the same batch).
+
+    ``accept(df)`` returns the surviving rows of the batch and persists
+    their bands. Use inside a sink writer::
+
+        nd = StreamingNearDup(spark, store_dir, id_col="doc_id", text_col="text")
+        def write(batch_df, epoch_id):
+            fresh = nd.accept(batch_df)
+            fresh.write.mode("append").parquet(out_dir)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        k: int = 64,
+        bands: int = 16,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n, self.k, self.bands = n, k, bands
+
+    def _store(self) -> DataFrame | None:
+        if not os.path.isdir(self.store_dir) or not any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(self.store_dir) for f in fs
+        ):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def accept(self, batch: DataFrame) -> DataFrame:
+        new_bands = band_table(
+            batch, self.id_col, self.text_col, n=self.n, k=self.k, bands=self.bands
+        )
+        # docs with no shingles (too short) never collide; keep them
+        dup_ids = None
+
+        store = self._store()
+        if store is not None:
+            s = store.alias("s")
+            nb = new_bands.alias("nb")
+            # s.doc != nb.doc: a replayed batch (crash between the store
+            # append and the sink commit) must not match its own bands —
+            # idempotent re-acceptance instead of self-dup data loss
+            dup_ids = (
+                nb.join(
+                    s,
+                    (F.col("nb.band") == F.col("s.band"))
+                    & (F.col("nb.band_hash") == F.col("s.band_hash"))
+                    & (F.col("nb.doc") != F.col("s.doc")),
+                )
+                .select(F.col("nb.doc"))
+                .distinct()
+            )
+
+        a, b = new_bands.alias("a"), new_bands.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc") > F.col("b.doc")),  # lower id survives
+            )
+            .select(F.col("a.doc"))
+            .distinct()
+        )
+        dup_ids = intra if dup_ids is None else dup_ids.unionByName(intra).distinct()
+
+        survivors = batch.join(
+            dup_ids.withColumnRenamed("doc", self.id_col), self.id_col, "left_anti"
+        )
+        surviving_bands = new_bands.join(dup_ids, "doc", "left_anti")
+        surviving_bands.write.mode("append").partitionBy("band").parquet(self.store_dir)
+        return survivors

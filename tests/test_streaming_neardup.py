@@ -1,0 +1,57 @@
+"""Incremental near-dup dedup: cross-batch MinHash dedup against the
+persistent band store, intra-batch lowest-id survival, and replay
+idempotence (crash between store-append and sink commit)."""
+
+from __future__ import annotations
+
+from numaflow_spark.streaming.neardup import StreamingNearDup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventy three "
+    "pelicans argue about parquet partition pruning in the warehouse "
+    "every single morning before the shuffle service wakes up properly "
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_and_intra_batch_dedup(spark, tmp_path):
+    nd = StreamingNearDup(spark, str(tmp_path / "bands"))
+
+    # batch 1: docs 1 and 2 are near-identical -> lowest id survives;
+    # doc 10 is unrelated
+    b1 = _docs(
+        spark,
+        [
+            (1, BASE * 3 + "ending one"),
+            (2, BASE * 3 + "ending two"),
+            (10, "completely different text about rocksdb state stores " * 6),
+        ],
+    )
+    s1 = sorted(r.doc_id for r in nd.accept(b1).collect())
+    assert s1 == [1, 10]
+
+    # batch 2: doc 3 near-duplicates the ACCEPTED doc 1 (cross-batch drop);
+    # doc 4 is novel
+    b2 = _docs(
+        spark,
+        [
+            (3, BASE * 3 + "ending three"),
+            (4, "entirely novel content regarding watermark heartbeats " * 6),
+        ],
+    )
+    s2 = sorted(r.doc_id for r in nd.accept(b2).collect())
+    assert s2 == [4]
+
+    # replay of batch 2 (crash-recovery path): doc 4's own stored bands
+    # must not self-match — idempotent re-acceptance, doc 3 still dropped
+    s2_replay = sorted(r.doc_id for r in nd.accept(b2).collect())
+    assert s2_replay == [4]
+
+
+def test_empty_store_first_batch(spark, tmp_path):
+    nd = StreamingNearDup(spark, str(tmp_path / "fresh"))
+    out = nd.accept(_docs(spark, [(7, BASE * 2)])).collect()
+    assert [r.doc_id for r in out] == [7]
