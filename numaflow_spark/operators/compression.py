@@ -1,0 +1,72 @@
+"""Payload compression map stages: GZIP / ZSTD / LZ4 on the value column.
+
+Reference: ISB messages are optionally compressed per-edge with gzip, zstd,
+or lz4 (pipeline_types.go:552-573;
+rust/numaflow-core/src/pipeline/isb/compression.rs). In this engine the
+inter-stage transport (shuffle, parquet) is already codec-compressed by
+Spark, so edge compression is unnecessary — these stages exist for the
+*boundary* cases the reference also serves: compressed payloads arriving
+from external sources, and sinks that must emit compressed blobs.
+
+Implementation: Arrow-batched pandas UDFs (a binary→binary transform has no
+JVM builtin). gzip/zlib are stdlib; zstd and lz4 are import-gated with
+actionable errors. Throughput note: compression is CPU-bound per value, so
+the stage scales with partitions; keep it adjacent to the source/sink scan
+rather than mid-plan so it never straddles a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+_CODECS = ("gzip", "zstd", "lz4", "none")
+
+
+def _codec_fns(codec: str):
+    if codec == "gzip":
+        import gzip
+
+        return gzip.compress, gzip.decompress
+    if codec == "zstd":
+        try:
+            import zstandard
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd payload codec requires the 'zstandard' package"
+            ) from e
+        c = zstandard.ZstdCompressor()
+        d = zstandard.ZstdDecompressor()
+        return c.compress, d.decompress
+    if codec == "lz4":
+        try:
+            import lz4.frame as lz4f
+        except ImportError as e:
+            raise NotImplementedError("lz4 payload codec requires the 'lz4' package") from e
+        return lz4f.compress, lz4f.decompress
+    if codec == "none":
+        ident = lambda b: b  # noqa: E731
+        return ident, ident
+    raise ValueError(f"unknown codec {codec!r} (expected one of {_CODECS})")
+
+
+def compress_value(col: Column | str, codec: str = "gzip") -> Column:
+    """value -> compressed value (sink-boundary stage)."""
+    comp, _ = _codec_fns(codec)
+
+    @pandas_udf("binary")
+    def run(s):
+        return s.map(lambda b: None if b is None else comp(bytes(b)))
+
+    return run(F.col(col) if isinstance(col, str) else col)
+
+
+def decompress_value(col: Column | str, codec: str = "gzip") -> Column:
+    """compressed value -> value (source-boundary stage)."""
+    _, dec = _codec_fns(codec)
+
+    @pandas_udf("binary")
+    def run(s):
+        return s.map(lambda b: None if b is None else dec(bytes(b)))
+
+    return run(F.col(col) if isinstance(col, str) else col)

@@ -254,3 +254,61 @@ def test_reduce_failover_recovers_state(spark, tmpdir):
     # key emits two windows of sum 10 — exactly once despite the crash.
     got = sorted(emitted)
     assert got == [("key-0", 10), ("key-0", 10), ("key-1", 10), ("key-1", 10)], got
+
+
+def test_streaming_sliding_window_append(spark, tmpdir):
+    """R2 sliding windows in streaming compile: each event lands in
+    length/slide windows; append mode emits each window once when the
+    watermark passes its end, matching the batch computation."""
+    events = _event_df(spark)  # 60 events, 2 keys, 30s apart over 30 min
+    data_dir = write_replay_batches(events, f"{tmpdir}/in", batches=3, order_col="id")
+    schema = events.schema
+
+    def stream_reader(s):
+        return replay_stream(s, data_dir, schema=schema, max_files_per_trigger=1)
+
+    p = (
+        Pipeline("stream-slide")
+        .add(Vertex("in", source=Source(reader=lambda s: events, stream_reader=stream_reader)))
+        .add(
+            Vertex(
+                "agg",
+                udf=ReduceUDF(
+                    window={"sliding": ("10 minutes", "5 minutes")},
+                    keys=("key",),
+                    aggs=[F.count("*").alias("n")],
+                    allowed_lateness="0 seconds",
+                ),
+            )
+        )
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "agg")
+        .connect("agg", "out")
+    )
+    dep = compile_streaming(p, spark, checkpoint_root=f"{tmpdir}/ckpt")
+    try:
+        dep.process_all_available()
+        emitted = spark.sql("SELECT * FROM out").collect()
+    finally:
+        dep.stop()
+
+    # batch-mode twin of the same spec is the golden result, restricted to
+    # windows the final watermark (last event time) actually closed
+    from numaflow_spark.compiler import compile_batch
+
+    golden = compile_batch(p, spark)["out"].collect()
+    last_et = max(r.event_time for r in events.collect())
+    cols = emitted[0].asDict().keys() if emitted else []
+    assert "window_end" in cols or emitted, f"no rows emitted: {emitted}"
+    def keyed(rows, closed_only):
+        out = {}
+        for r in rows:
+            d = r.asDict()
+            end = d.get("window_end")
+            if closed_only and end is not None and end > last_et.timestamp():
+                continue
+            out[(d.get("window_start"), d.get("key"))] = d.get("n")
+        return out
+    got = keyed(emitted, closed_only=False)
+    want = keyed(golden, closed_only=True)
+    assert got == want and len(got) >= 8, f"sliding mismatch: {got} vs {want}"
