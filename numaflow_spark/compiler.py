@@ -80,6 +80,20 @@ def _vertex_output(p: Pipeline, v: Vertex, spark: SparkSession,
             branches.append(up)
     df = routing.fan_in(*branches)
 
+    # vertex_types.go:618-621: `partitions` = number of owned buffer
+    # partitions (udf/sink only) — keys hash to a fixed partition of the
+    # vertex's buffer (forward.rs:31-41). Spark equivalent: an explicit
+    # key-hash repartition in front of the vertex body, which is what
+    # ordered processing (F9) and per-partition stateful maps rely on.
+    # Reduce vertices skip it: groupBy shuffles on its own keys.
+    if v.partitions > 1 and v.kind in ("map", "sink"):
+        key_col = "keys" if "keys" in df.columns else None
+        df = (
+            routing.hash_partition(df, v.partitions, key_col)
+            if key_col
+            else df.repartition(v.partitions)
+        )
+
     if v.kind == "sink":
         return df
     if isinstance(v.udf, MapUDF):

@@ -123,3 +123,50 @@ def test_pause_resume_continues_from_checkpoint(spark, tmp_path):
     lc.query.processAllAvailable()
     lc.pause()
     assert sorted(collected) == list(range(50)), "duplicates or gaps after resume"
+
+
+def test_ordered_sink_through_compiler(spark, tmp_path):
+    """F9 end-to-end: an ordered vertex (fixed partitions) whose UDSink sees
+    each micro-batch in per-key FIFO (offset) order via ordered_sink."""
+    from numaflow_spark.compiler import compile_streaming
+    from numaflow_spark.pipeline import Pipeline, Sink, Source, Vertex
+    from numaflow_spark.sources.user_defined import SequenceSource, make_udsource
+    from numaflow_spark.streaming.ordered import ordered_sink
+
+    spark.dataSource.register(make_udsource(SequenceSource, name="seq_ordered"))
+    per_key_orders: dict[str, list[int]] = {}
+
+    def writer(df, epoch_id):
+        for r in df.toLocalIterator():  # preserves partition-sorted order
+            per_key_orders.setdefault(r.keys[0], []).append(r.offset)
+
+    p = (
+        Pipeline("ordered-e2e")
+        .add(
+            Vertex(
+                "in",
+                source=Source(
+                    reader=lambda s: s.read.format("seq_ordered").load(),
+                    stream_reader=lambda s: s.readStream.format("seq_ordered")
+                    .options(total="40", batch_size="40", key_count="4")
+                    .load(),
+                ),
+            )
+        )
+        .add(
+            Vertex(
+                "out",
+                sink=Sink(writer=ordered_sink(writer, partitions=4)),
+                partitions=4,
+            )
+        )
+        .connect("in", "out")
+    )
+    dep = compile_streaming(p, spark, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        dep.process_all_available()
+    finally:
+        dep.stop()
+    assert sum(len(v) for v in per_key_orders.values()) == 40
+    for key, offs in per_key_orders.items():
+        assert offs == sorted(offs), f"FIFO violated for {key}: {offs}"

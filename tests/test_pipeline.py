@@ -133,3 +133,38 @@ def test_compile_reduce_vertex(spark):
     )
     rows = compile_batch(p, spark)["out"].orderBy("window_start").collect()
     assert [r.s for r in rows] == [10, 10]
+
+
+def test_vertex_partitions_prepartition_map(spark):
+    """vertex_types.go:618-621: a map/sink vertex with partitions=n sees its
+    input key-hash-partitioned into n partitions (the owned-buffer-partition
+    semantics; ordered processing F9 builds on this layout)."""
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.compiler import compile_batch
+    from numaflow_spark.pipeline import MapUDF, Pipeline, Sink, Source, Vertex
+
+    src = spark.createDataFrame(
+        [(i, [f"k{i % 5}"]) for i in range(40)], "id long, keys array<string>"
+    )
+    seen = {}
+
+    def probe(df):
+        seen["n"] = df.rdd.getNumPartitions()
+        return df.withColumn("pid", F.spark_partition_id())
+
+    p = (
+        Pipeline("parts")
+        .add(Vertex("in", source=Source(reader=lambda s: src)))
+        .add(Vertex("m", udf=MapUDF(probe), partitions=4))
+        .add(Vertex("out", sink=Sink()))
+        .connect("in", "m")
+        .connect("m", "out")
+    )
+    out = compile_batch(p, spark)["out"]
+    assert seen["n"] == 4
+    # co-location: every key maps to exactly one partition
+    per_key = (
+        out.groupBy("keys").agg(F.countDistinct("pid").alias("d")).collect()
+    )
+    assert all(r.d == 1 for r in per_key)
