@@ -72,3 +72,37 @@ def test_fan_out_is_multicast_not_partition(spark, rows, edges):
         if model_forward(tags, op, vals)
     )
     assert total == want_total
+
+
+@given(
+    targets=st.lists(st.integers(1, 5), min_size=1, max_size=6),
+    budget=st.integers(1, 5),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_cycle_budget_property(spark, targets, budget):
+    """For any mix of per-row pass requirements and any delivery budget:
+    rows with target <= budget complete with exactly `target` passes; the
+    rest exhaust at exactly `budget` passes; nothing is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.operators.cycles import emulate_cycle
+
+    df = spark.createDataFrame(
+        [(i, t, 0) for i, t in enumerate(targets)], "id int, target int, value int"
+    )
+    done, exhausted = emulate_cycle(
+        df,
+        lambda d: d.withColumn("value", F.col("value") + 1),
+        F.col("value") < F.col("target"),
+        max_deliveries=budget,
+        checkpoint=False,  # keep hypothesis examples cheap
+    )
+    done_rows = {r.id: r.value for r in done.collect()}
+    ex_rows = {r.id: r.value for r in exhausted.collect()}
+    assert set(done_rows) | set(ex_rows) == set(range(len(targets)))
+    assert not set(done_rows) & set(ex_rows)
+    for i, t in enumerate(targets):
+        if t <= budget:
+            assert done_rows[i] == t
+        else:
+            assert ex_rows[i] == budget
