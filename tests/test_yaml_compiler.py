@@ -1,0 +1,163 @@
+"""Pipeline CRD YAML → engine Pipeline: the reference's own example shapes
+(simple generator→cat→log, even-odd conditional routing, keyed reduce)
+parse, validate, and run through the batch/streaming compilers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.compiler import compile_batch
+from numaflow_spark.yaml_compiler import parse_go_duration, pipeline_from_yaml
+
+SIMPLE = """
+apiVersion: numaflow.numaproj.io/v1alpha1
+kind: Pipeline
+metadata:
+  name: simple-pipeline
+spec:
+  vertices:
+    - name: input
+      source:
+        generator:
+          rpu: 5
+          duration: 1s
+    - name: p1
+      udf:
+        container:
+          image: quay.io/numaio/numaflow-go/map-cat:stable
+    - name: output
+      sink:
+        log: {}
+  edges:
+    - from: input
+      to: p1
+    - from: p1
+      to: output
+"""
+
+EVEN_ODD = """
+kind: Pipeline
+metadata:
+  name: even-odd
+spec:
+  vertices:
+    - name: in
+      source:
+        generator:
+          rpu: 10
+          duration: 1s
+    - name: even-or-odd
+      udf:
+        container:
+          image: quay.io/numaio/numaflow-go/even-odd:stable
+    - name: even-sink
+      sink:
+        log: {}
+    - name: odd-sink
+      sink:
+        blackhole: {}
+  edges:
+    - from: in
+      to: even-or-odd
+    - from: even-or-odd
+      to: even-sink
+      conditions:
+        tags:
+          operator: or
+          values:
+            - even
+    - from: even-or-odd
+      to: odd-sink
+      conditions:
+        tags:
+          values:
+            - odd
+"""
+
+REDUCE = """
+kind: Pipeline
+metadata:
+  name: keyed-reduce
+spec:
+  vertices:
+    - name: in
+      source:
+        generator:
+          rpu: 5
+          duration: 1s
+          keyCount: 2
+    - name: compute-sum
+      udf:
+        container:
+          image: quay.io/numaio/numaflow-go/reduce-sum:stable
+        groupBy:
+          window:
+            fixed:
+              length: 10s
+          keyed: true
+          allowedLateness: 30s
+    - name: out
+      sink:
+        log: {}
+  edges:
+    - from: in
+      to: compute-sum
+    - from: compute-sum
+      to: out
+"""
+
+
+def test_go_durations():
+    assert parse_go_duration("10s") == "10 seconds"
+    assert parse_go_duration("1m30s") == "90 seconds"
+    assert parse_go_duration("100ms") == "100 milliseconds"
+    assert parse_go_duration("1h") == "3600 seconds"
+    with pytest.raises(ValueError):
+        parse_go_duration("ten seconds")
+
+
+def test_simple_pipeline_parses_and_runs(spark):
+    p = pipeline_from_yaml(SIMPLE)
+    assert [v.name for v in p.vertices] == ["input", "p1", "output"]
+    out = compile_batch(p, spark)["output"]
+    rows = out.collect()
+    assert len(rows) == 150  # rpu 5 x 30-tick batch twin
+    assert bytes(rows[0].value).decode() in {"1", "2", "3"}
+
+
+def test_even_odd_routing(spark):
+    p = pipeline_from_yaml(EVEN_ODD)
+    sinks = compile_batch(p, spark)
+    even = sinks["even-sink"].select(F.col("value").cast("string").cast("long").alias("n"))
+    odd = sinks["odd-sink"].select(F.col("value").cast("string").cast("long").alias("n"))
+    assert even.filter(F.col("n") % 2 != 0).count() == 0
+    assert odd.filter(F.col("n") % 2 == 0).count() == 0
+    assert even.count() + odd.count() == 300  # multicast partition is exact
+
+
+def test_keyed_reduce_window(spark):
+    p = pipeline_from_yaml(REDUCE)
+    v = p.vertex("compute-sum")
+    assert v.kind == "reduce"
+    assert v.udf.window == {"fixed": "10 seconds"}
+    assert v.udf.keys == ("keys",) and v.udf.allowed_lateness == "30 seconds"
+    out = compile_batch(p, spark)["out"]
+    # 150 generator rows, 2 keys, values cycle 1,2,3 -> sums exist per
+    # (window x key) and total equals the global sum
+    total = out.agg(F.sum("sum_value")).first()[0]
+    assert total == sum((i % 3) + 1 for i in range(150))
+
+
+def test_unknown_udf_image_is_actionable():
+    bad = SIMPLE.replace("map-cat", "map-mystery")
+    with pytest.raises(ValueError, match="udf_registry"):
+        pipeline_from_yaml(bad)
+
+
+def test_registry_overrides_by_vertex_name(spark):
+    p = pipeline_from_yaml(
+        SIMPLE, udf_registry={"p1": lambda df: df.withColumn("extra", F.lit(1))}
+    )
+    out = compile_batch(p, spark)["output"]
+    assert "extra" in out.columns
