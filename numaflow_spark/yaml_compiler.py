@@ -250,18 +250,31 @@ def _build_sink(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any])
 def pipeline_from_yaml(
     text: str, udf_registry: Mapping[str, Any] | None = None
 ) -> Pipeline:
-    """Parse a numaflow Pipeline CRD YAML document into a validated
-    :class:`Pipeline`. ``udf_registry`` supplies the Python bodies for
-    container UDF/udsource/udsink vertices (key: vertex name or image
-    basename; reducers map to a zero-arg factory returning agg Columns)."""
+    """Parse a numaflow Pipeline or MonoVertex CRD YAML document into a
+    validated :class:`Pipeline`. ``udf_registry`` supplies the Python
+    bodies for container UDF/udsource/udsink vertices (key: vertex name or
+    image basename; reducers map to a zero-arg factory returning agg
+    Columns).
+
+    ``spec.watermark.maxDelay`` (pipeline_types.go:604-616) becomes the
+    default ``allowed_lateness`` of every reducer that does not set its own
+    ``allowedLateness`` — the same role it plays in the reference (slack
+    subtracted from the propagated watermark)."""
     import yaml
 
     doc = yaml.safe_load(text)
-    if not isinstance(doc, dict) or doc.get("kind") != "Pipeline":
-        raise ValueError("expected a numaflow `kind: Pipeline` document")
+    if not isinstance(doc, dict) or doc.get("kind") not in ("Pipeline", "MonoVertex"):
+        raise ValueError("expected a numaflow `kind: Pipeline`/`MonoVertex` document")
+    if doc.get("kind") == "MonoVertex":
+        return _monovertex_from(doc, dict(udf_registry or {}))
     registry = dict(udf_registry or {})
     spec = doc.get("spec") or {}
     p = Pipeline(((doc.get("metadata") or {}).get("name")) or "pipeline")
+
+    wm = spec.get("watermark") or {}
+    default_lateness = (
+        parse_go_duration(wm["maxDelay"]) if wm.get("maxDelay") and not wm.get("disabled") else None
+    )
 
     for v in spec.get("vertices", []):
         name = v["name"]
@@ -277,7 +290,14 @@ def pipeline_from_yaml(
                     "as a registry map vertex instead"
                 )
         elif "udf" in v:
-            vertex = Vertex(name, udf=_build_udf(name, v["udf"] or {}, registry))
+            body = _build_udf(name, v["udf"] or {}, registry)
+            if (
+                isinstance(body, ReduceUDF)
+                and default_lateness
+                and not ((v["udf"] or {}).get("groupBy") or {}).get("allowedLateness")
+            ):
+                body.allowed_lateness = default_lateness
+            vertex = Vertex(name, udf=body)
         elif "sink" in v:
             vertex = Vertex(name, sink=_build_sink(name, v["sink"] or {}, registry))
         else:
@@ -292,5 +312,34 @@ def pipeline_from_yaml(
             cond = TagCondition(tags.get("operator", "or"), tuple(tags.get("values", ())))
         p.edges.append(Edge(e["from"], e["to"], cond))
 
+    p.validate()
+    return p
+
+
+def _monovertex_from(doc: Mapping[str, Any], registry: dict) -> Pipeline:
+    """kind: MonoVertex (mono_vertex_types.go; monovertex.rs:20-30):
+    source → [map udf] → sink, no inter-step buffer. Compiled to the same
+    Pipeline shape — the engine has no ISB either way, so the distinction
+    is purely spec-level."""
+    spec = doc.get("spec") or {}
+    name = ((doc.get("metadata") or {}).get("name")) or "mono"
+    p = Pipeline(name)
+    src_spec = dict(spec.get("source") or {})
+    src_spec.pop("transformer", None)  # transformer → registry map vertex
+    p.add(Vertex(f"{name}-source", source=_build_source(f"{name}-source", src_spec, registry)))
+    prev = f"{name}-source"
+    if spec.get("udf"):
+        p.add(Vertex(f"{name}-map", udf=_build_udf(f"{name}-map", spec["udf"], registry)))
+        p.connect(prev, f"{name}-map")
+        prev = f"{name}-map"
+    sink_spec = dict(spec.get("sink") or {})
+    fallback = sink_spec.pop("fallback", None)
+    sink = _build_sink(f"{name}-sink", sink_spec, registry)
+    if fallback is not None and sink.writer is not None:
+        fb_entry = registry.get(f"{name}-sink.fallback")
+        if fb_entry is not None:
+            sink.fallback = fb_entry
+    p.add(Vertex(f"{name}-sink", sink=sink))
+    p.connect(prev, f"{name}-sink")
     p.validate()
     return p

@@ -161,3 +161,68 @@ def test_registry_overrides_by_vertex_name(spark):
     )
     out = compile_batch(p, spark)["output"]
     assert "extra" in out.columns
+
+
+MONO = """
+kind: MonoVertex
+metadata:
+  name: mv
+spec:
+  source:
+    generator:
+      rpu: 4
+      duration: 1s
+  udf:
+    container:
+      image: quay.io/numaio/numaflow-go/map-cat:stable
+  sink:
+    log: {}
+"""
+
+WM_PIPELINE = """
+kind: Pipeline
+metadata:
+  name: wm
+spec:
+  watermark:
+    maxDelay: 30s
+  vertices:
+    - name: in
+      source:
+        generator:
+          rpu: 5
+          duration: 1s
+    - name: agg
+      udf:
+        container:
+          image: quay.io/numaio/numaflow-go/reduce-sum:stable
+        groupBy:
+          window:
+            fixed:
+              length: 10s
+          keyed: false
+    - name: out
+      sink:
+        log: {}
+  edges:
+    - from: in
+      to: agg
+    - from: agg
+      to: out
+"""
+
+
+def test_monovertex_parses_and_runs(spark):
+    p = pipeline_from_yaml(MONO)
+    assert [v.kind for v in p.vertices] == ["source", "map", "sink"]
+    out = compile_batch(p, spark)["mv-sink"]
+    assert out.count() == 120  # rpu 4 x 30-tick batch twin
+
+
+def test_pipeline_watermark_maxdelay_defaults_lateness(spark):
+    p = pipeline_from_yaml(WM_PIPELINE)
+    assert p.vertex("agg").udf.allowed_lateness == "30 seconds"
+    # non-keyed reduce collapses to one group per window (reducer.rs:26)
+    out = compile_batch(p, spark)["out"]
+    assert "keys" not in out.columns and "sum_value" in out.columns
+    assert out.count() > 0
