@@ -33,7 +33,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("numaflow_spark_bench")
+    # The JSON line is the artifact: silence the JVM (streaming teardown spews
+    # TaskKilled WARNs) and the console progress bar so nothing else can land
+    # on stdout, and print the JSON only after spark.stop() completes.
+    spark = get_spark(
+        "numaflow_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: touch every table once (footer reads, codegen, JIT).
     for t in ("events", "lineitem", "orders", "customer", "nation"):
@@ -52,18 +59,21 @@ def main() -> None:
 
     streaming_rps = _streaming_throughput(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming_events_per_sec": streaming_rps,
-            }
-        )
-    )
+    result = {
+        "metric": "declared_query_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming_events_per_sec": streaming_rps,
+    }
+
+    # Full teardown BEFORE emitting the artifact: any straggler executor log
+    # lines happen now, not after the JSON.
+    spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_000) -> float:

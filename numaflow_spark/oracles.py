@@ -16,7 +16,7 @@ ORACLES: dict[str, str] = {
                CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS window_end,
                event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         FROM events
         GROUP BY 1, 2, 3
     """,
@@ -25,7 +25,7 @@ ORACLES: dict[str, str] = {
         SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
                CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         FROM events
         GROUP BY 1, 2
     """,
@@ -105,7 +105,7 @@ ORACLES: dict[str, str] = {
     # F5 fan-in: interleaved UNION ALL of two tagged branches.
     "fan_in_union": """
         SELECT source_id, count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         FROM (
             SELECT 'input-one' AS source_id, value FROM events WHERE event_type = 'click'
             UNION ALL
@@ -124,11 +124,11 @@ ORACLES: dict[str, str] = {
     # TPC-H Q1-style pricing summary (exact decimal arithmetic).
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_c,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                    AS DECIMAL(38,4)) AS sum_disc_price,
+                    * 10000 AS BIGINT) AS sum_disc_price_c4,
                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
                count(*) AS count_order
@@ -141,7 +141,7 @@ ORACLES: dict[str, str] = {
         SELECT n_name,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                    AS DECIMAL(38,4)) AS revenue,
+                    * 10000 AS BIGINT) AS revenue_c4,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -152,7 +152,7 @@ ORACLES: dict[str, str] = {
     # Top-K per group with deterministic tie-break.
     "top_k": """
         SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_c
         FROM (
             SELECT o_orderpriority, o_orderkey, o_totalprice,
                    row_number() OVER (PARTITION BY o_orderpriority
@@ -177,7 +177,7 @@ ORACLES: dict[str, str] = {
         SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
                CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
                count(*) AS n_events,
-               CAST(sum(v) AS DECIMAL(38,2)) AS sum_value
+               CAST(sum(v) * 100 AS BIGINT) AS sum_value_cents
         FROM merged
         GROUP BY 1, 2
     """,
@@ -341,7 +341,7 @@ ORACLES: dict[str, str] = {
             SELECT i, 900.0 + i * 10.0, 900.0 + (i + 1) * 10.0 FROM range(10) t(i)
         )
         SELECT CAST(band AS INTEGER) AS band, count(*) AS n_parts,
-               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
         FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         GROUP BY band
     """,
@@ -354,9 +354,9 @@ ORACLES: dict[str, str] = {
     "pivot_agg": """
         SELECT l_returnflag,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O')
-                    AS DECIMAL(38,2)) AS qty_open,
+                    * 100 AS BIGINT) AS qty_open_c,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F')
-                    AS DECIMAL(38,2)) AS qty_filled
+                    * 100 AS BIGINT) AS qty_filled_c
         FROM lineitem GROUP BY l_returnflag
     """,
     # Orders with no lineitems.
@@ -384,7 +384,7 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id,
                lag(event_id) OVER w AS prev_event_id,
                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS run_sum
+                    ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT) AS run_sum_c
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -392,7 +392,7 @@ ORACLES: dict[str, str] = {
     "rollup": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -418,7 +418,7 @@ ORACLES: dict[str, str] = {
     # Top-3 orders per customer by price.
     "rank_per_group": """
         SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS price
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
         FROM (
             SELECT *, row_number() OVER (PARTITION BY o_custkey
                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk

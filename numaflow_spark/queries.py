@@ -4,7 +4,9 @@ each with a DuckDB oracle in ``oracles.py``.
 Determinism discipline (so value-hashes match the oracle engine):
   * window bounds -> epoch seconds BIGINT (timestamps hash engine-specific);
   * money sums -> DECIMAL casts before summing (exact, order-independent),
-    final explicit cast so both engines emit the same scale;
+    then the FINAL column is integer cents (``sum * 100 AS BIGINT``; ``*
+    10000`` for scale-4 products) — engines canonicalize DECIMAL scale
+    differently (919.60 vs 919.6) at the hash layer, integers never differ;
   * ratios/averages -> computed from exact decimal sums, cast to double and
     ROUND()ed — a ratio is generically far from a rounding boundary, while a
     double SUM at 1e9 magnitude is not;
@@ -23,6 +25,13 @@ from numaflow_spark.session import load_table
 DEC = "decimal(18,2)"
 
 
+def _cents(col, scale: int = 100):
+    """Exact decimal -> integer minor units (BIGINT). The input is an exact
+    decimal whose scale divides ``scale``, so the product is integral and the
+    cast is lossless in both Spark (truncating) and DuckDB (rounding)."""
+    return (col * scale).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # Reduce operators (§2.4) on the events stream table, batch-mode correctness.
 # ---------------------------------------------------------------------------
@@ -38,7 +47,7 @@ def q_fixed_window_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("sum_value"),
+            _cents(F.sum(F.col("value").cast(DEC))).alias("sum_value_cents"),
         ],
     )
 
@@ -54,7 +63,7 @@ def q_fixed_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=[],
         aggs=[
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("sum_value"),
+            _cents(F.sum(F.col("value").cast(DEC))).alias("sum_value_cents"),
         ],
     )
 
@@ -170,7 +179,7 @@ def q_fan_in_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = routing.fan_in(left, right)
     return merged.groupBy("source_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("sum_value"),
+        _cents(F.sum(F.col("value").cast(DEC))).alias("sum_value_cents"),
     )
 
 
@@ -204,9 +213,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = price * (F.lit(1).cast(DEC) - disc)
     filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     out = filtered.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+        _cents(F.sum(qty)).alias("sum_qty_c"),
+        _cents(F.sum(price)).alias("sum_base_price_c"),
+        _cents(F.sum(disc_price), 10000).alias("sum_disc_price_c4"),
         F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
         F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
         F.count("*").alias("count_order"),
@@ -230,7 +239,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy("n_name").agg(
-        F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+        _cents(F.sum(revenue), 10000).alias("revenue_c4"),
         F.count("*").alias("n_items"),
     )
 
@@ -252,7 +261,7 @@ def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "rank",
             "o_orderkey",
-            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            _cents(F.col("o_totalprice").cast(DEC)).alias("totalprice_c"),
         )
     )
 
@@ -263,7 +272,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)").alias("sum_qty"))
+        .agg(F.count("*").alias("n"), _cents(F.sum(F.col("l_quantity").cast(DEC))).alias("sum_qty_c"))
     )
 
 
@@ -318,7 +327,7 @@ def q_pipeline_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
                     keys=(),
                     aggs=[
                         F.count("*").alias("n_events"),
-                        F.sum("v").cast("decimal(38,2)").alias("sum_value"),
+                        _cents(F.sum("v")).alias("sum_value_cents"),
                     ],
                     ts_col="ts",
                 ),
@@ -373,7 +382,7 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count("*").alias("n_parts"),
-        F.sum(F.col("p_retailprice").cast(DEC)).cast("decimal(38,2)").alias("sum_price"),
+        _cents(F.sum(F.col("p_retailprice").cast(DEC))).alias("sum_price_c"),
     )
 
 
@@ -392,9 +401,12 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)"))
-        .withColumnRenamed("O", "qty_open")
-        .withColumnRenamed("F", "qty_filled")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)))
+        .select(
+            "l_returnflag",
+            _cents(F.col("O")).alias("qty_open_c"),
+            _cents(F.col("F")).alias("qty_filled_c"),
+        )
     )
 
 
@@ -434,7 +446,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.lag("event_id").over(w).alias("prev_event_id"),
-        F.sum(F.col("value").cast(DEC)).over(run).cast("decimal(38,2)").alias("run_sum"),
+        _cents(F.sum(F.col("value").cast(DEC)).over(run)).alias("run_sum_c"),
     )
 
 
@@ -588,7 +600,7 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "rnk",
-            F.col("o_totalprice").cast(DEC).cast("decimal(38,2)").alias("price"),
+            _cents(F.col("o_totalprice").cast(DEC)).alias("price_c"),
         )
     )
 

@@ -54,4 +54,16 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) >= {"window_start", "window_end", "event_type", "n_events", "sum_value"}
+    assert set(df.columns) >= {"window_start", "window_end", "event_type", "n_events", "sum_value_cents"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_decimal_in_final_schema(name, spark):
+    """Final schemas must not expose DECIMAL: engines canonicalize decimal
+    scale differently (919.60 vs 919.6) at the driver's hash layer. Money
+    goes out as integer cents; ratios as ROUNDed doubles."""
+    from pyspark.sql.types import DecimalType
+
+    sdf = QUERIES[name](spark, SF)
+    decs = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not decs, f"{name} exposes DECIMAL columns: {decs}"
