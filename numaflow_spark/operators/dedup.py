@@ -87,13 +87,32 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (ground truth / oracle path).
+    """Exact n-gram Jaccard near-dup pairs (ground truth / oracle path —
+    the SCALE path is ``minhash_lsh_pairs``, which verifies its banded
+    candidates with this same exact-Jaccard math).
+
+    The shingle self-join costs Σ_sh |group|², so this operator is gated to
+    bounded corpora: it refuses inputs larger than ``max_docs`` (pass
+    ``max_docs=None`` only for deliberate ground-truth runs).
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) from integer counts — bit-identical
     across engines, so no rounding is needed on the output.
     """
+    if max_docs is not None:
+        n_docs = df.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"jaccard_pairs is the O(Σ|group|²) ground-truth path, gated to "
+                f"{max_docs} docs (got {n_docs}); use minhash_lsh_pairs at scale"
+            )
     sh = shingle_hashes(df, id_col, text_col, n)
     inter = _pair_intersections(sh)
     return _verify_jaccard(inter, sh, threshold, broadcast_pairs=False)
@@ -216,25 +235,111 @@ def minhash_lsh_pairs(
     return _verify_jaccard(inter, sh, threshold, broadcast_pairs=True)
 
 
+# SimHash token hash: polynomial fold over codepoints, then 63 affine-mod
+# bit extractors. Chosen (over xxhash64) because every piece is expressible
+# identically in DuckDB SQL, so simhash_neardup gets a full value-hash oracle
+# instead of a rows-only check. P_TOK keeps (acc*31 + code) < 2^35; P_BIT
+# keeps (h*a + b) < 2^61 — no overflow in either engine's signed 64-bit math.
+_SIMHASH_TOK_P = 1_000_000_007
+_SIMHASH_TOK_INIT = 7
+_SIMHASH_BIT_P = (1 << 31) - 1
+_SIMHASH_BITS = 63
+
+
+def _simhash_bit_params(n: int = _SIMHASH_BITS, seed: int = 101) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _SIMHASH_BIT_P), rnd.randrange(0, _SIMHASH_BIT_P))
+        for _ in range(n)
+    ]
+
+
+def _token_poly_hash(tok: Column) -> Column:
+    """(acc*31 + codepoint) % P folded over the token's characters — the
+    JVM-side twin of the oracle's list_reduce (verified char-split/ascii
+    semantics agree across engines, including '' -> [''] -> 217)."""
+    codes = F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(_SIMHASH_TOK_INIT).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _SIMHASH_TOK_P,
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, ±1 votes per bit, sign
-    fold. Emitted as (doc, simhash long). The top bit is left at 0 so the
-    value stays non-negative in a signed 64-bit column."""
+    """64-bit SimHash per doc: per-token polynomial hash, 63 affine-derived
+    bit votes (±1), sign fold. Emitted as (doc, simhash long); the top bit
+    stays 0 so the value is non-negative in a signed 64-bit column."""
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
+    hashed = tok.select("doc", _token_poly_hash(F.col("tok")).alias("hv"))
     votes = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(63)
+        F.sum(
+            F.when(((F.col("hv") * a + b) % _SIMHASH_BIT_P) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i, (a, b) in enumerate(_simhash_bit_params())
     ]
-    voted = tok.groupBy("doc").agg(*votes)
+    voted = hashed.groupBy("doc").agg(*votes)
     sim = None
-    for i in range(63):
+    for i in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
     return voted.select("doc", sim.alias("simhash"))
+
+
+def simhash_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB twin of ``simhash_neardup_pairs``: identical token polynomial
+    hash, identical affine bit constants, identical chunk banding + verify."""
+    params = _simhash_bit_params()
+    vote_cols = ",\n                   ".join(
+        f"sum(CASE WHEN ((hv * {a} + {b}) % {_SIMHASH_BIT_P}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT {id_col} AS doc, unnest(string_split({text_col}, ' ')) AS t
+            FROM {table}
+        ), h AS (
+            SELECT doc,
+                   list_reduce(
+                       list_prepend(CAST({_SIMHASH_TOK_INIT} AS BIGINT),
+                           list_transform(string_split(t, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % {_SIMHASH_TOK_P}) AS hv
+            FROM tok
+        ), votes AS (
+            SELECT doc,
+                   {vote_cols}
+            FROM h GROUP BY doc
+        ), sig AS (
+            SELECT doc, {sig_terms} AS simhash FROM votes
+        ), chunks AS (
+            SELECT doc, simhash, u.c AS chunk,
+                   (simhash >> (u.c * 16)) & 65535 AS chunk_val
+            FROM sig, unnest([0, 1, 2, 3]) u(c)
+        ), cand AS (
+            SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+                   a.simhash AS s1, b.simhash AS s2
+            FROM chunks a
+            JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                         AND a.doc < b.doc
+        )
+        SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+    """
 
 
 def simhash_neardup_pairs(

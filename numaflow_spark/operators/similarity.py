@@ -6,10 +6,13 @@ Three paths, one output contract:
     (queries × block) inside ``mapInPandas`` and emits its local top-k
     candidates; a final window rank merges them. Shuffle volume is
     k × |queries| × #partitions — independent of corpus size.
-  * all-pairs similar_pairs — exact near-dup surface. The corpus matrix is
-    broadcast and every partition scores its block against it (block @ full).
-    O(n²) flops but BLAS-vectorized; usable to ~1M vectors, beyond which the
-    LSH path is the answer.
+  * all-pairs similar_pairs — exact near-dup surface via 2D block
+    partitioning: rows are hashed into B blocks, every block pair (i ≤ j)
+    becomes one ``applyInPandas`` group that BLAS-scores block i × block j.
+    Nothing is ever collected to the driver and no full-corpus broadcast
+    exists; shuffle volume is (B+1) × corpus and memory per task is two
+    blocks. O(n²) flops are inherent to the exact contract — the LSH path
+    is the sub-quadratic answer.
   * LSH-bucketed ANN — the 100 TB path: random-hyperplane sign buckets;
     queries only score their own bucket. Approximate (rows-only check).
 
@@ -105,28 +108,66 @@ def similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. Each partition BLAS-scores its
-    block against the broadcast corpus; the id1 < id2 guard dedups across
-    blocks. Ground truth for the LSH path; swap to LSH beyond ~1M vectors."""
-    spark = df.sparkSession
-    cpdf = df.select(id_col, vec_col).toPandas()
-    c_ids = cpdf[id_col].to_numpy()
-    c_mat = _unit(_matrix(cpdf[vec_col]))
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    """All pairs with cosine ≥ threshold, exactly, with no driver-side
+    collect and no full-corpus broadcast.
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, cm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            b_ids = pdf[id_col].to_numpy()
-            bm = _unit(_matrix(pdf[vec_col]))
-            s = np.round(bm @ cm.T, 6)  # |block| x |corpus|
-            bi, cj = np.nonzero((s >= threshold) & (b_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame({"id1": b_ids[bi], "id2": ids[cj], "cos_sim": s[bi, cj]})
+    2D block decomposition: each row is hashed into one of ``n_blocks``
+    blocks; every unordered block pair (gi ≤ gj) is one ``applyInPandas``
+    group holding block gi as the "left" set and block gj as the "right"
+    set, scored as one BLAS product. A row is shipped to (n_blocks + 1)
+    groups, so shuffle volume is (B+1)×corpus and per-task memory is two
+    blocks — B scales as sqrt(desired task count) on a cluster. Exact
+    contract (ground truth for the LSH path); O(n²) flops are inherent,
+    LSH is the sub-quadratic route beyond ~1M vectors."""
+    B = n_blocks
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    # A row in block b is the left member of groups (b, j≥b) and the right
+    # member of groups (i≤b, b); blocks are disjoint, so each unordered row
+    # pair meets in exactly one group.
+    lefts = base.select(
+        "id",
+        "vec",
+        F.col("blk").alias("gi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+    )
+    rights = base.select(
+        "id",
+        "vec",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("gi"),
+        F.col("blk").alias("gj"),
+        F.lit(1).alias("side"),
+    )
+    members = lefts.unionByName(rights)
 
-    return df.select(id_col, vec_col).mapInPandas(score, schema=PAIR_SCHEMA)
+    def score_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
+        lid = left["id"].to_numpy()
+        rid = right["id"].to_numpy()
+        s = np.round(_unit(_matrix(left["vec"])) @ _unit(_matrix(right["vec"])).T, 6)
+        mask = s >= threshold
+        if gi == gj:  # same block on both sides: keep one orientation
+            mask &= lid[:, None] < rid[None, :]
+        li, rj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id1": np.minimum(lid[li], rid[rj]),
+                "id2": np.maximum(lid[li], rid[rj]),
+                "cos_sim": s[li, rj],
+            }
+        )
+
+    return members.groupBy("gi", "gj").applyInPandas(score_block_pair, schema=PAIR_SCHEMA)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -135,6 +176,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_np(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Hyperplane sign bucket per row. Callers pass RAW (un-normalized)
+    vectors: the sign is norm-invariant, and raw dots are what the DuckDB
+    oracle twin computes (lsh_topk_oracle_sql), so both engines bucket
+    identically."""
     bits = (m @ planes.T) > 0
     return (bits * (1 << np.arange(planes.shape[0]))[None, :]).sum(axis=1).astype(np.int64)
 
@@ -150,14 +195,17 @@ def lsh_topk(
     n_planes: int = 8,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors sharing the query's hyperplane
-    bucket (~2^-n_planes of the corpus per query on random data). Recall < 1
-    by construction — rows-only correctness check."""
+    bucket (~2^-n_planes of the corpus per query on random data).
+    Approximate in recall, but the candidate set is a pure function of the
+    (seeded) plane constants, so ``lsh_topk_oracle_sql`` reproduces the
+    exact same output in DuckDB — full hash check, not rows-only."""
     spark = corpus.sparkSession
     planes = _hyperplanes(dim, n_planes)
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
-    q_mat = _unit(_matrix(qpdf[vec_col]))
-    q_buckets = lsh_bucket_np(q_mat, planes)
+    q_raw = _matrix(qpdf[vec_col])
+    q_mat = _unit(q_raw)
+    q_buckets = lsh_bucket_np(q_raw, planes)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_buckets, planes))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,8 +214,9 @@ def lsh_topk(
             if not len(pdf):
                 continue
             c_ids = pdf[id_col].to_numpy()
-            cm = _unit(_matrix(pdf[vec_col]))
-            cb = lsh_bucket_np(cm, pl)
+            c_raw = _matrix(pdf[vec_col])
+            cm = _unit(c_raw)
+            cb = lsh_bucket_np(c_raw, pl)
             out = []
             for qi in range(len(ids)):
                 mask = cb == qb[qi]
@@ -190,6 +239,86 @@ def lsh_topk(
     )
 
 
+def lsh_topk_oracle_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 20",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> str:
+    """DuckDB twin of ``lsh_topk``: the (seeded) hyperplanes are embedded as
+    literal arrays, buckets are sign bits of raw dot products (same as the
+    Spark side), and scoring/ranking mirrors the brute-force oracle. Sign
+    agreement across engines holds unless a true |cos| < ~1e-14 — vanishing
+    on real data."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+        WITH v AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+        ), b AS (
+            SELECT vid, e, {bucket_terms} AS bucket FROM v
+        ), q AS (
+            SELECT vid AS query_id, e AS qv, bucket FROM b WHERE {query_pred.replace(id_col, 'vid')}
+        ), c AS (
+            SELECT vid AS neighbor_id, e AS cv, bucket FROM b
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / sqrt(list_dot_product(qv, qv))
+                         / sqrt(list_dot_product(cv, cv)), 6) AS cos_sim
+            FROM q JOIN c USING (bucket)
+            WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def kmeans_centroids(
+    sample: np.ndarray, k: int, *, seed: int = 42, iters: int = 20
+) -> np.ndarray:
+    """Deterministic spherical k-means over a driver-side TRAINING SAMPLE
+    (never the corpus): k-means++ init from a fixed seed, cosine
+    assignment, mean + renormalize update, fixed iteration budget. Returns
+    unit centroids."""
+    m = _unit(sample)
+    rng = np.random.RandomState(seed)
+    n = m.shape[0]
+    k = min(k, n)
+    # k-means++ seeding on squared euclidean over unit vectors (= 2-2cos)
+    chosen = [int(rng.randint(n))]
+    for _ in range(k - 1):
+        d2 = np.min(2.0 - 2.0 * (m @ m[chosen].T), axis=1)
+        d2 = np.clip(d2, 0.0, None)
+        total = d2.sum()
+        if total <= 0.0:
+            # degenerate sample (all identical): fill with the first point
+            chosen.append(chosen[0])
+            continue
+        chosen.append(int(rng.choice(n, p=d2 / total)))
+    cent = m[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for ci in range(k):
+            mask = assign == ci
+            if mask.any():
+                cent[ci] = m[mask].mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -199,28 +328,43 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_assign: int = 1,
+    train_sample_mod: int = 1,
+    train_cap: int = 4096,
 ) -> DataFrame:
     """IVF ANN top-k: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the ``n_probe`` nearest lists per query.
 
-    The coarse quantizer is deterministic — centroids are the
-    ``n_centroids`` lowest-id corpus vectors (a real deployment k-means
-    trains them; determinism matters more here so runs and engines agree).
-    Each corpus block assigns its rows to their nearest centroid and scores
+    The coarse quantizer is deterministic sampled spherical k-means
+    (``kmeans_centroids``, fixed seed + fixed iterations): training pulls
+    only a hash-thinned sample to the driver — rows with
+    ``xxhash64(id) % train_sample_mod == 0``, capped at ``train_cap`` — so
+    at 100 TB the driver sees ~train_cap vectors, never the corpus. Each
+    corpus block then assigns its rows to their nearest centroid and scores
     them only against queries probing that list, scanning ~n_probe/
-    n_centroids of the corpus per query; n_probe == n_centroids degrades
-    gracefully to exact brute force. Recall < 1 by construction — rows-only
-    correctness check.
+    n_centroids of the corpus per query; ``n_probe == n_centroids``
+    degrades exactly to brute force (every list is probed), which is how
+    the declared query gets a full DuckDB oracle; pruned configs carry a
+    recall gate in pytest instead.
+
+    ``n_assign > 1`` replicates each corpus row into its ``n_assign``
+    nearest lists (SPANN-style closure assignment): scan fraction becomes
+    ~n_assign × n_probe / n_centroids, but recall on weakly-clustered data
+    improves far more than probing the same fraction with single
+    assignment — boundary vectors stop falling between lists.
 
     Scale shape: centroids and queries broadcast, corpus streams through
     one ``mapInPandas`` pass (no shuffle before the k×|Q|×partitions
     candidate merge) — the same contract as brute_force_topk, with the
     list-pruned scan as the 100 TB win."""
     spark = corpus.sparkSession
-    cent_pdf = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).toPandas()
-    )
-    c_mat = _unit(_matrix(cent_pdf[vec_col]))
+    sample = corpus.select(id_col, vec_col)
+    if train_sample_mod > 1:
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+    cent_pdf = sample.orderBy(id_col).limit(train_cap).toPandas()
+    c_mat = kmeans_centroids(_matrix(cent_pdf[vec_col]), n_centroids)
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
     q_mat = _unit(_matrix(qpdf[vec_col]))
@@ -237,10 +381,13 @@ def ivf_topk(
                 continue
             b_ids = pdf[id_col].to_numpy()
             bm = _unit(_matrix(pdf[vec_col]))
-            assign = np.argmax(bm @ cm.T, axis=1)  # inverted-list id per row
+            sims = bm @ cm.T
+            r = min(n_assign, cm.shape[0])
+            # top-r inverted lists per corpus row (r=1 -> plain argmax)
+            assign = np.argpartition(-sims, r - 1, axis=1)[:, :r]
             out = []
             for qi in range(len(ids)):
-                mask = np.isin(assign, lists[qi])
+                mask = np.isin(assign, lists[qi]).any(axis=1)
                 if not mask.any():
                     continue
                 s = np.round(qm[qi] @ bm[mask].T, 6)

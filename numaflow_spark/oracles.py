@@ -433,6 +433,41 @@ ORACLES: dict[str, str] = {
         FROM documents d,
              unnest(generate_series(0, CAST(d.n_chars % 16 AS BIGINT), 4)) u(f)
     """,
-    # ivf_ann_topk: approximate by design — no oracle (rows-only check),
-    # like lsh_ann_topk / simhash_neardup.
+    # ivf_ann_topk runs the full IVF plan with n_probe == n_centroids
+    # (probe every list == exact brute force), so its oracle is the same
+    # exact top-k SQL as embedding_topk.
+    "ivf_ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / sqrt(list_dot_product(qv, qv))
+                         / sqrt(list_dot_product(cv, cv)), 6) AS cos_sim
+            FROM q, c WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
 }
+
+# lsh_ann_topk's bucket function is seeded-random hyperplanes; the oracle
+# embeds the identical plane constants as SQL literals (params must match
+# queries.q_lsh_ann_topk).
+from numaflow_spark.operators.similarity import lsh_topk_oracle_sql as _lsh_sql
+
+ORACLES["lsh_ann_topk"] = _lsh_sql(k=5, dim=64, n_planes=6)
+
+# simhash_neardup's signature hash is a polynomial fold + affine bit
+# extractors chosen to be expressible identically in DuckDB; the generator
+# embeds the same seeded constants.
+from numaflow_spark.operators.dedup import simhash_oracle_sql as _simhash_sql
+
+ORACLES["simhash_neardup"] = _simhash_sql(max_hamming=3)

@@ -245,17 +245,28 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group via window ranking (§2.13 gap: the reference has no
-    ranking operators): top-3 orders by price per order priority, with a
-    deterministic (price desc, orderkey asc) tie-break."""
+    """Top-K per group via TWO-PHASE window ranking (§2.13 gap: the
+    reference has no ranking operators): top-3 orders by price per order
+    priority, deterministic (price desc, orderkey asc) tie-break.
+
+    o_orderpriority has ~5 distinct values, so a single window over it
+    funnels the whole table into ≤5 tasks — a straggler at scale. Phase 1
+    ranks within (priority, salt) buckets (full parallelism) and keeps each
+    bucket's local top-3; phase 2 re-ranks the ≤ 3×SALT survivors per
+    priority — exactly the merge `brute_force_topk` uses for candidates."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    SALT = 32
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT))
     )
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    w_local = Window.partitionBy("o_orderpriority", "salt").orderBy(*order_cols)
+    w_merge = Window.partitionBy("o_orderpriority").orderBy(*order_cols)
     return (
-        orders.withColumn("rank", F.row_number().over(w))
+        orders.withColumn("local_rank", F.row_number().over(w_local))
+        .filter(F.col("local_rank") <= 3)
+        .withColumn("rank", F.row_number().over(w_merge))
         .filter(F.col("rank") <= 3)
         .select(
             "o_orderpriority",
@@ -511,7 +522,9 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming ≤ 3 over 64-bit signatures).
-    xxhash64 has no cross-engine twin — rows-only correctness check."""
+    The token hash is a polynomial fold + affine bit extractors so the
+    DuckDB oracle (dedup.simhash_oracle_sql) computes the identical
+    signatures — full hash check."""
     from numaflow_spark.operators.dedup import simhash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -536,8 +549,9 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scale path; recall < 1 by design —
-    rows-only check)."""
+    """LSH-bucketed approximate top-k (scale path). Approximate in recall,
+    but deterministic given the seeded planes — the DuckDB oracle embeds the
+    same plane constants (lsh_topk_oracle_sql) so this is a full hash check."""
     from numaflow_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -620,14 +634,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (deterministic coarse quantizer, 4/16 lists probed):
-    the bounded-scan scale path next to lsh_ann_topk. Approximate by design
-    — rows-only check."""
+    """IVF ANN top-k through the full IVF plan (k-means quantizer, list
+    assignment, probe pruning) with n_probe == n_centroids, which probes
+    every list and therefore degrades exactly to brute force — giving this
+    operator a full DuckDB oracle. The pruned config (n_probe < n_centroids)
+    is covered by a recall-vs-brute-force gate in tests/test_ivf_frames.py."""
     from numaflow_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=16
     )
 
 

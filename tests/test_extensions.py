@@ -49,6 +49,13 @@ def test_jaccard_pairs_finds_near_dups(docs):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_jaccard_pairs_corpus_guard(docs):
+    """The exact self-join path refuses unbounded corpora (VERDICT r1 #10):
+    minhash_lsh_pairs is the scale path."""
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        jaccard_pairs(docs, "doc_id", "text", max_docs=3)
+
+
 def test_minhash_matches_exact(docs):
     exact = {(r.d1, r.d2) for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
     lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}

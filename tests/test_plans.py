@@ -91,3 +91,39 @@ def test_text_ops_stay_jvm_side(spark, name):
     assert "EvalPython" not in plan
     # and a bare scan->project shape: no shuffle at all
     assert nodes(plan, "Exchange") == 0
+
+
+def test_similar_pairs_has_no_driver_collect(spark, monkeypatch):
+    """VERDICT r1 item 3: the all-pairs operator must never pull the corpus
+    to the driver. Building the plan with collect/toPandas poisoned proves
+    construction is fully lazy; the distributed shape is 2D block groups
+    through FlatMapGroupsInPandas."""
+    from pyspark.sql import DataFrame
+
+    from numaflow_spark.operators.similarity import similar_pairs
+    from numaflow_spark.session import load_table
+
+    def _boom(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("driver-side collect inside similar_pairs")
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    out = similar_pairs(emb, threshold=0.4)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_top_k_first_window_is_salted(spark):
+    """VERDICT r1 item 6: the full-table ranking pass must partition on
+    (priority, salt), never into the ≤5 priority groups alone — only the
+    post-filter merge (≤ 3×SALT rows/group) may group by bare priority."""
+    plan = plan_of(spark, "top_k")
+    assert nodes(plan, "Window") == 2
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [i for i, p in enumerate(parts) if "salt" in p and "o_orderpriority" in p]
+    bare = [i for i, p in enumerate(parts) if "salt" not in p and "o_orderpriority" in p]
+    assert salted and bare, parts
+    # execution order: the salted (full-table) exchange precedes the merge
+    assert min(salted) < min(bare)
