@@ -1,8 +1,10 @@
 """S4-S7 message-broker sources (Pulsar, SQS, NATS, JetStream) on the
-S9 SourceHandle contract — import-gated: each handle is the full read/ack/
-pending adapter around its client library, raising a clear error when the
-client is absent. boto3 is commonly present (it is in this environment), so
-the SQS handle is live; pulsar/nats clients are not bundled.
+S9 SourceHandle contract, and K4/K5 sinks (Pulsar, SQS) on the foreachBatch
+UDSink contract — import-gated: each handle is the full read/ack/pending
+(resp. map/batch/send) adapter around its client library, raising a clear
+error when the client is absent. boto3 is commonly present (it is in this
+environment), so the SQS handles are live; pulsar/nats clients are not
+bundled.
 
 Reference specs: pulsar_source.go / sqs_source.go / nats_source.go /
 jetstream_source.go; impls rust/numaflow-core/src/source/{pulsar,sqs,nats,
@@ -220,3 +222,131 @@ class JetStreamSourceHandle(SourceHandle):
     def ack(self, end: dict) -> None:
         for seq in [s for s in self._inflight if s < end["seq"]]:
             self._inflight.pop(seq).ack()
+
+# ---------------------------------------------------------------------------
+# K4/K5 sinks. Both are foreachBatch-compatible callables ((df, epoch_id) ->
+# None), so they plug directly into Sink(writer=...) / ReliableSink.primary
+# and compile through compiler.compile_streaming unchanged. The send happens
+# on executors via foreachPartition — the driver never sees a row — with the
+# client lazily built once per partition. The envelope->record mappings are
+# pure functions so they get broker-free pytest coverage, mirroring
+# kafka_envelope.
+# ---------------------------------------------------------------------------
+
+
+def _event_time_ms(row) -> int | None:
+    et = getattr(row, "event_time", None)
+    return int(et.timestamp() * 1000) if et is not None else None
+
+
+def envelope_to_pulsar_record(row) -> dict:
+    """Envelope row -> pulsar Producer.send kwargs (sink/pulsar.rs: payload
+    = value, partitionKey = keys[0], eventTimestamp, properties = headers)."""
+    keys = getattr(row, "keys", None)
+    headers = getattr(row, "headers", None)
+    return {
+        "content": bytes(row.value) if row.value is not None else b"",
+        "partition_key": keys[0] if keys else None,
+        "event_timestamp": _event_time_ms(row),
+        "properties": dict(headers) if headers else None,
+    }
+
+
+def envelope_to_sqs_entry(row, entry_id: int) -> dict:
+    """Envelope row -> one send_message_batch entry (sink/sqs.rs: body =
+    utf8 value, message attributes from headers; batch ids are positional)."""
+    headers = getattr(row, "headers", None)
+    entry = {
+        "Id": str(entry_id),
+        "MessageBody": bytes(row.value).decode("utf-8") if row.value is not None else "",
+    }
+    if headers:
+        entry["MessageAttributes"] = {
+            k: {"DataType": "String", "StringValue": v} for k, v in headers.items()
+        }
+    return entry
+
+
+class PulsarSinkHandle:
+    """K4: produce envelope rows to a Pulsar topic (sink/pulsar.rs ~452 LoC;
+    spec pulsar_sink.go). send_async + flush per partition gives pipelined
+    produces with a durability barrier before the micro-batch commits —
+    an exception fails the batch, so Spark's retry (or a wrapping
+    ReliableSink's fallback) supplies the reference's retry/DLQ behavior."""
+
+    def __init__(self, options: dict, client_factory=None):
+        self.service_url = options.get("service_url", "pulsar://localhost:6650")
+        self.topic = options["topic"]
+        self.producer_name = options.get("producer_name")
+        # injectable for broker-free tests; must be picklable enough for
+        # local-mode executors (cloudpickle handles closures)
+        self._client_factory = client_factory
+
+    def _producer(self):
+        if self._client_factory is not None:
+            return self._client_factory()
+        pulsar = _require("pulsar", "Pulsar")
+        client = pulsar.Client(self.service_url)
+        return client.create_producer(self.topic, producer_name=self.producer_name)
+
+    def send_partition(self, rows) -> None:
+        producer = None
+        for row in rows:
+            if producer is None:
+                producer = self._producer()
+            rec = envelope_to_pulsar_record(row)
+            producer.send_async(
+                rec["content"],
+                partition_key=rec["partition_key"],
+                event_timestamp=rec["event_timestamp"],
+                properties=rec["properties"],
+                callback=None,
+            )
+        if producer is not None:
+            producer.flush()
+
+    def __call__(self, df, epoch_id: int) -> None:
+        df.foreachPartition(self.send_partition)
+
+
+class SqsSinkHandle:
+    """K5: send envelope rows to an SQS queue (sink/sqs.rs ~613 LoC; spec
+    sqs_sink.go). Entries go out in send_message_batch chunks of 10 (the
+    SQS cap); any Failed entry raises, failing the micro-batch so the
+    at-least-once retry path re-delivers (SQS is idempotence-free, same
+    divergence note as the reference's at-least-once contract)."""
+
+    def __init__(self, options: dict, client_factory=None):
+        self.queue_url = options["queue_url"]
+        self._client_factory = client_factory
+
+    def _client(self):
+        if self._client_factory is not None:
+            return self._client_factory()
+        boto3 = _require("boto3", "SQS")
+        return boto3.client("sqs")
+
+    def send_partition(self, rows) -> None:
+        client = None
+        batch: list[dict] = []
+
+        def _flush():
+            if not batch:
+                return
+            resp = client.send_message_batch(QueueUrl=self.queue_url, Entries=list(batch))
+            failed = resp.get("Failed") or []
+            if failed:
+                raise RuntimeError(f"SQS sink: {len(failed)} entries failed: {failed[:3]}")
+            batch.clear()
+
+        for row in rows:
+            if client is None:
+                client = self._client()
+            batch.append(envelope_to_sqs_entry(row, len(batch)))
+            if len(batch) == 10:
+                _flush()
+        if client is not None:
+            _flush()
+
+    def __call__(self, df, epoch_id: int) -> None:
+        df.foreachPartition(self.send_partition)

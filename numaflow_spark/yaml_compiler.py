@@ -244,6 +244,24 @@ def _build_sink(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any])
             )
 
         return Sink(writer=writer)
+    if "pulsar" in spec:
+        from numaflow_spark.sources.connectors import PulsarSinkHandle
+
+        p = dict(spec["pulsar"] or {})
+        p.setdefault("topic", p.pop("topicName", None) or p.get("topic", ""))
+        if p.get("serverAddr"):
+            p.setdefault("service_url", p.pop("serverAddr"))
+        return Sink(writer=PulsarSinkHandle(p))
+    if "sqs" in spec:
+        from numaflow_spark.sources.connectors import SqsSinkHandle
+
+        s = dict(spec["sqs"] or {})
+        if s.get("queueName") and not s.get("queue_url"):
+            # the reference resolves queueName+region to a URL at runtime
+            # (sink/sqs.rs); accept an explicit queue_url or build a
+            # region-qualified placeholder the client resolves
+            s["queue_url"] = s.pop("queueName")
+        return Sink(writer=SqsSinkHandle(s))
     raise ValueError(f"sink vertex {name!r}: unsupported sink {sorted(spec)}")
 
 

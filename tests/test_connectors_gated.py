@@ -76,3 +76,108 @@ def test_option_surface_mirrors_specs():
     assert s.batch_size == 10  # clamped to the SQS API maximum
     j = JetStreamSourceHandle({"stream": "st", "durable": "d"})
     assert (j.stream, j.durable) == ("st", "d")
+
+
+# ---------------------------------------------------------------------------
+# K4/K5 sinks (VERDICT r1 item 5): broker-free mapping + fake-client
+# end-to-end through foreachBatch/foreachPartition, mirroring the Kafka
+# mapping tests.
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timezone
+
+from numaflow_spark.sources.connectors import (
+    PulsarSinkHandle,
+    SqsSinkHandle,
+    envelope_to_pulsar_record,
+    envelope_to_sqs_entry,
+)
+
+# foreachPartition runs in executor worker processes, so fake clients
+# record their sends through a file the driver-side assertions read back.
+
+
+def _envelope_df(spark):
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (["k1"], b"v1", ts, {"h1": "x"}),
+        (None, b"v2", ts, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "keys array<string>, value binary, event_time timestamp, "
+        "headers map<string,string>",
+    )
+
+
+def test_pulsar_record_mapping(spark):
+    r1, r2 = sorted(_envelope_df(spark).collect(), key=lambda r: bytes(r.value))
+    rec = envelope_to_pulsar_record(r1)
+    assert rec["content"] == b"v1" and rec["partition_key"] == "k1"
+    assert rec["properties"] == {"h1": "x"}
+    assert rec["event_timestamp"] == int(
+        datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    rec2 = envelope_to_pulsar_record(r2)
+    assert rec2["partition_key"] is None and rec2["properties"] is None
+
+
+def test_sqs_entry_mapping(spark):
+    r1, _ = sorted(_envelope_df(spark).collect(), key=lambda r: bytes(r.value))
+    e = envelope_to_sqs_entry(r1, 0)
+    assert e["Id"] == "0" and e["MessageBody"] == "v1"
+    assert e["MessageAttributes"]["h1"] == {"DataType": "String", "StringValue": "x"}
+
+
+def test_pulsar_sink_foreach_batch(spark, tmp_path):
+    log = str(tmp_path / "pulsar.log")
+
+    # defined inside the test so cloudpickle ships it by value to workers
+    class FileProducer:
+        def send_async(self, content, **kw):
+            with open(log, "a") as f:
+                f.write(f"SEND {bytes(content).decode()} key={kw.get('partition_key')}\n")
+
+        def flush(self):
+            with open(log, "a") as f:
+                f.write("FLUSH\n")
+
+    sink = PulsarSinkHandle({"topic": "t"}, client_factory=FileProducer)
+    sink(_envelope_df(spark).coalesce(1), epoch_id=0)
+    lines = open(log).read().splitlines()
+    sends = sorted(ln for ln in lines if ln.startswith("SEND"))
+    assert sends == ["SEND v1 key=k1", "SEND v2 key=None"]
+    assert lines[-1] == "FLUSH"  # durability barrier before the batch commits
+
+
+def test_sqs_sink_batches_of_ten(spark, tmp_path):
+    log = str(tmp_path / "sqs.log")
+
+    class FileSqsClient:
+        def send_message_batch(self, QueueUrl, Entries):
+            assert len(Entries) <= 10
+            with open(log, "a") as f:
+                f.write(",".join(e["MessageBody"] for e in Entries) + "\n")
+            return {}
+
+    rows = [(None, f"m{i}".encode(), None, None) for i in range(23)]
+    df = spark.createDataFrame(
+        rows,
+        "keys array<string>, value binary, event_time timestamp, "
+        "headers map<string,string>",
+    ).coalesce(1)
+    SqsSinkHandle({"queue_url": "q"}, client_factory=FileSqsClient)(df, 0)
+    batches = [ln.split(",") for ln in open(log).read().splitlines()]
+    assert sorted(len(b) for b in batches) == [3, 10, 10]
+    assert sorted(x for b in batches for x in b) == sorted(f"m{i}" for i in range(23))
+
+
+def test_sqs_sink_failed_entries_fail_the_batch(spark):
+    class FailingSqsClient:
+        def send_message_batch(self, QueueUrl, Entries):
+            return {"Failed": [{"Id": "0", "Message": "boom"}]}
+
+    df = _envelope_df(spark).coalesce(1)
+    sink = SqsSinkHandle({"queue_url": "q"}, client_factory=FailingSqsClient)
+    with pytest.raises(Exception, match="entries failed|boom|SQS sink"):
+        sink(df, 0)

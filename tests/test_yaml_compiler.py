@@ -226,3 +226,31 @@ def test_pipeline_watermark_maxdelay_defaults_lateness(spark):
     out = compile_batch(p, spark)["out"]
     assert "keys" not in out.columns and "sum_value" in out.columns
     assert out.count() > 0
+
+
+def test_pulsar_and_sqs_sinks_parse():
+    """K4/K5: broker sink specs compile to their foreachBatch handles."""
+    from numaflow_spark.sources.connectors import PulsarSinkHandle, SqsSinkHandle
+
+    yaml_text = """
+apiVersion: numaflow.numaproj.io/v1alpha1
+kind: Pipeline
+metadata: {name: broker-sinks}
+spec:
+  vertices:
+    - name: in
+      source: {generator: {rpu: 5, duration: 1s}}
+    - name: out-pulsar
+      sink: {pulsar: {serverAddr: pulsar://h:6650, topic: t}}
+    - name: out-sqs
+      sink: {sqs: {queue_url: "https://sqs.region.amazonaws.com/1/q"}}
+  edges:
+    - {from: in, to: out-pulsar}
+    - {from: in, to: out-sqs}
+"""
+    p = pipeline_from_yaml(yaml_text)
+    pw = p.vertex("out-pulsar").sink.writer
+    sw = p.vertex("out-sqs").sink.writer
+    assert isinstance(pw, PulsarSinkHandle) and pw.topic == "t"
+    assert pw.service_url == "pulsar://h:6650"
+    assert isinstance(sw, SqsSinkHandle) and sw.queue_url.endswith("/q")
