@@ -172,17 +172,3 @@ def compile_streaming(
                 writer = writer.option("checkpointLocation", f"{checkpoint_root}/{name}")
         started[name] = writer.start()
     return StreamingDeployment(started)
-
-
-def _has_reduce_upstream(p: Pipeline, name: str) -> bool:
-    seen: set[str] = set()
-    stack = [e.from_ for e in p.in_edges(name)]
-    while stack:
-        n = stack.pop()
-        if n in seen:
-            continue
-        seen.add(n)
-        if p.vertex(n).kind == "reduce":
-            return True
-        stack.extend(e.from_ for e in p.in_edges(n))
-    return False

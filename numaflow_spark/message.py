@@ -112,7 +112,16 @@ def with_metadata(
         if not extra:
             return cur
         lit_map = F.create_map(*[F.lit(x) for kv in extra.items() for x in kv])
-        return F.map_concat(F.coalesce(cur, F.create_map()), lit_map)
+        # Right-biased overwrite done explicitly: drop the incoming keys from
+        # the current map before concatenating. A bare map_concat throws
+        # DUPLICATED_MAP_KEY under Spark's default EXCEPTION dedup policy
+        # when a later vertex updates an existing metadata key.
+        new_keys = F.array(*[F.lit(k) for k in extra])
+        pruned = F.map_filter(
+            F.coalesce(cur, F.create_map()),
+            lambda k, _v: ~F.array_contains(new_keys, k),
+        )
+        return F.map_concat(pruned, lit_map)
 
     return df.withColumn(
         "metadata",

@@ -31,8 +31,10 @@ def generator_stream(
 
     rpu -> rowsPerBatch with a 1s micro-batch (readTimeout default 1s,
     const.go:186). Keys cycle ``key-0..key-{key_count-1}`` like
-    generator.rs; value defaults to (id % 3) + 1 matching the reduce-e2e
-    bodies "1"/"2"/"3" (reduce_one_test.go:62-66).
+    generator.rs; ``key_count=0`` emits NO keys (null), matching the
+    reference generator's no/zero-keyCount behavior — the non-keyed reduce
+    path depends on this. Value defaults to (id % 3) + 1 matching the
+    reduce-e2e bodies "1"/"2"/"3" (reduce_one_test.go:62-66).
     """
     raw = (
         spark.readStream.format("rate-micro-batch")
@@ -45,15 +47,20 @@ def generator_stream(
         if jitter_seconds
         else F.lit(0)
     )
+    key = (
+        F.concat(F.lit("key-"), (F.col("value") % key_count).cast("string"))
+        if key_count
+        else F.lit(None).cast("string")
+    )
     df = raw.withColumn("jit", jitter.cast("int")).select(
         F.col("value").alias("gen_id"),
-        F.concat(F.lit("key-"), (F.col("value") % key_count).cast("string")).alias("key"),
+        key.alias("key"),
         val.cast("long").alias("gen_value"),
         F.expr("timestamp + make_interval(0, 0, 0, 0, 0, jit, 0)").alias("event_time_raw"),
     )
     return as_envelope(
         df,
-        keys=F.array(F.col("key")),
+        keys=F.array(F.col("key")) if key_count else None,
         value=F.col("gen_value").cast("string").cast("binary"),
         event_time=F.col("event_time_raw"),
         vertex_name="generator",

@@ -58,6 +58,7 @@ class ReliableSink:
             self.retry = RetryStrategy()
 
     def __call__(self, df: DataFrame, epoch_id: int) -> None:
+        df = self._route_nacks(df, epoch_id)
         delay = self.retry.interval_s
         last_err: Exception | None = None
         for attempt in range(max(1, self.retry.steps)):
@@ -77,6 +78,31 @@ class ReliableSink:
         if self.retry.on_failure == "drop":
             return
         raise last_err  # raise: let Spark retry the task / fail the query
+
+    def _route_nacks(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """W10 per-message NACK: NACK-tagged rows (message.rs:94, 409-422)
+        request redelivery; Spark has no per-row nack, so they route to the
+        fallback/DLQ writer instead of being silently delivered as data
+        (the documented divergence — per-message-nack.md). Returns the
+        batch minus the nacked rows."""
+        from pyspark.sql import functions as F
+
+        from numaflow_spark.message import NACK_TAG
+
+        if "tags" not in df.columns:
+            return df
+        tags = F.col("tags")
+        is_nack = tags.isNotNull() & F.array_contains(tags, NACK_TAG)
+        nacked = df.filter(is_nack)
+        if not nacked.isEmpty():
+            if self.fallback is None:
+                raise ValueError(
+                    "batch contains NACK-tagged messages but the sink has no "
+                    "fallback/DLQ writer to route them to (per-message nack "
+                    "is realized as DLQ routing in this engine)"
+                )
+            self.fallback(nacked, epoch_id)
+        return df.filter(~is_nack)
 
 
 def parquet_sink(path: str) -> Callable[[DataFrame, int], None]:

@@ -107,7 +107,10 @@ def _build_source(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any
     if "generator" in spec:
         g = spec["generator"] or {}
         rpu = int(g.get("rpu", 5))
-        key_count = int(g.get("keyCount", 0) or 0) or 8
+        # generator_source.go: no/zero keyCount => messages carry NO keys
+        # (null), which is what routes a reduce down the non-keyed path;
+        # 8 is only the Python-API harness default, never a YAML default.
+        key_count = int(g.get("keyCount", 0) or 0)
         jitter = g.get("jitter")
         jitter_s = 0
         if jitter:
@@ -126,7 +129,11 @@ def _build_source(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any
             base = s.range(rpu * 30).withColumnRenamed("id", "gen_id")
             return as_envelope(
                 base,
-                keys=F.array(F.concat(F.lit("key-"), (F.col("gen_id") % key_count).cast("string"))),
+                keys=(
+                    F.array(F.concat(F.lit("key-"), (F.col("gen_id") % key_count).cast("string")))
+                    if key_count
+                    else None
+                ),
                 value=(F.col("gen_id") % 3 + 1).cast("string").cast("binary"),
                 event_time=F.timestamp_seconds(F.col("gen_id") / F.lit(rpu) + 1704067200),
                 vertex_name=name,
@@ -343,7 +350,15 @@ def _monovertex_from(doc: Mapping[str, Any], registry: dict) -> Pipeline:
     name = ((doc.get("metadata") or {}).get("name")) or "mono"
     p = Pipeline(name)
     src_spec = dict(spec.get("source") or {})
-    src_spec.pop("transformer", None)  # transformer → registry map vertex
+    if src_spec.get("transformer"):
+        # same contract as the Pipeline path: silently dropping a source
+        # transformer (event-time rewrite / filter / DROP) would run the
+        # pipeline on wrong data
+        raise ValueError(
+            f"MonoVertex {name!r} source has a transformer container; express "
+            "it as a registry map vertex instead"
+        )
+    src_spec.pop("transformer", None)
     p.add(Vertex(f"{name}-source", source=_build_source(f"{name}-source", src_spec, registry)))
     prev = f"{name}-source"
     if spec.get("udf"):

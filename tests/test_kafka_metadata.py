@@ -63,3 +63,18 @@ def test_metadata_sys_group_independent(spark):
     r = m.first()
     assert r.metadata.sys_metadata == {"source": "kafka"}
     assert r.metadata.user_metadata == {"u": "1"}
+
+
+def test_metadata_update_overwrites_existing_key(spark):
+    """ADVICE r1: updating an existing metadata key at a later vertex must
+    right-biased-overwrite, not throw DUPLICATED_MAP_KEY under Spark's
+    default EXCEPTION map dedup policy."""
+    df = spark.createDataFrame([(1,)], "v int")
+    a = with_metadata(df, previous_vertex="A", user={"trace": "abc", "keep": "k"})
+    b = with_metadata(a, previous_vertex="B", user={"trace": "xyz"})
+    r = b.first()
+    assert r.metadata.user_metadata == {"trace": "xyz", "keep": "k"}
+    # sys group overwrite too
+    s1 = with_metadata(df, sys={"source": "kafka"})
+    s2 = with_metadata(s1, sys={"source": "http"})
+    assert s2.first().metadata.sys_metadata == {"source": "http"}

@@ -88,3 +88,38 @@ def test_dedup_within_watermark_streaming(spark, tmpdir):
         q.stop()
     assert len(out) == 10
     assert all(r.c == 1 for r in out)
+
+
+def test_nack_tagged_rows_route_to_fallback(spark):
+    """ADVICE r1: NACK-tagged messages (message.rs:94; per-message-nack.md)
+    must not be silently delivered as data — they go to the DLQ writer."""
+    from numaflow_spark.message import NACK_TAG
+    from numaflow_spark.streaming.sinks import ReliableSink
+
+    got = {"primary": [], "fallback": []}
+    sink = ReliableSink(
+        primary=lambda df, e: got["primary"].extend(r.v for r in df.collect()),
+        fallback=lambda df, e: got["fallback"].extend(r.v for r in df.collect()),
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, [NACK_TAG]), (3, ["other"])],
+        "v int, tags array<string>",
+    )
+    sink(df, 0)
+    assert sorted(got["primary"]) == [1, 3]
+    assert got["fallback"] == [2]
+
+
+def test_nack_without_fallback_is_loud(spark):
+    from numaflow_spark.message import NACK_TAG
+    from numaflow_spark.streaming.sinks import ReliableSink, RetryStrategy
+
+    sink = ReliableSink(
+        primary=lambda df, e: None,
+        retry=RetryStrategy(on_failure="raise"),
+    )
+    df = spark.createDataFrame([(2, [NACK_TAG])], "v int, tags array<string>")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="NACK"):
+        sink(df, 0)

@@ -254,3 +254,42 @@ spec:
     assert isinstance(pw, PulsarSinkHandle) and pw.topic == "t"
     assert pw.service_url == "pulsar://h:6650"
     assert isinstance(sw, SqsSinkHandle) and sw.queue_url.endswith("/q")
+
+
+def test_monovertex_transformer_raises_like_pipeline():
+    """ADVICE r1: a MonoVertex source transformer must not be silently
+    dropped (event-time rewrite/filter/DROP would be skipped)."""
+    yaml_text = """
+apiVersion: numaflow.numaproj.io/v1alpha1
+kind: MonoVertex
+metadata: {name: mv}
+spec:
+  source:
+    generator: {rpu: 5, duration: 1s}
+    transformer:
+      container: {image: my-transformer:v1}
+  sink: {log: {}}
+"""
+    with pytest.raises(ValueError, match="transformer"):
+        pipeline_from_yaml(yaml_text)
+
+
+def test_generator_zero_keycount_is_nonkeyed(spark):
+    """ADVICE r1: absent/zero keyCount => no keys (reference generator),
+    which routes the reduce down the non-keyed path."""
+    yaml_text = """
+apiVersion: numaflow.numaproj.io/v1alpha1
+kind: Pipeline
+metadata: {name: nonkeyed}
+spec:
+  vertices:
+    - name: in
+      source: {generator: {rpu: 6, duration: 1s}}
+    - name: out
+      sink: {log: {}}
+  edges:
+    - {from: in, to: out}
+"""
+    p = pipeline_from_yaml(yaml_text)
+    out = compile_batch(p, spark)["out"]
+    assert all(r.keys is None for r in out.select("keys").collect())
