@@ -146,6 +146,13 @@ def similar_pairs(
     )
     members = lefts.unionByName(rights)
 
+    # Dense score-matrix cell budget per chunk: the naive |left|×|right|
+    # matrix is O((n/B)²) doubles, which blows past task memory long before
+    # 100 TB. Scoring left rows in slices keeps the transient matrix at
+    # ~CHUNK_CELLS float64s (~32 MB) no matter how big the blocks get;
+    # survivors (≥ threshold) are accumulated incrementally.
+    CHUNK_CELLS = 4_000_000
+
     def score_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = key
         left = pdf[pdf["side"] == 0]
@@ -154,18 +161,30 @@ def similar_pairs(
             return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
         lid = left["id"].to_numpy()
         rid = right["id"].to_numpy()
-        s = np.round(_unit(_matrix(left["vec"])) @ _unit(_matrix(right["vec"])).T, 6)
-        mask = s >= threshold
-        if gi == gj:  # same block on both sides: keep one orientation
-            mask &= lid[:, None] < rid[None, :]
-        li, rj = np.nonzero(mask)
-        return pd.DataFrame(
-            {
-                "id1": np.minimum(lid[li], rid[rj]),
-                "id2": np.maximum(lid[li], rid[rj]),
-                "cos_sim": s[li, rj],
-            }
-        )
+        rm = _unit(_matrix(right["vec"]))
+        chunk = max(1, CHUNK_CELLS // len(rid))
+        out = []
+        for lo in range(0, len(lid), chunk):
+            lid_c = lid[lo : lo + chunk]
+            lm_c = _unit(_matrix(left["vec"].iloc[lo : lo + chunk]))
+            s = np.round(lm_c @ rm.T, 6)
+            mask = s >= threshold
+            if gi == gj:  # same block on both sides: keep one orientation
+                mask &= lid_c[:, None] < rid[None, :]
+            li, rj = np.nonzero(mask)
+            if len(li):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id1": np.minimum(lid_c[li], rid[rj]),
+                            "id2": np.maximum(lid_c[li], rid[rj]),
+                            "cos_sim": s[li, rj],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
+        return pd.concat(out, ignore_index=True)
 
     return members.groupBy("gi", "gj").applyInPandas(score_block_pair, schema=PAIR_SCHEMA)
 
@@ -239,6 +258,16 @@ def lsh_topk(
     )
 
 
+def _rewrite_pred(pred: str, id_col: str) -> str:
+    """Rewrite a predicate written against ``id_col`` to the oracle CTE's
+    ``vid`` alias. Word-boundary match only — a naive substring replace
+    would corrupt identifiers that merely contain ``id_col`` (``vec_id_2``)
+    or string literals."""
+    import re
+
+    return re.sub(rf"\b{re.escape(id_col)}\b", "vid", pred)
+
+
 def lsh_topk_oracle_sql(
     *,
     table: str = "embeddings",
@@ -266,7 +295,7 @@ def lsh_topk_oracle_sql(
         ), b AS (
             SELECT vid, e, {bucket_terms} AS bucket FROM v
         ), q AS (
-            SELECT vid AS query_id, e AS qv, bucket FROM b WHERE {query_pred.replace(id_col, 'vid')}
+            SELECT vid AS query_id, e AS qv, bucket FROM b WHERE {_rewrite_pred(query_pred, id_col)}
         ), c AS (
             SELECT vid AS neighbor_id, e AS cv, bucket FROM b
         ), scored AS (

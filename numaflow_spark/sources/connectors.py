@@ -267,12 +267,35 @@ def envelope_to_sqs_entry(row, entry_id: int) -> dict:
     return entry
 
 
+# Per-worker-process producer cache: a long-running streaming job calls
+# send_partition once per partition per micro-batch, and creating (and never
+# closing) a pulsar.Client each time leaks connections and IO threads. The
+# reference keeps one producer per sink vertex for the pod's lifetime
+# (sink/pulsar.rs); the executor-process-lifetime memo below is the Spark
+# equivalent. Keyed by connection identity so distinct sinks don't collide.
+_PULSAR_PRODUCERS: dict[tuple, object] = {}
+
+
+def _pulsar_producer_cached(service_url: str, topic: str, producer_name):
+    key = (service_url, topic, producer_name)
+    prod = _PULSAR_PRODUCERS.get(key)
+    if prod is None:
+        pulsar = _require("pulsar", "Pulsar")
+        client = pulsar.Client(service_url)
+        prod = client.create_producer(topic, producer_name=producer_name)
+        _PULSAR_PRODUCERS[key] = prod
+    return prod
+
+
 class PulsarSinkHandle:
     """K4: produce envelope rows to a Pulsar topic (sink/pulsar.rs ~452 LoC;
     spec pulsar_sink.go). send_async + flush per partition gives pipelined
     produces with a durability barrier before the micro-batch commits —
     an exception fails the batch, so Spark's retry (or a wrapping
-    ReliableSink's fallback) supplies the reference's retry/DLQ behavior."""
+    ReliableSink's fallback) supplies the reference's retry/DLQ behavior.
+    The producer is cached per executor process (see _PULSAR_PRODUCERS), so
+    steady-state micro-batches reuse one connection instead of leaking one
+    client per partition per batch."""
 
     def __init__(self, options: dict, client_factory=None):
         self.service_url = options.get("service_url", "pulsar://localhost:6650")
@@ -285,9 +308,7 @@ class PulsarSinkHandle:
     def _producer(self):
         if self._client_factory is not None:
             return self._client_factory()
-        pulsar = _require("pulsar", "Pulsar")
-        client = pulsar.Client(self.service_url)
-        return client.create_producer(self.topic, producer_name=self.producer_name)
+        return _pulsar_producer_cached(self.service_url, self.topic, self.producer_name)
 
     def send_partition(self, rows) -> None:
         producer = None
@@ -317,14 +338,30 @@ class SqsSinkHandle:
     divergence note as the reference's at-least-once contract)."""
 
     def __init__(self, options: dict, client_factory=None):
-        self.queue_url = options["queue_url"]
+        # Reference-style YAML specifies queueName (+ awsRegion) and the
+        # sink resolves the URL via GetQueueUrl (sink/sqs.rs); accept either
+        # a ready queue_url or a queueName resolved lazily on first send.
+        self.queue_url = options.get("queue_url")
+        self.queue_name = options.get("queue_name")
+        self.region = options.get("region")
+        if not self.queue_url and not self.queue_name:
+            raise ValueError("SQS sink needs queue_url or queue_name")
         self._client_factory = client_factory
+        self._resolved = None
 
     def _client(self):
         if self._client_factory is not None:
-            return self._client_factory()
-        boto3 = _require("boto3", "SQS")
-        return boto3.client("sqs")
+            client = self._client_factory()
+        else:
+            boto3 = _require("boto3", "SQS")
+            kwargs = {"region_name": self.region} if self.region else {}
+            client = boto3.client("sqs", **kwargs)
+        if self._resolved is None:
+            self._resolved = (
+                self.queue_url
+                or client.get_queue_url(QueueName=self.queue_name)["QueueUrl"]
+            )
+        return client
 
     def send_partition(self, rows) -> None:
         client = None
@@ -333,7 +370,7 @@ class SqsSinkHandle:
         def _flush():
             if not batch:
                 return
-            resp = client.send_message_batch(QueueUrl=self.queue_url, Entries=list(batch))
+            resp = client.send_message_batch(QueueUrl=self._resolved, Entries=list(batch))
             failed = resp.get("Failed") or []
             if failed:
                 raise RuntimeError(f"SQS sink: {len(failed)} entries failed: {failed[:3]}")

@@ -58,26 +58,37 @@ class ReliableSink:
             self.retry = RetryStrategy()
 
     def __call__(self, df: DataFrame, epoch_id: int) -> None:
-        df = self._route_nacks(df, epoch_id)
-        delay = self.retry.interval_s
-        last_err: Exception | None = None
-        for attempt in range(max(1, self.retry.steps)):
-            try:
-                self.primary(df, epoch_id)
-                if self.on_success is not None:
-                    self.on_success(df, epoch_id)
+        # When a tags column exists the batch is scanned at least twice
+        # (NACK probe + primary write) and more under retry/on-success —
+        # persist it so the probe's pass is the pass that warms the cache
+        # feeding every later write, not an extra full scan per micro-batch.
+        routed = "tags" in df.columns
+        if routed:
+            df = df.persist()
+        try:
+            batch = self._route_nacks(df, epoch_id)
+            delay = self.retry.interval_s
+            last_err: Exception | None = None
+            for attempt in range(max(1, self.retry.steps)):
+                try:
+                    self.primary(batch, epoch_id)
+                    if self.on_success is not None:
+                        self.on_success(batch, epoch_id)
+                    return
+                except Exception as e:  # noqa: BLE001 — sink contract is status, not types
+                    last_err = e
+                    if attempt + 1 < self.retry.steps:
+                        time.sleep(delay)
+                        delay *= self.retry.factor
+            if self.retry.on_failure == "fallback" and self.fallback is not None:
+                self.fallback(batch, epoch_id)
                 return
-            except Exception as e:  # noqa: BLE001 — sink contract is status, not types
-                last_err = e
-                if attempt + 1 < self.retry.steps:
-                    time.sleep(delay)
-                    delay *= self.retry.factor
-        if self.retry.on_failure == "fallback" and self.fallback is not None:
-            self.fallback(df, epoch_id)
-            return
-        if self.retry.on_failure == "drop":
-            return
-        raise last_err  # raise: let Spark retry the task / fail the query
+            if self.retry.on_failure == "drop":
+                return
+            raise last_err  # raise: let Spark retry the task / fail the query
+        finally:
+            if routed:
+                df.unpersist()
 
     def _route_nacks(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """W10 per-message NACK: NACK-tagged rows (message.rs:94, 409-422)

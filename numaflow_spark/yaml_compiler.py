@@ -263,11 +263,13 @@ def _build_sink(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any])
         from numaflow_spark.sources.connectors import SqsSinkHandle
 
         s = dict(spec["sqs"] or {})
-        if s.get("queueName") and not s.get("queue_url"):
-            # the reference resolves queueName+region to a URL at runtime
-            # (sink/sqs.rs); accept an explicit queue_url or build a
-            # region-qualified placeholder the client resolves
-            s["queue_url"] = s.pop("queueName")
+        # reference-style specs carry queueName + awsRegion and the sink
+        # resolves the URL via GetQueueUrl at send time (sink/sqs.rs);
+        # SqsSinkHandle does that resolution lazily from queue_name/region
+        if s.get("queueName"):
+            s["queue_name"] = s.pop("queueName")
+        if s.get("awsRegion"):
+            s["region"] = s.pop("awsRegion")
         return Sink(writer=SqsSinkHandle(s))
     raise ValueError(f"sink vertex {name!r}: unsupported sink {sorted(spec)}")
 

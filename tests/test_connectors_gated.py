@@ -181,3 +181,59 @@ def test_sqs_sink_failed_entries_fail_the_batch(spark):
     sink = SqsSinkHandle({"queue_url": "q"}, client_factory=FailingSqsClient)
     with pytest.raises(Exception, match="entries failed|boom|SQS sink"):
         sink(df, 0)
+
+
+def test_sqs_sink_resolves_queue_name(spark, tmp_path):
+    """Reference-style spec carries queueName; the sink resolves the URL
+    via GetQueueUrl lazily (sink/sqs.rs) instead of sending to a broken
+    placeholder."""
+    log = str(tmp_path / "sqs_resolve.log")
+
+    class ResolvingClient:
+        def get_queue_url(self, QueueName):
+            return {"QueueUrl": f"https://sqs.example/{QueueName}"}
+
+        def send_message_batch(self, QueueUrl, Entries):
+            with open(log, "a") as f:
+                f.write(QueueUrl + "\n")
+            return {}
+
+    df = _envelope_df(spark).coalesce(1)
+    SqsSinkHandle({"queue_name": "jobs", "region": "us-east-1"},
+                  client_factory=ResolvingClient)(df, 0)
+    assert open(log).read().splitlines() == ["https://sqs.example/jobs"]
+
+
+def test_sqs_sink_requires_queue_identity():
+    with pytest.raises(ValueError, match="queue_url or queue_name"):
+        SqsSinkHandle({})
+
+
+def test_pulsar_sink_producer_cache_reused():
+    """The per-worker producer memo returns the same producer for the same
+    (service_url, topic, producer_name) identity — one connection per
+    executor process, not one per partition per micro-batch."""
+    from numaflow_spark.sources import connectors as C
+
+    made = []
+
+    class FakePulsarModule:
+        class Client:
+            def __init__(self, url):
+                made.append(url)
+
+            def create_producer(self, topic, producer_name=None):
+                return object()
+
+    orig = C._require
+    C._require = lambda module, extra: FakePulsarModule
+    try:
+        C._PULSAR_PRODUCERS.clear()
+        p1 = C._pulsar_producer_cached("pulsar://h:6650", "t", None)
+        p2 = C._pulsar_producer_cached("pulsar://h:6650", "t", None)
+        p3 = C._pulsar_producer_cached("pulsar://h:6650", "other", None)
+        assert p1 is p2 and p1 is not p3
+        assert made == ["pulsar://h:6650", "pulsar://h:6650"]
+    finally:
+        C._require = orig
+        C._PULSAR_PRODUCERS.clear()

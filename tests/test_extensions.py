@@ -128,3 +128,42 @@ def test_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_real(b"\x89PNG")
+
+
+def test_lsh_oracle_pred_rewrite_word_boundary():
+    from numaflow_spark.operators.similarity import _rewrite_pred
+
+    assert _rewrite_pred("vec_id < 20", "vec_id") == "vid < 20"
+    # identifiers merely containing the id column survive intact
+    assert _rewrite_pred("vec_id_2 < 20 AND vec_id > 3", "vec_id") == \
+        "vec_id_2 < 20 AND vid > 3"
+
+
+def test_similar_pairs_chunked_matches_unchunked(spark):
+    """The chunked block-pair scorer (bounded dense-matrix memory) emits
+    exactly the join-ground-truth pair set — the chunk size is a memory
+    knob, never a semantics knob."""
+    import numaflow_spark.operators.similarity as sim
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = sorted(
+        (r.id1, r.id2, r.cos_sim)
+        for r in sim.similar_pairs(df, threshold=0.9, n_blocks=3).collect()
+    )
+    assert len(full) > 0
+    from numaflow_spark.operators.similarity import cosine
+    from pyspark.sql import functions as F
+    a, b = df.alias("a"), df.alias("b")
+    truth = sorted(
+        (r.id1, r.id2, r.cos_sim)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .collect()
+    )
+    assert full == truth
