@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, functions as F
 
 
 class ServingStore(ABC):
-    """store.proto:27-35: Put(id, payloads) / Get(id) -> payloads."""
+    """store.proto:27-35: Put(id, payloads) / Get(id) -> payloads, plus a
+    completion marker so SSE clients know when the result stream is closed
+    (the reference's Tracker knows a request completed when every in-flight
+    descendant is accounted — tracker.rs:1-9; here the serve sink marks
+    completion when the micro-batch carrying the request's results
+    commits)."""
 
     @abstractmethod
     def put(self, request_id: str, payloads: list[bytes]) -> None: ...
@@ -43,16 +48,29 @@ class ServingStore(ABC):
     @abstractmethod
     def get(self, request_id: str) -> list[bytes] | None: ...
 
+    @abstractmethod
+    def mark_done(self, request_id: str) -> None: ...
+
+    @abstractmethod
+    def is_done(self, request_id: str) -> bool: ...
+
 
 class MemoryServingStore(ServingStore):
     def __init__(self) -> None:
         self._d: dict[str, list[bytes]] = {}
+        self._done: set[str] = set()
 
     def put(self, request_id: str, payloads: list[bytes]) -> None:
         self._d.setdefault(request_id, []).extend(payloads)
 
     def get(self, request_id: str) -> list[bytes] | None:
         return self._d.get(request_id)
+
+    def mark_done(self, request_id: str) -> None:
+        self._done.add(request_id)
+
+    def is_done(self, request_id: str) -> bool:
+        return request_id in self._done
 
 
 class DirectoryServingStore(ServingStore):
@@ -81,6 +99,13 @@ class DirectoryServingStore(ServingStore):
         except FileNotFoundError:
             return None
 
+    def mark_done(self, request_id: str) -> None:
+        with open(self._path(request_id) + ".done", "w") as f:
+            f.write("1")
+
+    def is_done(self, request_id: str) -> bool:
+        return os.path.exists(self._path(request_id) + ".done")
+
 
 def serve_sink(
     store: ServingStore,
@@ -94,6 +119,11 @@ def serve_sink(
         grouped = df.groupBy(id_col).agg(F.collect_list(value_col).alias("payloads"))
         for row in grouped.collect():
             store.put(row[id_col], [bytes(p) for p in row["payloads"]])
+            # A request's rows all commit within one micro-batch for a
+            # single-query pipeline (flat-map fanout included), so landing
+            # here means the request finished tracking — mark it so SSE
+            # streams can close (the reference's Tracker-completion event).
+            store.mark_done(row[id_col])
 
     return write
 
@@ -132,6 +162,32 @@ class ServingHarness:
 
     def result(self, request_id: str) -> list[bytes] | None:
         return self.store.get(request_id)
+
+    def request_sse(self, value: bytes, *, request_id: str | None = None,
+                    timeout_s: float = 30.0, poll_s: float = 0.1):
+        """SSE mode (rust/serving/src/: sync/async/SSE; e2e
+        test/serving-e2e): a generator yielding each result payload as it
+        lands in the store, closing when the store marks the request done —
+        the streaming analogue of the reference's server-sent-events
+        response, where partial results flow before the completion event.
+
+        Yields payloads incrementally (a flat-map pipeline that Puts
+        several payloads produces several yields); raises TimeoutError if
+        the request never completes."""
+        rid = request_id or str(uuid.uuid4())
+        self.submit(rid, value)
+        sent = 0
+        deadline = time.monotonic() + timeout_s
+        while True:
+            got = self.store.get(rid) or []
+            while sent < len(got):
+                yield got[sent]
+                sent += 1
+            if self.store.is_done(rid) and sent == len(self.store.get(rid) or []):
+                return
+            if time.monotonic() >= deadline:
+                raise TimeoutError(f"request {rid} not completed within {timeout_s}s")
+            time.sleep(poll_s)
 
 
 def file_request_writer(inbox_dir: str) -> Callable[[str, bytes], None]:

@@ -69,6 +69,59 @@ def test_sync_serving_roundtrip(spark, tmp_path):
         q.stop()
 
 
+def test_store_done_markers(tmp_path):
+    for store in (MemoryServingStore(), DirectoryServingStore(str(tmp_path / "kv2"))):
+        store.put("r1", [b"a"])
+        assert not store.is_done("r1")
+        store.mark_done("r1")
+        assert store.is_done("r1") and not store.is_done("r2")
+
+
+def test_serve_sink_marks_done(spark):
+    store = MemoryServingStore()
+    batch = spark.createDataFrame([("r1", b"x")], "request_id string, value binary")
+    serve_sink(store)(batch, 0)
+    assert store.is_done("r1")
+
+
+def test_sse_serving_streams_partials_then_closes(spark, tmp_path):
+    """Reference SSE mode (rust/serving/src/, e2e test/serving-e2e): the
+    client iterates result payloads as they arrive and the stream closes on
+    the completion event. A flat-map request (1->3 fanout) yields three
+    payloads through one generator."""
+    inbox = str(tmp_path / "sse_inbox")
+    store = MemoryServingStore()
+    harness = ServingHarness(store, file_request_writer(inbox))
+    harness.submit("warmup", b"w")
+
+    pipeline = (
+        spark.readStream.schema("request_id string, value string")
+        .json(inbox)
+        # flat-map fanout: one request -> one payload per character
+        .select("request_id", F.explode(F.split("value", "")).alias("value"))
+        .withColumn("value", F.upper("value").cast("binary"))
+    )
+    q = (
+        pipeline.writeStream.foreachBatch(serve_sink(store))
+        .option("checkpointLocation", str(tmp_path / "sse_ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        got = list(harness.request_sse(b"abc", timeout_s=30))
+        assert sorted(got) == [b"A", b"B", b"C"]
+    finally:
+        q.stop()
+
+
+def test_sse_times_out_without_completion():
+    store = MemoryServingStore()
+    harness = ServingHarness(store, lambda rid, v: None)  # pipeline never runs
+    gen = harness.request_sse(b"x", timeout_s=0.3, poll_s=0.05)
+    with pytest.raises(TimeoutError):
+        list(gen)
+
+
 # -- S2 HTTP source ---------------------------------------------------------
 
 
