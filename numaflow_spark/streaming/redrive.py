@@ -1,0 +1,126 @@
+"""Redrive: durable DLQ with re-injection (test/redrive-e2e parity).
+
+Reference: work that fails in a vertex surfaces as runtime errors and the
+failed messages are redriven — re-enter the pipeline and complete once the
+fault clears — bounded by the per-message delivery budget
+(test/redrive-e2e/redrive_test.go:275; NackOptions.max_deliveries,
+message.rs:526-536; DLQ routing docs/user-guide/sinks/fallback.md).
+
+Spark realization: :class:`RedriveQueue` is a parquet-backed queue on a
+shared filesystem. Failed rows (a :class:`ReliableSink` fallback, or NACK-
+tagged rows routed by ``_route_nacks``) land in ``queue/`` with an
+incremented ``delivery_count``; rows that exhaust ``max_deliveries`` land
+in ``dead/`` (terminal, inspectable — the reference's error-surfacing
+side). ``redrive()`` re-injects the queued rows into the pipeline's source
+and archives exactly the files it consumed, so concurrent DLQ appends are
+never lost and a crash between inject and archive re-redrives (at-least-
+once, same contract as the reference's redelivery).
+
+Scale shape: the queue is file-granular — redrive reads an explicit file
+list (no directory race), the inject is a distributed write (executor-side),
+and nothing ever collects to the driver. On an object store the
+file-move archive step becomes a manifest write; the local-FS rename here
+is the single-node stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from numaflow_spark.message import NACK_TAG
+
+DELIVERY_COL = "delivery_count"
+
+
+class RedriveQueue:
+    """Durable DLQ + redrive for a streaming pipeline.
+
+    ``dlq_writer()`` plugs in as a ``ReliableSink`` fallback; ``redrive()``
+    re-injects eligible rows via a caller-supplied ``inject`` (e.g. write
+    them back into the source inbox). Delivery accounting mirrors the
+    reference: every pass through the DLQ increments ``delivery_count``,
+    and rows at ``max_deliveries`` are dead-lettered instead of queued.
+    """
+
+    def __init__(self, root: str, *, max_deliveries: int = 3) -> None:
+        if max_deliveries < 1:
+            raise ValueError("max_deliveries must be >= 1")
+        self.root = root
+        self.max_deliveries = max_deliveries
+        for sub in ("queue", "dead", "archive"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    def _dir(self, sub: str) -> str:
+        return os.path.join(self.root, sub)
+
+    def dlq_writer(self) -> Callable[[DataFrame, int], None]:
+        """foreachBatch fallback: enqueue failed rows with an incremented
+        delivery count; budget-exhausted rows go to ``dead/``. The NACK tag
+        is stripped on enqueue — it described the failed delivery, and a
+        redriven row must re-enter as plain data (message.rs:409-422: tags
+        are per-hop routing state, not durable payload)."""
+        queue_dir, dead_dir = self._dir("queue"), self._dir("dead")
+        max_del = self.max_deliveries
+
+        def write(df: DataFrame, epoch_id: int) -> None:
+            out = df
+            if DELIVERY_COL not in out.columns:
+                out = out.withColumn(DELIVERY_COL, F.lit(0))
+            out = out.withColumn(DELIVERY_COL, F.col(DELIVERY_COL) + 1)
+            if "tags" in out.columns:
+                out = out.withColumn(
+                    "tags",
+                    F.when(
+                        F.col("tags").isNotNull(),
+                        F.array_remove(F.col("tags"), NACK_TAG),
+                    ),
+                )
+            out = out.persist()
+            try:
+                out.filter(F.col(DELIVERY_COL) < max_del).write.mode("append").parquet(queue_dir)
+                exhausted = out.filter(F.col(DELIVERY_COL) >= max_del)
+                if not exhausted.isEmpty():
+                    exhausted.write.mode("append").parquet(dead_dir)
+            finally:
+                out.unpersist()
+
+        return write
+
+    def _files(self, sub: str) -> list[str]:
+        d = self._dir(sub)
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    def pending(self, spark: SparkSession) -> DataFrame | None:
+        """Rows awaiting redrive (None when the queue is empty)."""
+        files = self._files("queue")
+        return spark.read.parquet(*files) if files else None
+
+    def dead(self, spark: SparkSession) -> DataFrame | None:
+        """Budget-exhausted rows (terminal; the inspectable error surface
+        the redrive-e2e suite polls via the daemon's error endpoints)."""
+        files = self._files("dead")
+        return spark.read.parquet(*files) if files else None
+
+    def redrive(
+        self, spark: SparkSession, inject: Callable[[DataFrame], None]
+    ) -> int:
+        """Re-inject every queued row into the pipeline and archive the
+        consumed files. Returns the number of rows redriven. Reads an
+        explicit file snapshot, so DLQ appends racing this call stay queued
+        for the next redrive."""
+        files = self._files("queue")
+        if not files:
+            return 0
+        batch = spark.read.parquet(*files)
+        n = batch.count()
+        inject(batch)
+        archive = self._dir("archive")
+        for path in files:
+            os.replace(path, os.path.join(archive, f"{time.time_ns()}-{os.path.basename(path)}"))
+        return n

@@ -1,0 +1,109 @@
+"""Redrive flow (test/redrive-e2e parity): NACKed rows land in the durable
+DLQ, redrive re-injects them, transiently-failing work completes within the
+delivery budget, permanently-failing work dead-letters."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.message import NACK_TAG
+from numaflow_spark.streaming.redrive import RedriveQueue
+from numaflow_spark.streaming.sinks import ReliableSink, RetryStrategy
+
+SCHEMA = "id string, value string, delivery_count int, tags array<string>"
+
+
+def _submit(spark, inbox, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").json(inbox)
+
+
+def test_dlq_writer_budget_split(spark, tmp_path):
+    q = RedriveQueue(str(tmp_path / "rq"), max_deliveries=2)
+    batch = spark.createDataFrame(
+        [("a", "x", 0, [NACK_TAG]), ("b", "x", 1, [NACK_TAG, "t"])], SCHEMA
+    )
+    q.dlq_writer()(batch, 0)
+    pending = {(r.id, r.delivery_count, tuple(r.tags or [])) for r in q.pending(spark).collect()}
+    assert pending == {("a", 1, ())}  # NACK tag stripped on enqueue
+    dead = {(r.id, r.delivery_count) for r in q.dead(spark).collect()}
+    assert dead == {("b", 2)}
+    assert q.dead(spark).first().tags == ["t"]  # non-NACK tags survive
+
+
+def test_redrive_consumes_snapshot(spark, tmp_path):
+    q = RedriveQueue(str(tmp_path / "rq2"), max_deliveries=5)
+    q.dlq_writer()(spark.createDataFrame([("a", "x", 0, None)], SCHEMA), 0)
+    seen = []
+    assert q.redrive(spark, lambda df: seen.extend(r.id for r in df.collect())) == 1
+    assert seen == ["a"]
+    # consumed files are archived: a second redrive finds nothing
+    assert q.redrive(spark, lambda df: seen.append("again")) == 0
+    assert seen == ["a"] and q.pending(spark) is None
+
+
+def test_streaming_redrive_completes_within_budget(spark, tmp_path):
+    """The e2e shape: a vertex NACKs 'poison' until its 3rd delivery and
+    always NACKs 'dead'; after redrives the poison row completes to the
+    primary sink and the dead row is dead-lettered at the budget."""
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    queue = RedriveQueue(str(tmp_path / "rq3"), max_deliveries=3)
+    _submit(spark, inbox, [("ok1", "clean", 0, None),
+                           ("p1", "poison", 0, None),
+                           ("d1", "dead", 0, None)])
+
+    # map vertex: tag failing rows NACK (per-message nack -> DLQ routing)
+    pipeline = (
+        spark.readStream.schema(SCHEMA).json(inbox)
+        .withColumn(
+            "tags",
+            F.when(
+                ((F.col("value") == "poison") & (F.col("delivery_count") < 2))
+                | (F.col("value") == "dead"),
+                F.array(F.lit(NACK_TAG)),
+            ),
+        )
+    )
+
+    def primary(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    sink = ReliableSink(
+        primary=primary,
+        fallback=queue.dlq_writer(),
+        retry=RetryStrategy(steps=1, on_failure="raise"),
+    )
+    q = (
+        pipeline.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def inject(df):
+        df.write.mode("append").json(inbox)
+
+    try:
+        done_ids, dead_rows = set(), []
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            try:
+                done_ids = {r.id for r in spark.read.parquet(out).collect()}
+            except Exception:
+                done_ids = set()
+            d = queue.dead(spark)
+            dead_rows = d.collect() if d is not None else []
+            if done_ids >= {"ok1", "p1"} and dead_rows:
+                break
+            queue.redrive(spark, inject)
+            time.sleep(0.5)
+        assert done_ids >= {"ok1", "p1"}
+        # the healed row completed on its 3rd delivery, within the budget
+        p1 = [r for r in spark.read.parquet(out).collect() if r.id == "p1"]
+        assert p1 and all(r.delivery_count == 2 for r in p1)
+        assert {r.id for r in dead_rows} == {"d1"}
+        assert all(r.delivery_count == 3 for r in dead_rows)
+    finally:
+        q.stop()
