@@ -107,11 +107,11 @@ def jaccard_pairs(
     across engines, so no rounding is needed on the output.
     """
     if max_docs is not None:
-        n_docs = df.count()
-        if n_docs > max_docs:
+        # limit-probe, not a full count: the scan stops at max_docs+1 rows
+        if df.select(id_col).limit(max_docs + 1).count() > max_docs:
             raise ValueError(
                 f"jaccard_pairs is the O(Σ|group|²) ground-truth path, gated to "
-                f"{max_docs} docs (got {n_docs}); use minhash_lsh_pairs at scale"
+                f"{max_docs} docs; use minhash_lsh_pairs at scale"
             )
     sh = shingle_hashes(df, id_col, text_col, n)
     inter = _pair_intersections(sh)
@@ -273,6 +273,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
+    # NOTE: pre-aggregating (doc, hv) counts before the 63 vote expressions
+    # was measured in-suite at sf0.1 and LOST (+1.1s): the extra shuffle
+    # costs more than the saved expression work on this corpus. Votes run
+    # per token occurrence, map-side partial-aggregated into one doc agg.
     hashed = tok.select("doc", _token_poly_hash(F.col("tok")).alias("hv"))
     votes = [
         F.sum(
