@@ -456,6 +456,73 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= 5
     """,
+    # LEFT SEMI JOIN as EXISTS (TPC-H Q4 shape).
+    "semi_join": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    """,
+    # LEFT ANTI JOIN as NOT EXISTS (TPC-H Q22 shape).
+    "anti_join": """
+        SELECT c_nationkey,
+               count(*) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_c
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        GROUP BY c_nationkey
+    """,
+    # Explicit GROUPING SETS; NULL labels coalesced to 'ALL' on both sides.
+    "grouping_sets": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    # Deterministic multiplicative-hash sample (~1/64): pure integer math,
+    # identical row set on any engine/partitioning.
+    "hash_sample": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        FROM lineitem
+        WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296 < 67108864
+    """,
+    # Per-doc top-3 TF-IDF terms; ranked on the ROUNDED score + term
+    # tie-break so ordering is engine-deterministic.
+    "tfidf_topterms": """
+        WITH term AS (
+            SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc, term, count(*) AS tf FROM term GROUP BY doc, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT doc, term, tf, df,
+                   round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc, term, CAST(rnk AS INTEGER) AS rnk, tf, df, tfidf
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc
+                                         ORDER BY tfidf DESC, term ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+    # Salted-join query: the oracle is the UNSALTED join+agg — salting must
+    # be result-invariant (the dim here is the per-type count, so type_n is
+    # n_events by construction).
+    "salted_skew_join": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(*) AS type_n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
+        FROM events
+        GROUP BY event_type
+    """,
 }
 
 # lsh_ann_topk's bucket function is seeded-random hyperplanes; the oracle

@@ -647,6 +647,127 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filtering as LEFT SEMI JOIN (§2.13 relational extension):
+    orders that contain at least one high-quantity lineitem. A semi join
+    ships only the join keys of the probe side — no fan-out, no dedup —
+    and the big side never widens (TPC-H Q4 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+    return orders.join(
+        hot, orders.o_orderkey == hot.l_orderkey, "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        _cents(F.col("o_totalprice").cast(DEC)).alias("price_c"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence filtering as LEFT ANTI JOIN: customers with no
+    high-value order, counted per nation (TPC-H Q22 shape). Anti join =
+    NOT EXISTS without the null-trap of NOT IN; at scale the orders side
+    is filtered then reduced to its distinct keys before the join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    return (
+        cust.join(keys, cust.c_custkey == keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            _cents(F.sum(F.col("c_acctbal").cast(DEC))).alias("acctbal_c"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup, §2.13): per
+    (returnflag, linestatus), per returnflag, and grand total in one pass —
+    Spark expands the sets map-side, one shuffle. NULL group labels are
+    COALESCEd to 'ALL' so the indicator encoding is engine-neutral."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-data pipeline primitive): keep
+    ~1/64 of lineitem by a Knuth multiplicative hash of the key tuple. A
+    pure row-local filter — no shuffle, pushdown-friendly, identical sample
+    on every engine and every partitioning (unlike TABLESAMPLE/rand), so
+    sampled pipelines are replayable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.pmod(
+        (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber") * F.lit(40503))
+        .cast("bigint"),
+        F.lit(4294967296),
+    )
+    return li.filter(h < 67108864).select(
+        "l_orderkey",
+        "l_linenumber",
+        _cents(F.col("l_extendedprice").cast(DEC)).alias("price_c"),
+    )
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (text-analysis extension): term
+    frequency per doc, document frequency per term, idf = ln(N/df). One
+    token shuffle for tf, one slim term-level agg for df (broadcast back),
+    window rank per doc. Ranked on the ROUNDED score with a term tie-break
+    so the ordering is engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from numaflow_spark.operators.text import tokens
+
+    n_docs = docs.count()
+    term = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = term.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc", "term", "rnk", "tf", "df", "tfidf")
+    )
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (F3 + AQE story): events join a tiny per-type
+    dim table. The fact side's hot keys are salted into 8 sub-keys and the
+    dim is replicated ×8, so no single task owns a whole hot key; the
+    post-join aggregate folds the salt back out. Result is provably equal
+    to the unsalted join (the oracle runs the plain form)."""
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("type_n"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    )
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)).cast("int"))
+    dim = dim.withColumn("salt", F.col("salt").cast("int"))
+    joined = salted.join(F.broadcast(dim), ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("type_n").alias("type_n"),
+        _cents(F.sum(F.col("value").cast(DEC))).alias("sum_value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -692,4 +813,10 @@ QUERIES = {
     "rank_per_group": q_rank_per_group,
     "multimodal_frames": q_multimodal_frames,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "grouping_sets": q_grouping_sets,
+    "hash_sample": q_hash_sample,
+    "tfidf_topterms": q_tfidf_topterms,
+    "salted_skew_join": q_salted_skew_join,
 }

@@ -1,0 +1,152 @@
+"""W8 Autoscaling advisor: the reference's backlog-based replica calculus.
+
+Reference: docs/specifications/autoscaling.md:62-128 and
+pkg/reconciler/vertex/scaling/scaling.go. Source vertices size replicas so
+pending drains within ``targetProcessingSeconds`` at the per-replica rate;
+UDF/sink vertices target an available-buffer headroom; back pressure caps
+scale-ups; cooldowns rate-limit changes.
+
+Spark disposition (SURVEY.md §2.7 W8): executor counts are normally
+Spark's own dynamic allocation, so this module is an *advisor*, not a pod
+controller — it reproduces the reference's desired-replica computation
+from :class:`~numaflow_spark.ops.PipelineMonitor` metrics (rate, pending)
+so a deployment can drive ``spark.dynamicAllocation.maxExecutors`` /
+K8s-operator replica targets with numaflow-identical policy.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import math
+
+
+def desired_replicas_source(
+    pending: float,
+    processing_rate: float,
+    current_replicas: int,
+    *,
+    target_processing_seconds: float = 3.0,
+) -> int:
+    """Source-vertex formula (autoscaling.md:66-82):
+    ``desired = pending / (targetSeconds * rate_per_replica)`` — e.g.
+    pending=60000, rate=10000/s over 2 replicas, target=3s -> 4.
+    Returns current when the rate is 0 (no information; the reference skips
+    scaling for sources that cannot compute pending/rate)."""
+    if current_replicas <= 0:
+        return 0
+    if processing_rate <= 0:
+        return current_replicas
+    per_replica = processing_rate / current_replicas
+    return max(0, math.ceil(pending / (target_processing_seconds * per_replica)))
+
+
+def desired_replicas_buffer(
+    pending: float,
+    current_replicas: int,
+    *,
+    total_buffer_length: int = 30_000,
+    buffer_limit: float = 0.8,
+    target_available_buffer_length: int | None = None,
+) -> int:
+    """UDF/sink-vertex formula (autoscaling.md:88-108): replicas needed so
+    the *available* buffer headroom reaches the target, attributing current
+    headroom equally to the replicas.
+    ``available = total*limit - pending; desired = target / (available/replicas)``.
+    Defaults mirror const.go:183-184 (30000 × 80%); target defaults to 50%
+    of the bounded length (scaling.go's targetAvailableBufferLength)."""
+    if current_replicas <= 0:
+        return 0
+    bounded = total_buffer_length * buffer_limit
+    target = (
+        target_available_buffer_length
+        if target_available_buffer_length is not None
+        else int(bounded * 0.5)
+    )
+    available = bounded - pending
+    if available <= 0:
+        # buffer fully backed up: headroom contribution is non-positive, the
+        # formula degenerates — ask for one more replica (scale-up path;
+        # back-pressure adjustment below may veto it)
+        return current_replicas + 1
+    per_replica = available / current_replicas
+    return max(0, math.ceil(target / per_replica))
+
+
+def apply_back_pressure(
+    desired: int,
+    current: int,
+    *,
+    direct_back_pressure: bool = False,
+    downstream_back_pressure: bool = False,
+) -> int:
+    """Back-pressure impact (autoscaling.md:110-127): a scale-up is vetoed
+    when downstream is backed up — decrease by 1 if the *directly connected*
+    vertex has back pressure, hold if any deeper downstream does. Scale-downs
+    pass through unchanged."""
+    if desired <= current:
+        return desired
+    if direct_back_pressure:
+        return max(0, current - 1)
+    if downstream_back_pressure:
+        return current
+    return desired
+
+
+@dataclass
+class ScaleAdvisor:
+    """Stateful advisor combining the formulas with the reference's clamps
+    and cooldowns (scaling.go:213-262; spec vertex Scale{min,max,
+    scaleUpCooldownSeconds, scaleDownCooldownSeconds}).
+
+    Call :meth:`advise` per poll cycle with fresh metrics; it returns the
+    replica count to apply now (== current when in cooldown or unchanged).
+    """
+
+    min_replicas: int = 1
+    max_replicas: int = 50
+    scale_up_cooldown_s: float = 90.0
+    scale_down_cooldown_s: float = 120.0
+    target_processing_seconds: float = 3.0
+    _last_scale: float = field(default=0.0, repr=False)
+
+    def advise(
+        self,
+        *,
+        kind: str,  # "source" | "udf" | "sink"
+        pending: float,
+        processing_rate: float,
+        current_replicas: int,
+        direct_back_pressure: bool = False,
+        downstream_back_pressure: bool = False,
+        now: float | None = None,
+    ) -> int:
+        now = time.time() if now is None else now
+        if kind == "source":
+            desired = desired_replicas_source(
+                pending,
+                processing_rate,
+                current_replicas,
+                target_processing_seconds=self.target_processing_seconds,
+            )
+        else:
+            desired = desired_replicas_buffer(pending, current_replicas)
+        desired = apply_back_pressure(
+            desired,
+            current_replicas,
+            direct_back_pressure=direct_back_pressure,
+            downstream_back_pressure=downstream_back_pressure,
+        )
+        desired = min(self.max_replicas, max(self.min_replicas, desired))
+        if desired == current_replicas:
+            return current_replicas
+        cooldown = (
+            self.scale_up_cooldown_s
+            if desired > current_replicas
+            else self.scale_down_cooldown_s
+        )
+        if now - self._last_scale < cooldown:
+            return current_replicas
+        self._last_scale = now
+        return desired

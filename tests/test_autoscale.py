@@ -1,0 +1,58 @@
+"""W8 autoscaling advisor: the reference's replica calculus
+(docs/specifications/autoscaling.md:62-128; scaling.go clamps/cooldowns)."""
+
+from __future__ import annotations
+
+from numaflow_spark.streaming.autoscale import (
+    ScaleAdvisor,
+    apply_back_pressure,
+    desired_replicas_buffer,
+    desired_replicas_source,
+)
+
+
+def test_source_formula_worked_example():
+    # autoscaling.md:76-82: 60000 / (3 * (10000 / 2)) = 4
+    assert desired_replicas_source(60000, 10000, 2, target_processing_seconds=3) == 4
+
+
+def test_source_formula_edge_cases():
+    assert desired_replicas_source(0, 10000, 2) == 0  # idle -> scale to min later
+    assert desired_replicas_source(5000, 0, 2) == 2  # no rate info -> hold
+    assert desired_replicas_source(5000, 100, 0) == 0
+
+
+def test_buffer_formula_targets_headroom():
+    # bounded = 30000*0.8 = 24000, target = 12000; pending 18000 leaves
+    # 6000 headroom over 2 replicas -> 3000/replica -> need 4
+    assert desired_replicas_buffer(18000, 2) == 4
+    # saturated buffer: degenerate -> +1 (subject to back-pressure veto)
+    assert desired_replicas_buffer(24000, 2) == 3
+
+
+def test_back_pressure_vetoes_scale_up():
+    assert apply_back_pressure(5, 3, direct_back_pressure=True) == 2
+    assert apply_back_pressure(5, 3, downstream_back_pressure=True) == 3
+    assert apply_back_pressure(5, 3) == 5
+    # scale-downs pass through even under back pressure
+    assert apply_back_pressure(1, 3, direct_back_pressure=True) == 1
+
+
+def test_advisor_clamps_and_cooldowns():
+    adv = ScaleAdvisor(min_replicas=1, max_replicas=8,
+                       scale_up_cooldown_s=60, scale_down_cooldown_s=120)
+    # first decision at t=1000: formula says 4, no cooldown yet elapsed? the
+    # advisor starts with _last_scale=0 so 1000s have "passed" — scales.
+    assert adv.advise(kind="source", pending=60000, processing_rate=10000,
+                      current_replicas=2, now=1000.0) == 4
+    # immediately after: another up-scale is in cooldown -> hold
+    assert adv.advise(kind="source", pending=120000, processing_rate=10000,
+                      current_replicas=4, now=1010.0) == 4
+    # after the up-cooldown: allowed
+    assert adv.advise(kind="source", pending=120000, processing_rate=10000,
+                      current_replicas=4, now=1070.0) == 8  # clamped to max
+    # scale-down respects the longer down-cooldown
+    assert adv.advise(kind="source", pending=0, processing_rate=10000,
+                      current_replicas=8, now=1100.0) == 8
+    assert adv.advise(kind="source", pending=0, processing_rate=10000,
+                      current_replicas=8, now=1200.0) == 1  # clamped to min
