@@ -127,3 +127,42 @@ def test_top_k_first_window_is_salted(spark):
     assert salted and bare, parts
     # execution order: the salted (full-table) exchange precedes the merge
     assert min(salted) < min(bare)
+
+
+def test_semi_anti_joins_use_semi_strategies(spark):
+    """Existence filters must compile to semi/anti joins (probe side never
+    widens, no fan-out dedup), broadcast when the build side is small."""
+    semi = plan_of(spark, "semi_join")
+    assert "LeftSemi" in semi and "BroadcastHashJoin" in semi
+    anti = plan_of(spark, "anti_join")
+    assert "LeftAnti" in anti and "BroadcastHashJoin" in anti
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS must expand map-side (one Expand + one shuffle), not
+    union N aggregation subplans — N scans would not survive 100 TB."""
+    plan = plan_of(spark, "grouping_sets")
+    assert nodes(plan, "Expand") == 1
+    assert nodes(plan, "Scan parquet") == 1
+
+
+def test_hash_sample_is_shuffle_free_and_pruned(spark):
+    plan = plan_of(spark, "hash_sample")
+    assert nodes(plan, "Exchange") == 0  # row-local filter, no shuffle
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema  # pruned to the 3 needed + keys
+
+
+def test_tfidf_broadcasts_term_frequencies(spark):
+    """The term->df table is tiny relative to the (doc,term) tf table; it
+    must broadcast so tf never reshuffles on term."""
+    plan = plan_of(spark, "tfidf_topterms")
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    """The salt-replicated dim must broadcast — the whole point is that the
+    fact side is never shuffled on the (skewed) join key."""
+    plan = plan_of(spark, "salted_skew_join")
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
