@@ -85,3 +85,48 @@ def partitions_for(input_bytes: int, target_partition_bytes: int = 128 * 1024 * 
     the number the repartition/bucketing call sites should use instead of
     a constant (100 TB → ~800k)."""
     return max(1, -(-input_bytes // target_partition_bytes))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (co-located) joins: the repeated-join killer at 100 TB. A fact
+# table joined on the same key across many queries pays one shuffle PER
+# QUERY; bucketing pays it once at write time, and every later equi-join or
+# groupBy on the bucket key runs exchange-free (Spark matches bucket specs
+# and elides both Exchanges). Reference framing: numaflow's per-edge hash
+# partitioning (forward.rs:31-41) is this exact idea applied to buffers;
+# here it becomes a durable table layout.
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df,
+    table: str,
+    *,
+    buckets: int,
+    by: str | list[str],
+    sort_by: str | list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed parquet table (catalog-registered —
+    bucketing metadata lives in the catalog, so plain ``read.parquet`` of
+    the same files would NOT get the exchange-free join). ``buckets``
+    should come from :func:`partitions_for` at the expected table size.
+    ``sort_by`` additionally sorts within buckets, upgrading merge joins to
+    zero-sort."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *by)
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on: str | list[str], how: str = "inner"):
+    """Join two same-bucketed catalog tables on the bucket key: with equal
+    bucket counts Spark plans a shuffle-free (and with sortBy, sort-free)
+    merge join. Pair with ``spark.sql.autoBroadcastJoinThreshold=-1`` in a
+    plan test to pin the property."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -1,0 +1,85 @@
+"""Stream-stream and stream-static joins (§2.13 extension — the reference
+has only union fan-in; a Spark engine gets real joins, and at 100 TB the
+join *state* is the scale hazard this module manages).
+
+Two shapes:
+
+* :func:`interval_join` — stream⋈stream equi-join bounded by an event-time
+  interval (`right.ts ∈ [left.ts + lower, left.ts + upper]`). Both sides
+  carry watermarks, so Spark's state store evicts rows once the watermark
+  passes the interval bound — state is O(rate × interval), NOT O(stream).
+  Without the time bound Spark would (rightly) refuse the join in append
+  mode: unbounded state.
+
+* :func:`enrich` — stream⋈static dimension broadcast join (the side-input
+  pattern W9 as a join: the dim is re-read per micro-batch when
+  ``refresh=True``, matching side-input TTL refresh semantics).
+
+Reference framing: diamond fan-in (join-vertex.md) merges streams without
+key semantics; these operators are the keyed upgrade Catalyst makes safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time-bounded stream-stream join.
+
+    ``on`` is the equi-key; the time predicate bounds right's event time to
+    ``[left_ts + lower, left_ts + upper]``. Watermarks on BOTH inputs are
+    mandatory — they are what lets the state store GC matched/expired rows
+    (Spark raises AnalysisException otherwise, by design). Column names are
+    disambiguated with ``l_``/``r_`` prefixes except the join key.
+
+    Works identically on static DataFrames (the batch twin used by the
+    correctness harness — the predicate is the same expression tree).
+    """
+    lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
+
+    lsel = lw.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in lw.columns if c not in (on, left_ts)],
+    )
+    rsel = rw.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in rw.columns if c not in (on, right_ts)],
+    )
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts") + F.expr(f"INTERVAL {lower}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    joined = lsel.join(rsel, cond, how)
+    return joined.withColumnRenamed("__k", on).drop("__rk")
+
+
+def enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream⋈static broadcast enrichment: the dimension is broadcast to
+    every task, so the (unbounded) stream side never shuffles and carries
+    no join state at all. For slowly-changing dims pair this with
+    ``side_inputs.refreshing_dim`` (W9) so each micro-batch re-reads the
+    current snapshot."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -1,0 +1,50 @@
+"""Bucketed co-located joins (scale.py): same-bucketed tables join without
+any Exchange — the write-once-shuffle-never layout for repeated fact joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.scale import bucketed_join, write_bucketed
+from numaflow_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("buckets")
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"), "b_orders",
+                   buckets=8, by="okey", sort_by="okey", path=str(root / "o"))
+    write_bucketed(li, "b_lineitem", buckets=8, by="okey", sort_by="okey",
+                   path=str(root / "l"))
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, lt, rt, on="okey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        # correctness: equals the plain join
+        orders = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem")
+        expected = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_groupby_is_exchange_free(spark, bucketed_tables):
+    _, rt = bucketed_tables
+    agg = spark.table(rt).groupBy("okey").agg(F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]

@@ -1,0 +1,92 @@
+"""Stream-stream interval join and stream-static enrichment
+(streaming/joins.py): batch-twin equality, live streaming e2e, and the
+bounded-state contract (watermarks let Spark GC join state)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.streaming.joins import enrich, interval_join
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(mins: float) -> datetime:
+    return datetime(2024, 1, 1, 12, 0, 0).replace(
+        minute=int(mins), second=int((mins % 1) * 60)
+    )
+
+
+CLICKS = [  # (user, ts, page)
+    ("u1", _ts(0), "home"),
+    ("u2", _ts(5), "search"),
+    ("u3", _ts(20), "home"),
+]
+VIEWS = [  # (user, ts, item)
+    ("u1", _ts(3), "itemA"),   # within [0, 10m] of u1 click  -> match
+    ("u1", _ts(30), "itemB"),  # 30m after                    -> no match
+    ("u2", _ts(5), "itemC"),   # same instant                 -> match
+    ("u3", _ts(19), "itemD"),  # 1m BEFORE the click          -> no match
+]
+EXPECTED = {("u1", "home", "itemA"), ("u2", "search", "itemC")}
+
+C_SCHEMA = "user string, ts timestamp, page string"
+V_SCHEMA = "user string, ts timestamp, item string"
+
+
+def test_interval_join_batch_twin(spark):
+    clicks = spark.createDataFrame(CLICKS, C_SCHEMA)
+    views = spark.createDataFrame(VIEWS, V_SCHEMA)
+    out = interval_join(
+        clicks, views, on="user", lower="0 seconds", upper="10 minutes"
+    )
+    got = {(r.user, r.l_page, r.r_item) for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_interval_join_streaming_e2e(spark, tmp_path):
+    cdir, vdir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    spark.createDataFrame(CLICKS, C_SCHEMA).write.json(cdir)
+    spark.createDataFrame(VIEWS, V_SCHEMA).write.json(vdir)
+    cs = spark.readStream.schema(C_SCHEMA).json(cdir)
+    vs = spark.readStream.schema(V_SCHEMA).json(vdir)
+    out = interval_join(cs, vs, on="user", lower="0 seconds", upper="10 minutes")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        got = set()
+        while time.monotonic() < deadline:
+            got = {
+                (r.user, r.l_page, r.r_item)
+                for r in spark.sql("select * from ij_sink").collect()
+            }
+            if got == EXPECTED:
+                break
+            time.sleep(0.3)
+        assert got == EXPECTED
+        # bounded state: the join runs with a state operator whose eviction
+        # is driven by the two watermarks (no unbounded-state rejection)
+        progress = q.lastProgress or {}
+        assert progress.get("stateOperators"), "join must be stateful"
+    finally:
+        q.stop()
+
+
+def test_enrich_broadcasts_dim(spark):
+    stream = spark.createDataFrame(CLICKS, C_SCHEMA)
+    dim = spark.createDataFrame([("u1", "gold"), ("u2", "basic")], "user string, tier string")
+    out = enrich(stream, dim, on="user")
+    rows = {(r.user, r.tier) for r in out.collect()}
+    assert rows == {("u1", "gold"), ("u2", "basic"), ("u3", None)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
