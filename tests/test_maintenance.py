@@ -1,0 +1,30 @@
+"""Small-file compaction (maintenance.py): many-file streaming output is
+rewritten to few files with identical contents; already-compact dirs no-op."""
+
+from __future__ import annotations
+
+from numaflow_spark.maintenance import compact_parquet, dir_stats
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "sink_out")
+    # simulate 12 micro-batch appends -> many small files
+    for batch in range(12):
+        spark.range(batch * 100, batch * 100 + 100).toDF("id").coalesce(2).write.mode(
+            "append"
+        ).parquet(path)
+    n_before, _ = dir_stats(path)
+    assert n_before >= 12
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    report = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert report["compacted"] and report["new_n_files"] < n_before
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before == list(range(1200))
+
+
+def test_compaction_noop_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "compact_already")
+    spark.range(100).toDF("id").coalesce(1).write.parquet(path)
+    report = compact_parquet(spark, path)
+    assert report == {"compacted": False, "n_files": 1, "bytes": report["bytes"]}

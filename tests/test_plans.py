@@ -166,3 +166,15 @@ def test_salted_join_broadcasts_replicated_dim(spark):
     plan = plan_of(spark, "salted_skew_join")
     assert nodes(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """Scrubbing is a row-local regexp map — any Exchange here is a bug."""
+    plan = plan_of(spark, "pii_scrub")
+    assert nodes(plan, "Exchange") == 0
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Packing = one shuffle on the packing key (source), then window math."""
+    plan = plan_of(spark, "sequence_packing")
+    assert nodes(plan, "Exchange") == 1
