@@ -555,6 +555,69 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS scrubbed_len
         FROM events
     """,
+    # 5-gram overlap with the src0 benchmark slice; DISTINCT shingles per
+    # doc, so count(*) after the join = distinct contaminated shingles.
+    "decontaminate": """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(list_slice(t, u.i, u.i + 4), ' ') AS sh
+            FROM toks, unnest(range(1, len(t) - 3)) u(i)
+            WHERE len(t) >= 5
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+        )
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM sh s JOIN bench b USING (sh)
+        WHERE s.source != 'src0'
+        GROUP BY s.doc_id
+    """,
+    # Fraction of each doc's distinct 3-grams that occur in >1 doc.
+    "dup_ngram_frac": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, u.i, u.i + 2), ' ') AS sh
+            FROM toks, unnest(range(1, len(t) - 1)) u(i)
+            WHERE len(t) >= 3
+        ), cnt AS (
+            SELECT sh, count(*) AS ndocs FROM sh GROUP BY sh
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS shared_frac
+        FROM sh JOIN cnt USING (sh)
+        GROUP BY doc_id
+    """,
+    # Top-100 vocabulary with (count desc, token asc) total order.
+    "vocab_topk": """
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), cnt AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+        ), top AS (
+            SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 100
+        )
+        SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+                   AS rank
+        FROM top
+    """,
+    # Per-language keep rates via the Knuth multiplicative hash.
+    "stratified_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN 2147483648
+                        WHEN 'de' THEN 1073741824
+                        WHEN 'fr' THEN 536870912
+                        ELSE 268435456 END
+    """,
     # Sequential token-budget packing: running sum per source, bin 512.
     "sequence_packing": """
         SELECT doc_id, source,

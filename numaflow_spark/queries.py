@@ -856,6 +856,98 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): flag corpus
+    documents sharing any 5-gram with a held-out benchmark set (here the
+    'src0' source plays the benchmark). The benchmark's distinct shingle
+    set is small by construction — broadcast it and stream the corpus
+    shingles through, so at 100 TB this is one corpus pass + one doc-level
+    agg; no corpus-vs-corpus join ever happens."""
+    from numaflow_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        word_shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
+        .select("sh")
+        .distinct()
+    )
+    corpus_sh = word_shingles(
+        docs.filter(F.col("source") != "src0"), "doc_id", "text", 5
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(F.col("doc").alias("doc_id"), "n_hits")
+    )
+
+
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-n-gram fraction per document (the Gopher/
+    RefinedWeb repetition signal at corpus granularity): what share of a
+    doc's distinct 3-grams also occur in another document. Two shuffles on
+    the shingle key (count + join share the partitioning, so the second is
+    an exchange reuse), one doc-level agg."""
+    from numaflow_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    cnt = sh.groupBy("sh").agg(F.count("*").alias("ndocs"))
+    per_doc = (
+        sh.join(cnt, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("shared_frac"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary: top-100 tokens by corpus frequency with a
+    deterministic (count desc, token asc) tie-break. The occurrence table
+    collapses to vocab size in one partial-aggregated shuffle; the top-100
+    runs as TakeOrderedAndProject (distributed heap take, NO global sort),
+    then ranks are assigned over just those 100 rows."""
+    from numaflow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("token")).limit(100)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (en 1/2,
+    de 1/4, fr 1/8, rest 1/16) via the same Knuth multiplicative hash as
+    hash_sample — a pure row-local filter, shuffle-free and replayable:
+    the identical sample falls out on any engine, any partitioning, any
+    day. The per-stratum rate is just a per-row threshold, so rebalancing
+    a 100 TB corpus needs no groupBy at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod((F.col("doc_id") * F.lit(2654435761)).cast("bigint"), F.lit(4294967296))
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit(1 << 31))
+        .when(F.col("lang") == "de", F.lit(1 << 30))
+        .when(F.col("lang") == "fr", F.lit(1 << 29))
+        .otherwise(F.lit(1 << 28))
+    )
+    return docs.filter(h < thresh).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -910,4 +1002,8 @@ QUERIES = {
     "doc_quality_gopher": q_doc_quality_gopher,
     "pii_scrub": q_pii_scrub,
     "sequence_packing": q_sequence_packing,
+    "decontaminate": q_decontaminate,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
 }

@@ -178,3 +178,24 @@ def test_sequence_packing_single_shuffle(spark):
     """Packing = one shuffle on the packing key (source), then window math."""
     plan = plan_of(spark, "sequence_packing")
     assert nodes(plan, "Exchange") == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast; a corpus-vs-corpus
+    SortMergeJoin here would be the 100 TB killer."""
+    plan = plan_of(spark, "decontaminate")
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_takes_ordered_no_global_sort(spark):
+    """Top-100 must run as a distributed heap take, not a global sort of
+    the vocabulary table."""
+    plan = plan_of(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Stratified hash sampling is a pure row-local filter."""
+    plan = plan_of(spark, "stratified_sample")
+    assert nodes(plan, "Exchange") == 0

@@ -1,0 +1,47 @@
+"""Time individual declared queries at a given sf dir (iteration harness).
+
+Usage: python tools/timeq.py [sf_dir] name [name ...]  [--reps N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--reps"):
+            reps = int(a.split("=", 1)[1])
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    spark = get_spark(
+        "timeq", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("events", "lineitem", "orders", "customer", "nation", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    for name in names:
+        fn = QUERIES[name]
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: {best:.3f}s ({n} rows)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
