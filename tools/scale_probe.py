@@ -1,0 +1,177 @@
+"""Scale probe: run the scale-path operators on a synthetically enlarged
+corpus (default 100k documents / 100k embeddings, ~20x sf0.1) and print one
+JSON line of wall times.
+
+The point is evidence for the 100 TB design claims: the LSH dedup path, the
+SimHash path, exact dedup, decontamination, and the ANN paths must complete
+with flat per-partition memory and shuffle volumes that track candidates,
+not the corpus square. Data is synthesized INSIDE Spark (JVM expressions,
+no driver materialization), with planted exact-dup groups and near-dup
+families so the dedup outputs are non-trivial.
+
+Usage: python tools/scale_probe.py [n_docs] [n_vecs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from numaflow_spark.session import get_spark
+
+VOCAB = 500
+WORDS_PER_DOC = 120
+DIM = 64
+
+
+def synth_documents(spark, n_docs: int) -> DataFrame:
+    """Deterministic word-salad corpus with planted duplicate structure:
+    docs come in families of 5 (same 120-word base salad); member 0 is the
+    base, members 1-4 append one extra distinguishing word -> near-dups at
+    jaccard ~0.97. Every 50th family repeats the previous family's base
+    exactly -> exact dups. All JVM expressions, zero driver data."""
+    base = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(5))) / 5
+    family = F.when(
+        F.pmod(base.cast("bigint"), F.lit(50)) == 0, (base - 1).cast("bigint")
+    ).otherwise(base.cast("bigint"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(family, i), F.lit(VOCAB)).cast("string")
+        ),
+    )
+    tail = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) > 0,
+        F.concat(F.lit(" x"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")),
+    ).otherwise(F.lit(""))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.concat_ws(" ", words), tail).alias("text"),
+        F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(20)).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+def synth_embeddings(spark, n_vecs: int) -> DataFrame:
+    """Clustered unit-cube vectors: 256 cluster centers, members = center +
+    per-member jitter; float array column, JVM-generated."""
+    cluster = F.pmod(F.col("id"), F.lit(256))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(cluster, i), F.lit(1000)) / 1000.0
+            + F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)) / 2000.0
+        ).cast("float"),
+    )
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from numaflow_spark.operators import dedup, similarity
+
+    spark = get_spark(
+        "scale_probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Materialize inputs once to parquet so every probe reads like a table
+    # scan (and generation cost stays out of the operator timings).
+    tmp = "/tmp/scale_probe_data"
+    docs_path, vecs_path = f"{tmp}/documents", f"{tmp}/embeddings"
+    synth_documents(spark, n_docs).repartition(32).write.mode("overwrite").parquet(
+        docs_path
+    )
+    synth_embeddings(spark, n_vecs).repartition(32).write.mode("overwrite").parquet(
+        vecs_path
+    )
+    docs = spark.read.parquet(docs_path)
+    vecs = spark.read.parquet(vecs_path)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def probe(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s ({counts[name]})", file=sys.stderr)
+
+    probe(
+        "exact_dedup",
+        lambda: dedup.exact_dup_groups(docs, "doc_id", "text")
+        .filter(F.col("n_docs") > 1)
+        .count(),
+    )
+    probe(
+        "minhash_lsh_pairs",
+        lambda: dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+        ).count(),
+    )
+    probe(
+        "simhash_neardup",
+        lambda: dedup.simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).count(),
+    )
+    probe(
+        "decontaminate",
+        lambda: dedup.word_shingles(
+            docs.filter(F.col("source") != "src0"), "doc_id", "text", 5
+        )
+        .join(
+            F.broadcast(
+                dedup.word_shingles(
+                    docs.filter(F.col("source") == "src0"), "doc_id", "text", 5
+                )
+                .select("sh")
+                .distinct()
+            ),
+            "sh",
+        )
+        .groupBy("doc")
+        .count()
+        .count(),
+    )
+    probe(
+        "brute_topk",
+        lambda: similarity.brute_force_topk(
+            vecs, vecs.filter(F.col("vec_id") < 100), k=5
+        ).count(),
+    )
+    probe(
+        "lsh_ann_topk",
+        lambda: similarity.lsh_topk(
+            vecs, vecs.filter(F.col("vec_id") < 100), k=5, dim=DIM, n_planes=8
+        ).count(),
+    )
+    probe(
+        "similar_pairs",
+        lambda: similarity.similar_pairs(vecs, threshold=0.995).count(),
+    )
+
+    result = {
+        "metric": "scale_probe_wall",
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "timings": timings,
+        "counts": counts,
+    }
+    spark.stop()
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
