@@ -1,0 +1,122 @@
+"""Distributed connected components for dedup clustering.
+
+The reference has no graph operator (numaflow's only multi-input op is the
+fan-in union, `docs/user-guide/reference/join-vertex.md:1-44`); this is a
+north-star extension (SURVEY.md §2.13): near-dup *pairs* (MinHash-LSH /
+SimHash / embedding-cosine) are only half of dedup — fuzzy duplicates form
+transitive families, so the corpus-level operation is pairs → connected
+components → one survivor per component.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is one
+shuffle keyed on node id with per-group state O(degree); convergence in
+O(log² n) rounds (2 rounds on the star-shaped families typical of near-dup
+graphs). This is the standard web-scale CC: no adjacency matrix, no driver
+state — the driver loop only compares a 2-value fingerprint per round.
+Lineage is cut every round with ``localCheckpoint`` so the plan stays flat
+across iterations (at cluster scale, swap for ``checkpoint`` on durable
+storage to also bound recovery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_survivors"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Distinct hi→lo directed edges, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    Emits (v, m(u)) for v ∈ Γ(u), v > u — over the symmetrized edge set.
+    """
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u itself) to the
+    minimum of that down-neighborhood. Operates on hi→lo directed edges."""
+    e = _canon(edges)
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    j = e.join(m, "u")
+    to_nbrs = j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    to_self = j.select("u", F.col("m").alias("v")).distinct()
+    return to_nbrs.union(to_self)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id reachable from it. Isolated nodes (absent from the edge
+    list) are the caller's to union in — the operator never sees them.
+
+    Convergence is detected from a per-round fingerprint (edge count +
+    xxhash64 xor): one 2-value driver action per round, never edge data.
+    """
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    prev_fp: tuple | None = None
+    for _ in range(max_iter):
+        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        fp_row = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        fp = (fp_row["n"], fp_row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # At the fixpoint the edge set is a star forest: (member, root) with
+    # root = component min. Roots map to themselves.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    pair_cols: tuple[str, str] = ("d1", "d2"),
+) -> DataFrame:
+    """Corpus after fuzzy dedup: one survivor (minimum id) per near-dup
+    component, everything un-paired kept as-is.
+
+    ``pairs`` is any near-dup pair table (minhash_lsh_pairs /
+    simhash_neardup_pairs / similar_pairs). The anti-join keys on the
+    component *member* set minus roots — shuffle volume tracks the duplicate
+    count, not the corpus.
+    """
+    comp = connected_components(pairs, *pair_cols)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

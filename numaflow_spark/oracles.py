@@ -645,3 +645,178 @@ ORACLES["lsh_ann_topk"] = _lsh_sql(k=5, dim=64, n_planes=6)
 from numaflow_spark.operators.dedup import simhash_oracle_sql as _simhash_sql
 
 ORACLES["simhash_neardup"] = _simhash_sql(max_hamming=3)
+
+# The exact-Jaccard near-dup pair set (identical to the minhash_neardup
+# oracle's body) exposed as a reusable CTE chain for the graph oracles.
+_NEARDUP_PAIRS_CTES = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)]) AS sh
+        FROM toks WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT d1, d2
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
+    )
+"""
+
+# Transitive closure over an undirected pair table `pairs(d1, d2)`:
+# component id = min reachable node. The recursive UNION deduplicates, so
+# the fixpoint is the closure — exact CC for oracle-scale graphs (the Spark
+# side uses large-star/small-star, which computes the same fixpoint).
+_CC_CTES = """
+    und AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2, d1 FROM pairs
+    ), reach(n, r) AS (
+        SELECT DISTINCT a, a FROM und
+        UNION
+        SELECT u.b, reach.r FROM reach JOIN und u ON reach.n = u.a
+    ), comp AS (
+        SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+    )
+"""
+
+ORACLES["neardup_clusters"] = f"""
+    WITH RECURSIVE {_NEARDUP_PAIRS_CTES}, {_CC_CTES}
+    SELECT node AS doc_id, component AS cluster_id FROM comp
+"""
+
+ORACLES["neardup_survivors"] = f"""
+    WITH RECURSIVE {_NEARDUP_PAIRS_CTES}, {_CC_CTES}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    WHERE c.node IS NULL OR c.component = d.doc_id
+"""
+
+# Embedding-space clustering over the exact cosine pair graph (same pair
+# predicate as embedding_similar_pairs, rounded to 6 before thresholding).
+ORACLES["embedding_clusters"] = f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.e, b.e)
+                    / sqrt(list_dot_product(a.e, a.e))
+                    / sqrt(list_dot_product(b.e, b.e)), 6) >= 0.4
+    ), {_CC_CTES}
+    SELECT node AS vec_id, component AS cluster_id FROM comp
+"""
+
+# Mixture rebalance: feasible total saturates the scarcest language; the
+# accept test is all-BIGINT so both engines keep the identical rows.
+ORACLES["domain_mix_sample"] = """
+    WITH counts AS (
+        SELECT lang, count(*) AS n_l,
+               CASE lang WHEN 'en' THEN 40 ELSE 15 END AS w
+        FROM documents GROUP BY lang
+    ), t AS (SELECT min(n_l * 100 // w) AS t FROM counts)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts c USING (lang), t
+    WHERE ((d.doc_id * 1103515245 + 12345) % 1048576) * c.n_l * 100
+          < 1048576 * c.w * t.t
+"""
+
+# Histogram-exact per-source lower-25th-percentile gate on token count.
+ORACLES["quality_quantile_filter"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        FROM documents
+    ), hist AS (
+        SELECT source, v, count(*) AS c FROM t GROUP BY 1, 2
+    ), cum AS (
+        SELECT source, v,
+               sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+        FROM hist
+    ), tot AS (
+        SELECT source, sum(c) AS n_s FROM hist GROUP BY source
+    ), thr AS (
+        SELECT source, min(v) AS q25
+        FROM cum JOIN tot USING (source)
+        WHERE cum * 4 >= n_s GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.v AS n_tokens
+    FROM t JOIN thr USING (source)
+    WHERE t.v >= thr.q25
+"""
+
+# BM25 (k1=1.2, b=0.75) for terms {join, vector, stream}, top 10.
+ORACLES["bm25_rank"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM toks WHERE t IN ('join', 'vector', 'stream')
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT t, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY t
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+# Ordered-event funnel: stage survivors chained by per-user minima.
+ORACLES["funnel_conversion"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT 'click', count(*) FROM c
+    UNION ALL SELECT 'purchase', count(*) FROM p
+"""
+
+# Cohort retention triangle on integer micros-epoch week bins.
+ORACLES["cohort_retention"] = """
+    WITH ev AS (
+        SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS w FROM events
+    ), first AS (
+        SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id
+    )
+    SELECT w0 AS cohort_week, w - w0 AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM ev JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
+
+# Engine-native JSON scalar surface over the props payload column.
+ORACLES["json_props_agg"] = """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+"""

@@ -948,6 +948,202 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < thresh).select("doc_id", "lang", "source")
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering, the corpus-level half of near-dup removal:
+    MinHash-LSH pairs → distributed connected components (alternating
+    large-star/small-star, O(log² n) rounds of one keyed shuffle each) →
+    (doc_id, cluster_id=component min). The oracle recomputes the same
+    components with a recursive CTE over the exact-Jaccard pair set, which
+    coincides with the LSH pair set at these params (see minhash_neardup)."""
+    from numaflow_spark.operators.dedup import minhash_lsh_pairs
+    from numaflow_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8)
+    return connected_components(pairs, "d1", "d2").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after fuzzy dedup: one survivor (minimum doc_id) per near-dup
+    component, all unpaired docs kept. The anti-join keys on component
+    members minus roots, so its build side tracks the duplicate count, not
+    the corpus."""
+    from numaflow_spark.operators.dedup import minhash_lsh_pairs
+    from numaflow_spark.operators.graph import dedup_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8)
+    return dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "source")
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clustering: exact cosine pair graph
+    at ≥0.4 → connected components → (vec_id, cluster_id). Same CC operator
+    as the text path — pairs come from the blocked all-pairs scorer (exact
+    contract; LSH pairs drop in for the >1M-vector regime)."""
+    from numaflow_spark.operators.graph import connected_components
+    from numaflow_spark.operators.similarity import similar_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similar_pairs(emb, threshold=0.4)
+    return connected_components(pairs, "id1", "id2").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing to target language weights (en 40%, de/es/fr/zh
+    15% each): the feasible total T = min_l ⌊n_l·100 / w_l⌋ saturates the
+    scarcest language, per-language quotas w_l·T/100 are then taken by
+    deterministic affine-hash threshold. All-integer arithmetic (the accept
+    test is h·n_l·100 < 2²⁰·w_l·T) so both engines accept the identical
+    set. Plan shape: one tiny per-lang agg broadcast back over the corpus —
+    rebalancing 100 TB costs one aggregate plus a map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.when(F.col("lang") == "en", F.lit(40)).otherwise(F.lit(15))
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_l"))
+        .withColumn("w", weights)
+    )
+    t_min = counts.select(F.min(F.expr("n_l * 100 div w")).alias("t"))
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345), F.lit(1 << 20))
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(t_min))
+        .filter(h * F.col("n_l") * 100 < F.lit(1 << 20) * F.col("w") * F.col("t"))
+        .select("doc_id", "lang")
+    )
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source relative quality gate: keep docs at/above the lower-25th-
+    percentile token count within their source. The quantile is exact but
+    computed histogram-style — groupBy (source, n_tokens) first, cumulate
+    over that tiny table, broadcast thresholds back — so no window function
+    ever sees corpus-sized partitions (the skew trap a direct per-source
+    percent_rank would hit at 100 TB: 20 sources → 20 straggler tasks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("v", F.size(F.split(F.col("text"), " ")).cast("long"))
+    hist = toks.groupBy("source", "v").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("source").orderBy("v")
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    tot = hist.groupBy("source").agg(F.sum("c").alias("n_s"))
+    thr = (
+        cum.join(tot, "source")
+        .filter(F.col("cum") * 4 >= F.col("n_s"))
+        .groupBy("source")
+        .agg(F.min("v").alias("q25"))
+    )
+    return (
+        toks.join(F.broadcast(thr), "source")
+        .filter(F.col("v") >= F.col("q25"))
+        .select("doc_id", "source", F.col("v").alias("n_tokens"))
+    )
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document ranking for the query terms {join,
+    vector, stream}: tf from one explode+filter pass, df/N/avgdl from two
+    tiny aggregates broadcast into the scoring join, global top-10 via
+    TakeOrderedAndProject (no single-partition window). Scores rounded to 6
+    for cross-engine float identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["join", "vector", "stream"]
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+        .select("doc_id", "bm25")
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view → click after it → purchase after that):
+    users surviving each stage. The reference computes patterns like this in
+    reduce UDFs (per-key state); here it is three stage aggregates chained
+    by broadcast-joinable per-user minima — each stage's state is one
+    timestamp per user, never the event history."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda df, name: df.agg(F.count("*").alias("n_users")).select(
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return stage(v, "view").unionByName(stage(c, "click")).unionByName(
+        stage(p, "purchase")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week, counted
+    per (cohort_week, week_offset). Weeks are integer micros-epoch math so
+    both engines bin identically; the per-user first-week table shuffles
+    once on user_id and joins back pre-aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 86400000000 div 7")
+    ev_w = ev.select("user_id", week.alias("w"))
+    first = ev_w.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        ev_w.join(first, "user_id")
+        .groupBy(F.col("w0").alias("cohort_week"), (F.col("w") - F.col("w0")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON surface (§2.8 — the reference delegates payload parsing
+    to UDF containers; here it is an engine-native expression): extract
+    props.k, aggregate per event_type. Stays inside WholeStageCodegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1006,4 +1202,13 @@ QUERIES = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
+    "neardup_clusters": q_neardup_clusters,
+    "neardup_survivors": q_neardup_survivors,
+    "embedding_clusters": q_embedding_clusters,
+    "domain_mix_sample": q_domain_mix_sample,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "bm25_rank": q_bm25_rank,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "json_props_agg": q_json_props_agg,
 }

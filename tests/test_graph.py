@@ -1,0 +1,87 @@
+"""Connected-components operator (operators/graph.py): correctness on known
+topologies, a property test against a pure-Python union-find reference, and
+the survivor anti-join contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.graph import connected_components, dedup_survivors
+
+
+def cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    return {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+
+
+def test_chain_star_pair_selfloop(spark):
+    got = cc_dict(spark, [(2, 1), (2, 3), (3, 4), (10, 11), (13, 10), (20, 21), (7, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "u long, v long")
+    assert connected_components(df).count() == 0
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # a 64-node path is the adversarial case for label propagation
+    # (diameter 63); large-star/small-star must still converge inside the
+    # operator's max_iter
+    edges = [(i, i + 1) for i in range(63)]
+    got = cc_dict(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+@pytest.mark.parametrize("seed", [11, 17])
+def test_random_graph_matches_union_find(spark, seed):
+    rnd = random.Random(seed)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(45)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert cc_dict(spark, edges) == union_find(edges)
+
+
+def test_dedup_survivors_keeps_min_and_isolated(spark):
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "d1 long, d2 long")
+    kept = {r.doc_id for r in dedup_survivors(docs, pairs, "doc_id").collect()}
+    assert {1, 10} <= kept and not {2, 3, 11} & kept
+    assert kept >= set(range(30)) - {1, 2, 3, 10, 11}
+
+
+def test_cc_driver_traffic_is_scalar_only(spark, monkeypatch):
+    """The iteration loop may collect only per-round fingerprints (one row,
+    two columns) — never edge data."""
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+
+    def guarded(self):
+        rows = real_collect(self)
+        assert len(rows) <= 1, "CC collected a multi-row result on the driver"
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "u long, v long")
+    out = connected_components(edges)
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert out.groupBy("component").count().count() == 1

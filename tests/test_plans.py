@@ -199,3 +199,36 @@ def test_stratified_sample_is_shuffle_free(spark):
     """Stratified hash sampling is a pure row-local filter."""
     plan = plan_of(spark, "stratified_sample")
     assert nodes(plan, "Exchange") == 0
+
+
+def test_domain_mix_broadcasts_lang_stats(spark):
+    """Mixture rebalance must broadcast the 5-row per-lang stats back over
+    the corpus — a shuffle join keyed on lang would be a 5-partition skew
+    trap at 100 TB."""
+    plan = plan_of(spark, "domain_mix_sample")
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_quantile_windows_only_the_histogram(spark):
+    """The exact per-source quantile must come from the (source, n_tokens)
+    histogram: the window sorts the tiny hist table and the threshold join
+    back to the corpus is broadcast. A percent_rank over the raw corpus
+    (20 source partitions) would be the top_k straggler bug again."""
+    plan = plan_of(spark, "quality_quantile_filter")
+    assert nodes(plan, "Window") == 1
+    # the window's input exchange partitions the aggregated histogram, so
+    # upstream of it there must be a HashAggregate (the hist groupBy)
+    assert nodes(plan, "HashAggregate") >= 4
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_bm25_topk_is_heap_take(spark):
+    """Global top-10 must compile to TakeOrderedAndProject (distributed
+    heap), never a single-partition Window/Sort; df/N/avgdl stats join in
+    as broadcasts."""
+    plan = plan_of(spark, "bm25_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert nodes(plan, "Window") == 0
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
