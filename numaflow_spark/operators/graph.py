@@ -39,18 +39,20 @@ def _canon(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
 
-    Emits (v, m(u)) for v ∈ Γ(u), v > u — over the symmetrized edge set.
+    On canonical hi→lo edges the symmetrized form collapses: a node u's
+    larger neighbors are exactly its in-edges (w, u), and min(Γ(u) ∪ {u})
+    is min(out-neighbors ∪ {u}) (in-neighbors are all > u). So one groupBy
+    for per-node out-minima plus one join onto the in-edges replaces the
+    2×-edges union self-join of the textbook formulation.
     """
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("mv", "u").alias("m"))
-    )
+    m = edges.groupBy("u").agg(F.min("v").alias("mv"))
     return (
-        sym.join(m, "u")
-        .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        edges.alias("x")
+        .join(m.alias("t"), F.col("x.v") == F.col("t.u"), "left")
+        .select(
+            F.col("x.u").alias("u"),
+            F.least(F.coalesce(F.col("t.mv"), F.col("x.v")), F.col("x.v")).alias("v"),
+        )
     )
 
 
@@ -76,21 +78,24 @@ def connected_components(
     minimum node id reachable from it. Isolated nodes (absent from the edge
     list) are the caller's to union in — the operator never sees them.
 
-    Convergence is detected from a per-round fingerprint (edge count +
-    xxhash64 xor): one 2-value driver action per round, never edge data.
+    Convergence = the edge set is a star forest (no target node also has an
+    outgoing edge), the algorithm's unique fixpoint shape — checked with an
+    empty-probe semi-join per round, so no confirm round is wasted re-running
+    the stars. The driver never sees edge data, only the boolean.
     """
-    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    prev_fp: tuple | None = None
+    # Materialize the canonical edge set before iterating: round 1's plan
+    # references it from several union/join branches, so leaving the
+    # (possibly expensive — e.g. a full LSH pipeline) upstream lazy would
+    # re-evaluate it per branch.
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
-        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
-        fp_row = e.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        fp = (fp_row["n"], fp_row["h"])
-        if fp == prev_fp:
+        srcs = e.select(F.col("u").alias("s")).distinct()
+        targets_with_out = e.join(srcs, e.v == srcs.s, "left_semi")
+        if targets_with_out.isEmpty():
             break
-        prev_fp = fp
+        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
     else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # At the fixpoint the edge set is a star forest: (member, root) with

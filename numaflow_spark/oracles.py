@@ -820,3 +820,23 @@ ORACLES["json_props_agg"] = """
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
 """
+
+# TPC-H Q3-shaped top-10 undelivered orders by revenue (SQL-façade query;
+# same exact-decimal discipline as pricing_summary).
+ORACLES["sql_shipping_priority"] = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2))))
+                * 10000 AS BIGINT) AS revenue_c4,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS odate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_c4 DESC, l_orderkey
+    LIMIT 10
+"""

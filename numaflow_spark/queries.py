@@ -1144,6 +1144,35 @@ def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query, entered through the SQL
+    façade (the reference has no SQL layer at all — SURVEY §0; here the
+    full ANSI surface rides on Catalyst): top-10 undelivered orders by
+    revenue. Joins are dim-filtered before the fact join so AQE broadcasts
+    them; revenue is exact decimal summed then emitted as integer cents."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS revenue_c4,
+               CAST(date_format(o_orderdate, 'yyyyMMdd') AS BIGINT) AS odate,
+               o_orderpriority
+        FROM customer_sql JOIN orders_sql ON c_custkey = o_custkey
+                          JOIN lineitem_sql ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_c4 DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1211,4 +1240,5 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "json_props_agg": q_json_props_agg,
+    "sql_shipping_priority": q_sql_shipping_priority,
 }

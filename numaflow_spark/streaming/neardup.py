@@ -131,3 +131,117 @@ class StreamingNearDup:
         surviving_bands = new_bands.join(dup_ids, "doc", "left_anti")
         surviving_bands.write.mode("append").partitionBy("band").parquet(self.store_dir)
         return survivors
+
+
+class StreamingClusterAssign:
+    """foreachBatch operator: label every arriving doc with its near-dup
+    *cluster* instead of dropping duplicates — the online complement of the
+    batch ``connected_components`` flow (operators/graph.py) for pipelines
+    that keep duplicates but need the family id (per-cluster sampling,
+    weighting, provenance).
+
+    Per batch:
+      1. band-hash the new docs; candidate-join against the persistent
+         (doc, band, band_hash, cluster) store — matched docs inherit the
+         minimum matching store cluster;
+      2. intra-batch collisions form components (exact CC over the
+         collision pairs — the batch-scale instance of the same operator);
+      3. each component takes min(inherited store clusters, member ids);
+         un-collided docs found their own cluster;
+      4. all batch docs append to the store with their cluster label.
+
+    Online approximation, documented: when one arriving doc bridges two
+    *pre-existing* store clusters, members already written keep their old
+    label (no retroactive merge) — the arriving doc takes the minimum. A
+    periodic batch re-clustering (neardup_clusters) is the compaction that
+    heals this, exactly like WAL compaction in the reference's PBQ design
+    (SURVEY §2.4 R7).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        k: int = 64,
+        bands: int = 16,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n, self.k, self.bands = n, k, bands
+
+    def _store(self) -> DataFrame | None:
+        if not os.path.isdir(self.store_dir) or not any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(self.store_dir) for f in fs
+        ):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def assign(self, batch: DataFrame) -> DataFrame:
+        from numaflow_spark.operators.graph import connected_components
+
+        new_bands = band_table(
+            batch, self.id_col, self.text_col, n=self.n, k=self.k, bands=self.bands
+        ).localCheckpoint(eager=True)
+
+        store = self._store()
+        inherited = None
+        if store is not None:
+            s, nb = store.alias("s"), new_bands.alias("nb")
+            inherited = (
+                nb.join(
+                    s,
+                    (F.col("nb.band") == F.col("s.band"))
+                    & (F.col("nb.band_hash") == F.col("s.band_hash"))
+                    # replay idempotence: a doc's own stored bands carry its
+                    # own cluster — harmless to inherit, but exclude for
+                    # symmetry with StreamingNearDup
+                    & (F.col("nb.doc") != F.col("s.doc")),
+                )
+                .groupBy(F.col("nb.doc").alias("doc"))
+                .agg(F.min(F.col("s.cluster")).alias("inh"))
+            )
+
+        a, b = new_bands.alias("a"), new_bands.alias("b")
+        intra_pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .distinct()
+        )
+        comp = connected_components(intra_pairs, "d1", "d2")
+
+        ids = batch.select(F.col(self.id_col).alias("doc")).distinct()
+        labeled = ids.join(comp.withColumnRenamed("node", "doc"), "doc", "left")
+        labeled = labeled.withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc"))
+        )
+        if inherited is not None:
+            # the component's cluster = min inherited label across members,
+            # falling back to the component min (= its own min doc id)
+            comp_inh = (
+                labeled.join(inherited, "doc", "left")
+                .groupBy("component")
+                .agg(F.min("inh").alias("comp_inh"))
+            )
+            labeled = labeled.join(comp_inh, "component", "left").withColumn(
+                "cluster", F.coalesce(F.col("comp_inh"), F.col("component"))
+            )
+        else:
+            labeled = labeled.withColumn("cluster", F.col("component"))
+        labeled = labeled.select("doc", "cluster")
+
+        new_store_rows = new_bands.join(labeled, "doc")
+        new_store_rows.write.mode("append").partitionBy("band").parquet(self.store_dir)
+        return batch.join(
+            labeled.withColumnRenamed("doc", self.id_col), self.id_col, "left"
+        )

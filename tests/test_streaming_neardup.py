@@ -55,3 +55,38 @@ def test_empty_store_first_batch(spark, tmp_path):
     nd = StreamingNearDup(spark, str(tmp_path / "fresh"))
     out = nd.accept(_docs(spark, [(7, BASE * 2)])).collect()
     assert [r.doc_id for r in out] == [7]
+
+
+def test_streaming_cluster_assignment(spark, tmp_path):
+    from numaflow_spark.streaming.neardup import StreamingClusterAssign
+
+    ca = StreamingClusterAssign(spark, str(tmp_path / "cbands"))
+
+    # batch 1: 1~2 near-dups (one family), 10 isolated
+    b1 = _docs(
+        spark,
+        [
+            (1, BASE * 3 + "ending one"),
+            (2, BASE * 3 + "ending two"),
+            (10, "completely different text about rocksdb state stores " * 6),
+        ],
+    )
+    got1 = {r.doc_id: r.cluster for r in ca.assign(b1).collect()}
+    assert got1 == {1: 1, 2: 1, 10: 10}
+
+    # batch 2: 3 joins family 1 cross-batch; 4 novel; 5~4 intra-batch
+    b2 = _docs(
+        spark,
+        [
+            (3, BASE * 3 + "ending three"),
+            (4, "entirely novel content regarding watermark heartbeats " * 6),
+            (5, "entirely novel content regarding watermark heartbeats " * 6 + " tail"),
+        ],
+    )
+    got2 = {r.doc_id: r.cluster for r in ca.assign(b2).collect()}
+    assert got2 == {3: 1, 4: 4, 5: 4}
+
+    # batch 3 replay-shape: 6 collides with batch-2's family -> inherits 4
+    b3 = _docs(spark, [(6, "entirely novel content regarding watermark heartbeats " * 6 + " x")])
+    got3 = {r.doc_id: r.cluster for r in ca.assign(b3).collect()}
+    assert got3 == {6: 4}

@@ -126,6 +126,19 @@ def main() -> None:
             docs, "doc_id", "text", max_hamming=3
         ).count(),
     )
+    # CC timing isolated from pair generation: materialize the pair set
+    # once, then run components off the parquet.
+    pairs_path = f"{tmp}/pairs"
+    dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+    ).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    from numaflow_spark.operators.graph import connected_components
+
+    probe(
+        "connected_components",
+        lambda: connected_components(pairs, "d1", "d2").count(),
+    )
     probe(
         "decontaminate",
         lambda: dedup.word_shingles(
