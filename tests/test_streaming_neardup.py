@@ -90,3 +90,44 @@ def test_streaming_cluster_assignment(spark, tmp_path):
     b3 = _docs(spark, [(6, "entirely novel content regarding watermark heartbeats " * 6 + " x")])
     got3 = {r.doc_id: r.cluster for r in ca.assign(b3).collect()}
     assert got3 == {6: 4}
+
+
+def test_cluster_assignment_via_streaming_query(spark, tmp_path):
+    """End-to-end through a real streaming query: parquet replay source ->
+    foreachBatch(StreamingClusterAssign.assign) -> collected sink. Two
+    micro-batches; the second inherits the first's cluster labels from the
+    persistent band store."""
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+    from numaflow_spark.streaming.neardup import StreamingClusterAssign
+
+    rows = [
+        (1, BASE * 3 + "ending one"),
+        (2, BASE * 3 + "ending two"),
+        (10, "completely different text about rocksdb state stores " * 6),
+        # second batch (ordered after by doc_id)
+        (11, BASE * 3 + "ending eleven"),
+        (12, "entirely novel content regarding watermark heartbeats " * 6),
+    ]
+    docs = _docs(spark, rows)
+    data_dir = write_replay_batches(
+        docs, str(tmp_path / "in"), batches=2, order_col="doc_id"
+    )
+    ca = StreamingClusterAssign(spark, str(tmp_path / "bands"))
+    got: dict[int, int] = {}
+
+    def sink(df, epoch_id):
+        got.update((r.doc_id, r.cluster) for r in ca.assign(df).collect())
+
+    q = (
+        replay_stream(spark, data_dir, schema=docs.schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == {1: 1, 2: 1, 10: 10, 11: 1, 12: 12}
