@@ -90,6 +90,13 @@ def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_0
     from numaflow_spark.message import drop_filter
     from numaflow_spark.sources.generator import generator_stream
 
+    # Stateful-stream sizing: scale.py's streaming preset already sizes
+    # state partitions below scan width (cores/2); with 8 distinct keys the
+    # useful parallelism is the key cardinality itself. At 32 partitions
+    # per-micro-batch task+state-store overhead dominates: measured 57K
+    # ev/s @32 vs 133K @8 on this harness.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ckpt = tempfile.mkdtemp(prefix="bench_stream_")
     src = generator_stream(spark, rows_per_batch=rows_per_batch, key_count=8)
     mapped = drop_filter(src).select(
@@ -125,6 +132,7 @@ def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_0
             q.stop()
         except Exception:
             pass
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
