@@ -8,4 +8,5 @@ Each module maps one region of the reference's operator inventory:
     similarity — north-star: embedding similarity search (brute force + LSH)
     text       — north-star: language-ID, quality, tokens, fingerprints
     multimodal — north-star: opaque binary columns + batch decode plumbing
+    graph      — north-star: connected components for fuzzy-dedup clustering
 """
