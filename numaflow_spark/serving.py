@@ -137,13 +137,18 @@ class ServingHarness:
     sync-serving contract: POST returns when the DAG has fully processed the
     request (serving e2e test/serving-e2e)."""
 
-    def __init__(self, store: ServingStore, submit_fn: Callable[[str, bytes], None]):
+    def __init__(self, store: ServingStore, submit_fn: Callable[[str, bytes], None],
+                 *, default_timeout_s: float = 30.0):
+        # default_timeout_s mirrors ServingSpec.requestTimeoutSeconds
+        # (serving_pipeline_types.go:86-88, CRD default 120s)
         self.store = store
         self.submit = submit_fn
+        self.default_timeout_s = default_timeout_s
 
     def request(self, value: bytes, *, request_id: str | None = None,
-                timeout_s: float = 30.0, poll_s: float = 0.1) -> list[bytes]:
+                timeout_s: float | None = None, poll_s: float = 0.1) -> list[bytes]:
         """Sync mode: submit then block until the store has the result."""
+        timeout_s = self.default_timeout_s if timeout_s is None else timeout_s
         rid = request_id or str(uuid.uuid4())
         self.submit(rid, value)
         deadline = time.monotonic() + timeout_s
@@ -164,7 +169,7 @@ class ServingHarness:
         return self.store.get(request_id)
 
     def request_sse(self, value: bytes, *, request_id: str | None = None,
-                    timeout_s: float = 30.0, poll_s: float = 0.1):
+                    timeout_s: float | None = None, poll_s: float = 0.1):
         """SSE mode (rust/serving/src/: sync/async/SSE; e2e
         test/serving-e2e): a generator yielding each result payload as it
         lands in the store, closing when the store marks the request done —
@@ -174,6 +179,7 @@ class ServingHarness:
         Yields payloads incrementally (a flat-map pipeline that Puts
         several payloads produces several yields); raises TimeoutError if
         the request never completes."""
+        timeout_s = self.default_timeout_s if timeout_s is None else timeout_s
         rid = request_id or str(uuid.uuid4())
         self.submit(rid, value)
         sent = 0

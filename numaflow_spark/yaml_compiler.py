@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Callable, Mapping
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
@@ -169,6 +170,28 @@ def _build_source(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any
         return Source(reader=lambda s: (_ for _ in ()).throw(
             ValueError("kafka source has no batch twin")), stream_reader=stream_reader)
 
+    if "serving" in spec:
+        # S8 serving source (serving_source.go; rust/serving/src/): requests
+        # enter the DAG as (request_id, value) rows. Engine shape: the
+        # harness's file inbox (serving.file_request_writer) read as a JSON
+        # stream — registry supplies the inbox dir under "<vertex>.inbox".
+        inbox = registry.get(f"{name}.inbox")
+
+        def stream_reader(s, inbox=inbox, name=name):
+            if inbox is None:
+                raise ValueError(
+                    f"serving source {name!r} needs a registry entry "
+                    f"{name + '.inbox'!r} (request inbox directory)"
+                )
+            return s.readStream.schema("request_id string, value string").json(inbox)
+
+        return Source(
+            reader=lambda s: (_ for _ in ()).throw(
+                ValueError("serving source has no batch twin")
+            ),
+            stream_reader=stream_reader,
+        )
+
     if "udsource" in spec:
         entry = registry.get(name)
         if entry is None:
@@ -290,10 +313,21 @@ def pipeline_from_yaml(
     import yaml
 
     doc = yaml.safe_load(text)
-    if not isinstance(doc, dict) or doc.get("kind") not in ("Pipeline", "MonoVertex"):
-        raise ValueError("expected a numaflow `kind: Pipeline`/`MonoVertex` document")
+    if not isinstance(doc, dict) or doc.get("kind") not in (
+        "Pipeline",
+        "MonoVertex",
+        "ServingPipeline",
+    ):
+        raise ValueError(
+            "expected a numaflow `kind: Pipeline`/`MonoVertex`/`ServingPipeline` document"
+        )
     if doc.get("kind") == "MonoVertex":
         return _monovertex_from(doc, dict(udf_registry or {}))
+    if doc.get("kind") == "ServingPipeline":
+        raise ValueError(
+            "kind: ServingPipeline carries serving config — parse it with "
+            "serving_pipeline_from_yaml()"
+        )
     registry = dict(udf_registry or {})
     spec = doc.get("spec") or {}
     p = Pipeline(((doc.get("metadata") or {}).get("name")) or "pipeline")
@@ -378,3 +412,57 @@ def _monovertex_from(doc: Mapping[str, Any], registry: dict) -> Pipeline:
     p.connect(prev, f"{name}-sink")
     p.validate()
     return p
+
+
+@dataclass
+class ServingPipelineYaml:
+    """Parsed `kind: ServingPipeline` (serving_pipeline_types.go:58-109):
+    the wrapped dataflow plus the serving-layer knobs the engine honors.
+    K8s-facing fields (auth, service, pod templates, replicas) are
+    deployment concerns outside the engine, same as SURVEY §2.11."""
+
+    name: str
+    pipeline: "Pipeline"
+    msg_id_header_key: str | None
+    request_timeout_s: float
+    http_port: int | None
+    https_port: int | None
+
+    def harness(self, store, submit_fn) -> "ServingHarness":
+        """ServingHarness with the spec's request timeout as the default
+        (ServingSpec.requestTimeoutSeconds, CRD default 120s)."""
+        from numaflow_spark.serving import ServingHarness
+
+        return ServingHarness(store, submit_fn, default_timeout_s=self.request_timeout_s)
+
+
+def serving_pipeline_from_yaml(
+    text: str, udf_registry: Mapping[str, Any] | None = None
+) -> ServingPipelineYaml:
+    """Parse a `kind: ServingPipeline` CRD document: `spec.pipeline` is a
+    full PipelineSpec (compiled through the Pipeline path), `spec.serving`
+    supplies msgIDHeaderKey / requestTimeoutSeconds / ports
+    (serving_pipeline_types.go:67-109; rust/serving/src/)."""
+    import yaml
+
+    doc = yaml.safe_load(text)
+    if not isinstance(doc, dict) or doc.get("kind") != "ServingPipeline":
+        raise ValueError("expected a numaflow `kind: ServingPipeline` document")
+    spec = doc.get("spec") or {}
+    name = ((doc.get("metadata") or {}).get("name")) or "serving-pipeline"
+    inner = {
+        "kind": "Pipeline",
+        "metadata": {"name": name},
+        "spec": spec.get("pipeline") or {},
+    }
+    pipeline = pipeline_from_yaml(yaml.safe_dump(inner), udf_registry)
+    serving = spec.get("serving") or {}
+    ports = serving.get("ports") or {}
+    return ServingPipelineYaml(
+        name=name,
+        pipeline=pipeline,
+        msg_id_header_key=serving.get("msgIDHeaderKey"),
+        request_timeout_s=float(serving.get("requestTimeoutSeconds", 120)),
+        http_port=ports.get("http"),
+        https_port=ports.get("https"),
+    )
