@@ -195,3 +195,71 @@ def make_rate_listener(monitor: PipelineMonitor):
             pass
 
     return RateListener()
+
+
+def prometheus_exposition(monitor: PipelineMonitor, *, pipeline: str = "pipeline") -> str:
+    """Prometheus text-exposition of the daemon metrics surface
+    (docs/operations/metrics/metrics.md): the reference's documented metric
+    names re-derived from StreamingQuery progress —
+
+      * ``forwarder_read_total`` (counter, metrics.md:15): cumulative rows
+        read per vertex, from the rater history;
+      * ``vertex_pending_messages`` (gauge, metrics.md:34): numeric source
+        lag where offsets are integers;
+      * ``reduce_watermark_lag`` (gauge ms, metrics.md:68): wall clock minus
+        event-time watermark;
+      * ``vertex_processing_rate`` (gauge, rater/doc.go:18-19): the daemon
+        rater's 1m-lookback rate.
+
+    Scrape via any HTTP shim (the engine stays server-free, same as
+    :meth:`PipelineMonitor.snapshot`).
+    """
+    from datetime import datetime, timezone
+
+    def fmt(metric: str, mtype: str, help_: str, rows: list[tuple[dict, float]]) -> list[str]:
+        out = [f"# HELP {metric} {help_}", f"# TYPE {metric} {mtype}"]
+        for labels, val in rows:
+            lbl = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+            out.append(f"{metric}{{{lbl}}} {val}")
+        return out
+
+    read_rows, rate_rows, lag_rows, pending_rows = [], [], [], []
+    now = time.time()
+    for name in monitor.list_queries():
+        labels = {"pipeline": pipeline, "vertex": name}
+        hist = monitor._hist.get(name)
+        total = sum(r for (_t, r, _b) in hist.samples) if hist else 0
+        read_rows.append((labels, total))
+        vm = monitor.get_vertex_metrics(name)
+        rate_rows.append((labels, vm.windowed_rates.get("1m", 0.0)))
+        wm = monitor.get_watermarks().get(name)
+        if wm:
+            wm_ts = datetime.fromisoformat(wm.replace("Z", "+00:00"))
+            lag_ms = max(0.0, (now - wm_ts.replace(tzinfo=wm_ts.tzinfo or timezone.utc).timestamp()) * 1000)
+            lag_rows.append((labels, round(lag_ms, 1)))
+        try:
+            pend = monitor.get_pending(name)
+        except Exception:
+            pend = {}
+        lag = 0
+        lag_known = False
+        for src in pend.get("sources", []):
+            latest, end = src.get("latestOffset"), src.get("endOffset")
+            if isinstance(latest, (int, float)) and isinstance(end, (int, float)):
+                lag += max(0, latest - end)
+                lag_known = True
+        if lag_known:
+            pending_rows.append((labels, lag))
+
+    lines: list[str] = []
+    lines += fmt("forwarder_read_total", "counter",
+                 "Total number of messages read by a vertex", read_rows)
+    lines += fmt("vertex_processing_rate", "gauge",
+                 "Vertex processing rate over the 1m lookback", rate_rows)
+    if lag_rows:
+        lines += fmt("reduce_watermark_lag", "gauge",
+                     "Wall clock minus event-time watermark in milliseconds", lag_rows)
+    if pending_rows:
+        lines += fmt("vertex_pending_messages", "gauge",
+                     "Pending (unread) source messages", pending_rows)
+    return "\n".join(lines) + "\n"

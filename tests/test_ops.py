@@ -108,3 +108,23 @@ def test_listener_constructs(spark):
     listener = make_rate_listener(mon)
     spark.streams.addListener(listener)
     spark.streams.removeListener(listener)
+
+
+def test_prometheus_exposition_format():
+    """metrics.md parity: documented metric names, exposition text format,
+    counter from the rater history, watermark lag and pending gauges."""
+    from numaflow_spark.ops import prometheus_exposition
+
+    q = FakeQuery(_progress(rows=100, batch=1))
+    mon = PipelineMonitor({"v": q})
+    mon.observe()
+    q.lastProgress = _progress(rows=250, batch=2)
+    mon.observe()
+
+    text = prometheus_exposition(mon, pipeline="demo")
+    assert '# TYPE forwarder_read_total counter' in text
+    assert 'forwarder_read_total{pipeline="demo",vertex="v"} 350' in text
+    assert '# TYPE vertex_processing_rate gauge' in text
+    assert '# TYPE reduce_watermark_lag gauge' in text
+    assert 'vertex_pending_messages{pipeline="demo",vertex="v"} 2' in text
+    assert text.endswith("\n")
