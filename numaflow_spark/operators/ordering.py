@@ -1,0 +1,61 @@
+"""Deterministic training-data ordering (north-star extension): replayable
+global shuffle + sharding for LM training runs.
+
+Training pipelines need the corpus in a pseudo-random order that is (a)
+decorrelated from ingest order, (b) identical on every engine, partitioning
+and rerun (so a resumed or re-provisioned run sees the same batches), and
+(c) producible WITHOUT a global sort. The standard trick: assign each row a
+shard and an intra-shard order key from deterministic integer hashes of its
+id, then shuffle once on the shard and sort only within shards.
+
+The hashes are the same Knuth multiplicative family the sampling operators
+use (queries.q_hash_sample): row-local, engine-exact, no randomness. The
+written layout is one directory per shard whose files are (okey, id)-sorted
+— readers stream shards in file order and get the global pseudo-random
+order without any reader-side shuffle.
+
+Scale shape: one hash-partition exchange on ``shard`` plus a per-partition
+sort — no global ordering stage, no driver involvement; shard count is
+chosen by the writer (shards ~ corpus_bytes / target_shard_bytes), so a
+100 TB corpus is a wider exchange of the same per-row cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def shard_order_keys(
+    df: DataFrame, id_col: str, *, n_shards: int = 16
+) -> DataFrame:
+    """Attach deterministic (shard, okey) columns derived from ``id_col``.
+
+    shard = knuth_hash(id, salt 11) mod n_shards; okey = an independent
+    multiplicative hash (odd constant 40503, salt 7) — the pair is a
+    replayable global permutation: sorting by (shard, okey, id) yields the
+    same order on any engine. Integer-exact for ids below ~2^31 (the
+    products stay inside signed-64 range; larger id spaces should pre-fold
+    ids with a 32-bit mix, same as the sampling operators)."""
+    h1 = F.pmod((F.col(id_col) * F.lit(_KNUTH) + F.lit(11)).cast("bigint"), F.lit(_M32))
+    okey = F.pmod((F.col(id_col) * F.lit(40503) + F.lit(7)).cast("bigint"), F.lit(_M32))
+    return df.withColumn("shard", F.pmod(h1, F.lit(n_shards))).withColumn("okey", okey)
+
+
+def write_training_shards(
+    df: DataFrame, id_col: str, path: str, *, n_shards: int = 16
+) -> None:
+    """Materialize the training order: one hash exchange on ``shard``, an
+    intra-partition sort on (shard, okey, id), one parquet directory per
+    shard. No global sort and no skew: the multiplicative hash spreads ids
+    uniformly over shards regardless of id clustering."""
+    out = shard_order_keys(df, id_col, n_shards=n_shards)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "okey", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -438,3 +438,57 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar uint8 quantization of an embedding column — the storage/ANN
+    compression step of a 100 TB vector pipeline (4x smaller than float32,
+    and the representation IVF/LSH candidate scans page through).
+
+    Per-dimension min/max over the corpus define the affine code
+    ``q_i = floor((v_i - mn_i) * 255 / (mx_i - mn_i) + 0.5)``; constant
+    dimensions code to 0. Returns (id, q array<int> codes).
+
+    Scale shape: the stats pass is a posexplode + 64-group aggregate —
+    map-side partial aggregation collapses each partition to dim rows, so
+    the shuffle is dim x partitions rows regardless of corpus size. The
+    dim-aligned (mn, mx) arrays ride a one-row broadcast join into the
+    row-local encode pass; nothing is collected to the driver.
+    """
+    e = df.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("e"),
+    )
+    stats = (
+        e.select(F.posexplode(F.col("e")).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda x: x["mn"]).alias("mnl"),
+        F.transform(F.col("s"), lambda x: x["mx"]).alias("mxl"),
+    )
+    code = lambda v, mn, mx: (
+        F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.floor((v - mn) * 255 / (mx - mn) + 0.5).cast("long")
+        )
+    )
+    q = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: code(
+            F.element_at(F.col("e"), (i + 1).cast("int")),
+            F.element_at(F.col("mnl"), (i + 1).cast("int")),
+            F.element_at(F.col("mxl"), (i + 1).cast("int")),
+        ),
+    )
+    return e.crossJoin(F.broadcast(packed)).select(
+        F.col("qid").alias(id_col), q.alias("q")
+    )

@@ -1,0 +1,125 @@
+"""Winnowing document fingerprints (north-star extension): the
+exact-substring near-dup signal for training corpora.
+
+Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm)
+selects, from each sliding window of ``w`` consecutive k-gram hashes, the
+window minimum. The selected set is a per-document sketch with a guarantee
+the MinHash sketch does not have: any substring match of at least
+``w + k - 1`` tokens between two documents produces at least one *shared
+fingerprint*. That makes it the right primitive for exact-substring
+deduplication (the "repeated training data" signal of Lee et al. 2022),
+where Jaccard-style whole-document similarity is the wrong lens.
+
+Scale design: everything up to the fingerprint explode is row-local array
+math inside WholeStageCodegen (token hash -> rolling k-gram hash -> window
+min), so the per-document cost is O(tokens x w) with no Python and no
+shuffle. The single shuffle in the dup-groups query is the groupBy on the
+fingerprint value itself — map-side partial aggregation collapses each
+partition to its distinct fingerprints first, so shuffle volume tracks the
+sketch size (~2/(w+1) of the k-gram count per doc), not the corpus.
+
+Hash construction (chosen for an exact DuckDB twin, like the SimHash
+polynomial — dedup.py): per-token char-polynomial hash (acc*31 + code) mod
+1e9+7, then a k-gram rolling hash (acc*B + token_hash) mod (2^31 - 1) with
+B = 1,048,573. Every intermediate stays below 2^52, inside exact signed-64
+arithmetic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from numaflow_spark.operators.dedup import _token_poly_hash
+from numaflow_spark.operators.text import tokens
+
+_KGRAM_B = 1_048_573
+_KGRAM_P = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing sketch: (doc, fp) — the distinct window-min
+    k-gram hashes. Documents shorter than ``k + w - 1`` tokens (no full
+    window) contribute no fingerprints, matching the guarantee threshold:
+    only substrings of at least that length are detectable anyway."""
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    th = F.transform(F.col("toks"), _token_poly_hash)
+    kh = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("th")) - k),
+        lambda i: F.aggregate(
+            F.slice(F.col("th"), i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * _KGRAM_B + x) % _KGRAM_P,
+        ),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("kh")) - w),
+            lambda i: F.array_min(F.slice(F.col("kh"), i + 1, w)),
+        )
+    )
+    return (
+        toked.where(F.size(F.col("toks")) >= k + w - 1)
+        .select("doc", th.alias("th"))
+        .select("doc", kh.alias("kh"))
+        .select("doc", F.explode(fps).alias("fp"))
+    )
+
+
+def winnow_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Cross-document shared-substring groups: fingerprints seen in more
+    than one document, with the doc count and the smallest carrier. Each
+    output row is evidence of a repeated token span of length >= k (and a
+    window-min collision implies the span around it); downstream removal
+    joins this back on the fingerprint to locate the spans."""
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.col("fp").alias("fingerprint"), "n_docs", "min_doc")
+    )
+
+
+def winnow_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of ``winnow_dup_groups``: identical token polynomial
+    hash, identical rolling k-gram hash, identical window-min selection."""
+    min_toks = k + w - 1
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc, string_split({text_col}, ' ') AS word
+            FROM {table}
+            WHERE len(string_split({text_col}, ' ')) >= {min_toks}
+        ), th AS (
+            SELECT doc,
+                   list_transform(word, t -> list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                           list_transform(string_split(t, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS th
+            FROM toks
+        ), kh AS (
+            SELECT doc,
+                   [list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+{k - 1}]),
+                                (acc, x) -> (acc * {_KGRAM_B} + x) % {_KGRAM_P})
+                    for i in range(1, len(th) - {k - 2})] AS kh
+            FROM th
+        ), fp AS (
+            SELECT DISTINCT doc,
+                   unnest([list_min(kh[i:i+{w - 1}])
+                           for i in range(1, len(kh) - {w - 2})]) AS fp
+            FROM kh
+        )
+        SELECT fp AS fingerprint, count(*) AS n_docs, min(doc) AS min_doc
+        FROM fp GROUP BY fp HAVING count(*) > 1
+    """

@@ -840,3 +840,46 @@ ORACLES["sql_shipping_priority"] = """
     ORDER BY revenue_c4 DESC, l_orderkey
     LIMIT 10
 """
+
+# winnow_dups' fingerprint construction (token polynomial hash -> rolling
+# k-gram hash -> window-min selection) is chosen to be expressible
+# identically in DuckDB; the generator embeds the same constants.
+from numaflow_spark.operators.winnow import winnow_oracle_sql as _winnow_sql
+
+ORACLES["winnow_dups"] = _winnow_sql(k=3, w=4)
+
+# Scalar uint8 embedding quantization: per-dim min/max -> affine codes.
+# Identical IEEE-double expression order on both sides; outputs are integer
+# code summaries so no float ever reaches the hash layer.
+ORACLES["embedding_quantize"] = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        FROM embeddings
+    ), dims AS (
+        SELECT t.i AS i, min(e[t.i]) AS mn, max(e[t.i]) AS mx
+        FROM e, range(1, 65) t(i) GROUP BY t.i
+    ), packed AS (
+        SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dims
+    ), q AS (
+        SELECT vec_id,
+               [CASE WHEN mxl[i] = mnl[i] THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor((e[i] - mnl[i]) * 255 / (mxl[i] - mnl[i])
+                                     + 0.5) AS BIGINT) END
+                for i in range(1, 65)] AS q
+        FROM e, packed
+    )
+    SELECT vec_id,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS q_nz
+    FROM q
+"""
+
+# Deterministic training order: same Knuth multiplicative hashes as the
+# sampling oracles; % and pmod agree on the non-negative domain.
+ORACLES["train_shard_order"] = """
+    SELECT doc_id,
+           CAST((doc_id * 2654435761 + 11) % 4294967296 % 16 AS BIGINT) AS shard,
+           CAST((doc_id * 40503 + 7) % 4294967296 AS BIGINT) AS okey
+    FROM documents
+"""

@@ -1173,6 +1173,50 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing shared-substring groups (Schleimer et al. 2003): window-min
+    k-gram fingerprints guarantee any >= w+k-1-token substring match between
+    docs shares a fingerprint — the exact-substring dedup signal Jaccard
+    similarity misses. Row-local array math to the sketch, one fingerprint
+    groupBy shuffle (see operators/winnow.py for the scale analysis)."""
+    from numaflow_spark.operators.winnow import winnow_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_dup_groups(docs, "doc_id", "text", k=3, w=4)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar uint8 embedding quantization (vector-pipeline compression):
+    per-dim corpus min/max -> affine [0,255] codes. The query emits integer
+    code summaries per vector (sum / max / nonzero count) so the value hash
+    is array-layout-free; the stats pass shuffles dim x partitions rows and
+    the codes ride a one-row broadcast — nothing touches the driver."""
+    from numaflow_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = quantize_embeddings(emb, id_col="vec_id", vec_col="embedding", dim=64)
+    return coded.select(
+        "vec_id",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max(F.col("q")).alias("q_max"),
+        F.size(F.filter(F.col("q"), lambda x: x > 0)).cast("bigint").alias("q_nz"),
+    )
+
+
+def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order: replayable shard + intra-shard order
+    keys from multiplicative hashes of doc_id — a global pseudo-random
+    permutation produced with one hash exchange and per-shard sorts, never
+    a global sort (operators/ordering.py; the writer materializes one
+    sorted parquet directory per shard)."""
+    from numaflow_spark.operators.ordering import shard_order_keys
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_order_keys(docs, "doc_id", n_shards=16).select(
+        "doc_id", "shard", "okey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1241,4 +1285,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "json_props_agg": q_json_props_agg,
     "sql_shipping_priority": q_sql_shipping_priority,
+    "winnow_dups": q_winnow_dups,
+    "embedding_quantize": q_embedding_quantize,
+    "train_shard_order": q_train_shard_order,
 }

@@ -167,3 +167,84 @@ def test_similar_pairs_chunked_matches_unchunked(spark):
         .collect()
     )
     assert full == truth
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
+    >= w+k-1-token substring share at least one fingerprint; disjoint docs
+    share none; too-short docs produce no fingerprints."""
+    from numaflow_spark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta unique one ending here"),
+            (2, "other prefix words alpha beta gamma delta epsilon zeta eta done"),
+            (3, "totally disjoint vocabulary nothing matches anything else whatsoever"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {
+        r.doc: set(r.fps)
+        for r in fp.groupBy("doc").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    # docs 1 and 2 share the 7-token run "alpha ... eta" (= w+k-1 = 6 plus one)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc  # 2 tokens < k+w-1: no full window, no sketch
+
+
+def test_winnow_dup_groups_counts(spark):
+    from numaflow_spark.operators.winnow import winnow_dup_groups
+
+    df = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "one two three four five six seven eight nine ten"),
+            (12, "entirely unrelated words compose this bystander document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = winnow_dup_groups(df, "doc_id", "text").collect()
+    assert groups and all(r.n_docs == 2 and r.min_doc == 10 for r in groups)
+
+
+def test_quantize_embeddings_codes(spark):
+    """Affine uint8 codes: extremes map to 0/255, constant dims to 0, all
+    codes inside [0, 255]."""
+    from numaflow_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 5.0, 7.0]),
+        (2, [10.0, 5.0, 3.0]),
+        (3, [5.0, 5.0, 11.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = {r.vec_id: r.q for r in quantize_embeddings(df, dim=3).collect()}
+    assert q[1][0] == 0 and q[2][0] == 255  # dim 0 spans 0..10
+    assert q[1][1] == q[2][1] == q[3][1] == 0  # constant dim codes to 0
+    assert all(0 <= c <= 255 for codes in q.values() for c in codes)
+    assert q[3][2] == 255 and q[2][2] == 0
+
+
+def test_training_shards_sorted_and_complete(spark, tmp_path):
+    """write_training_shards: shard dirs partition the corpus, every file
+    is (okey, id)-sorted, and the assignment is deterministic."""
+    from numaflow_spark.operators.ordering import shard_order_keys, write_training_shards
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, "doc_id", out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    assert back.select("doc_id").distinct().count() == 400
+    assert {r.shard for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    import glob
+
+    for f in glob.glob(f"{out}/shard=*/*.parquet"):
+        okeys = [r.okey for r in spark.read.parquet(f).collect()]
+        assert okeys == sorted(okeys)
+    a = shard_order_keys(df, "doc_id", n_shards=4).collect()
+    b = shard_order_keys(df.repartition(7), "doc_id", n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.okey) for r in a} == {(r.doc_id, r.shard, r.okey) for r in b}

@@ -232,3 +232,30 @@ def test_bm25_topk_is_heap_take(spark):
     assert nodes(plan, "Window") == 0
     assert nodes(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_winnow_single_shuffle_no_python(spark):
+    """winnow_dups: the whole sketch (token hash -> rolling k-gram -> window
+    min) is row-local JVM array math; the only exchange is the fingerprint
+    groupBy, partial-aggregated map-side."""
+    plan = plan_of(spark, "winnow_dups")
+    assert nodes(plan, "Exchange") == 1
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    first_agg = plan.index("HashAggregate")
+    assert "partial_count" in plan[first_agg:] or "Functions: partial" in plan[first_agg:]
+
+
+def test_quantize_broadcasts_stats(spark):
+    """embedding_quantize: the dim-stats row rides a broadcast into the
+    encode pass — no driver collect, no corpus-wide shuffle of codes."""
+    plan = plan_of(spark, "embedding_quantize")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_train_shard_order_shuffle_free(spark):
+    """train_shard_order: pure row-local hash projection — zero exchanges,
+    so the order keys cost nothing at any corpus size (the single exchange
+    happens only in the writer, on the shard column)."""
+    plan = plan_of(spark, "train_shard_order")
+    assert nodes(plan, "Exchange") == 0
