@@ -158,6 +158,16 @@ def main() -> None:
         .count()
         .count(),
     )
+    from numaflow_spark.operators.winnow import winnow_dup_groups
+
+    probe(
+        "winnow_dups",
+        lambda: winnow_dup_groups(docs, "doc_id", "text").count(),
+    )
+    probe(
+        "embedding_quantize",
+        lambda: similarity.quantize_embeddings(vecs, dim=DIM).count(),
+    )
     probe(
         "brute_topk",
         lambda: similarity.brute_force_topk(
