@@ -249,6 +249,72 @@ def minhash_lsh_pairs(
     return _verify_jaccard(inter, sh, threshold, broadcast_pairs=True)
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_words: int = 10,
+) -> DataFrame:
+    """Sub-document (span-level) corpus dedup — the C4/RefinedWeb
+    "remove duplicated lines across the corpus" operator, at fixed
+    ``span_words``-word granularity since this corpus has no line breaks.
+
+    Every document is cut into consecutive non-overlapping word spans; a
+    span occurrence survives iff it is globally unique OR its document is
+    the canonical keeper (minimum doc id over all occurrences). Surviving
+    spans are reassembled in position order, so exactly one copy of every
+    duplicated span remains corpus-wide — the document-level dedup ops
+    (exact/MinHash/SimHash) can't express this: they keep or drop whole
+    docs.
+
+    Scale shape: spans shuffle once on a 16-byte hash for the global
+    (count, keeper) aggregation — map-side partial agg collapses each
+    partition to its distinct spans — then once on doc id for reassembly.
+    No self-join, no all-pairs anything: cost is 2 shuffles linear in
+    corpus token count, which survives 100 TB. Output:
+    (doc, n_spans, n_kept, text_clean).
+    """
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    span_at = lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * span_words + 1, span_words))
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / span_words).cast("int")),
+        span_at,
+    )
+    spans = toked.where(F.size("toks") >= 1).select(
+        "doc", F.posexplode(spans_arr).alias("pos", "span")
+    )
+    # group on the hash, not the span text: the wide string stays in the
+    # doc-local rows; only 16 bytes/span enter the global shuffle
+    hashed = spans.withColumn("hs", F.xxhash64("span"))
+    stats = hashed.groupBy("hs").agg(
+        F.count("*").alias("n_occ"), F.min("doc").alias("keeper")
+    )
+    kept = hashed.join(stats, "hs").filter(
+        (F.col("n_occ") == 1) | (F.col("doc") == F.col("keeper"))
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = toked.select(
+        "doc", (F.floor((F.size("toks") - 1) / span_words) + 1).cast("bigint").alias("n_spans")
+    )
+    # left join keeps docs whose every span was removed (empty text_clean)
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_spans",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 # SimHash token hash: polynomial fold over codepoints, then 63 affine-mod
 # bit extractors. Chosen (over xxhash64) because every piece is expressible
 # identically in DuckDB SQL, so simhash_neardup gets a full value-hash oracle

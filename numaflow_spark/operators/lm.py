@@ -1,0 +1,76 @@
+"""Statistical n-gram language-model scoring (north-star extension): the
+CCNet-style "perplexity filter" signal for training-data curation, built
+entirely from corpus statistics — no external model, no Python in the hot
+path.
+
+A bigram LM with add-one (Laplace) smoothing is trained ON the corpus and
+then scores each document:
+
+    p(w2 | w1) = (count(w1 w2) + 1) / (count(w1) + |V|)
+    score(doc) = mean over the doc's bigrams of ln p(w2 | w1)
+
+Higher (less negative) scores = more typical text; the filter drops the
+low tail. Both the training pass and the scoring pass are plain
+aggregations/joins, so the same op trains on 100 TB:
+
+  * unigram/bigram count tables: one explode + partial-aggregated groupBy
+    each — shuffle volume is the *distinct* n-gram count, not the token
+    count;
+  * |V| is a 1-row aggregate broadcast via crossJoin;
+  * scoring joins the doc's bigram occurrences against the count tables on
+    the n-gram key — shuffle joins that AQE converts to broadcast when the
+    vocabulary is small (it is here), and that stay well-partitioned
+    sort-merge joins when it isn't.
+
+Scores are rounded to 6 decimals for cross-engine float identity (same
+discipline as bm25_rank: ln/div are IEEE-rounded, the sum order inside a
+doc contributes ~1e-13 absolute, invisible at 6 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from numaflow_spark.operators.text import tokens
+
+
+def bigram_tables(df: DataFrame, id_col: str, text_col: str):
+    """(doc-bigram occurrences, unigram counts, bigram counts, vocab-size
+    1-row DF) — the trained model plus the scoring input, sharing one
+    tokenized subtree."""
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    uni_occ = toked.select("doc", F.explode("toks").alias("w"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i.cast("int")).alias("w1"),
+            F.element_at(F.col("toks"), (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    bi_occ = (
+        toked.where(F.size("toks") >= 2)
+        .select("doc", F.explode(pairs).alias("p"))
+        .select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = uni_occ.groupBy("w").agg(F.count("*").alias("c1"))
+    bi = bi_occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    return bi_occ, uni, bi, vocab
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-likelihood:
+    (doc, n_bigrams, avg_logp). Deterministic across engines/partitionings
+    at 6-decimal rounding."""
+    bi_occ, uni, bi, vocab = bigram_tables(df, id_col, text_col)
+    logp = F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+    scored = (
+        bi_occ.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc", logp.alias("lp"))
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )

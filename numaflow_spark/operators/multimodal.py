@@ -100,6 +100,99 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
+PCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def pcm_window_features(df: DataFrame, *, window_samples: int = 100) -> DataFrame:
+    """Audio feature extraction over a PCM byte blob: per fixed-size sample
+    window, signal energy (sum of squared samples) and zero-crossing count
+    around the unsigned midpoint (128). Unlike the image/video decoders,
+    nothing here is stubbed — PCM "decode" is just a byte reinterpretation,
+    so this is the real windowed-DSP path: numpy ``frombuffer`` + one
+    vectorized pass per Arrow batch inside ``mapInPandas``.
+
+    All-integer outputs make the operator exactly reproducible across
+    engines (the declared query's DuckDB oracle recomputes the same windows
+    from codepoints). Input: (doc_id, blob, meta) from ``attach_blob`` with
+    modality='audio'. Scale: zero shuffles — features stream out of the
+    scan partitions; a window row is ~40 bytes regardless of audio size.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win": [], "n_samples": [], "energy": [], "n_zero_cross": []
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                s = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                if not len(s):
+                    continue
+                centered = s - 128
+                # zero-crossing: sign change between consecutive samples,
+                # counted in the window of the *second* sample
+                sign = centered >= 0
+                cross = np.zeros(len(s), dtype=np.int64)
+                cross[1:] = (sign[1:] != sign[:-1]).astype(np.int64)
+                n_win = (len(s) + window_samples - 1) // window_samples
+                for w in range(n_win):
+                    seg = slice(w * window_samples, (w + 1) * window_samples)
+                    out["doc_id"].append(doc_id)
+                    out["win"].append(w)
+                    out["n_samples"].append(len(s[seg]))
+                    out["energy"].append(int((s[seg] ** 2).sum()))
+                    out["n_zero_cross"].append(int(cross[seg].sum()))
+            pdf_out = pd.DataFrame(out)
+            # pin dtypes to the declared schema so Arrow never guesses
+            yield pdf_out.astype(
+                {"doc_id": "int64", "win": "int32", "n_samples": "int64",
+                 "energy": "int64", "n_zero_cross": "int64"}
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(extract, schema=PCM_FEATURE_SCHEMA)
+
+
+def resize_plumbing(df: DataFrame, *, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Image resize plumbing: the mapInPandas stage a real resampler plugs
+    into (``decode_image_real`` is the stub boundary). The stand-in derives
+    a deterministic "resized checksum" from strided bytes — the stride math
+    IS the nearest-neighbor access pattern a real resize performs, so batch
+    shape, schema, and cost model are faithful; only the pixel math is fake.
+    Output: (doc_id, out_w, out_h, checksum)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if not len(b):
+                    rows.append((doc_id, out_w, out_h, 0))
+                    continue
+                idx = (np.arange(out_w * out_h) * max(1, len(b) // (out_w * out_h))) % len(b)
+                rows.append((doc_id, out_w, out_h, int(b[idx].astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "checksum"])
+
+    return df.select("doc_id", "blob").mapInPandas(resize, schema=schema)
+
+
 def frame_sample(
     df: DataFrame,
     *,

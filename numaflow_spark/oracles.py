@@ -883,3 +883,107 @@ ORACLES["train_shard_order"] = """
            CAST((doc_id * 40503 + 7) % 4294967296 AS BIGINT) AS okey
     FROM documents
 """
+
+# Sub-document span dedup: the Spark side groups on xxhash64(span) to keep
+# the shuffle 16 bytes wide; the oracle groups on the span text itself —
+# equivalent up to 64-bit hash collisions (~|spans|²/2⁶⁵, the same accepted
+# margin as the shingle-hash paths). DuckDB list slicing is 1-based
+# inclusive, matching Spark's slice(arr, start, length).
+ORACLES["span_dedup"] = """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), spans AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(toks[(u.i*10+1):(u.i*10+10)], ' ') AS span
+        FROM tok,
+             unnest(generate_series(0, CAST(floor((len(toks)-1)/10) AS BIGINT))) u(i)
+    ), stats AS (
+        SELECT span, count(*) AS n_occ, min(doc_id) AS keeper
+        FROM spans GROUP BY span
+    ), kept AS (
+        SELECT s.doc_id, s.pos, s.span
+        FROM spans s JOIN stats t USING (span)
+        WHERE t.n_occ = 1 OR s.doc_id = t.keeper
+    ), rebuilt AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(floor((len(t.toks)-1)/10) + 1 AS BIGINT) AS n_spans,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+# Add-one-smoothed bigram LM scores. Integer '/' is true division (DOUBLE)
+# in DuckDB, matching the Spark side's explicit double cast; ln/avg rounded
+# to 6 absorbs the ulp-level libm differences (same discipline as bm25).
+ORACLES["ngram_lm_score"] = """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS c1 FROM (
+            SELECT unnest(toks) AS w FROM tok
+        ) GROUP BY w
+    ), vocab AS (
+        SELECT count(*) AS v FROM uni
+    ), bi_occ AS (
+        SELECT doc_id, toks[CAST(u.i AS BIGINT)] AS w1,
+               toks[CAST(u.i + 1 AS BIGINT)] AS w2
+        FROM tok, unnest(generate_series(1, len(toks) - 1)) u(i)
+        WHERE len(toks) >= 2
+    ), bi AS (
+        SELECT w1, w2, count(*) AS c2 FROM bi_occ GROUP BY w1, w2
+    )
+    SELECT o.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((b.c2 + 1) / (u.c1 + vocab.v))), 6) AS avg_logp
+    FROM bi_occ o
+    JOIN bi b ON b.w1 = o.w1 AND b.w2 = o.w2
+    JOIN uni u ON u.w = o.w1, vocab
+    GROUP BY o.doc_id
+"""
+
+# First BPE merge iteration: vocabulary aggregated before the pair explode
+# on both sides; (cnt desc, pair) is a total order (pair is unique), so the
+# top-50 cut is deterministic.
+ORACLES["bpe_pair_counts"] = """
+    WITH vocab AS (
+        SELECT tok, count(*) AS n_occ FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) GROUP BY tok HAVING length(tok) >= 2
+    ), pairs AS (
+        SELECT substr(tok, CAST(u.i AS INTEGER), 2) AS pair, n_occ
+        FROM vocab, unnest(generate_series(1, length(tok) - 1)) u(i)
+    ), cnt AS (
+        SELECT pair, CAST(sum(n_occ) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT pair, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rank
+    FROM cnt ORDER BY cnt DESC, pair LIMIT 50
+"""
+
+# PCM window features over the text bytes (ascii-safe corpus: byte ==
+# codepoint). All-integer outputs — energy is an exact int64 sum of squares,
+# zero-cross counts sign changes around the unsigned-PCM midpoint 128.
+ORACLES["audio_pcm_energy"] = """
+    WITH chars AS (
+        SELECT doc_id, u.i AS i,
+               CAST(ascii(substr(text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS code
+        FROM documents, unnest(generate_series(1, length(text))) u(i)
+    ), flagged AS (
+        SELECT doc_id, i, code,
+               CASE WHEN i = 1 THEN 0
+                    WHEN (code >= 128) <> (lag(code) OVER (PARTITION BY doc_id ORDER BY i) >= 128)
+                    THEN 1 ELSE 0 END AS zc
+        FROM chars
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 100 AS INTEGER) AS win,
+           count(*) AS n_samples,
+           CAST(sum(code * code) AS BIGINT) AS energy,
+           CAST(sum(zc) AS BIGINT) AS n_zero_cross
+    FROM flagged
+    GROUP BY doc_id, ((i - 1) // 100)
+"""

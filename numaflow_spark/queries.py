@@ -1217,6 +1217,77 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (C4-style duplicate-line removal at 10-word
+    granularity): globally duplicated spans keep exactly one copy (in the
+    min-doc-id keeper), docs are reassembled in span order. Two linear
+    shuffles — span-hash agg + doc reassembly — no self-join (see
+    operators/dedup.py::span_dedup). The emitted text_clean hashes the
+    whole reassembly, so the oracle checks byte-identical output text."""
+    from numaflow_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", span_words=10).select(
+        F.col("doc").alias("doc_id"), "n_spans", "n_kept", "text_clean"
+    )
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape perplexity filter signal: an add-one-smoothed bigram LM
+    trained on the corpus scores every document's mean bigram log-prob
+    (operators/lm.py). Count tables shuffle on n-gram keys with map-side
+    partials; |V| rides a 1-row broadcast; no Python anywhere."""
+    from numaflow_spark.operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), "n_bigrams", "avg_logp"
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration: corpus-weighted adjacent character-pair
+    frequencies, top-50. The token vocabulary is aggregated FIRST (one
+    shuffle collapses the corpus to distinct tokens), pairs explode off the
+    tiny vocab table — the explode-then-count order a naive implementation
+    gets wrong by a factor of corpus/vocab. Top-50 via
+    TakeOrderedAndProject with a (cnt desc, pair asc) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        "n_occ",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i.cast("int"), F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    cnt = pairs.groupBy("pair").agg(F.sum("n_occ").cast("bigint").alias("cnt"))
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("pair")).limit(50)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def q_audio_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction on multimodal binary columns: document text
+    bytes play the PCM-u8 track (byte reinterpretation IS the decode, so
+    nothing is stubbed); per 100-sample window the operator emits integer
+    energy and zero-crossing counts from one vectorized numpy pass
+    (operators/multimodal.py::pcm_window_features). Zero shuffles; the
+    all-integer contract gives an exact DuckDB oracle over codepoints."""
+    from numaflow_spark.operators.multimodal import attach_blob, pcm_window_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(docs, "doc_id", "text", modality="audio", mime="audio/pcm")
+    return pcm_window_features(blobs, window_samples=100)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1288,4 +1359,8 @@ QUERIES = {
     "winnow_dups": q_winnow_dups,
     "embedding_quantize": q_embedding_quantize,
     "train_shard_order": q_train_shard_order,
+    "span_dedup": q_span_dedup,
+    "ngram_lm_score": q_ngram_lm_score,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "audio_pcm_energy": q_audio_pcm_energy,
 }

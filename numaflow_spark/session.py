@@ -98,7 +98,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             # integer div keeps full precision (a double round-trip would not)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            # some generator versions store micro-precision NTZ instead of
+            # nanos; with the session pinned to UTC this cast maps wall time
+            # to the identical instant the nanos path produces, and restores
+            # TimestampType for functions that reject NTZ (unix_micros)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

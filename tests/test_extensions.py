@@ -248,3 +248,65 @@ def test_training_shards_sorted_and_complete(spark, tmp_path):
     a = shard_order_keys(df, "doc_id", n_shards=4).collect()
     b = shard_order_keys(df.repartition(7), "doc_id", n_shards=4).collect()
     assert {(r.doc_id, r.shard, r.okey) for r in a} == {(r.doc_id, r.shard, r.okey) for r in b}
+
+
+def test_span_dedup_keeps_one_copy(spark):
+    from numaflow_spark.operators.dedup import span_dedup
+
+    shared = "w1 w2 w3 w4 w5"  # 5-word span duplicated across docs 10 and 20
+    df = spark.createDataFrame(
+        [
+            (10, shared + " unique tail ten"),
+            (20, shared + " other words here"),
+            (30, "entirely distinct text body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in span_dedup(df, "doc_id", "text", span_words=5).collect()}
+    # doc 10 is the keeper (min id): keeps both its spans
+    assert out[10].n_spans == 2 and out[10].n_kept == 2
+    assert out[10].text_clean == shared + " unique tail ten"
+    # doc 20 loses the shared span but keeps its unique one, order preserved
+    assert out[20].n_spans == 2 and out[20].n_kept == 1
+    assert out[20].text_clean == "other words here"
+    assert out[30].n_kept == 1 and out[30].text_clean == "entirely distinct text body"
+
+
+def test_bigram_lm_scores_prefers_typical_text(spark):
+    import math
+
+    from numaflow_spark.operators.lm import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b a b"), (3, "z q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    # vocab = {a, b, z, q} -> V=4; doc 3's lone bigram (z,q): c2=1, c1(z)=1
+    assert out[3].n_bigrams == 1
+    assert out[3].avg_logp == round(math.log((1 + 1) / (1 + 4)), 6)
+    # repeated-pattern docs score higher (their bigrams are corpus-frequent)
+    assert out[1].avg_logp > out[3].avg_logp
+    assert out[1].avg_logp == out[2].avg_logp
+
+
+def test_pcm_window_features_exact(spark):
+    from numaflow_spark.operators.multimodal import attach_blob, pcm_window_features
+
+    # 5 bytes: codes 97('a') 32(' ') 98('b') 32 99('c') -> windows of 3
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    blobs = attach_blob(df, "doc_id", "text", modality="audio")
+    rows = {r.win: r for r in pcm_window_features(blobs, window_samples=3).collect()}
+    assert rows[0].n_samples == 3 and rows[0].energy == 97**2 + 32**2 + 98**2
+    assert rows[1].n_samples == 2 and rows[1].energy == 32**2 + 99**2
+    assert rows[0].n_zero_cross == 0  # all-ascii: never crosses 128
+
+
+def test_resize_plumbing_shape(spark):
+    from numaflow_spark.operators.multimodal import attach_blob, resize_plumbing
+
+    df = spark.createDataFrame([(1, "abcdef" * 100), (2, "")], "doc_id long, text string")
+    blobs = attach_blob(df, "doc_id", "text")
+    out = {r.doc_id: r for r in resize_plumbing(blobs, out_w=8, out_h=8).collect()}
+    assert out[1].out_w == 8 and out[1].out_h == 8 and out[1].checksum > 0
+    assert out[2].checksum == 0  # empty blob degrades cleanly
