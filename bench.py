@@ -3,19 +3,18 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "streaming_events_per_sec": ...}.
 
-Each query is materialized via a count-style action over its full result
-(collect of aggregated outputs), which exercises scan -> shuffle -> agg the
-way the driver's correctness run does. A JVM/catalog warmup query runs first
-so per-query numbers measure the plan, not session bootstrap.
-
-The streaming stage measures BASELINE.md's throughput anchor — events/s
-sustained through generator source -> map -> keyed fixed-window agg -> sink
-(the reference's 10K/s single-partition, <30K/s multi-partition ceilings) —
-as rows drained per wall-second over a fixed-size replay.
+Stage order is deliberate: the streaming-throughput stage (BASELINE.md's
+events/s anchor — generator source -> map -> keyed fixed-window agg -> sink,
+vs the reference's 10K/s single-partition and <30K/s multi-partition
+ceilings) runs FIRST, in a quiet JVM; then table + Arrow warmups; then each
+query is materialized via a full-result collect, which exercises scan ->
+shuffle -> agg the way the driver's correctness run does, with a gc.collect
+after each query so finished plans release their shuffle/checkpoint blocks.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -42,9 +41,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: touch every table once (footer reads, codegen, JIT).
+    # Streaming throughput FIRST: measured in a quiet JVM, not under the
+    # heap/GC pressure left behind by 70 collect-heavy queries (r3's 24.8K
+    # ev/s vs the module's 133K standalone was exactly that confound).
+    streaming_rps = _streaming_throughput(spark)
+
+    # Warmup: touch every table once (footer reads, codegen, JIT), plus one
+    # throwaway Arrow/pandas-UDF round trip so the first python-worker fork +
+    # Arrow codegen lands here, not inside the first mapInPandas query.
     for t in ("events", "lineitem", "orders", "customer", "nation"):
         load_table(spark, sf_dir, t).count()
+    _arrow_warmup(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -56,8 +63,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-
-    streaming_rps = _streaming_throughput(spark)
+        # Drop py4j refs from the finished query so the ContextCleaner can
+        # free its shuffle files and localCheckpoint blocks; without this the
+        # CC queries' checkpointed RDDs accumulate across the suite and the
+        # tail of the run measures GC pressure, not plans.
+        del df
+        gc.collect()
 
     result = {
         "metric": "declared_query_suite_wall",
@@ -74,6 +85,18 @@ def main() -> None:
     sys.stderr.flush()
     sys.stdout.flush()
     print(json.dumps(result), flush=True)
+
+
+def _arrow_warmup(spark) -> None:
+    """One tiny mapInPandas round trip: forks the python worker pool and
+    JIT-compiles the Arrow serde paths once, outside any timed query."""
+    import pandas as pd
+
+    def ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(32).mapInPandas(ident, schema="id long").count()
 
 
 def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_000) -> float:

@@ -26,7 +26,10 @@ __all__ = ["connected_components", "dedup_survivors"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
-    """Distinct hi→lo directed edges, self-loops dropped."""
+    """Distinct hi→lo directed edges, self-loops dropped. Entry
+    normalization only — inside the round loop every transform preserves the
+    hi→lo orientation, so re-canonicalizing (greatest/least + distinct)
+    per round would be wasted exchanges; see _round."""
     return (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
@@ -36,35 +39,39 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+def _round(edges: DataFrame) -> DataFrame:
+    """One large-star ∘ small-star round over hi→lo oriented edges,
+    shuffle-trimmed: both stars' groupBy-min aggregates are duplicate-
+    tolerant (min is idempotent), so the round carries NO intermediate
+    distinct — a single distinct at the end dedups the ≤2|E| emitted rows.
+    Orientation is an invariant throughout (proofs inline), so the
+    greatest/least re-canonicalization is dropped entirely.
 
-    On canonical hi→lo edges the symmetrized form collapses: a node u's
-    larger neighbors are exactly its in-edges (w, u), and min(Γ(u) ∪ {u})
-    is min(out-neighbors ∪ {u}) (in-neighbors are all > u). So one groupBy
-    for per-node out-minima plus one join onto the in-edges replaces the
-    2×-edges union self-join of the textbook formulation.
+    large-star (on hi→lo edges the textbook symmetrized form collapses): a
+    node u's larger neighbors are exactly its in-edges (w, u), and
+    min(Γ(u) ∪ {u}) = min(out-neighbors ∪ {u}) since in-neighbors are all
+    > u. One groupBy for per-node out-minima plus one left join onto the
+    in-edges replaces the 2×-edges union self-join. Output (u, v') keeps
+    u > v' ≥ component-min because v' = min(v, min-out-of-v) < u.
+
+    small-star: connect every smaller neighbor of u (and u itself) to the
+    minimum m of u's down-neighborhood. to_nbrs (v, m) has v ≥ m (self-loop
+    when v = m, filtered); to_self (u, m) has u > m always.
     """
-    m = edges.groupBy("u").agg(F.min("v").alias("mv"))
-    return (
+    ls_m = edges.groupBy("u").agg(F.min("v").alias("mv"))
+    ls = (
         edges.alias("x")
-        .join(m.alias("t"), F.col("x.v") == F.col("t.u"), "left")
+        .join(ls_m.alias("t"), F.col("x.v") == F.col("t.u"), "left")
         .select(
             F.col("x.u").alias("u"),
             F.least(F.coalesce(F.col("t.mv"), F.col("x.v")), F.col("x.v")).alias("v"),
         )
     )
-
-
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect every smaller-or-equal neighbor of u (and u itself) to the
-    minimum of that down-neighborhood. Operates on hi→lo directed edges."""
-    e = _canon(edges)
-    m = e.groupBy("u").agg(F.min("v").alias("m"))
-    j = e.join(m, "u")
+    ss_m = ls.groupBy("u").agg(F.min("v").alias("m"))
+    j = ls.join(ss_m, "u")
     to_nbrs = j.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    to_self = j.select("u", F.col("m").alias("v")).distinct()
-    return to_nbrs.union(to_self)
+    to_self = j.select("u", F.col("m").alias("v"))
+    return to_nbrs.union(to_self).filter(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components(
@@ -95,7 +102,7 @@ def connected_components(
         targets_with_out = e.join(srcs, e.v == srcs.s, "left_semi")
         if targets_with_out.isEmpty():
             break
-        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        e = _round(e).localCheckpoint(eager=True)
     else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # At the fixpoint the edge set is a star forest: (member, root) with
@@ -107,10 +114,11 @@ def connected_components(
 
 def dedup_survivors(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str,
     *,
     pair_cols: tuple[str, str] = ("d1", "d2"),
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus after fuzzy dedup: one survivor (minimum id) per near-dup
     component, everything un-paired kept as-is.
@@ -119,9 +127,17 @@ def dedup_survivors(
     simhash_neardup_pairs / similar_pairs). The anti-join keys on the
     component *member* set minus roots — shuffle volume tracks the duplicate
     count, not the corpus.
+
+    A pipeline that needs clusters AND survivors should run
+    ``connected_components`` once and pass the result as ``components``
+    (node, component) — otherwise this operator re-derives the components
+    (and re-evaluates the whole pair pipeline) from ``pairs``.
     """
-    comp = connected_components(pairs, *pair_cols)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
+    if components is None:
+        if pairs is None:
+            raise ValueError("dedup_survivors needs pairs or precomputed components")
+        components = connected_components(pairs, *pair_cols)
+    losers = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
