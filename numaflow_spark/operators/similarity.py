@@ -109,6 +109,7 @@ def similar_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     n_blocks: int = 8,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, exactly, with no driver-side
     collect and no full-corpus broadcast.
@@ -118,9 +119,20 @@ def similar_pairs(
     group holding block gi as the "left" set and block gj as the "right"
     set, scored as one BLAS product. A row is shipped to (n_blocks + 1)
     groups, so shuffle volume is (B+1)×corpus and per-task memory is two
-    blocks — B scales as sqrt(desired task count) on a cluster. Exact
-    contract (ground truth for the LSH path); O(n²) flops are inherent,
-    LSH is the sub-quadratic route beyond ~1M vectors."""
+    blocks — B scales as sqrt(desired task count) on a cluster.
+
+    Exact contract — ground truth for ``lsh_similar_pairs``. O(n²) flops
+    are inherent, so like ``jaccard_pairs`` it is gated to bounded corpora:
+    inputs larger than ``max_rows`` are refused (pass ``max_rows=None``
+    only for deliberate ground-truth runs); the banded-LSH path is the
+    sub-quadratic route at scale."""
+    if max_rows is not None:
+        # limit-probe, not a full count: the scan stops at max_rows+1 rows
+        if df.select(id_col).limit(max_rows + 1).count() > max_rows:
+            raise ValueError(
+                f"similar_pairs is the O(n²)-flops exact path, gated to "
+                f"{max_rows} rows; use lsh_similar_pairs at scale"
+            )
     B = n_blocks
     base = df.select(
         F.col(id_col).alias("id"),
@@ -201,6 +213,147 @@ def lsh_bucket_np(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     identically."""
     bits = (m @ planes.T) > 0
     return (bits * (1 << np.arange(planes.shape[0]))[None, :]).sum(axis=1).astype(np.int64)
+
+
+def lsh_similar_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_bands: int = 24,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pair graph via banded hyperplane LSH — the sub-quadratic
+    twin of ``similar_pairs`` (same (id1, id2, cos_sim) contract, id1 < id2,
+    cos rounded to 6 then thresholded).
+
+    Banding: ``n_bands`` bands of ``n_planes`` sign bits each (one pool of
+    n_bands×n_planes seeded hyperplanes). Candidates = pairs sharing any
+    band code; every candidate is verified with the exact cosine, so there
+    are no false positives — only (tunable) recall loss.
+
+    Plan shape — verify-then-dedup, not dedup-then-verify: one mapInPandas
+    pass explodes each row to its ``n_bands`` (band, code, id, vec)
+    entries; ``groupBy(band, code).applyInPandas`` BLAS-scores each bucket
+    as one dense block and emits ONLY the pairs that pass the exact-cosine
+    threshold; a final distinct dedups survivors found in several bands.
+    The distinct therefore processes the (small) verified pair set, never
+    the (large) candidate set — the alternative candidate self-join +
+    distinct + verify-join materializes every colliding pair and was
+    measured 10× slower on the near-uniform corpus. Per-bucket flops are
+    |bucket|²·dim via BLAS; no step is quadratic in the corpus, and total
+    cost tracks how clusterable the data is (Σ_buckets |bucket|²). The
+    vector rides the band explode (n_bands × corpus shuffle volume) — the
+    standard banding trade, same as MinHash signatures riding the band
+    shuffle in ``minhash_lsh_pairs``.
+
+    Honest tuning note: collision probability per band is (1-θ/π)^n_planes,
+    so low thresholds need many bands. At threshold 0.4 on near-uniform
+    data (the synthetic corpus) the default r=4/b=24 config reaches recall
+    ≈1.0 at sf0.01 / 0.99 at sf0.1 but prunes only ~25% of pairs — uniform
+    data at a tail threshold is LSH's worst case. On real near-dup corpora
+    (dup cosine ≥ 0.8, e.g. threshold 0.85 → per-band collision 0.53 at
+    r=4) the same config prunes >99% of pairs; that regime is what the
+    shape is built for.
+    """
+    spark = df.sparkSession
+    planes = _hyperplanes(dim, n_bands * n_planes, seed)
+    bpl = spark.sparkContext.broadcast(planes)
+
+    def explode_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bpl.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            raw = _matrix(pdf[vec_col])
+            bits = (raw @ pl.T) > 0  # n x (bands*planes)
+            for b in range(n_bands):
+                band = bits[:, b * n_planes : (b + 1) * n_planes]
+                code = (band * (1 << np.arange(n_planes))[None, :]).sum(axis=1)
+                yield pd.DataFrame(
+                    {"band": b, "code": code, "id": ids, "vec": pdf[vec_col].values}
+                )
+
+    banded = df.select(id_col, vec_col).mapInPandas(
+        explode_bands, schema=f"band int, code long, id long, vec {_vec_sql_type(df, vec_col)}"
+    )
+
+    def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
+        ids = pdf["id"].to_numpy()
+        um = _unit(_matrix(pdf["vec"]))
+        s = np.round(um @ um.T, 6)
+        mask = (s >= threshold) & (ids[:, None] < ids[None, :])
+        i, j = np.nonzero(mask)
+        return pd.DataFrame({"id1": ids[i], "id2": ids[j], "cos_sim": s[i, j]})
+
+    return (
+        banded.groupBy("band", "code")
+        .applyInPandas(score_bucket, schema=PAIR_SCHEMA)
+        .distinct()
+    )
+
+
+def _vec_sql_type(df: DataFrame, vec_col: str) -> str:
+    """DDL string of the vector column's type (array<float>/array<double>),
+    so intermediate schemas pass it through unchanged."""
+    return dict(df.dtypes)[vec_col]
+
+
+def lsh_pairs_cte_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_bands: int = 24,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``lsh_similar_pairs`` as a CTE chain ending in
+    ``pairs(d1, d2)`` — composable with the recursive-CC oracle CTEs. The
+    seeded hyperplanes are embedded as SQL literals (identical constants to
+    the Spark side); band codes are sums of sign-bit CASEs over raw dot
+    products, candidates come from the same (band, code) equi-join +
+    DISTINCT, and the verify predicate is the same round-6 cosine. Sign
+    agreement across engines holds unless a true |dot| < ~1e-14 — the same
+    accepted caveat as ``lsh_topk_oracle_sql``."""
+    planes = _hyperplanes(dim, n_bands * n_planes, seed)
+
+    def code_expr(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(e, "
+            f"[{', '.join(repr(float(x)) for x in planes[b * n_planes + j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT vid, {b} AS band, {code_expr(b)} AS code FROM v" for b in range(n_bands)
+    )
+    return f"""
+        v AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+        ), codes AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.vid AS d1, b.vid AS d2
+            FROM codes a JOIN codes b
+              ON a.band = b.band AND a.code = b.code AND a.vid < b.vid
+        ), pairs AS (
+            SELECT d1, d2
+            FROM cand JOIN v va ON va.vid = d1 JOIN v vb ON vb.vid = d2
+            WHERE round(list_dot_product(va.e, vb.e)
+                        / sqrt(list_dot_product(va.e, va.e))
+                        / sqrt(list_dot_product(vb.e, vb.e)), 6) >= {threshold}
+        )
+    """
 
 
 def lsh_topk(

@@ -699,19 +699,13 @@ ORACLES["neardup_survivors"] = f"""
     WHERE c.node IS NULL OR c.component = d.doc_id
 """
 
-# Embedding-space clustering over the exact cosine pair graph (same pair
-# predicate as embedding_similar_pairs, rounded to 6 before thresholding).
+# Embedding-space clustering over the banded-LSH candidate pair graph
+# (identical seeded hyperplane constants to queries.q_embedding_clusters;
+# exact-cosine verify of candidates, rounded to 6 before thresholding).
+from numaflow_spark.operators.similarity import lsh_pairs_cte_sql as _lsh_pairs_cte
+
 ORACLES["embedding_clusters"] = f"""
-    WITH RECURSIVE v AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), pairs AS (
-        SELECT a.vec_id AS d1, b.vec_id AS d2
-        FROM v a, v b
-        WHERE a.vec_id < b.vec_id
-          AND round(list_dot_product(a.e, b.e)
-                    / sqrt(list_dot_product(a.e, a.e))
-                    / sqrt(list_dot_product(b.e, b.e)), 6) >= 0.4
-    ), {_CC_CTES}
+    WITH RECURSIVE {_lsh_pairs_cte(threshold=0.4, n_planes=4, n_bands=24)}, {_CC_CTES}
     SELECT node AS vec_id, component AS cluster_id FROM comp
 """
 

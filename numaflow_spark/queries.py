@@ -979,15 +979,19 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic (embedding-space) dedup clustering: exact cosine pair graph
-    at ≥0.4 → connected components → (vec_id, cluster_id). Same CC operator
-    as the text path — pairs come from the blocked all-pairs scorer (exact
-    contract; LSH pairs drop in for the >1M-vector regime)."""
+    """Semantic (embedding-space) dedup clustering, declared on the
+    SUB-QUADRATIC path: banded-LSH candidate pairs (24 bands × 4 sign bits,
+    exact-cosine verify of candidates only, threshold ≥0.4) → connected
+    components → (vec_id, cluster_id). The oracle mirrors the identical
+    banding (seeded hyperplanes as SQL literals), so the comparison is a
+    full hash check; recall vs the exact all-pairs twin is gated ≥0.95 in
+    pytest (test_extensions.py), and ``similar_pairs`` remains the gated
+    ground-truth path for bounded corpora."""
     from numaflow_spark.operators.graph import connected_components
-    from numaflow_spark.operators.similarity import similar_pairs
+    from numaflow_spark.operators.similarity import lsh_similar_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similar_pairs(emb, threshold=0.4)
+    pairs = lsh_similar_pairs(emb, threshold=0.4, n_planes=4, n_bands=24)
     return connected_components(pairs, "id1", "id2").select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
