@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_survivors"]
+__all__ = ["connected_components", "dedup_survivors", "fuzzy_dedup"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -141,3 +141,22 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    pair_cols: tuple[str, str] = ("d1", "d2"),
+) -> tuple[DataFrame, DataFrame]:
+    """(clusters, survivors) from ONE pair table and ONE CC run — the
+    composed form of the neardup_clusters / neardup_survivors queries.
+    ``connected_components`` checkpoints the (possibly expensive — e.g. a
+    full LSH pipeline) pair plan at entry, so the pair table is evaluated
+    exactly once and both outputs derive from the same materialized
+    component table. Clusters: (node, component); survivors: ``df`` minus
+    non-root members."""
+    comp = connected_components(pairs, *pair_cols).localCheckpoint(eager=False)
+    survivors = dedup_survivors(df, None, id_col, components=comp)
+    return comp, survivors

@@ -59,14 +59,16 @@ class ReliableSink:
 
     def __call__(self, df: DataFrame, epoch_id: int) -> None:
         # When a tags column exists the batch is scanned at least twice
-        # (NACK probe + primary write) and more under retry/on-success —
-        # persist it so the probe's pass is the pass that warms the cache
-        # feeding every later write, not an extra full scan per micro-batch.
+        # (primary write + possible NACK/on-success writes) — persist it so
+        # the primary's pass warms the cache feeding every later write.
         routed = "tags" in df.columns
         if routed:
             df = df.persist()
         try:
-            batch = self._route_nacks(df, epoch_id)
+            if routed:
+                batch, nacked, obs = self._split_nacks(df)
+            else:
+                batch, nacked, obs = df, None, None
             delay = self.retry.interval_s
             last_err: Exception | None = None
             for attempt in range(max(1, self.retry.steps)):
@@ -74,38 +76,64 @@ class ReliableSink:
                     self.primary(batch, epoch_id)
                     if self.on_success is not None:
                         self.on_success(batch, epoch_id)
-                    return
                 except Exception as e:  # noqa: BLE001 — sink contract is status, not types
                     last_err = e
                     if attempt + 1 < self.retry.steps:
                         time.sleep(delay)
                         delay *= self.retry.factor
+                    continue
+                # NACK routing rides the primary write's observed metrics —
+                # no extra action on NACK-free batches (VERDICT r3 #6) —
+                # and runs OUTSIDE the retry try so a loud no-fallback
+                # ValueError is not swallowed as a primary failure.
+                if routed:
+                    self._drain_nacks(nacked, obs, epoch_id)
+                return
             if self.retry.on_failure == "fallback" and self.fallback is not None:
-                self.fallback(batch, epoch_id)
+                # the whole batch — nacked rows included — lands in the DLQ
+                self.fallback(df if routed else batch, epoch_id)
                 return
             if self.retry.on_failure == "drop":
+                # rare path: data rows drop, but NACKed rows still request
+                # redelivery — probe-and-route is fine off the hot path
+                if routed and self.fallback is not None and not nacked.isEmpty():
+                    self.fallback(nacked, epoch_id)
                 return
             raise last_err  # raise: let Spark retry the task / fail the query
         finally:
             if routed:
                 df.unpersist()
 
-    def _route_nacks(self, df: DataFrame, epoch_id: int) -> DataFrame:
+    def _split_nacks(self, df: DataFrame):
         """W10 per-message NACK: NACK-tagged rows (message.rs:94, 409-422)
         request redelivery; Spark has no per-row nack, so they route to the
         fallback/DLQ writer instead of being silently delivered as data
-        (the documented divergence — per-message-nack.md). Returns the
-        batch minus the nacked rows."""
-        from pyspark.sql import functions as F
+        (the documented divergence — per-message-nack.md).
+
+        Returns (batch-minus-nacks, nacked, observation): the NACK count is
+        attached as an ``observe`` metric on the batch, so the primary
+        write itself reports it — the former per-micro-batch ``isEmpty()``
+        probe (an extra full-batch action even when nothing was NACKed) is
+        gone."""
+        from pyspark.sql import Observation, functions as F
 
         from numaflow_spark.message import NACK_TAG
 
-        if "tags" not in df.columns:
-            return df
         tags = F.col("tags")
         is_nack = tags.isNotNull() & F.array_contains(tags, NACK_TAG)
-        nacked = df.filter(is_nack)
-        if not nacked.isEmpty():
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.when(is_nack, 1)).alias("n_nack"))
+        return observed.filter(~is_nack), df.filter(is_nack), obs
+
+    def _drain_nacks(self, nacked: DataFrame, obs, epoch_id: int) -> None:
+        """Route NACKed rows to the DLQ after a successful primary write,
+        using the write's own observed metric. If the primary performed no
+        action over the batch (so the observation never materialized —
+        legal but unusual for a sink), fall back to counting directly."""
+        n = self._observed_nacks(obs)
+        if n is None:
+            n = nacked.count()
+        if n:
             if self.fallback is None:
                 raise ValueError(
                     "batch contains NACK-tagged messages but the sink has no "
@@ -113,7 +141,20 @@ class ReliableSink:
                     "is realized as DLQ routing in this engine)"
                 )
             self.fallback(nacked, epoch_id)
-        return df.filter(~is_nack)
+
+    @staticmethod
+    def _observed_nacks(obs) -> int | None:
+        """Non-blocking read of the observed NACK count: None if no action
+        has materialized the metric yet. Uses the JVM Observation's
+        ``getRowOrEmpty`` (the public python ``get`` blocks forever when no
+        action ran); any bridge surprise degrades to None → direct count."""
+        try:
+            row_opt = obs._jo.getRowOrEmpty()
+            if not row_opt.isDefined():
+                return None
+            return int(row_opt.get().getLong(0))
+        except Exception:  # noqa: BLE001 — py4j/API drift → correctness fallback
+            return None
 
 
 def parquet_sink(path: str) -> Callable[[DataFrame, int], None]:

@@ -68,6 +68,29 @@ def test_dedup_survivors_keeps_min_and_isolated(spark):
     assert kept >= set(range(30)) - {1, 2, 3, 10, 11}
 
 
+def test_fuzzy_dedup_composes_one_cc_run(spark):
+    """fuzzy_dedup returns the same clusters as connected_components and the
+    same survivors as dedup_survivors, from one shared component table —
+    and passing precomputed components skips the second CC entirely."""
+    from numaflow_spark.operators.graph import fuzzy_dedup
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "d1 long, d2 long")
+    comp, survivors = fuzzy_dedup(docs, pairs, "doc_id")
+    got_comp = {(r.node, r.component) for r in comp.collect()}
+    want_comp = {(r.node, r.component) for r in connected_components(pairs, "d1", "d2").collect()}
+    assert got_comp == want_comp
+    kept = {r.doc_id for r in survivors.collect()}
+    want_kept = {r.doc_id for r in dedup_survivors(docs, pairs, "doc_id").collect()}
+    assert kept == want_kept
+
+
+def test_dedup_survivors_requires_pairs_or_components(spark):
+    docs = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="pairs or precomputed components"):
+        dedup_survivors(docs, None, "doc_id")
+
+
 def test_cc_driver_traffic_is_scalar_only(spark, monkeypatch):
     """The iteration loop may collect only per-round fingerprints (one row,
     two columns) — never edge data."""

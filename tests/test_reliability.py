@@ -123,3 +123,36 @@ def test_nack_without_fallback_is_loud(spark):
 
     with _p.raises(ValueError, match="NACK"):
         sink(df, 0)
+
+
+def test_nack_free_batch_has_no_extra_action(spark, monkeypatch):
+    """VERDICT r3 #6: the NACK count rides the primary write's observe
+    metric — a NACK-free batch must trigger no isEmpty/count probe beyond
+    the primary's own action."""
+    from pyspark.sql import DataFrame
+
+    from numaflow_spark.streaming.sinks import ReliableSink
+
+    calls = {"isEmpty": 0, "count": 0}
+    real_is_empty, real_count = DataFrame.isEmpty, DataFrame.count
+
+    def spy_is_empty(self):
+        calls["isEmpty"] += 1
+        return real_is_empty(self)
+
+    def spy_count(self):
+        calls["count"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "isEmpty", spy_is_empty)
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+
+    got = []
+    sink = ReliableSink(
+        primary=lambda df, e: got.extend(r.v for r in df.collect()),
+        fallback=lambda df, e: (_ for _ in ()).throw(AssertionError("DLQ hit")),
+    )
+    df = spark.createDataFrame([(1, None), (3, ["other"])], "v int, tags array<string>")
+    sink(df, 0)
+    assert sorted(got) == [1, 3]
+    assert calls == {"isEmpty": 0, "count": 0}
