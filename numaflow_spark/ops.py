@@ -263,3 +263,96 @@ def prometheus_exposition(monitor: PipelineMonitor, *, pipeline: str = "pipeline
         lines += fmt("vertex_pending_messages", "gauge",
                      "Pending (unread) source messages", pending_rows)
     return "\n".join(lines) + "\n"
+
+
+class DaemonServer:
+    """HTTP daemon server over a :class:`PipelineMonitor` — the served
+    counterpart of the reference's daemon service (daemon.proto:138-163,
+    whose gRPC-gateway exposes GetPipelineStatus / GetVertexMetrics /
+    GetPipelineWatermarks / GetVertexErrors over HTTP), plus the Prometheus
+    scrape endpoint the reference's metrics doc expects
+    (docs/operations/metrics/metrics.md).
+
+    Routes (all GET):
+      * ``/metrics``                  Prometheus text exposition
+      * ``/api/v1/status``            GetPipelineStatus JSON
+      * ``/api/v1/watermarks``        GetPipelineWatermarks JSON
+      * ``/api/v1/errors``            GetVertexErrors JSON
+      * ``/api/v1/vertices``          ListBuffers analogue (query names)
+      * ``/api/v1/vertices/<name>``   GetVertexMetrics JSON (404 unknown)
+      * ``/api/v1/snapshot``          everything (PipelineMonitor.snapshot)
+
+    Same stdlib ThreadingHTTPServer pattern as ``sources/http_source.py`` —
+    driver-side only, daemon-threaded, ephemeral port by default.
+    """
+
+    def __init__(self, monitor: PipelineMonitor, *, port: int = 0,
+                 pipeline: str = "pipeline"):
+        self._monitor = monitor
+        self._pipeline = pipeline
+        self._server = None
+        self._port = port
+
+    @property
+    def port(self) -> int:
+        if self._server is None:
+            raise RuntimeError("DaemonServer not started")
+        return self._server.server_address[1]
+
+    def start(self) -> "DaemonServer":
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        import threading
+
+        monitor, pipeline = self._monitor, self._pipeline
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802 (http.server casing)
+                try:
+                    body, ctype = self._route(self.path.rstrip("/") or "/")
+                except KeyError:
+                    self.send_error(404)
+                    return
+                except Exception as e:  # noqa: BLE001 — surface, don't kill the server
+                    self.send_error(500, str(e))
+                    return
+                data = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _route(self, path: str) -> tuple[str, str]:
+                prom = "text/plain; version=0.0.4; charset=utf-8"
+                js = "application/json"
+                if path == "/metrics":
+                    return prometheus_exposition(monitor, pipeline=pipeline), prom
+                if path == "/api/v1/status":
+                    return json.dumps(monitor.get_status().__dict__), js
+                if path == "/api/v1/watermarks":
+                    return json.dumps(monitor.get_watermarks()), js
+                if path == "/api/v1/errors":
+                    return json.dumps(monitor.get_errors()), js
+                if path == "/api/v1/vertices":
+                    return json.dumps(monitor.list_queries()), js
+                if path.startswith("/api/v1/vertices/"):
+                    name = path.rsplit("/", 1)[1]
+                    if name not in monitor.list_queries():
+                        raise KeyError(name)
+                    return json.dumps(monitor.get_vertex_metrics(name).__dict__), js
+                if path == "/api/v1/snapshot":
+                    return monitor.snapshot(), js
+                raise KeyError(path)
+
+            def log_message(self, *a) -> None:  # quiet CI logs
+                pass
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", self._port), Handler)
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

@@ -125,11 +125,32 @@ def test_multimodal_plumbing(spark):
     assert (feats.n_bytes, feats.width, feats.height, feats.checksum) == fake_decode_features(b"hello world")
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_is_gated_without_pillow():
     from numaflow_spark.operators.multimodal import decode_image_real
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — gate not exercised")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_real(b"\x89PNG")
+
+
+def test_decode_features_injected_codec(spark):
+    """VERDICT r3 #8: a user-supplied codec (bytes -> width/height/checksum)
+    plugs into decode_features without editing the module; n_bytes stays
+    codec-independent."""
+
+    def codec(b: bytes):
+        return (len(b) * 2, 7, int(b[0]) if b else 0)
+
+    df = spark.createDataFrame([(1, "abc", "s1")], "doc_id long, text string, source string")
+    feats = decode_features(attach_blob(df, "doc_id", "text", source_col="source"), codec=codec).first()
+    assert (feats.n_bytes, feats.width, feats.height, feats.checksum) == (3, 6, 7, ord("a"))
+    with pytest.raises(ValueError, match="codec must be"):
+        decode_features(df, codec=42)
 
 
 def test_lsh_oracle_pred_rewrite_word_boundary():
