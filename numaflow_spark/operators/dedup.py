@@ -268,11 +268,17 @@ def span_dedup(
     (exact/MinHash/SimHash) can't express this: they keep or drop whole
     docs.
 
-    Scale shape: spans shuffle once on a 16-byte hash for the global
-    (count, keeper) aggregation — map-side partial agg collapses each
-    partition to its distinct spans — then once on doc id for reassembly.
-    No self-join, no all-pairs anything: cost is 2 shuffles linear in
-    corpus token count, which survives 100 TB. Output:
+    Scale shape (ADVICE r3: the span TEXT never crosses the wire): span
+    occurrences are projected to (doc, pos, hs) — 24 bytes — before any
+    exchange, so the global (count, keeper) aggregation AND the
+    stats-verify join both move narrow rows; map-side partial agg
+    collapses each partition to its distinct hashes. Surviving positions
+    fold to one (doc, keep_pos[]) row per doc, and the text is rebuilt
+    DOC-LOCALLY by re-slicing the original token array at the kept
+    positions (re-splitting a doc is row-local CPU; shipping every span
+    string through a corpus-scale join is not). Three exchanges total —
+    spans→hs, kept→doc, toked⋈kept_pos on doc — each linear in corpus
+    size; no self-join, no all-pairs anything. Output:
     (doc, n_spans, n_kept, text_clean).
     """
     toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
@@ -281,37 +287,41 @@ def span_dedup(
         F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / span_words).cast("int")),
         span_at,
     )
-    spans = toked.where(F.size("toks") >= 1).select(
-        "doc", F.posexplode(spans_arr).alias("pos", "span")
+    # narrow projection BEFORE the shuffle: hash each span in the doc-local
+    # row, ship only (doc, pos, hs)
+    hashed = (
+        toked.where(F.size("toks") >= 1)
+        .select("doc", F.posexplode(spans_arr).alias("pos", "span"))
+        .select("doc", "pos", F.xxhash64("span").alias("hs"))
     )
-    # group on the hash, not the span text: the wide string stays in the
-    # doc-local rows; only 16 bytes/span enter the global shuffle
-    hashed = spans.withColumn("hs", F.xxhash64("span"))
     stats = hashed.groupBy("hs").agg(
         F.count("*").alias("n_occ"), F.min("doc").alias("keeper")
     )
-    kept = hashed.join(stats, "hs").filter(
-        (F.col("n_occ") == 1) | (F.col("doc") == F.col("keeper"))
+    kept_pos = (
+        hashed.join(stats, "hs")
+        .filter((F.col("n_occ") == 1) | (F.col("doc") == F.col("keeper")))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.array_sort(F.collect_list("pos")).alias("keep_pos"),
+        )
     )
-    rebuilt = kept.groupBy("doc").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                lambda s: s["span"],
-            ),
-        ).alias("text_clean"),
-    )
-    totals = toked.select(
-        "doc", (F.floor((F.size("toks") - 1) / span_words) + 1).cast("bigint").alias("n_spans")
-    )
-    # left join keeps docs whose every span was removed (empty text_clean)
-    return totals.join(rebuilt, "doc", "left").select(
+    # doc-local rebuild: re-slice the token array at the kept positions
+    # (left join keeps docs whose every span was removed -> empty text)
+    return toked.join(kept_pos, "doc", "left").select(
         "doc",
-        "n_spans",
+        F.when(F.size("toks") >= 1, F.floor((F.size("toks") - 1) / span_words) + 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_spans"),
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(F.col("keep_pos"), lambda p: span_at(p)),
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
     )
 
 

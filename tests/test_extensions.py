@@ -374,3 +374,19 @@ def test_resize_plumbing_shape(spark):
     out = {r.doc_id: r for r in resize_plumbing(blobs, out_w=8, out_h=8).collect()}
     assert out[1].out_w == 8 and out[1].out_h == 8 and out[1].checksum > 0
     assert out[2].checksum == 0  # empty blob degrades cleanly
+
+
+def test_documents_corpus_is_ascii_only():
+    """ADVICE r3: the audio_pcm_energy oracle equivalence relies on
+    byte == codepoint (Spark windows UTF-8 bytes, the oracle windows
+    codepoints). Pin the generator's ASCII invariant loudly — if a future
+    corpus introduces multi-byte characters, this fails instead of the
+    oracle silently diverging."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        n_bad = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet' "
+            "WHERE length(text) <> octet_length(CAST(text AS BLOB))"
+        ).fetchone()[0]
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents break the PCM oracle"

@@ -6,7 +6,11 @@ order-insensitive multiset of normalized row values. Stricter than any
 reasonable driver compare: values must match exactly after normalization
 (Decimal -> str at its own scale, float -> repr, timestamp -> isoformat).
 
-Usage: python tools/check_queries.py [sf_dir] [query ...]
+Usage: python tools/check_queries.py [--json OUT] [sf_dir] [query ...]
+
+``--json OUT`` additionally writes a driver-CORRECTNESS-shaped artifact
+(per-query rows/schema/hash match booleans) so the repo can commit local
+evidence for queries the driver snapshot hasn't certified yet.
 """
 
 from __future__ import annotations
@@ -49,8 +53,15 @@ def _multiset(rows, col_order):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from numaflow_spark.session import get_spark
@@ -73,32 +84,48 @@ def main() -> int:
 
         if name not in oracles:
             print(f"  {name:24s} rows={len(spark_rows):7d}  (no oracle — rows-only)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_rows), "oracle_rows": None,
+                "err": "no_oracle (rows-only)",
+            }
             continue
 
         res = con.execute(oracles[name])
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
 
-        ok = True
-        if sorted(spark_cols) != sorted(duck_cols):
+        schema_ok = sorted(spark_cols) == sorted(duck_cols)
+        rows_ok = len(spark_rows) == len(duck_rows)
+        hash_ok = False
+        if not schema_ok:
             print(f"✗ {name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-            ok = False
-        if len(spark_rows) != len(duck_rows):
+        if not rows_ok:
             print(f"✗ {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-            ok = False
-        if ok:
+        if schema_ok and rows_ok:
             s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
             d_order = [duck_cols.index(c) for c in sorted(duck_cols)]
             ms, md = _multiset(spark_rows, s_order), _multiset(duck_rows, d_order)
-            if ms != md:
+            hash_ok = ms == md
+            if not hash_ok:
                 diff_s = list((ms - md).items())[:3]
                 diff_d = list((md - ms).items())[:3]
                 print(f"✗ {name}: value mismatch\n  spark-only: {diff_s}\n  duck-only:  {diff_d}")
-                ok = False
-        if ok:
+        report[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok, "hash_match": hash_ok,
+            "spark_rows": len(spark_rows), "oracle_rows": len(duck_rows), "err": None,
+        }
+        if schema_ok and rows_ok and hash_ok:
             print(f"✓ {name:24s} rows={len(spark_rows):7d}")
         else:
             failures.append(name)
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
 
     if failures:
         print(f"\nFAILED: {failures}")
