@@ -259,3 +259,27 @@ def test_train_shard_order_shuffle_free(spark):
     happens only in the writer, on the shard column)."""
     plan = plan_of(spark, "train_shard_order")
     assert nodes(plan, "Exchange") == 0
+
+
+def test_lsh_similar_pairs_distributed_shape(spark, monkeypatch):
+    """VERDICT r3 item 3: the declared sub-quadratic pair path must stay
+    fully distributed — no driver collect/toPandas at plan build, bucket
+    scoring through FlatMapGroupsInPandas, and no cartesian/nested-loop
+    join anywhere in the plan."""
+    from pyspark.sql import DataFrame
+
+    from numaflow_spark.operators.similarity import lsh_similar_pairs
+    from numaflow_spark.session import load_table
+
+    def _boom(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("driver-side collect inside lsh_similar_pairs")
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    out = lsh_similar_pairs(emb, threshold=0.4)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
