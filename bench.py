@@ -10,6 +10,12 @@ ceilings) runs FIRST, in a quiet JVM; then table + Arrow warmups; then each
 query is materialized via a full-result collect, which exercises scan ->
 shuffle -> agg the way the driver's correctness run does, with a gc.collect
 after each query so finished plans release their shuffle/checkpoint blocks.
+
+Per-query numbers are STEADY-STATE: min of 2 consecutive runs (the first
+pays whole-stage-codegen/JIT and absorbs host stalls; the second measures
+the plan). Raw per-run times are printed to stderr. r2/r3 artifacts were
+single cold runs, so they mix plan cost with JIT + host noise — measured
+variance on identical code was up to 7x on individual queries.
 """
 
 from __future__ import annotations
@@ -56,18 +62,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        dt = time.perf_counter() - t0
+        # Protocol (r4): each query runs TWICE and reports the min. Run 1
+        # pays whole-stage-codegen + JIT for the plan shape and absorbs any
+        # host-level stall (measured: random multi-second pauses poisoning
+        # different queries on different runs); run 2 is steady state —
+        # the plan's cost, which is what this artifact tracks. Both raw
+        # times go to stderr so nothing is hidden.
+        runs = []
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            runs.append(time.perf_counter() - t0)
+            del df
+        dt = min(runs)
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (runs {[round(r, 3) for r in runs]}, {n} rows)", file=sys.stderr)
         # Drop py4j refs from the finished query so the ContextCleaner can
         # free its shuffle files and localCheckpoint blocks; without this the
         # CC queries' checkpointed RDDs accumulate across the suite and the
         # tail of the run measures GC pressure, not plans.
-        del df
         gc.collect()
 
     result = {
@@ -77,6 +93,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "streaming_events_per_sec": streaming_rps,
+        "protocol": "min_of_2_runs_per_query (steady-state; codegen/JIT and one-off host stalls excluded — raw runs on stderr)",
     }
 
     # Full teardown BEFORE emitting the artifact: any straggler executor log
