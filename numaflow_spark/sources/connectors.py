@@ -14,11 +14,16 @@ exactly the SourceHandle read()/ack() split (ack fires only after Spark's
 checkpoint commit — user_defined.py). Kafka has first-class Spark support
 and lives in kafka.py instead.
 
-What is real here vs stubbed:
+What is real here vs gated:
   * offset bookkeeping, batch shaping, envelope rows, ack routing — real;
-  * the client calls — behind ``_require``; with the client installed these
-    handles are complete (the SQS one maps visibility-timeout ack to
-    delete_message_batch, the broker ones map consumer acks).
+  * the NATS/JetStream asyncio bridge (``_AsyncPump``: one event loop on a
+    daemon thread, every client call submitted synchronously) — real,
+    pytest-driven against a fake nats-py module in sys.modules;
+  * the client constructors — behind ``_require``; with the client
+    installed the handles are complete (SQS maps visibility-timeout ack to
+    delete_message_batch, Pulsar cumulative-acks the committed range,
+    JetStream acks per message after commit). Activation recipes:
+    examples/broker-smoke.md.
 """
 
 from __future__ import annotations
@@ -156,24 +161,57 @@ class SqsSourceHandle(SourceHandle):
             )
 
 
+class _AsyncPump:
+    """One asyncio event loop on a daemon thread, driven synchronously —
+    the bridge between nats-py's async client and the synchronous
+    SourceHandle read()/ack() contract. ``run`` submits a coroutine and
+    blocks for its result; the loop thread owns every client object so
+    nats-py's single-loop affinity holds."""
+
+    def __init__(self):
+        import asyncio
+        import threading
+
+        self._asyncio = asyncio
+        self._loop = asyncio.new_event_loop()
+        t = threading.Thread(target=self._loop.run_forever, daemon=True)
+        t.start()
+
+    def run(self, coro, timeout: float = 30.0):
+        return self._asyncio.run_coroutine_threadsafe(coro, self._loop).result(timeout)
+
+
 class NatsSourceHandle(SourceHandle):
     """S6: core-NATS subject subscribe — fire-and-forget delivery (core NATS
-    has no ack; at-most-once, same as the reference's nats source)."""
+    has no ack; at-most-once, same as the reference's nats source,
+    nats.rs). The async subscription callback appends payloads to an
+    in-memory queue (list append is atomic under the GIL); read() drains
+    up to batch_size."""
 
     def __init__(self, options: dict):
         self.servers = options.get("servers", "nats://localhost:4222")
         self.subject = options["subject"]
         self.batch_size = int(options.get("batch_size", 500))
         self._conn = None
+        self._pump: _AsyncPump | None = None
         self._queue: list[bytes] = []
         self._seq = 0
 
     def _connect(self):
-        _require("nats", "NATS")
-        raise NotImplementedError(
-            "core-NATS subscribe loop requires an asyncio bridge; plug "
-            "nats-py's Subscription.next_msg into self._queue here"
-        )
+        nats = _require("nats", "NATS")
+        self._pump = _AsyncPump()
+        queue = self._queue
+
+        async def _setup():
+            nc = await nats.connect(self.servers)
+
+            async def _cb(msg):
+                queue.append(msg.data)
+
+            await nc.subscribe(self.subject, cb=_cb)
+            return nc
+
+        self._conn = self._pump.run(_setup())
 
     def initial_offset(self) -> dict:
         return {"seq": 0}
@@ -190,26 +228,42 @@ class NatsSourceHandle(SourceHandle):
 
 
 class JetStreamSourceHandle(SourceHandle):
-    """S7: JetStream durable-consumer read; ack after commit gives
+    """S7: JetStream durable-consumer pull read; ack after commit gives
     at-least-once with server-side redelivery of unacked messages
-    (jetstream_source.go)."""
+    (jetstream_source.go, jetstream.rs). fetch() timeouts mean an empty
+    batch, not an error; msg.ack() routes through the commit-ordered
+    inflight map exactly like the Pulsar handle."""
 
     def __init__(self, options: dict):
         self.servers = options.get("servers", "nats://localhost:4222")
         self.stream = options["stream"]
         self.durable = options.get("durable", "numaflow-spark")
         self.batch_size = int(options.get("batch_size", 500))
+        self.fetch_timeout_s = float(options.get("fetch_timeout_s", 1.0))
         self._sub = None
+        self._pump: _AsyncPump | None = None
+        self._timeout_errs: tuple = ()
         self._inflight: dict[int, object] = {}
         self._seq = 0
 
     def _connect(self):
-        _require("nats", "JetStream")
-        raise NotImplementedError(
-            "JetStream pull-consumer loop requires an asyncio bridge; plug "
-            "nats-py JetStreamContext.pull_subscribe/fetch here and route "
-            "msg.ack() through self._inflight"
+        import asyncio
+
+        nats = _require("nats", "JetStream")
+        self._pump = _AsyncPump()
+        nats_timeout = getattr(getattr(nats, "errors", None), "TimeoutError", None)
+        self._timeout_errs = tuple(
+            t for t in (asyncio.TimeoutError, TimeoutError, nats_timeout) if t
         )
+
+        async def _setup():
+            nc = await nats.connect(self.servers)
+            js = nc.jetstream()
+            return await js.pull_subscribe(
+                "", durable=self.durable, stream=self.stream
+            )
+
+        self._sub = self._pump.run(_setup())
 
     def initial_offset(self) -> dict:
         return {"seq": 0}
@@ -217,11 +271,25 @@ class JetStreamSourceHandle(SourceHandle):
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         if self._sub is None:
             self._connect()
-        return [], start  # unreachable until _connect is activated
+
+        async def _fetch():
+            try:
+                return await self._sub.fetch(self.batch_size, timeout=self.fetch_timeout_s)
+            except self._timeout_errs:
+                return []
+
+        msgs = self._pump.run(_fetch())
+        rows = []
+        for m in msgs:
+            rows.append((self._seq, 0, None, m.data, datetime.now(tz=timezone.utc)))
+            self._inflight[self._seq] = m
+            self._seq += 1
+        return rows, {"seq": self._seq} if rows else start
 
     def ack(self, end: dict) -> None:
         for seq in [s for s in self._inflight if s < end["seq"]]:
-            self._inflight.pop(seq).ack()
+            m = self._inflight.pop(seq)
+            self._pump.run(m.ack())
 
 # ---------------------------------------------------------------------------
 # K4/K5 sinks. Both are foreachBatch-compatible callables ((df, epoch_id) ->

@@ -237,3 +237,96 @@ def test_pulsar_sink_producer_cache_reused():
     finally:
         C._require = orig
         C._PULSAR_PRODUCERS.clear()
+
+
+# ---------------------------------------------------------------------------
+# S6/S7 asyncio bridge: driven end-to-end against a FAKE nats-py module
+# (injected into sys.modules, same spirit as the Pulsar sink's injected
+# client factory) — the event-loop pump, batch drain, fetch-timeout and
+# commit-ordered ack logic are all real; only the wire is fake.
+# ---------------------------------------------------------------------------
+
+
+def _fake_nats_module(messages, acked, subscribed):
+    import types
+
+    mod = types.ModuleType("nats")
+    errors = types.ModuleType("nats.errors")
+
+    class _Timeout(Exception):
+        pass
+
+    errors.TimeoutError = _Timeout
+    mod.errors = errors
+
+    class Msg:
+        def __init__(self, data):
+            self.data = data
+
+        async def ack(self):
+            acked.append(self.data)
+
+    class Sub:
+        def __init__(self):
+            self._drained = False
+
+        async def fetch(self, n, timeout=None):
+            if self._drained:
+                raise _Timeout()
+            self._drained = True
+            return [Msg(m) for m in messages[:n]]
+
+    class JS:
+        async def pull_subscribe(self, subject, durable=None, stream=None):
+            subscribed.append(("js", subject, durable, stream))
+            return Sub()
+
+    class NC:
+        async def subscribe(self, subject, cb=None):
+            subscribed.append(("core", subject))
+            for m in messages:
+                await cb(Msg(m))
+
+        def jetstream(self):
+            return JS()
+
+    async def connect(servers):
+        return NC()
+
+    mod.connect = connect
+    return mod
+
+
+def test_nats_bridge_reads_with_fake_client(monkeypatch):
+    import sys
+
+    acked, subs = [], []
+    monkeypatch.setitem(sys.modules, "nats", _fake_nats_module([b"a", b"b", b"c"], acked, subs))
+    h = NatsSourceHandle({"subject": "smoke", "batch_size": 2})
+    rows, off = h.read({"seq": 0})
+    assert [bytes(r[3]) for r in rows] == [b"a", b"b"] and off == {"seq": 2}
+    rows2, off2 = h.read(off)
+    assert [bytes(r[3]) for r in rows2] == [b"c"] and off2 == {"seq": 3}
+    rows3, off3 = h.read(off2)
+    assert rows3 == [] and off3 == {"seq": 3}  # at-most-once, no ack surface
+    assert subs == [("core", "smoke")]
+
+
+def test_jetstream_bridge_fetch_and_commit_ordered_ack(monkeypatch):
+    import sys
+
+    acked, subs = [], []
+    monkeypatch.setitem(sys.modules, "nats", _fake_nats_module([b"x", b"y"], acked, subs))
+    h = JetStreamSourceHandle({"stream": "S", "durable": "d1", "batch_size": 10})
+    rows, off = h.read({"seq": 0})
+    assert [bytes(r[3]) for r in rows] == [b"x", b"y"] and off == {"seq": 2}
+    # fetch timeout -> empty batch, unchanged offset, no error
+    rows2, off2 = h.read(off)
+    assert rows2 == [] and off2 == off
+    # nothing acked until the engine commits; then only below the offset
+    assert acked == []
+    h.ack({"seq": 1})
+    assert acked == [b"x"]
+    h.ack({"seq": 2})
+    assert acked == [b"x", b"y"]
+    assert subs == [("js", "", "d1", "S")]
