@@ -228,7 +228,9 @@ def lsh_similar_pairs(
 ) -> DataFrame:
     """Near-dup pair graph via banded hyperplane LSH — the sub-quadratic
     twin of ``similar_pairs`` (same (id1, id2, cos_sim) contract, id1 < id2,
-    cos rounded to 6 then thresholded).
+    cos rounded to 6 then thresholded). Banding per Leskovec/Rajaraman/
+    Ullman, "Mining of Massive Datasets" ch.3; sign-random-projection
+    hashes per Charikar (STOC'02), as in ``lsh_topk``.
 
     Banding: ``n_bands`` bands of ``n_planes`` sign bits each (one pool of
     n_bands×n_planes seeded hyperplanes). Candidates = pairs sharing any

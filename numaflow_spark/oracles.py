@@ -709,6 +709,13 @@ ORACLES["embedding_clusters"] = f"""
     SELECT node AS vec_id, component AS cluster_id FROM comp
 """
 
+ORACLES["embedding_dedup_survivors"] = f"""
+    WITH RECURSIVE {_lsh_pairs_cte(threshold=0.4, n_planes=4, n_bands=24)}, {_CC_CTES}
+    SELECT e.vec_id
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    WHERE c.node IS NULL OR c.component = e.vec_id
+"""
+
 # Mixture rebalance: feasible total saturates the scarcest language; the
 # accept test is all-BIGINT so both engines keep the identical rows.
 ORACLES["domain_mix_sample"] = """

@@ -997,6 +997,20 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end product — the embedding-space twin of
+    neardup_survivors: banded-LSH pair graph (same config/oracle mirroring
+    as embedding_clusters) → connected components → keep one survivor
+    (minimum vec_id) per component plus everything unpaired. The anti-join
+    build side tracks the duplicate count, not the corpus."""
+    from numaflow_spark.operators.graph import dedup_survivors
+    from numaflow_spark.operators.similarity import lsh_similar_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_similar_pairs(emb, threshold=0.4, n_planes=4, n_bands=24)
+    return dedup_survivors(emb, pairs, "vec_id", pair_cols=("id1", "id2")).select("vec_id")
+
+
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing to target language weights (en 40%, de/es/fr/zh
     15% each): the feasible total T = min_l ⌊n_l·100 / w_l⌋ saturates the
@@ -1353,6 +1367,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "neardup_survivors": q_neardup_survivors,
     "embedding_clusters": q_embedding_clusters,
+    "embedding_dedup_survivors": q_embedding_dedup_survivors,
     "domain_mix_sample": q_domain_mix_sample,
     "quality_quantile_filter": q_quality_quantile_filter,
     "bm25_rank": q_bm25_rank,
