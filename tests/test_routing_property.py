@@ -106,3 +106,51 @@ def test_cycle_budget_property(spark, targets, budget):
             assert done_rows[i] == t
         else:
             assert ex_rows[i] == budget
+
+
+# ---------------------------------------------------------------------------
+# span_dedup differential property: the operator must agree with a direct
+# Python model of the C4-style spec (global span occurrence count, min-doc
+# keeper, position-ordered reassembly) on arbitrary tiny corpora — including
+# all-duplicate docs, singleton spans, and ragged tail spans.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=7).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_span_dedup(texts: list[str], span_words: int):
+    spans_by_doc = []
+    for text in texts:
+        toks = text.split(" ")
+        spans_by_doc.append(
+            [" ".join(toks[i : i + span_words]) for i in range(0, len(toks), span_words)]
+        )
+    count: dict[str, int] = {}
+    keeper: dict[str, int] = {}
+    for doc, spans in enumerate(spans_by_doc):
+        for s in spans:
+            count[s] = count.get(s, 0) + 1
+            keeper.setdefault(s, doc)
+    out = {}
+    for doc, spans in enumerate(spans_by_doc):
+        kept = [s for s in spans if count[s] == 1 or keeper[s] == doc]
+        out[doc] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=docs_strategy)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_span_dedup_matches_python_model(spark, texts):
+    from numaflow_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc: (r.n_spans, r.n_kept, r.text_clean)
+        for r in span_dedup(df, "doc_id", "text", span_words=2).collect()
+    }
+    assert got == _model_span_dedup(texts, 2)
