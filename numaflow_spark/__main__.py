@@ -1,0 +1,103 @@
+"""CLI runner: the local counterpart of deploying a numaflow Pipeline CRD
+(`kubectl apply -f pipeline.yaml` against the reference's controller,
+pkg/apis/numaflow/v1alpha1/pipeline_types.go) — the same YAML compiles and
+runs here on a local SparkSession.
+
+    python -m numaflow_spark run SPEC.yaml                 # batch twin, show sinks
+    python -m numaflow_spark run SPEC.yaml --streaming     # live queries until Ctrl-C
+    python -m numaflow_spark run SPEC.yaml --streaming --daemon-port 8793
+                                                           # + HTTP daemon surface
+    python -m numaflow_spark validate SPEC.yaml            # parse + DAG checks only
+
+The daemon flag serves /api/v1/status, /metrics (Prometheus) etc. over the
+running deployment — the GetPipelineStatus/GetVertexMetrics read path of
+daemon.proto.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="python -m numaflow_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="compile and run a Pipeline CRD yaml")
+    run.add_argument("spec", help="pipeline yaml path")
+    run.add_argument("--streaming", action="store_true", help="live streaming queries (default: batch twin)")
+    run.add_argument("--checkpoint", default=None, help="checkpoint root (streaming; default: temp dir)")
+    run.add_argument("--daemon-port", type=int, default=None, help="serve the daemon HTTP surface on this port (streaming)")
+    run.add_argument("--show", type=int, default=20, help="rows to show per sink (batch)")
+    run.add_argument("--run-for", type=float, default=None, help="run the streaming deployment for N seconds, print daemon status, then stop (for tests/CI; default: until Ctrl-C)")
+
+    val = sub.add_parser("validate", help="parse + validate a Pipeline CRD yaml")
+    val.add_argument("spec", help="pipeline yaml path")
+    return ap
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from numaflow_spark.yaml_compiler import pipeline_from_yaml
+
+    with open(args.spec) as f:
+        p = pipeline_from_yaml(f.read())
+
+    if args.cmd == "validate":
+        p.validate()
+        print(f"ok: {len(p.vertices)} vertices, {len(p.edges)} edges")
+        return 0
+
+    if spark is None:
+        from numaflow_spark.session import get_spark
+
+        spark = get_spark("numaflow_spark_cli")
+
+    if not args.streaming:
+        from numaflow_spark.compiler import compile_batch
+
+        for sink_name, df in compile_batch(p, spark).items():
+            print(f"== sink: {sink_name}")
+            df.show(args.show, truncate=False)
+        return 0
+
+    from numaflow_spark.compiler import compile_streaming
+
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="numaflow_spark_cli_")
+    dep = compile_streaming(p, spark, checkpoint_root=ckpt)
+    server = None
+    if args.daemon_port is not None:
+        from numaflow_spark.ops import DaemonServer, PipelineMonitor
+
+        monitor = PipelineMonitor(dep.queries)
+        server = DaemonServer(monitor, port=args.daemon_port, pipeline=p.name).start()
+        print(f"daemon: http://127.0.0.1:{server.port}/api/v1/status")
+    try:
+        if args.run_for is not None:
+            import time
+            import urllib.request
+
+            time.sleep(args.run_for)
+            if server is not None:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{server.port}/api/v1/status", timeout=5
+                ) as r:
+                    print("status:", r.read().decode())
+            return 0
+        print(f"streaming {sorted(dep.queries)} (checkpoint {ckpt}); Ctrl-C to stop")
+        for q in dep.queries.values():
+            q.awaitTermination()
+        return 0
+    except KeyboardInterrupt:  # pragma: no cover - interactive path
+        return 0
+    finally:
+        dep.stop()
+        if server is not None:
+            server.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

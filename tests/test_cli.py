@@ -1,0 +1,41 @@
+"""CLI runner (`python -m numaflow_spark`): the local counterpart of
+deploying a Pipeline CRD — validate, batch-run, and streaming-with-daemon
+paths driven end-to-end on the shipped example specs."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from numaflow_spark.__main__ import main
+
+
+def test_cli_validate(capsys):
+    assert main(["validate", "examples/simple-pipeline.yaml"]) == 0
+    assert "3 vertices" in capsys.readouterr().out
+
+
+def test_cli_batch_run_shows_sinks(spark, capsys):
+    assert main(["run", "examples/simple-pipeline.yaml"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "== sink: out" in out
+
+
+def test_cli_streaming_run_for_with_daemon(spark, tmp_path, capsys):
+    from numaflow_spark.__main__ import main
+
+    rc = main(
+        [
+            "run", "examples/simple-pipeline.yaml",
+            "--streaming", "--run-for", "4", "--daemon-port", "0",
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "daemon: http://127.0.0.1:" in out
+    import json
+    status_line = [ln for ln in out.splitlines() if ln.startswith("status: ")][0]
+    st = json.loads(status_line.split("status: ", 1)[1])
+    assert st["status"] in ("healthy", "inactive")
