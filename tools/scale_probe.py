@@ -75,6 +75,25 @@ def synth_embeddings(spark, n_vecs: int) -> DataFrame:
     )
 
 
+def synth_signed_embeddings(spark, n_vecs: int, n_clusters: int = 4096) -> DataFrame:
+    """Signed clustered vectors for the near-dup pair probes: cluster
+    centers in [-1,1]^64 (so background cosine ≈ 0 — sign-LSH's design
+    regime, unlike the positive-orthant ANN table whose background cosine
+    is ~0.75), members = center + small jitter → within-cluster cosine
+    ≈ 0.99. JVM-generated, zero driver data."""
+    cluster = F.pmod(F.col("id"), F.lit(n_clusters))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            (F.pmod(F.xxhash64(cluster, i), F.lit(2000)) - 1000) / 1000.0
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(200)) - 100) / 1000.0
+        ).cast("float"),
+    )
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
@@ -183,6 +202,27 @@ def main() -> None:
     probe(
         "similar_pairs",
         lambda: similarity.similar_pairs(vecs, threshold=0.995).count(),
+    )
+    # Near-dup pair graph at scale, in sign-LSH's design regime (signed
+    # vectors, high threshold): the banded path over the full corpus vs the
+    # exact quadratic twin on a 1/5 slice — the quadratic path's wall
+    # extrapolates x25, the banded path's tracks clusterability.
+    svecs_path = f"{tmp}/signed_embeddings"
+    synth_signed_embeddings(spark, n_vecs).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(svecs_path)
+    svecs = spark.read.parquet(svecs_path)
+    probe(
+        "lsh_similar_pairs",
+        lambda: similarity.lsh_similar_pairs(
+            svecs, threshold=0.9, n_planes=8, n_bands=12, dim=DIM
+        ).count(),
+    )
+    probe(
+        "similar_pairs_exact_fifth",
+        lambda: similarity.similar_pairs(
+            svecs.filter(F.col("vec_id") < n_vecs // 5), threshold=0.9
+        ).count(),
     )
 
     result = {
