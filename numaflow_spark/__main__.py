@@ -41,14 +41,25 @@ def _build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
 
-    from numaflow_spark.yaml_compiler import pipeline_from_yaml
+    from numaflow_spark.yaml_compiler import pipeline_from_yaml, serving_pipeline_from_yaml
 
     with open(args.spec) as f:
-        p = pipeline_from_yaml(f.read())
+        text = f.read()
+
+    # kind: ServingPipeline wraps a full PipelineSpec — run/validate that
+    # inner pipeline here; the request/response harness surface is
+    # programmatic (ServingPipelineYaml.harness, see examples/README.md).
+    serving_spec = None
+    if "kind: ServingPipeline" in text:
+        serving_spec = serving_pipeline_from_yaml(text)
+        p = serving_spec.pipeline
+    else:
+        p = pipeline_from_yaml(text)
 
     if args.cmd == "validate":
         p.validate()
-        print(f"ok: {len(p.vertices)} vertices, {len(p.edges)} edges")
+        kind = "ServingPipeline" if serving_spec is not None else "Pipeline"
+        print(f"ok: {kind}, {len(p.vertices)} vertices, {len(p.edges)} edges")
         return 0
 
     if spark is None:

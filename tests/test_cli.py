@@ -39,3 +39,13 @@ def test_cli_streaming_run_for_with_daemon(spark, tmp_path, capsys):
     status_line = [ln for ln in out.splitlines() if ln.startswith("status: ")][0]
     st = json.loads(status_line.split("status: ", 1)[1])
     assert st["status"] in ("healthy", "inactive")
+
+
+def test_cli_validate_serving_pipeline(capsys):
+    assert main(["validate", "examples/serving-pipeline.yaml"]) == 0
+    assert "ServingPipeline" in capsys.readouterr().out
+
+
+def test_cli_validate_monovertex_or_routing(capsys):
+    assert main(["validate", "examples/even-odd-routing.yaml"]) == 0
+    assert "vertices" in capsys.readouterr().out
