@@ -12,7 +12,8 @@ Algorithm: alternating large-star / small-star (Kiveris et al.,
 shuffle keyed on node id with per-group state O(degree); convergence in
 O(log² n) rounds (2 rounds on the star-shaped families typical of near-dup
 graphs). This is the standard web-scale CC: no adjacency matrix, no driver
-state — the driver loop only compares a 2-value fingerprint per round.
+state — the driver loop sees only a per-round convergence boolean (an
+empty-probe semi-join checking the star-forest fixpoint shape).
 Lineage is cut every round with ``localCheckpoint`` so the plan stays flat
 across iterations (at cluster scale, swap for ``checkpoint`` on durable
 storage to also bound recovery).
