@@ -1,4 +1,6 @@
-"""Incremental near-dup dedup: MinHash+LSH against a persistent band store.
+"""Incremental near-dup dedup: banded LSH against a persistent band store —
+MinHash bands for text (default), hyperplane sign codes for embeddings
+(``embedding_band_table`` via the ``bander`` hook; semantic streaming dedup).
 
 Batch near-dup dedup (operators/dedup.py) answers "which pairs in this
 corpus are near-dups". A continuously-ingesting pipeline needs the online
@@ -50,6 +52,48 @@ def band_table(
     return sig.select(F.col("doc"), F.posexplode(band_hashes).alias("band", "band_hash"))
 
 
+def embedding_band_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_planes: int = 8,
+    n_bands: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, band, band_hash) for an embedding column: hyperplane sign
+    codes per band — the same banding math as
+    ``operators.similarity.lsh_similar_pairs``, shaped identically to the
+    MinHash ``band_table`` so ``StreamingNearDup`` / ``StreamingClusterAssign``
+    take either via their ``bander`` hook (semantic streaming dedup)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from numaflow_spark.operators.similarity import _hyperplanes, _matrix
+
+    planes = _hyperplanes(dim, n_bands * n_planes, seed)
+    bpl = df.sparkSession.sparkContext.broadcast(planes)
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bpl.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            bits = (_matrix(pdf[vec_col]) @ pl.T) > 0
+            for b in range(n_bands):
+                band = bits[:, b * n_planes : (b + 1) * n_planes]
+                code = (band * (1 << np.arange(n_planes))[None, :]).sum(axis=1)
+                yield pd.DataFrame({"doc": ids, "band": b, "band_hash": code})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        codes, schema="doc long, band int, band_hash long"
+    )
+
+
 class StreamingNearDup:
     """foreachBatch operator: emit only docs not near-duplicate to any
     previously accepted doc (or to a lower-id doc in the same batch).
@@ -73,12 +117,18 @@ class StreamingNearDup:
         n: int = 3,
         k: int = 64,
         bands: int = 16,
+        bander=None,
     ):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col = id_col
         self.text_col = text_col
         self.n, self.k, self.bands = n, k, bands
+        # banding strategy: any df -> (doc, band, band_hash); default is the
+        # MinHash table, embedding_band_table gives the semantic twin
+        self._bander = bander or (
+            lambda df: band_table(df, self.id_col, self.text_col, n=self.n, k=self.k, bands=self.bands)
+        )
 
     def _store(self) -> DataFrame | None:
         if not os.path.isdir(self.store_dir) or not any(
@@ -88,9 +138,7 @@ class StreamingNearDup:
         return self.spark.read.parquet(self.store_dir)
 
     def accept(self, batch: DataFrame) -> DataFrame:
-        new_bands = band_table(
-            batch, self.id_col, self.text_col, n=self.n, k=self.k, bands=self.bands
-        )
+        new_bands = self._bander(batch)
         # docs with no shingles (too short) never collide; keep them
         dup_ids = None
 
@@ -168,12 +216,16 @@ class StreamingClusterAssign:
         n: int = 3,
         k: int = 64,
         bands: int = 16,
+        bander=None,
     ):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col = id_col
         self.text_col = text_col
         self.n, self.k, self.bands = n, k, bands
+        self._bander = bander or (
+            lambda df: band_table(df, self.id_col, self.text_col, n=self.n, k=self.k, bands=self.bands)
+        )
 
     def _store(self) -> DataFrame | None:
         if not os.path.isdir(self.store_dir) or not any(
@@ -185,9 +237,7 @@ class StreamingClusterAssign:
     def assign(self, batch: DataFrame) -> DataFrame:
         from numaflow_spark.operators.graph import connected_components
 
-        new_bands = band_table(
-            batch, self.id_col, self.text_col, n=self.n, k=self.k, bands=self.bands
-        ).localCheckpoint(eager=True)
+        new_bands = self._bander(batch).localCheckpoint(eager=True)
 
         store = self._store()
         inherited = None

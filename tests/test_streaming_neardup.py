@@ -131,3 +131,38 @@ def test_cluster_assignment_via_streaming_query(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1: 1, 2: 1, 10: 10, 11: 1, 12: 12}
+
+
+def test_streaming_embedding_neardup(spark, tmp_path):
+    """Semantic streaming dedup: the embedding bander plugs into the same
+    persistent band store — near-identical vectors arriving later are
+    dropped, novel directions accepted, across micro-batches."""
+    import numpy as np
+
+    from numaflow_spark.streaming.neardup import StreamingNearDup, embedding_band_table
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((3, 16))  # three well-separated directions
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in pairs],
+            "vec_id long, embedding array<float>",
+        )
+
+    nd = StreamingNearDup(
+        spark,
+        str(tmp_path / "store"),
+        id_col="vec_id",
+        bander=lambda df: embedding_band_table(df, "vec_id", "embedding", n_planes=8, n_bands=12, dim=16),
+    )
+
+    batch1 = rows([(0, base[0]), (1, base[1])])
+    kept1 = {r.vec_id for r in nd.accept(batch1).collect()}
+    assert kept1 == {0, 1}
+
+    # batch 2: 10 = scaled copy of 0 (identical signs -> collides in every
+    # band), 11 = novel direction
+    batch2 = rows([(10, base[0] * 1.001), (11, base[2])])
+    kept2 = {r.vec_id for r in nd.accept(batch2).collect()}
+    assert kept2 == {11}
