@@ -149,6 +149,36 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    "returned_item_revenue": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS revenue_c4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_c4 DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    # TPC-H Q5 shape: revenue where customer and supplier share a nation.
+    "local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS revenue_c4,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
     # Top-K per group with deterministic tie-break.
     "top_k": """
         SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey,

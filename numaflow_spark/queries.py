@@ -244,6 +244,53 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned items
+    (l_returnflag = 'R'), with nation context. The returnflag filter pushes
+    to the lineitem scan; dimension joins broadcast; one group-by shuffle on
+    customer; the global top-20 is a bounded takeOrdered-style sort of the
+    (small) aggregated table, ties broken by c_custkey for determinism."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        _cents(F.sum(revenue), 10000).alias("revenue_c4")
+    )
+    return agg.orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the ordering customer and
+    the supplying supplier share a nation — a 5-way join whose selective
+    equi-predicate (c_nationkey = s_nationkey) rides the join, not a
+    post-filter. supplier/customer/nation broadcast; single group-by
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        _cents(F.sum(revenue), 10000).alias("revenue_c4"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via TWO-PHASE window ranking (§2.13 gap: the
     reference has no ranking operators): top-3 orders by price per order
@@ -1324,6 +1371,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
     "join_agg": q_join_agg,
+    "returned_item_revenue": q_returned_item_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
     "top_k": q_top_k,
     "rollup": q_rollup,
     "pipeline_diamond": q_pipeline_diamond,
