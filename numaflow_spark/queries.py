@@ -1357,7 +1357,41 @@ def q_audio_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# ORDERING CONTRACT (frozen r5, append-only thereafter): the driver's
+# correctness harness certifies the FIRST 50 entries of this dict, in
+# insertion order. Positions 1-23 are the queries that had never received a
+# driver CORRECTNESS row through r4 (plus sequence_packing/decontaminate,
+# which were certified in r3 but rotated out when later insertions pushed
+# them past position 50); positions 24-50 re-certify earlier queries;
+# positions 51-73 were all driver-certified green in CORRECTNESS_r04, so the
+# union of rounds covers every query. New queries MUST be appended at the
+# END of the dict — inserting mid-dict shifts queries out of the window.
 QUERIES = {
+    # -- 1-23: never-certified through r4 (certify this round) --------------
+    "sequence_packing": q_sequence_packing,
+    "decontaminate": q_decontaminate,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
+    "neardup_clusters": q_neardup_clusters,
+    "neardup_survivors": q_neardup_survivors,
+    "embedding_clusters": q_embedding_clusters,
+    "embedding_dedup_survivors": q_embedding_dedup_survivors,
+    "domain_mix_sample": q_domain_mix_sample,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "bm25_rank": q_bm25_rank,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "json_props_agg": q_json_props_agg,
+    "sql_shipping_priority": q_sql_shipping_priority,
+    "winnow_dups": q_winnow_dups,
+    "embedding_quantize": q_embedding_quantize,
+    "train_shard_order": q_train_shard_order,
+    "span_dedup": q_span_dedup,
+    "ngram_lm_score": q_ngram_lm_score,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "audio_pcm_energy": q_audio_pcm_energy,
+    # -- 24-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
     "sliding_window": q_sliding_window,
@@ -1385,6 +1419,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_topk": q_embedding_topk,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    # -- 51-73: driver-certified green in CORRECTNESS_r04 ---------------------
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
@@ -1408,27 +1443,4 @@ QUERIES = {
     "salted_skew_join": q_salted_skew_join,
     "doc_quality_gopher": q_doc_quality_gopher,
     "pii_scrub": q_pii_scrub,
-    "sequence_packing": q_sequence_packing,
-    "decontaminate": q_decontaminate,
-    "dup_ngram_frac": q_dup_ngram_frac,
-    "vocab_topk": q_vocab_topk,
-    "stratified_sample": q_stratified_sample,
-    "neardup_clusters": q_neardup_clusters,
-    "neardup_survivors": q_neardup_survivors,
-    "embedding_clusters": q_embedding_clusters,
-    "embedding_dedup_survivors": q_embedding_dedup_survivors,
-    "domain_mix_sample": q_domain_mix_sample,
-    "quality_quantile_filter": q_quality_quantile_filter,
-    "bm25_rank": q_bm25_rank,
-    "funnel_conversion": q_funnel_conversion,
-    "cohort_retention": q_cohort_retention,
-    "json_props_agg": q_json_props_agg,
-    "sql_shipping_priority": q_sql_shipping_priority,
-    "winnow_dups": q_winnow_dups,
-    "embedding_quantize": q_embedding_quantize,
-    "train_shard_order": q_train_shard_order,
-    "span_dedup": q_span_dedup,
-    "ngram_lm_score": q_ngram_lm_score,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "audio_pcm_energy": q_audio_pcm_energy,
 }

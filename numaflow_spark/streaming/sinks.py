@@ -85,9 +85,13 @@ class ReliableSink:
                 # NACK routing rides the primary write's observed metrics —
                 # no extra action on NACK-free batches (VERDICT r3 #6) —
                 # and runs OUTSIDE the retry try so a loud no-fallback
-                # ValueError is not swallowed as a primary failure.
+                # ValueError is not swallowed as a primary failure. The
+                # Observation captures the FIRST finished action over the
+                # batch, which after a retry is the FAILED attempt's partial
+                # scan — so the metric is only trusted when attempt 0 is the
+                # one that succeeded; otherwise fall back to a direct count.
                 if routed:
-                    self._drain_nacks(nacked, obs, epoch_id)
+                    self._drain_nacks(nacked, obs if attempt == 0 else None, epoch_id)
                 return
             if self.retry.on_failure == "fallback" and self.fallback is not None:
                 # the whole batch — nacked rows included — lands in the DLQ
@@ -95,8 +99,17 @@ class ReliableSink:
                 return
             if self.retry.on_failure == "drop":
                 # rare path: data rows drop, but NACKed rows still request
-                # redelivery — probe-and-route is fine off the hot path
-                if routed and self.fallback is not None and not nacked.isEmpty():
+                # redelivery — probe-and-route is fine off the hot path.
+                # Dropping NACKed rows with nowhere to route them gets the
+                # same loud failure as the success path: silence here would
+                # un-request a redelivery the message explicitly asked for.
+                if routed and not nacked.isEmpty():
+                    if self.fallback is None:
+                        raise ValueError(
+                            "retry exhausted with on_failure='drop', but the "
+                            "batch contains NACK-tagged messages and the sink "
+                            "has no fallback/DLQ writer to route them to"
+                        )
                     self.fallback(nacked, epoch_id)
                 return
             raise last_err  # raise: let Spark retry the task / fail the query
@@ -127,10 +140,11 @@ class ReliableSink:
 
     def _drain_nacks(self, nacked: DataFrame, obs, epoch_id: int) -> None:
         """Route NACKed rows to the DLQ after a successful primary write,
-        using the write's own observed metric. If the primary performed no
-        action over the batch (so the observation never materialized —
-        legal but unusual for a sink), fall back to counting directly."""
-        n = self._observed_nacks(obs)
+        using the write's own observed metric. ``obs=None`` means the metric
+        is untrusted (retried batch: the observation belongs to the failed
+        first attempt) or the primary performed no action over the batch —
+        in both cases fall back to counting directly."""
+        n = self._observed_nacks(obs) if obs is not None else None
         if n is None:
             n = nacked.count()
         if n:

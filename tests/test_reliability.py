@@ -125,6 +125,59 @@ def test_nack_without_fallback_is_loud(spark):
         sink(df, 0)
 
 
+def test_nack_routing_survives_primary_retry(spark):
+    """ADVICE r4: the Observation captures the FIRST finished action — after
+    a failed first attempt that consumed the batch, the observed n_nack is
+    the failed run's partial count. A retried batch must still route every
+    NACKed row to the DLQ (the metric is distrusted when attempt > 0)."""
+    from numaflow_spark.message import NACK_TAG
+    from numaflow_spark.streaming.sinks import ReliableSink, RetryStrategy
+
+    got = {"primary": [], "fallback": []}
+    attempts = []
+
+    def flaky(df, epoch):
+        attempts.append(epoch)
+        # Materialize the batch (finishing the observed action) BEFORE
+        # failing — the worst case for a first-action-wins Observation.
+        rows = df.collect()
+        if len(attempts) == 1:
+            raise RuntimeError("transient after scan")
+        got["primary"].extend(r.v for r in rows)
+
+    sink = ReliableSink(
+        primary=flaky,
+        fallback=lambda df, e: got["fallback"].extend(r.v for r in df.collect()),
+        retry=RetryStrategy(steps=3),
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, [NACK_TAG]), (3, ["other"])],
+        "v int, tags array<string>",
+    )
+    sink(df, 0)
+    assert len(attempts) == 2
+    assert sorted(got["primary"]) == [1, 3]
+    assert got["fallback"] == [2]
+
+
+def test_nack_drop_without_fallback_is_loud(spark):
+    """ADVICE r4: retry-exhausted on_failure='drop' with NACKed rows and no
+    DLQ must fail as loudly as the success path does — dropping them would
+    silently cancel an explicitly requested redelivery."""
+    from numaflow_spark.message import NACK_TAG
+    from numaflow_spark.streaming.sinks import ReliableSink, RetryStrategy
+
+    def boom(df, epoch):
+        raise RuntimeError("permanent")
+
+    sink = ReliableSink(
+        primary=boom, retry=RetryStrategy(steps=2, on_failure="drop")
+    )
+    df = spark.createDataFrame([(2, [NACK_TAG])], "v int, tags array<string>")
+    with pytest.raises(ValueError, match="NACK"):
+        sink(df, 0)
+
+
 def test_nack_free_batch_has_no_extra_action(spark, monkeypatch):
     """VERDICT r3 #6: the NACK count rides the primary write's observe
     metric — a NACK-free batch must trigger no isEmpty/count probe beyond

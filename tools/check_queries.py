@@ -57,6 +57,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("error: --json requires an output path", file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -78,9 +81,21 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        spark_cols = list(sdf.columns)
-        spark_rows = [tuple(r) for r in sdf.collect()]
+        # One query blowing up must not discard the evidence gathered for
+        # every query before it: record the error and keep going.
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = list(sdf.columns)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001 — per-query isolation
+            print(f"✗ {name}: raised {type(ex).__name__}: {ex}")
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(ex).__name__}: {ex}",
+            }
+            failures.append(name)
+            continue
 
         if name not in oracles:
             print(f"  {name:24s} rows={len(spark_rows):7d}  (no oracle — rows-only)")
@@ -91,9 +106,19 @@ def main() -> int:
             }
             continue
 
-        res = con.execute(oracles[name])
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001 — per-query isolation
+            print(f"✗ {name}: oracle raised {type(ex).__name__}: {ex}")
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(spark_rows), "oracle_rows": None,
+                "err": f"oracle: {type(ex).__name__}: {ex}",
+            }
+            failures.append(name)
+            continue
 
         schema_ok = sorted(spark_cols) == sorted(duck_cols)
         rows_ok = len(spark_rows) == len(duck_rows)

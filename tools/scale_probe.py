@@ -122,8 +122,17 @@ def main() -> None:
     counts: dict[str, int] = {}
 
     def probe(name: str, fn) -> None:
+        # One probe failing (e.g. a guard-rail ValueError at a size this
+        # probe deliberately exceeds) must not abort the run and lose the
+        # artifact — record the error and keep probing.
         t0 = time.perf_counter()
-        counts[name] = fn()
+        try:
+            counts[name] = fn()
+        except Exception as ex:  # noqa: BLE001 — probe isolation
+            timings[name] = round(time.perf_counter() - t0, 2)
+            counts[name] = f"ERR {type(ex).__name__}: {ex}"
+            print(f"# {name}: FAILED {counts[name]}", file=sys.stderr)
+            return
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s ({counts[name]})", file=sys.stderr)
 
@@ -201,7 +210,10 @@ def main() -> None:
     )
     probe(
         "similar_pairs",
-        lambda: similarity.similar_pairs(vecs, threshold=0.995).count(),
+        # max_rows=None: this probe deliberately exceeds the operator's
+        # default 100k all-pairs guard — that limit exists to keep declared
+        # queries from silently going quadratic, not to stop the scale probe.
+        lambda: similarity.similar_pairs(vecs, threshold=0.995, max_rows=None).count(),
     )
     # Near-dup pair graph at scale, in sign-LSH's design regime (signed
     # vectors, high threshold): the banded path over the full corpus vs the
@@ -221,7 +233,8 @@ def main() -> None:
     probe(
         "similar_pairs_exact_fifth",
         lambda: similarity.similar_pairs(
-            svecs.filter(F.col("vec_id") < n_vecs // 5), threshold=0.9
+            svecs.filter(F.col("vec_id") < n_vecs // 5), threshold=0.9,
+            max_rows=None,
         ).count(),
     )
 
