@@ -34,6 +34,19 @@ TOPK_SCHEMA = "query_id long, neighbor_id long, cos_sim double"
 PAIR_SCHEMA = "id1 long, id2 long, cos_sim double"
 
 
+def _id_sql_type(df: DataFrame, id_col: str) -> str:
+    """DDL type of the id column (bigint/int/string/...), so mapInPandas
+    output schemas track the caller's id type instead of hardcoding bigint
+    (a string id would otherwise fail with an Arrow type error at runtime
+    despite the configurable ``id_col`` API)."""
+    return dict(df.dtypes)[id_col]
+
+
+def _pair_schema(df: DataFrame, id_col: str) -> str:
+    idt = _id_sql_type(df, id_col)
+    return f"id1 {idt}, id2 {idt}, cos_sim double"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Column-expression float64 dot product (for single-pair use inside
     larger expressions; bulk scoring goes through the numpy paths below)."""
@@ -198,7 +211,9 @@ def similar_pairs(
             return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
         return pd.concat(out, ignore_index=True)
 
-    return members.groupBy("gi", "gj").applyInPandas(score_block_pair, schema=PAIR_SCHEMA)
+    return members.groupBy("gi", "gj").applyInPandas(
+        score_block_pair, schema=_pair_schema(df, id_col)
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -281,7 +296,11 @@ def lsh_similar_pairs(
                 )
 
     banded = df.select(id_col, vec_col).mapInPandas(
-        explode_bands, schema=f"band int, code long, id long, vec {_vec_sql_type(df, vec_col)}"
+        explode_bands,
+        schema=(
+            f"band int, code long, id {_id_sql_type(df, id_col)}, "
+            f"vec {_vec_sql_type(df, vec_col)}"
+        ),
     )
 
     def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -296,7 +315,7 @@ def lsh_similar_pairs(
 
     return (
         banded.groupBy("band", "code")
-        .applyInPandas(score_bucket, schema=PAIR_SCHEMA)
+        .applyInPandas(score_bucket, schema=_pair_schema(df, id_col))
         .distinct()
     )
 

@@ -133,6 +133,177 @@ def test_cluster_assignment_via_streaming_query(spark, tmp_path):
     assert got == {1: 1, 2: 1, 10: 10, 11: 1, 12: 12}
 
 
+def test_band_collision_non_duplicate_survives(spark, tmp_path):
+    """VERDICT r4 #4: a band collision alone must NOT drop a doc — the
+    signature verification has to confirm estimated similarity ≥ threshold
+    first. Fake bander puts EVERY doc in the same bucket (worst-case
+    collisions); signatures decide."""
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.streaming.neardup import StreamingNearDup
+
+    def collide_all(df):
+        return df.select(
+            F.col("doc_id").alias("doc"),
+            F.lit(0).alias("band"),
+            F.lit(99).alias("band_hash"),
+        )
+
+    # signature = 4 components drawn from the doc's sig column
+    def sigs(df):
+        return df.select(F.col("doc_id").alias("doc"), F.col("sig"))
+
+    nd = StreamingNearDup(
+        spark,
+        str(tmp_path / "store"),
+        id_col="doc_id",
+        bander=collide_all,
+        sigger=sigs,
+        sim="jaccard",
+        threshold=0.8,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, sig array<bigint>")  # noqa: E731
+
+    # batch 1: doc 1 accepted (empty store)
+    assert [r.doc_id for r in nd.accept(mk([(1, [10, 20, 30, 40])])).collect()] == [1]
+
+    # batch 2: doc 2 band-collides with doc 1 but only 2/4 signature
+    # components agree (est J = 0.5 < 0.8) -> SURVIVES; doc 3 agrees 4/4
+    # with doc 1 -> dropped; doc 4 agrees 3/4 with doc 1 (0.75 < 0.8)
+    # -> survives
+    out = sorted(
+        r.doc_id
+        for r in nd.accept(
+            mk(
+                [
+                    (2, [10, 20, 99, 98]),
+                    (3, [10, 20, 30, 40]),
+                    (4, [10, 20, 30, 97]),
+                ]
+            )
+        ).collect()
+    )
+    assert out == [2, 4]
+
+    # batch 3: intra-batch — 6 is identical to 5 (dropped, lower id wins),
+    # 7 band-collides with everything but matches nothing -> survives
+    out3 = sorted(
+        r.doc_id
+        for r in nd.accept(
+            mk(
+                [
+                    (5, [50, 60, 70, 80]),
+                    (6, [50, 60, 70, 80]),
+                    (7, [1, 2, 3, 4]),
+                ]
+            )
+        ).collect()
+    )
+    assert out3 == [5, 7]
+
+
+def test_legacy_v1_store_still_works(spark, tmp_path):
+    """A v1 store (bands partitioned at the store root, written before the
+    signature layer) keeps the old collision-is-dup behavior, with a
+    warning instead of a crash or silent format mix."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.streaming.neardup import StreamingNearDup, band_table
+
+    store = str(tmp_path / "v1store")
+    seed = _docs(spark, [(1, BASE * 3 + "ending one")])
+    band_table(seed, "doc_id", "text").write.mode("append").partitionBy(
+        "band"
+    ).parquet(store)
+
+    nd = StreamingNearDup(spark, store)
+    b = _docs(
+        spark,
+        [
+            (3, BASE * 3 + "ending three"),  # near-dup of stored doc 1
+            (4, "entirely novel content regarding watermark heartbeats " * 6),
+        ],
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = sorted(r.doc_id for r in nd.accept(b).collect())
+    assert out == [4]
+    assert any("v1 band store" in str(w.message) for w in caught)
+    # store stayed v1 (no bands/ or sigs/ subdirs sneaked in)
+    import os as _os
+
+    assert not _os.path.isdir(f"{store}/bands") and not _os.path.isdir(f"{store}/sigs")
+
+
+def test_text_verification_keeps_true_dups_dropped(spark, tmp_path):
+    """With verification ON (default), genuinely near-identical docs are
+    still deduped across batches and signature parquet accumulates."""
+    nd = StreamingNearDup(spark, str(tmp_path / "v2store"))
+    b1 = _docs(spark, [(1, BASE * 3 + "ending one")])
+    assert [r.doc_id for r in nd.accept(b1).collect()] == [1]
+    b2 = _docs(
+        spark,
+        [
+            (3, BASE * 3 + "ending three"),
+            (4, "entirely novel content regarding watermark heartbeats " * 6),
+        ],
+    )
+    assert sorted(r.doc_id for r in nd.accept(b2).collect()) == [4]
+    sigs = spark.read.parquet(str(tmp_path / "v2store" / "sigs"))
+    assert sorted(r.doc for r in sigs.select("doc").collect()) == [1, 4]
+    assert sigs.selectExpr("size(sig) AS k").first().k == 64
+
+
+def test_embedding_verification_survival_and_drop(spark, tmp_path):
+    """Cosine verification through for_embeddings: a scaled copy (cos=1) is
+    dropped; a vector sharing every sign band (same orthant) but at low
+    cosine SURVIVES — the exact case the unverified hot path lost."""
+    import numpy as np
+
+    from numaflow_spark.streaming.neardup import StreamingNearDup
+
+    dim = 16
+    nd = StreamingNearDup.for_embeddings(
+        spark, str(tmp_path / "estore"), dim=dim, n_planes=4, n_bands=4, threshold=0.9
+    )
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in pairs],
+            "vec_id long, embedding array<float>",
+        )
+
+    rng = np.random.RandomState(11)
+    v0 = rng.standard_normal(dim)
+    assert {r.vec_id for r in nd.accept(rows([(0, v0)])).collect()} == {0}
+
+    # 10: scaled copy of 0 — identical signs in every band AND cos=1 -> drop.
+    # 11: deterministically searched vector that shares at least one full
+    #     band's sign pattern with v0 (a real candidate collision) while
+    #     cos(v0, v11) < 0.7 — the unverified hot path dropped exactly this.
+    from numaflow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, 16, 42)  # for_embeddings default seed
+    bits0 = (v0 @ planes.T) > 0
+    v11, cos11 = None, None
+    for _ in range(5000):
+        cand = rng.standard_normal(dim)
+        bits = (cand @ planes.T) > 0
+        collides = any(
+            (bits[b * 4 : (b + 1) * 4] == bits0[b * 4 : (b + 1) * 4]).all()
+            for b in range(4)
+        )
+        cos = float(v0 @ cand / np.linalg.norm(v0) / np.linalg.norm(cand))
+        if collides and cos < 0.7:
+            v11, cos11 = cand, cos
+            break
+    assert v11 is not None, "search failed to find a colliding dissimilar vector"
+    kept = {r.vec_id for r in nd.accept(rows([(10, v0 * 1.7), (11, v11)])).collect()}
+    assert kept == {11}, f"band-colliding non-dup (cos={cos11:.3f}) was dropped"
+
+
 def test_streaming_embedding_neardup(spark, tmp_path):
     """Semantic streaming dedup: the embedding bander plugs into the same
     persistent band store — near-identical vectors arriving later are
