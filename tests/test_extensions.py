@@ -153,6 +153,113 @@ def test_decode_features_injected_codec(spark):
         decode_features(df, codec=42)
 
 
+def _encode_png(width, height, pixels, *, color_type=2, filters=None) -> bytes:
+    """Minimal spec-conformant PNG encoder (test-side only): 8-bit, the
+    given per-row filter types applied FORWARD so the decoder must invert
+    them. ``pixels`` is row-major bytes, len = height*width*channels."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = filters[y]
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ft == 0:
+                f = row[i]
+            elif ft == 1:
+                f = (row[i] - a) & 0xFF
+            elif ft == 2:
+                f = (row[i] - b) & 0xFF
+            elif ft == 3:
+                f = (row[i] - (a + b) // 2) & 0xFF
+            else:  # 4 = Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f = (row[i] - pred) & 0xFF
+            raw.append(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_decodes_real_png():
+    """VERDICT r4 #7: an ACTUAL PNG byte string decodes through the
+    stdlib codec — every filter type (None/Sub/Up/Average/Paeth) must be
+    inverted back to the exact original pixel bytes."""
+    from numaflow_spark.operators.multimodal import png_codec
+
+    w, h = 5, 5
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        blob = _encode_png(w, h, pixels, filters=filters)
+        got = png_codec(blob)
+        assert got == (w, h, sum(pixels[:64]) % 65536), f"filters={filters}"
+    # grayscale + RGBA channel counts
+    for ct in (0, 4, 6):
+        ch = {0: 1, 4: 2, 6: 4}[ct]
+        px = bytes((x * 13 + 5) % 256 for x in range(w * h * ch))
+        assert png_codec(_encode_png(w, h, px, color_type=ct, filters=[4] * h)) == (
+            w, h, sum(px[:64]) % 65536,
+        )
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_codec(b"JFIF....")
+    with pytest.raises(NotImplementedError, match="interlaced|8-bit"):
+        import struct as _s
+        import zlib as _z
+
+        ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + _s.pack(">I", _z.crc32(b"IHDR" + ihdr))
+        )
+        png_codec(bad)
+
+
+def test_decode_features_png_codec_end_to_end(spark):
+    """A real PNG flows through the Spark decode stage: attach_blob ->
+    mapInPandas decode_features(codec='png') -> typed features."""
+    from numaflow_spark.operators.multimodal import png_codec
+
+    w, h = 4, 3
+    pixels = bytes((x * 29 + 3) % 256 for x in range(w * h * 3))
+    blob = _encode_png(w, h, pixels, filters=[4, 2, 1])
+    df = spark.createDataFrame([(1, bytearray(blob), "s1")], "doc_id long, payload binary, source string")
+    feats = decode_features(
+        attach_blob(df, "doc_id", "payload", mime="image/png", source_col="source"),
+        codec="png",
+    ).first()
+    assert (feats.n_bytes, feats.width, feats.height, feats.checksum) == (
+        len(blob), w, h, sum(pixels[:64]) % 65536,
+    )
+    # and the codec name routes to the same function as direct use
+    assert png_codec(blob) == (w, h, feats.checksum)
+
+
 def test_lsh_oracle_pred_rewrite_word_boundary():
     from numaflow_spark.operators.similarity import _rewrite_pred
 
