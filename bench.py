@@ -130,7 +130,13 @@ def _arrow_warmup(spark) -> None:
     spark.range(32).mapInPandas(ident, schema="id long").count()
 
 
-def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_000) -> float:
+def _streaming_throughput(
+    spark,
+    n_batches: int = 20,
+    rows_per_batch: int = 50_000,
+    key_count: int = 8,
+    state_partitions: int = 8,
+) -> float:
     """Drain generator -> map -> keyed tumbling agg -> update-mode memory
     sink and report end-to-end events/s (BASELINE.md streaming target:
     >=10K/s single-partition, 30K/s multi-partition ceiling in the
@@ -150,9 +156,9 @@ def _streaming_throughput(spark, n_batches: int = 20, rows_per_batch: int = 50_0
     # per-micro-batch task+state-store overhead dominates: measured 57K
     # ev/s @32 vs 133K @8 on this harness.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     ckpt = tempfile.mkdtemp(prefix="bench_stream_")
-    src = generator_stream(spark, rows_per_batch=rows_per_batch, key_count=8)
+    src = generator_stream(spark, rows_per_batch=rows_per_batch, key_count=key_count)
     mapped = drop_filter(src).select(
         "keys", "event_time", F.col("value").cast("string").cast("long").alias("v")
     )

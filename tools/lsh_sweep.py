@@ -1,0 +1,106 @@
+"""LSH threshold sweep: pruning/recall boundaries for the banded sign-LSH
+pair graph across thresholds x data regimes (VERDICT r4 next-round #5).
+
+For each (corpus, banding config, threshold) this prints the candidate
+fraction (share of all n-choose-2 pairs that collide in >=1 band — the work
+the banded path cannot prune), the pruning rate (1 - that), and the recall
+over the exact pair set (candidates that are true pairs / true pairs; the
+operator verifies every candidate with the exact cosine, so recall is the
+only loss — precision is always 1.0).
+
+The banding math mirrors ``operators.similarity.lsh_similar_pairs``
+EXACTLY: same seeded ``_hyperplanes`` pool, same sign-bit band codes — so
+the numbers here are the operator's numbers (cross-checked by
+``tests/test_extensions.py``'s recall gates), computed densely in numpy so
+the full sweep (2 corpora x 2 configs x 3 thresholds) runs in seconds.
+
+Corpora:
+  uniform   — the driver's synthetic embeddings table (sf0.1): near-uniform
+              positive-orthant vectors; true pairs sit barely above
+              background (the adversarial regime for any LSH).
+  clustered — 256 signed cluster centers + 5% jitter (within-cluster cos
+              ~0.99, background ~0): the regime near-dup corpora live in.
+
+Usage: python tools/lsh_sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from numaflow_spark.operators.similarity import _hyperplanes  # noqa: E402
+
+THRESHOLDS = (0.4, 0.6, 0.8)
+CONFIGS = (
+    (4, 24),  # r=4 planes/band, b=24 — the declared embedding_clusters config
+    (8, 12),  # r=8, b=12 — the scale/for_embeddings config
+)
+
+
+def load_uniform(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+
+
+def make_clustered(n: int, dim: int, n_clusters: int = 256, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    m = centers[np.arange(n) % n_clusters] + 0.05 * rng.standard_normal((n, dim))
+    return m
+
+
+def sweep(name: str, m: np.ndarray) -> list[dict]:
+    n, dim = m.shape
+    um = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = um @ um.T
+    iu = np.triu_indices(n, k=1)
+    all_pairs = len(iu[0])
+    rows = []
+    for r, b in CONFIGS:
+        planes = _hyperplanes(dim, r * b, 42)
+        bits = (m @ planes.T) > 0
+        cand = np.zeros((n, n), dtype=bool)
+        pw = 1 << np.arange(r)
+        for band in range(b):
+            code = bits[:, band * r : (band + 1) * r] @ pw
+            cand |= code[:, None] == code[None, :]
+        cand_u = cand[iu]
+        for theta in THRESHOLDS:
+            exact_u = cos[iu] >= theta
+            n_exact = int(exact_u.sum())
+            recall = float((cand_u & exact_u).sum() / n_exact) if n_exact else float("nan")
+            cf = float(cand_u.sum() / all_pairs)
+            rows.append(
+                {
+                    "corpus": name, "n": n, "r": r, "b": b, "theta": theta,
+                    "true_pairs": n_exact,
+                    "candidate_fraction": round(cf, 4),
+                    "pruning": round(1 - cf, 4),
+                    "recall": round(recall, 4),
+                }
+            )
+            print(
+                f"{name:9s} r={r} b={b:2d} θ={theta}: true={n_exact:7d} "
+                f"cand_frac={cf:.3f} pruning={1 - cf:.3f} recall={recall:.4f}",
+                file=sys.stderr,
+            )
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    uni = load_uniform(sf_dir)
+    clu = make_clustered(*uni.shape)
+    out = sweep("uniform", uni) + sweep("clustered", clu)
+    print(json.dumps({"metric": "lsh_sweep", "rows": out}))
+
+
+if __name__ == "__main__":
+    main()
