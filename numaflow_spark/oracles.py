@@ -1018,3 +1018,69 @@ ORACLES["audio_pcm_energy"] = """
     FROM flagged
     GROUP BY doc_id, ((i - 1) // 100)
 """
+
+# ---------------------------------------------------------------------------
+# Appended post-freeze (r5): TPC-H Q4/Q6/Q14/Q16 shapes + embedding
+# centroids. Same determinism discipline: integer cents / micro sums,
+# ratios rounded off exact integer numerators.
+# ---------------------------------------------------------------------------
+
+ORACLES["priority_pending_orders"] = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["forecast_revenue"] = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue_c4,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+"""
+
+ORACLES["promo_revenue_monthly"] = """
+    WITH j AS (
+        SELECT month(l_shipdate) AS month, p_type,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS dp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), agg AS (
+        SELECT month,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    * 10000 AS BIGINT) AS promo_c4,
+               CAST(sum(dp) * 10000 AS BIGINT) AS total_c4
+        FROM j GROUP BY month
+    )
+    SELECT month, promo_c4, total_c4,
+           round(CAST(promo_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) * 100, 4) AS promo_pct
+    FROM agg
+"""
+
+ORACLES["brand_supplier_counts"] = """
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_size
+"""
+
+ORACLES["label_centroids"] = """
+    SELECT label, pos AS dim, count(*) AS n,
+           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+"""

@@ -1353,6 +1353,111 @@ def q_audio_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_window_features(blobs, window_samples=100)
 
 
+def q_priority_pending_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count orders per priority
+    that have at least one line item shipped after the order date —
+    EXISTS-style existence test as a LEFT SEMI JOIN with the inequality
+    riding the join condition (§2.13: the reference has no joins at all).
+    The semi join shuffles on orderkey only; the priority group-by runs on
+    the surviving (order-sized, not lineitem-sized) table."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one fully-pushed-down scan
+    — the year/discount/quantity predicates all reach the parquet reader as
+    PushedFilters, the projection prunes to three columns, and the single
+    global agg is a partial-then-final two-rower. The simplest possible
+    100 TB query: cost = bytes actually matching the row-group stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return filtered.agg(
+        _cents(F.sum(revenue), 10000).alias("revenue_c4"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    PROMO-type parts in 1996. part broadcasts (dimension-sized at any SF);
+    the month group-by is the only shuffle; the share is a ratio of two
+    exact integer sums so the hash is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    joined = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = joined.groupBy(F.month("l_shipdate").alias("month")).agg(
+        _cents(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast(DEC))),
+            10000,
+        ).alias("promo_c4"),
+        _cents(F.sum(disc_price), 10000).alias("total_c4"),
+    )
+    return agg.withColumn(
+        "promo_pct",
+        F.round(F.col("promo_c4").cast("double") / F.col("total_c4").cast("double") * 100, 4),
+    )
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): per brand, how many
+    DISTINCT suppliers ship it and how many line items. COUNT(DISTINCT)
+    plans as a two-phase expand/agg — partial distinct per partition, final
+    merge — so no single task ever sees a brand's full supplier list;
+    that is the shape that survives a skewed brand at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as exact integer sums: posexplode the
+    vector to (label, dim, component), aggregate count + micro-scaled
+    component sum per (label, dim). The all-integer contract (round to 1e-6
+    then sum BIGINTs) makes the result order-independent and engine-exact —
+    the float-mean version would hash-diverge in the last ulp. This is the
+    per-cluster statistics primitive under semantic dedup QA, class
+    prototypes, and drift monitoring. One explode + one shuffle on
+    (label, dim): shuffle volume = corpus x dim x 16 bytes, no collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count("*").alias("n"), F.sum("micro").alias("sum_micro")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1443,4 +1548,13 @@ QUERIES = {
     "salted_skew_join": q_salted_skew_join,
     "doc_quality_gopher": q_doc_quality_gopher,
     "pii_scrub": q_pii_scrub,
+    # -- 74+: appended post-freeze (r5). Outside the current 50-entry driver
+    # window; locally oracle-certified (CORRECTNESS_LOCAL). Once the r5
+    # window certifies positions 1-50, a deliberate reorder next round can
+    # rotate these in.
+    "priority_pending_orders": q_priority_pending_orders,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue_monthly": q_promo_revenue_monthly,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "label_centroids": q_label_centroids,
 }
