@@ -97,15 +97,25 @@ def main() -> None:
         file=sys.stderr,
     )
     line = ""
-    for ndigits in (2, 1, 0):
+    for ndigits, keep in ((2, None), (1, None), (0, None), (1, 55), (1, 40)):
+        q = timings
+        omitted = 0
+        if keep is not None and len(timings) > keep:
+            # Last resort: keep only the slowest `keep` queries (the ones a
+            # plan audit would look at) and say how many fast ones were cut.
+            slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
+            q = {k: v for k, v in timings.items() if k in slowest}
+            omitted = len(timings) - len(q)
         result = {
             "metric": "declared_query_suite_wall",
             "value": round(total, 2),
             "unit": "sec",
-            "queries": {k: round(v, ndigits) for k, v in timings.items()},
+            "queries": {k: round(v, ndigits) for k, v in q.items()},
             "sf": sf,
             "streaming_events_per_sec": streaming_rps,
         }
+        if omitted:
+            result["queries_omitted"] = omitted
         line = json.dumps(result, separators=(",", ":"))
         if len(line) <= 1900:
             break

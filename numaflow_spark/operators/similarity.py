@@ -386,12 +386,20 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors sharing the query's hyperplane
     bucket (~2^-n_planes of the corpus per query on random data).
     Approximate in recall, but the candidate set is a pure function of the
     (seeded) plane constants, so ``lsh_topk_oracle_sql`` reproduces the
-    exact same output in DuckDB — full hash check, not rows-only."""
+    exact same output in DuckDB — full hash check, not rows-only.
+
+    ``probe_bits`` enables multi-probe LSH (Lv et al., VLDB 2007): a corpus
+    vector is a candidate when its bucket is within Hamming distance
+    ``probe_bits`` of the query's bucket, recovering near-misses that fall
+    one sign-flip across a hyperplane. probe_bits=1 multiplies the expected
+    candidate set by (1 + n_planes) while leaving the scan/shuffle shape
+    unchanged — the recall/cost knob for the same table layout."""
     spark = corpus.sparkSession
     planes = _hyperplanes(dim, n_planes)
     qpdf = queries.select(id_col, vec_col).toPandas()
@@ -399,10 +407,10 @@ def lsh_topk(
     q_raw = _matrix(qpdf[vec_col])
     q_mat = _unit(q_raw)
     q_buckets = lsh_bucket_np(q_raw, planes)
-    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_buckets, planes))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_buckets, planes, probe_bits))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm, qb, pl = bq.value
+        ids, qm, qb, pl, pb = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -412,7 +420,15 @@ def lsh_topk(
             cb = lsh_bucket_np(c_raw, pl)
             out = []
             for qi in range(len(ids)):
-                mask = cb == qb[qi]
+                if pb:
+                    xor = np.bitwise_xor(cb, qb[qi])
+                    # popcount via uint8 view: buckets are < 2^n_planes
+                    ham = np.unpackbits(
+                        xor.astype(np.uint32).view(np.uint8).reshape(len(xor), 4), axis=1
+                    ).sum(axis=1)
+                    mask = ham <= pb
+                else:
+                    mask = cb == qb[qi]
                 if not mask.any():
                     continue
                 s = np.round(qm[qi] @ cm[mask].T, 6)
@@ -451,17 +467,24 @@ def lsh_topk_oracle_sql(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    probe_bits: int = 0,
 ) -> str:
     """DuckDB twin of ``lsh_topk``: the (seeded) hyperplanes are embedded as
     literal arrays, buckets are sign bits of raw dot products (same as the
     Spark side), and scoring/ranking mirrors the brute-force oracle. Sign
     agreement across engines holds unless a true |cos| < ~1e-14 — vanishing
-    on real data."""
+    on real data. ``probe_bits`` mirrors the multi-probe candidate rule:
+    bucket Hamming distance <= probe_bits instead of equality."""
     planes = _hyperplanes(dim, n_planes)
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(n_planes)
+    )
+    join_cond = (
+        "q.bucket = c.bucket"
+        if probe_bits == 0
+        else f"bit_count(xor(q.bucket, c.bucket)) <= {probe_bits}"
     )
     return f"""
         WITH v AS (
@@ -477,7 +500,7 @@ def lsh_topk_oracle_sql(
                    round(list_dot_product(qv, cv)
                          / sqrt(list_dot_product(qv, qv))
                          / sqrt(list_dot_product(cv, cv)), 6) AS cos_sim
-            FROM q JOIN c USING (bucket)
+            FROM q JOIN c ON {join_cond}
             WHERE query_id <> neighbor_id
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim

@@ -668,6 +668,9 @@ ORACLES: dict[str, str] = {
 from numaflow_spark.operators.similarity import lsh_topk_oracle_sql as _lsh_sql
 
 ORACLES["lsh_ann_topk"] = _lsh_sql(k=5, dim=64, n_planes=6)
+# Multi-probe variant: 8 planes, Hamming-<=1 bucket probe (params must match
+# queries.q_lsh_multiprobe_topk).
+ORACLES["lsh_multiprobe_topk"] = _lsh_sql(k=5, dim=64, n_planes=8, probe_bits=1)
 
 # simhash_neardup's signature hash is a polynomial fold + affine bit
 # extractors chosen to be expressible identically in DuckDB; the generator
@@ -1083,4 +1086,75 @@ ORACLES["label_centroids"] = """
         FROM embeddings
     )
     GROUP BY label, pos
+"""
+ORACLES["large_order_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum_qty_c > 300 * 100
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_c,
+           sum_qty_c
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["top_revenue_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS revenue_c4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, revenue_c4
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue_c4 = (SELECT max(revenue_c4) FROM rev)
+"""
+
+ORACLES["idle_customer_balance"] = """
+    SELECT c_nationkey, count(*) AS n_custs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_bal_c
+    FROM customer
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_nationkey
+"""
+
+ORACLES["nation_market_share"] = """
+    WITH j AS (
+        SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS dp
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+    ), agg AS (
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN dp
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) AS nation_c4,
+               CAST(sum(dp) * 10000 AS BIGINT) AS total_c4
+        FROM j GROUP BY o_year
+    )
+    SELECT o_year, nation_c4, total_c4,
+           round(CAST(nation_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) * 100, 4) AS mkt_share_pct
+    FROM agg
 """

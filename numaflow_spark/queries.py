@@ -605,6 +605,22 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=6)
 
 
+def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k (Lv et al., VLDB 2007): candidates are
+    corpus vectors whose 8-plane bucket is within Hamming distance 1 of the
+    query's — 9 probed buckets per query, recovering neighbors that fall one
+    sign-flip across a hyperplane. Same scan/shuffle shape as lsh_ann_topk;
+    only the candidate mask changes. Deterministic given the seeded planes,
+    so the DuckDB oracle (same plane literals, bit_count(xor) join) is a
+    full hash check."""
+    from numaflow_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8, probe_bits=1
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text payload → binary blob + typed metadata →
     mapInPandas batch 'decode' to features (deterministic stub codec; the
@@ -1458,19 +1474,141 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line-item
+    quantity exceeds 300, with customer context. The HAVING subquery is a
+    lineitem-sized group-by whose output is order-sized and *filtered to a
+    handful of rows* before any join — so the joins back to orders/customer
+    are build-side-tiny broadcasts, not shuffles. At 100 TB the only big
+    exchange is the first groupBy(l_orderkey), which AQE coalesces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_cents(F.sum(F.col("l_quantity").cast(DEC))).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 300 * 100)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            _cents(F.col("o_totalprice").cast(DEC)).alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over 1996 Q1,
+    then the supplier(s) achieving the maximum. The argmax is a scalar
+    subquery realized as a one-row broadcast cross-join against the
+    (supplier-sized) aggregate — no global sort, no single-partition window.
+    The only full-data exchange is the groupBy(l_suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_cents(F.sum(revenue), 10000).alias("revenue_c4"))
+    )
+    best = rev.agg(F.max("revenue_c4").alias("max_c4"))
+    return (
+        rev.join(F.broadcast(best), rev.revenue_c4 == best.max_c4)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue_c4")
+    )
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers holding more
+    than the average positive account balance who placed no order in 2001,
+    aggregated per nation. Two classic decorrelations: the AVG scalar
+    subquery becomes a one-row broadcast cross-join; NOT EXISTS becomes a
+    LEFT ANTI join on custkey with the date predicate pushed into the
+    orders scan (so the anti join's build side is only 2001's orders).
+    The "above average" test is kept integer-exact across engines by
+    cross-multiplying: bal_cents * n_pos > sum_cents, all BIGINT — no
+    decimal-vs-double average in the comparison."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal_c = _cents(F.col("c_acctbal").cast(DEC))
+    pos_stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum(bal_c).alias("sum_pos_c")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = (
+        cust.crossJoin(F.broadcast(pos_stats))
+        .filter(bal_c * F.col("n_pos") > F.col("sum_pos_c"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        _cents(F.sum(F.col("c_acctbal").cast(DEC))).alias("sum_bal_c"),
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within orders placed by ASIA
+    customers, the yearly revenue share supplied by NATION_3. Five dimension
+    broadcasts; the customer-side and supplier-side nation lookups join the
+    same tiny table twice under different aliases; one group-by shuffle on
+    year. The share is a ratio of two exact integer sums (hash-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    c_nat = nation.alias("cn")
+    s_nat = nation.alias("sn")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(c_nat), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(s_nat), supp.s_nationkey == F.col("sn.n_nationkey"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        _cents(
+            F.sum(F.when(F.col("sn.n_name") == "NATION_3", revenue).otherwise(F.lit(0).cast(DEC))),
+            10000,
+        ).alias("nation_c4"),
+        _cents(F.sum(revenue), 10000).alias("total_c4"),
+    )
+    return agg.withColumn(
+        "mkt_share_pct",
+        F.round(F.col("nation_c4").cast("double") / F.col("total_c4").cast("double") * 100, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
-# ORDERING CONTRACT (frozen r5, append-only thereafter): the driver's
-# correctness harness certifies the FIRST 50 entries of this dict, in
-# insertion order. Positions 1-23 are the queries that had never received a
-# driver CORRECTNESS row through r4 (plus sequence_packing/decontaminate,
-# which were certified in r3 but rotated out when later insertions pushed
-# them past position 50); positions 24-50 re-certify earlier queries;
-# positions 51-73 were all driver-certified green in CORRECTNESS_r04, so the
-# union of rounds covers every query. New queries MUST be appended at the
-# END of the dict — inserting mid-dict shifts queries out of the window.
+# ORDERING CONTRACT (r5): the driver's correctness harness certifies the
+# FIRST 50 entries of this dict, in insertion order. Rotation policy:
+# every query that has NEVER received a driver CORRECTNESS row sits inside
+# the first 50 slots; the remaining window slots and the tail are filled
+# with queries already driver-certified green in an earlier round
+# (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
+# Positions 1-23 were never certified through r4; 24-33 are the r5
+# additions; 34-50 re-certify earlier queries; 51+ are all certified in
+# r03/r04. When adding a query, insert it BEFORE position 50 and displace
+# a multiply-certified query to the tail — never push an uncertified one out.
 QUERIES = {
     # -- 1-23: never-certified through r4 (certify this round) --------------
     "sequence_packing": q_sequence_packing,
@@ -1496,7 +1634,18 @@ QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
     "bpe_pair_counts": q_bpe_pair_counts,
     "audio_pcm_energy": q_audio_pcm_energy,
-    # -- 24-50: previously certified, inside the window -----------------------
+    # -- 24-28: added in r5, not yet driver-certified -------------------------
+    "priority_pending_orders": q_priority_pending_orders,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue_monthly": q_promo_revenue_monthly,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "label_centroids": q_label_centroids,
+    "large_order_customers": q_large_order_customers,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "idle_customer_balance": q_idle_customer_balance,
+    "nation_market_share": q_nation_market_share,
+    "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
+    # -- 33-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
     "sliding_window": q_sliding_window,
@@ -1514,6 +1663,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "top_k": q_top_k,
     "rollup": q_rollup,
+    # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
     "pipeline_diamond": q_pipeline_diamond,
     "accumulator_sort": q_accumulator_sort,
     "text_stats": q_text_stats,
@@ -1524,7 +1674,6 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_topk": q_embedding_topk,
     "embedding_similar_pairs": q_embedding_similar_pairs,
-    # -- 51-73: driver-certified green in CORRECTNESS_r04 ---------------------
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
@@ -1548,13 +1697,4 @@ QUERIES = {
     "salted_skew_join": q_salted_skew_join,
     "doc_quality_gopher": q_doc_quality_gopher,
     "pii_scrub": q_pii_scrub,
-    # -- 74+: appended post-freeze (r5). Outside the current 50-entry driver
-    # window; locally oracle-certified (CORRECTNESS_LOCAL). Once the r5
-    # window certifies positions 1-50, a deliberate reorder next round can
-    # rotate these in.
-    "priority_pending_orders": q_priority_pending_orders,
-    "forecast_revenue": q_forecast_revenue,
-    "promo_revenue_monthly": q_promo_revenue_monthly,
-    "brand_supplier_counts": q_brand_supplier_counts,
-    "label_centroids": q_label_centroids,
 }

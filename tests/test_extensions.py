@@ -497,3 +497,30 @@ def test_documents_corpus_is_ascii_only():
             "WHERE length(text) <> octet_length(CAST(text AS BLOB))"
         ).fetchone()[0]
         assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents break the PCM oracle"
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark):
+    """Multi-probe LSH (probe_bits=1) must contain the single-probe result
+    for every query (a Hamming-0 match is also a Hamming-<=1 match, and
+    widening candidates can only improve a per-query top-k) and must lift
+    recall vs brute-force ground truth on a CLUSTERED corpus — the regime
+    ANN is for. (On the near-uniform sf tables top-5 neighbors have low
+    cosine and land in far buckets; that corpus measures the documented
+    worst case, not the operator.)"""
+    import numpy as np
+
+    from numaflow_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(24, 64))
+    vecs = np.repeat(centers, 25, axis=0) + 0.15 * rng.normal(size=(600, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id % 25 = 0")
+    single = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, k=5, n_planes=8).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, k=5, n_planes=8, probe_bits=1).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.8, f"multiprobe recall on clustered data: {recall_multi}"

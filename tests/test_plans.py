@@ -283,3 +283,39 @@ def test_lsh_similar_pairs_distributed_shape(spark, monkeypatch):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_order_customers_broadcasts_filtered_agg(spark):
+    plan = plan_of(spark, "large_order_customers")
+    # the HAVING output (handful of big orders) must be the broadcast build
+    # side of both joins back to orders/customer — a sort-merge here would
+    # shuffle the full orders table for a ~0.01% match
+    assert nodes(plan, "BroadcastHashJoin") >= 2
+    assert nodes(plan, "SortMergeJoin") == 0
+
+
+def test_top_revenue_supplier_scalar_max_is_broadcast(spark):
+    plan = plan_of(spark, "top_revenue_supplier")
+    # the argmax against the one-row MAX aggregate must be a broadcast join,
+    # and the quarter predicate must reach the lineitem scan
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed
+
+
+def test_idle_customer_balance_anti_join_broadcast(spark):
+    plan = plan_of(spark, "idle_customer_balance")
+    # NOT EXISTS must decorrelate to a broadcast LEFT ANTI join whose build
+    # side is only the date-filtered orders, with the date pushed to scan
+    assert "LeftAnti" in plan
+    assert nodes(plan, "SortMergeJoin") == 0
+    pushed_sections = plan.split("PushedFilters:")
+    assert any("o_orderdate" in s.split("\n")[0] for s in pushed_sections[1:])
+
+
+def test_nation_market_share_all_dims_broadcast(spark):
+    plan = plan_of(spark, "nation_market_share")
+    # five dimension joins (customer, nation x2, region, supplier) broadcast;
+    # the only sort-merge permitted is lineitem x orders (both fact-sized)
+    assert nodes(plan, "BroadcastHashJoin") >= 4
+    assert nodes(plan, "SortMergeJoin") <= 1
