@@ -689,3 +689,228 @@ def quantize_embeddings(
     return e.crossJoin(F.broadcast(packed)).select(
         F.col("qid").alias(id_col), q.alias("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split the vector into m subspaces,
+# code each against a k-codeword codebook, score via asymmetric distance
+# computation (ADC) — the query stays full-precision, corpus vectors are
+# m bytes. The storage layout of a 100 TB vector corpus: dim x 4 bytes ->
+# m bytes per vector, and the ADC scan reads only the code column.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int,
+    *,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 202,
+    train: np.ndarray | None = None,
+) -> np.ndarray:
+    """(m, k, dim//m) PQ codebooks. Default is SEEDED-RANDOM codewords —
+    data-independent, so ``pq_topk_oracle_sql`` can embed them as SQL
+    literals and the declared query gets a full cross-engine hash check
+    (the same determinism trick as the LSH oracle). Pass ``train`` (a
+    bounded driver-side sample, same contract as ivf_topk's) to k-means
+    the codebooks per subspace instead — better distortion, pytest-gated
+    recall rather than SQL-oracle-checked."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    if train is not None:
+        subs = []
+        for j in range(m):
+            sub = np.ascontiguousarray(train[:, j * d : (j + 1) * d], dtype=np.float64)
+            subs.append(kmeans_centroids(sub, k, seed=seed + j))
+        return np.stack(subs)
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(m, k, d))
+
+
+def _pq_assign(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int codes: per subspace, index of the L2-nearest codeword.
+    Distances are rounded to 9 decimals before the argmin and ties take the
+    FIRST index — the exact rule ``pq_topk_oracle_sql`` mirrors with
+    list_position(l, list_min(l)), so numpy-vs-DuckDB float noise below
+    1e-9 cannot flip an assignment."""
+    n, dim = mat.shape
+    m, k, d = codebooks.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * d : (j + 1) * d]
+        cb = codebooks[j]
+        dist = np.round(
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ cb.T)
+            + (cb * cb).sum(axis=1)[None, :],
+            9,
+        )
+        codes[:, j] = dist.argmin(axis=1)
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code array<int>) — the m-byte storage representation. One
+    mapInPandas pass, no shuffle; codebooks ride a broadcast."""
+    spark = df.sparkSession
+    bcb = spark.sparkContext.broadcast(codebooks)
+    idt = _id_sql_type(df, id_col)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bcb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = _pq_assign(_matrix(pdf[vec_col]), cb)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "pq_code": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {idt}, pq_code array<bigint>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """PQ-ADC approximate cosine top-k. Queries broadcast at full precision;
+    each corpus partition codes its rows (in production the codes are
+    precomputed by ``pq_encode`` and this stage reads m bytes/vector) and
+    scores every query against the RECONSTRUCTION:
+    cos(q, x_hat) = sum_j q_j . c_{code_j} / (|q| * sqrt(sum_j |c_{code_j}|^2))
+    — per query a (m x k) lookup table, so scoring is m table reads per
+    corpus vector instead of a dim-length dot. Same no-shuffle scan +
+    bounded candidate merge contract as brute_force_topk."""
+    spark = corpus.sparkSession
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    q_raw = _matrix(qpdf[vec_col])
+    bq = spark.sparkContext.broadcast((q_ids, q_raw, codebooks))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qr, cb = bq.value
+        m, kk, d = cb.shape
+        qnorm = np.linalg.norm(qr, axis=1)
+        # per-query (m, k) inner-product lookup tables
+        luts = np.stack(
+            [qr[:, j * d : (j + 1) * d] @ cb[j].T for j in range(m)], axis=1
+        )  # |Q| x m x k
+        cnorm2 = (cb * cb).sum(axis=2)  # m x k
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            codes = _pq_assign(_matrix(pdf[vec_col]), cb)  # n x m
+            recon_norm = np.sqrt(cnorm2[np.arange(m)[None, :], codes].sum(axis=1))
+            out = []
+            for qi in range(len(ids)):
+                dots = luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                s = np.round(dots / (qnorm[qi] * recon_norm), 6)
+                out.append(
+                    pd.DataFrame({"query_id": ids[qi], "neighbor_id": c_ids, "cos_sim": s})
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def pq_topk_oracle_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 20",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    n_codewords: int = 16,
+    seed: int = 202,
+) -> str:
+    """DuckDB twin of ``pq_topk`` with the seeded-random codebooks embedded
+    as literals: per subspace, code = first index of the minimum rounded
+    L2 distance (list_position over list_min, mirroring numpy's
+    first-occurrence argmin on 9-decimal-rounded distances); the ADC score
+    is the identical lookup-sum expression. Full hash check, not
+    rows-only."""
+    cb = pq_codebooks(dim, m=m, k=n_codewords, seed=seed)
+    d = dim // m
+
+    def lit(vec: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    sub_cols = []
+    code_cols = []
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        sub_cols.append(f"CAST(e[{lo}:{hi}] AS DOUBLE[]) AS s{j}")
+        dists = ", ".join(
+            f"round(list_dot_product(s{j}, s{j})"
+            f" - 2 * list_dot_product(s{j}, {lit(cb[j][i])})"
+            f" + {float((cb[j][i] ** 2).sum())!r}, 9)"
+            for i in range(n_codewords)
+        )
+        code_cols.append(
+            f"list_position(list_value({dists}), list_min(list_value({dists}))) AS code{j}"
+        )
+    # ADC lookups: CASE over the (1-based) code for q-subvector dot and
+    # reconstruction norm^2
+    dot_terms = []
+    norm_terms = []
+    for j in range(m):
+        arms = " ".join(
+            f"WHEN {i + 1} THEN list_dot_product(q.s{j}, {lit(cb[j][i])})"
+            for i in range(n_codewords)
+        )
+        dot_terms.append(f"(CASE c.code{j} {arms} END)")
+        narms = " ".join(
+            f"WHEN {i + 1} THEN {float((cb[j][i] ** 2).sum())!r}" for i in range(n_codewords)
+        )
+        norm_terms.append(f"(CASE c.code{j} {narms} END)")
+    sub_sql = ", ".join(sub_cols)
+    code_sql = ", ".join(code_cols)
+    dot_sql = " + ".join(dot_terms)
+    norm_sql = " + ".join(norm_terms)
+    return f"""
+        WITH v AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+        ), s AS (
+            SELECT vid, e, {sub_sql} FROM v
+        ), coded AS (
+            SELECT vid, {code_sql} FROM s
+        ), q AS (
+            SELECT s.* FROM s WHERE {_rewrite_pred(query_pred, id_col)}
+        ), scored AS (
+            SELECT q.vid AS query_id, c.vid AS neighbor_id,
+                   round(({dot_sql})
+                         / (sqrt(list_dot_product(q.e, q.e)) * sqrt({norm_sql})), 6) AS cos_sim
+            FROM q, coded c
+            WHERE q.vid <> c.vid
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -672,6 +672,13 @@ ORACLES["lsh_ann_topk"] = _lsh_sql(k=5, dim=64, n_planes=6)
 # queries.q_lsh_multiprobe_topk).
 ORACLES["lsh_multiprobe_topk"] = _lsh_sql(k=5, dim=64, n_planes=8, probe_bits=1)
 
+# pq_adc_topk embeds the seeded PQ codebooks as literals and mirrors the
+# rounded-argmin assignment + ADC lookup sum (params must match
+# queries.q_pq_adc_topk).
+from numaflow_spark.operators.similarity import pq_topk_oracle_sql as _pq_sql
+
+ORACLES["pq_adc_topk"] = _pq_sql(k=5, dim=64, m=8, n_codewords=16, seed=202)
+
 # simhash_neardup's signature hash is a polynomial fold + affine bit
 # extractors chosen to be expressible identically in DuckDB; the generator
 # embeds the same seeded constants.

@@ -621,6 +621,22 @@ def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al., TPAMI 2011): corpus
+    vectors compress to m=8 codebook indices (8 bytes vs 256 — the storage
+    layout of a 100 TB vector corpus) and are scored against full-precision
+    queries via per-query lookup tables over the reconstructions. Seeded
+    data-independent codebooks make the assignment + ADC math reproducible
+    in DuckDB (pq_topk_oracle_sql embeds the codeword literals), so this is
+    a full hash check; k-means-trained codebooks (better distortion) are
+    the production path, recall-gated in pytest."""
+    from numaflow_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(64, m=8, k=16, seed=202)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 20), codebooks=cb, k=5)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text payload → binary blob + typed metadata →
     mapInPandas batch 'decode' to features (deterministic stub codec; the
@@ -1605,8 +1621,8 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first 50 slots; the remaining window slots and the tail are filled
 # with queries already driver-certified green in an earlier round
 # (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
-# Positions 1-23 were never certified through r4; 24-33 are the r5
-# additions; 34-50 re-certify earlier queries; 51+ are all certified in
+# Positions 1-23 were never certified through r4; 24-34 are the r5
+# additions; 35-50 re-certify earlier queries; 51+ are all certified in
 # r03/r04. When adding a query, insert it BEFORE position 50 and displace
 # a multiply-certified query to the tail — never push an uncertified one out.
 QUERIES = {
@@ -1645,6 +1661,7 @@ QUERIES = {
     "idle_customer_balance": q_idle_customer_balance,
     "nation_market_share": q_nation_market_share,
     "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
+    "pq_adc_topk": q_pq_adc_topk,
     # -- 33-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
@@ -1662,8 +1679,8 @@ QUERIES = {
     "returned_item_revenue": q_returned_item_revenue,
     "local_supplier_volume": q_local_supplier_volume,
     "top_k": q_top_k,
-    "rollup": q_rollup,
     # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
+    "rollup": q_rollup,
     "pipeline_diamond": q_pipeline_diamond,
     "accumulator_sort": q_accumulator_sort,
     "text_stats": q_text_stats,
