@@ -1165,3 +1165,89 @@ ORACLES["nation_market_share"] = """
            round(CAST(nation_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) * 100, 4) AS mkt_share_pct
     FROM agg
 """
+
+ORACLES["corpus_curation"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents WHERE source != 'src0'
+    ), fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS f
+        FROM corpus
+    ), keep AS (
+        SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+    ), dedup AS (
+        SELECT c.* FROM corpus c JOIN keep USING (doc_id)
+    ), qual AS (
+        SELECT doc_id, text, lang, source, CAST(len(toks) AS BIGINT) AS n_words
+        FROM (SELECT *, string_split(text, ' ') AS toks FROM dedup)
+        WHERE len(toks) >= 50 AND len(toks) <= 100000
+          AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                    / len(toks), 4) >= 2
+          AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                    / len(toks), 4) <= 10
+    ), bench AS (
+        SELECT DISTINCT array_to_string(list_slice(t, u.i, u.i + 4), ' ') AS sh
+        FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE source = 'src0') b,
+             unnest(range(1, len(t) - 3)) u(i)
+        WHERE len(t) >= 5
+    ), qsh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, u.i, u.i + 4), ' ') AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM qual) x,
+             unnest(range(1, len(t) - 3)) u(i)
+        WHERE len(t) >= 5
+    ), flagged AS (
+        SELECT DISTINCT doc_id FROM qsh JOIN bench USING (sh)
+    )
+    SELECT doc_id, lang, source, n_words
+    FROM qual
+    WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+      AND (doc_id * 2654435761) % 4294967296 <
+          CASE lang WHEN 'en' THEN 2147483648
+                    WHEN 'de' THEN 1073741824
+                    WHEN 'fr' THEN 536870912
+                    ELSE 268435456 END
+"""
+
+ORACLES["customer_order_distribution"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                               AND o_orderpriority NOT LIKE '1%'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+"""
+
+ORACLES["small_quantity_revenue"] = """
+    WITH stats AS (
+        SELECT l_partkey, count(*) AS n_li,
+               sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_qty_c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_c,
+           count(*) AS n_items
+    FROM lineitem JOIN stats USING (l_partkey)
+    WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * 5 * n_li
+          < sum_qty_c * 2
+"""
+
+ORACLES["volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                * 10000 AS BIGINT) AS revenue_c4,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""

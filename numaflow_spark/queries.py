@@ -1490,6 +1490,78 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data curation pipeline as ONE declarative chain —
+    exact dedup → Gopher quality gate → benchmark decontamination →
+    stratified sample — proving the operators compose without
+    materialization barriers. Catalyst sees the whole thing as a single
+    plan: the dedup survivor pick is one window shuffle on the text
+    fingerprint, the quality gate is a row-local filter pushed below it,
+    decontamination is a broadcast semi/anti join against the (small,
+    distinct) benchmark shingle set, and the sample is a row-local hash
+    filter — so the composition costs the sum of its shuffles, nothing
+    extra. Stage semantics match the standalone queries (dedup_exact /
+    doc_quality_gopher / decontaminate / stratified_sample oracles)."""
+    from numaflow_spark.operators.dedup import fingerprint_md5, word_shingles
+    from numaflow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+
+    # 1. exact dedup: keep the minimum doc_id per normalized-text
+    # fingerprint — one window shuffle, no self-join
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        corpus.withColumn("fp", fingerprint_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("fp", "rn")
+    )
+
+    # 2. quality gate (same signals as doc_quality_gopher's `passes`)
+    toks = tokens(F.col("text"))
+    mean_wlen = F.round(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / F.size(toks),
+        4,
+    )
+    qual = (
+        dedup.withColumn("n_words", F.size(toks).cast("bigint"))
+        .withColumn("mean_wlen", mean_wlen)
+        .filter(
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (F.col("mean_wlen") >= 2)
+            & (F.col("mean_wlen") <= 10)
+        )
+    )
+
+    # 3. decontaminate: drop any survivor sharing a 5-gram with the src0
+    # benchmark (broadcast the benchmark's distinct shingles)
+    bench_sh = (
+        word_shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
+        .select("sh")
+        .distinct()
+    )
+    flagged = (
+        word_shingles(qual.select("doc_id", "text"), "doc_id", "text", 5)
+        .join(F.broadcast(bench_sh), "sh")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+    )
+    clean = qual.join(flagged, "doc_id", "left_anti")
+
+    # 4. stratified sample (same multiplicative hash as stratified_sample)
+    h = F.pmod((F.col("doc_id") * F.lit(2654435761)).cast("bigint"), F.lit(4294967296))
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit(1 << 31))
+        .when(F.col("lang") == "de", F.lit(1 << 30))
+        .when(F.col("lang") == "fr", F.lit(1 << 29))
+        .otherwise(F.lit(1 << 28))
+    )
+    return clean.filter(h < thresh).select("doc_id", "lang", "source", "n_words")
+
+
 def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total line-item
     quantity exceeds 300, with customer context. The HAVING subquery is a
@@ -1611,6 +1683,86 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of customers by
+    order count, including zero-order customers via a LEFT OUTER join.
+    Two cascaded aggregations — per-customer count (shuffle on custkey),
+    then the distribution over the (tiny) count domain. The left join keeps
+    every customer so the c_count=0 bucket is honest; at 100 TB the orders
+    side shuffles once and the second agg is dimension-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from line
+    items below 40% of their part's average quantity. The correlated AVG
+    subquery decorrelates to a per-part aggregate joined back — the
+    textbook rewrite. The comparison is kept integer-exact by
+    cross-multiplying (5 * qty_cents * n < 2 * sum_qty_cents, all BIGINT:
+    qty < 0.4 * sum/n), so no float average crosses engines. Two shuffles
+    on l_partkey (agg + join share partitioning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity").cast(DEC))
+    stats = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_li"), F.sum(qty_c).alias("sum_qty_c")
+    )
+    joined = li.join(stats, "l_partkey").filter(
+        qty_c * 5 * F.col("n_li") < F.col("sum_qty_c") * 2
+    )
+    return joined.agg(
+        _cents(F.sum(F.col("l_extendedprice").cast(DEC))).alias("revenue_c"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): yearly revenue between two trading
+    nations, in both directions — supplier nation and customer nation must
+    form the pair (NATION_1, NATION_2) either way round. The nation pair
+    predicate rides the dimension joins (all broadcast); one group-by
+    shuffle on (supp_nation, cust_nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            (
+                (F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2")
+            )
+            | (
+                (F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        F.col("n1.n_name").alias("supp_nation"),
+        F.col("n2.n_name").alias("cust_nation"),
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(
+        _cents(F.sum(revenue), 10000).alias("revenue_c4"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1621,8 +1773,8 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first 50 slots; the remaining window slots and the tail are filled
 # with queries already driver-certified green in an earlier round
 # (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
-# Positions 1-23 were never certified through r4; 24-34 are the r5
-# additions; 35-50 re-certify earlier queries; 51+ are all certified in
+# Positions 1-23 were never certified through r4; 24-38 are the r5
+# additions; 39-50 re-certify earlier queries; 51+ are all certified in
 # r03/r04. When adding a query, insert it BEFORE position 50 and displace
 # a multiply-certified query to the tail — never push an uncertified one out.
 QUERIES = {
@@ -1662,6 +1814,10 @@ QUERIES = {
     "nation_market_share": q_nation_market_share,
     "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
     "pq_adc_topk": q_pq_adc_topk,
+    "corpus_curation": q_corpus_curation,
+    "customer_order_distribution": q_customer_order_distribution,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "volume_shipping": q_volume_shipping,
     # -- 33-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
@@ -1675,11 +1831,11 @@ QUERIES = {
     "fan_in_union": q_fan_in_union,
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
+    # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
     "join_agg": q_join_agg,
     "returned_item_revenue": q_returned_item_revenue,
     "local_supplier_volume": q_local_supplier_volume,
     "top_k": q_top_k,
-    # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
     "rollup": q_rollup,
     "pipeline_diamond": q_pipeline_diamond,
     "accumulator_sort": q_accumulator_sort,

@@ -319,3 +319,15 @@ def test_nation_market_share_all_dims_broadcast(spark):
     # the only sort-merge permitted is lineitem x orders (both fact-sized)
     assert nodes(plan, "BroadcastHashJoin") >= 4
     assert nodes(plan, "SortMergeJoin") <= 1
+
+
+def test_corpus_curation_composition_shape(spark):
+    plan = plan_of(spark, "corpus_curation")
+    # the composed pipeline must fuse into one plan: benchmark-shingle
+    # decontamination joins broadcast (build side is the small distinct
+    # benchmark set), the anti join against flagged docs broadcasts, and
+    # nothing degenerates to a cartesian product
+    assert "CartesianProduct" not in plan
+    assert nodes(plan, "BroadcastHashJoin") >= 2
+    # dedup survivor pick is a window over the fingerprint, not a self-join
+    assert nodes(plan, "Window") >= 1
