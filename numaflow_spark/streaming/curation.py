@@ -1,0 +1,190 @@
+"""Streaming corpus curation: the online form of ``queries.q_corpus_curation``.
+
+A crawl/ingest stream curates continuously instead of in one batch pass:
+as documents arrive, each micro-batch is (1) quality-gated, (2)
+decontaminated against a broadcast benchmark shingle set, (3) exact-deduped
+against every PREVIOUSLY ACCEPTED document via a persistent fingerprint
+store, and (4) near-deduped via :class:`StreamingNearDup`'s verified band
+store. Survivors are emitted and their fingerprints/bands/signatures
+persisted, so the dedup guarantee spans the whole stream history — the F8
+effectively-once idea lifted from message ids to content space, stage by
+stage the same semantics as the batch pipeline.
+
+Stage order is the cost order (mirrors the batch twin): the row-local
+quality gate and the broadcast decontamination anti-join shrink the batch
+before any store join runs; the exact-fingerprint anti-join (cheap, 16-byte
+keys) runs before the band-collision/signature-verify machinery.
+
+Scale notes: per-batch cost is batch-size-bound — the fingerprint store
+join is an equi-join on a hashed key (store side partition-pruned by the
+parquet layout), never a corpus scan; the near-dup stage inherits
+StreamingNearDup's band-partitioned store. Store growth is linear in
+ACCEPTED docs (16 B/doc fingerprints + ~512 B/doc signatures). At cluster
+scale swap the parquet dirs for Delta/Iceberg — the operator only needs
+append + equi-join.
+
+Reference anchor: composes the same per-message semantics a numaflow
+pipeline would express as source → transformer (filter) → map (flag) →
+reduce-less forwarding with an external dedup store; here the store and
+the effectively-once guarantee are engine-native.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from numaflow_spark.operators.dedup import fingerprint_md5, word_shingles
+from numaflow_spark.operators.text import tokens
+from numaflow_spark.streaming.neardup import StreamingNearDup
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 2.0,
+    max_mean_wlen: float = 10.0,
+) -> DataFrame:
+    """Row-local Gopher-style shape gate (same signals as
+    ``q_doc_quality_gopher``'s ``passes``): word count and mean word length
+    bounds. Pure JVM expressions — no shuffle, fully pushable."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wlen = F.round(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / F.size(toks),
+        4,
+    )
+    return df.filter(
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= min_mean_wlen)
+        & (mean_wlen <= max_mean_wlen)
+    )
+
+
+class StreamingCuration:
+    """foreachBatch operator: emit only documents that pass the quality
+    gate, share no benchmark n-gram, and are neither exact- nor
+    near-duplicate to anything previously accepted (or to a lower-id doc
+    in the same batch).
+
+    ``accept(df)`` returns the survivors and persists their fingerprints
+    and near-dup bands/signatures. Use inside a sink writer::
+
+        cur = StreamingCuration(spark, store_dir, benchmark=bench_docs)
+        def write(batch_df, epoch_id):
+            cur.accept(batch_df).write.mode("append").parquet(out_dir)
+
+    ``benchmark`` is a STATIC DataFrame of held-out eval documents (the
+    decontamination reference); its distinct shingle set is computed once
+    and broadcast to every batch. Pass ``benchmark=None`` to skip the
+    stage. ``neardup=False`` skips the near-dup stage (exact dedup only).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        benchmark: DataFrame | None = None,
+        ngram: int = 5,
+        neardup: bool | StreamingNearDup = True,
+        min_words: int = 50,
+        threshold: float = 0.8,
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.ngram = ngram
+        self.min_words = min_words
+        self._fp_dir = os.path.join(store_dir, "fingerprints")
+        # benchmark shingles: computed once, pinned, broadcast per batch
+        self._bench_sh = (
+            word_shingles(benchmark, id_col, text_col, ngram)
+            .select("sh")
+            .distinct()
+            .localCheckpoint(eager=True)
+            if benchmark is not None
+            else None
+        )
+        if neardup is True:
+            self._neardup = StreamingNearDup(
+                spark,
+                os.path.join(store_dir, "neardup"),
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+            )
+        else:
+            self._neardup = neardup or None
+
+    def _fp_store(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self._fp_dir)
+        except Exception:  # noqa: BLE001 — first batch: store not yet created
+            return None
+
+    def accept(self, batch: DataFrame) -> DataFrame:
+        # 1. row-local quality gate
+        survivors = quality_gate(batch, self.text_col, min_words=self.min_words)
+
+        # 2. decontamination: drop docs sharing any n-gram with the
+        # benchmark (broadcast; anti-join keyed on this batch's doc ids)
+        if self._bench_sh is not None:
+            flagged = (
+                word_shingles(
+                    survivors.select(
+                        F.col(self.id_col), F.col(self.text_col)
+                    ),
+                    self.id_col,
+                    self.text_col,
+                    self.ngram,
+                )
+                .join(F.broadcast(self._bench_sh), "sh")
+                .select(F.col("doc").alias(self.id_col))
+                .distinct()
+            )
+            survivors = survivors.join(flagged, self.id_col, "left_anti")
+
+        # 3. exact dedup vs the accepted-fingerprint store + intra-batch
+        # (min id per fingerprint wins, matching the batch twin)
+        fp = survivors.withColumn("fp", fingerprint_md5(F.col(self.text_col)))
+        store = self._fp_store()
+        if store is not None:
+            # no broadcast hint: the store grows with accepted docs, so the
+            # planner/AQE must stay free to flip build sides (broadcast
+            # while small, shuffle join once it is not)
+            fp = fp.join(store, "fp", "left_anti")
+        w_min = F.min(self.id_col).over(Window.partitionBy("fp"))
+        fp = (
+            fp.withColumn("keep_id", w_min)
+            .filter(F.col(self.id_col) == F.col("keep_id"))
+            .drop("keep_id")
+        )
+        # pin survivors before appending their fingerprints, so the store
+        # write cannot re-read a moving plan
+        fp = fp.localCheckpoint(eager=True)
+        fp.select("fp").write.mode("append").parquet(self._fp_dir)
+        survivors = fp.drop("fp")
+
+        # 4. near-dup against everything previously accepted
+        if self._neardup is not None:
+            survivors = self._neardup.accept(survivors)
+        return survivors
+
+    def writer(self, out_dir: str):
+        """Ready-made foreachBatch function appending survivors to
+        ``out_dir``."""
+
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            self.accept(batch_df).write.mode("append").parquet(out_dir)
+
+        return write

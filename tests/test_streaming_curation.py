@@ -1,0 +1,100 @@
+"""Streaming corpus curation: quality gate, broadcast decontamination,
+cross-batch exact dedup via the fingerprint store, near-dup via the band
+store — the online twin of queries.q_corpus_curation, driven per-batch and
+through a real streaming query."""
+
+from __future__ import annotations
+
+from numaflow_spark.streaming.curation import StreamingCuration, quality_gate
+
+# ~60 words per repetition-of-3: comfortably past the 50-word gate
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventy three "
+    "pelicans argue about parquet partition pruning in the warehouse "
+    "every single morning before the shuffle service wakes up properly "
+)
+
+SHORT = "too short to pass the gate"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_gate_row_local(spark):
+    df = _docs(spark, [(1, BASE * 3), (2, SHORT), (3, "x" * 900)])
+    got = {r.doc_id for r in quality_gate(df).collect()}
+    # 2 fails word count; 3 is one 900-char "word" (mean word len >> 10)
+    assert got == {1}
+
+
+def test_curation_stages_compose(spark, tmp_path):
+    """One batch through all four stages: the short doc dies at the gate,
+    the benchmark-overlapping doc dies at decontamination, the exact dup
+    keeps its min id, the near dup dies against the band store."""
+    bench = _docs(spark, [(100, "held out benchmark question " * 12)])
+    cur = StreamingCuration(spark, str(tmp_path / "store"), benchmark=bench)
+    batch = _docs(
+        spark,
+        [
+            (1, BASE * 3 + "ending one"),
+            (2, BASE * 3 + "ending one"),      # exact dup of 1
+            (3, BASE * 3 + "ending three"),    # near dup of 1
+            (4, SHORT),                        # quality fail
+            (5, BASE * 2 + " held out benchmark question" * 3 + BASE),  # contaminated
+            (6, "entirely novel content regarding watermark heartbeats " * 9),
+        ],
+    )
+    got = sorted(r.doc_id for r in cur.accept(batch).collect())
+    assert got == [1, 6]
+
+
+def test_curation_cross_batch_stores(spark, tmp_path):
+    """Batch 2 is deduped against batch 1's ACCEPTED docs: an exact dup and
+    a near dup of a batch-1 survivor both die; novel content survives."""
+    cur = StreamingCuration(spark, str(tmp_path / "store"))
+    b1 = _docs(spark, [(1, BASE * 3 + "ending one")])
+    assert [r.doc_id for r in cur.accept(b1).collect()] == [1]
+    b2 = _docs(
+        spark,
+        [
+            (11, BASE * 3 + "ending one"),     # exact dup of accepted 1
+            (12, BASE * 3 + "ending twelve"),  # near dup of accepted 1
+            (13, "fresh discussion of connected components in log rounds " * 9),
+        ],
+    )
+    got = sorted(r.doc_id for r in cur.accept(b2).collect())
+    assert got == [13]
+
+
+def test_curation_via_streaming_query(spark, tmp_path):
+    """End-to-end through a real streaming query: parquet replay source ->
+    foreachBatch(StreamingCuration.writer) -> parquet sink, two
+    micro-batches, second deduped against the first's stores."""
+    from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+
+    rows = [
+        (1, BASE * 3 + "ending one"),
+        (2, SHORT),
+        # second batch (ordered after by doc_id)
+        (11, BASE * 3 + "ending one"),   # exact dup of 1, dies cross-batch
+        (12, "fresh discussion of broadcast side inputs and ttl refresh " * 9),
+    ]
+    docs = _docs(spark, rows)
+    data_dir = write_replay_batches(
+        docs, str(tmp_path / "in"), batches=2, order_col="doc_id"
+    )
+    cur = StreamingCuration(spark, str(tmp_path / "store"))
+    out_dir = str(tmp_path / "out")
+    q = (
+        replay_stream(spark, data_dir, schema=docs.schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(cur.writer(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 12]
