@@ -914,3 +914,96 @@ def pq_topk_oracle_sql(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codewords: int = 16,
+    train_sample_mod: int = 1,
+    train_cap: int = 4096,
+) -> DataFrame:
+    """Two-level ANN — IVF coarse lists over PQ-compressed vectors (the
+    IVFPQ architecture of Jégou et al., TPAMI 2011, as FAISS popularized):
+    the coarse quantizer prunes the scan to ~n_probe/n_centroids of the
+    corpus, and what IS scanned is scored via ADC over m-byte codes, so a
+    100 TB corpus both reads less and reads smaller. Training (coarse
+    k-means + per-subspace PQ k-means) pulls only the hash-thinned,
+    ``train_cap``-capped sample to the driver — the same bounded-training
+    contract as ivf_topk.
+
+    Simplification vs the paper: codes are built over RAW subvectors, not
+    per-list residuals — one global (m x k) lookup table per query instead
+    of one per probed list. Residual coding buys distortion at the cost of
+    n_probe× the table builds; the plumbing (list pruning + ADC) is
+    identical, and the re-rank contract below absorbs the difference.
+
+    Role contract: like pq_topk this is a CANDIDATE GENERATOR — take top-k
+    wide (k≈50), re-rank the survivors at full precision (a per-query
+    constant cost). Recall gates live in pytest (data-dependent k-means ⇒
+    no SQL oracle; the declared-query surface carries ivf_ann_topk and
+    pq_adc_topk, which are oracle-checked)."""
+    spark = corpus.sparkSession
+    sample = corpus.select(id_col, vec_col)
+    if train_sample_mod > 1:
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+    train_pdf = sample.orderBy(id_col).limit(train_cap).toPandas()
+    train = _matrix(train_pdf[vec_col])
+    coarse = kmeans_centroids(train, n_centroids)
+    cb = pq_codebooks(train.shape[1], m=m, k=n_codewords, train=train)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    q_raw = _matrix(qpdf[vec_col])
+    q_unit = _unit(q_raw)
+    probe = min(n_probe, coarse.shape[0])
+    q_lists = np.argsort(-(q_unit @ coarse.T), axis=1)[:, :probe]
+    bq = spark.sparkContext.broadcast((q_ids, q_raw, q_lists, coarse, cb))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qr, lists, cm, cbk = bq.value
+        mm, kk, d = cbk.shape
+        qnorm = np.linalg.norm(qr, axis=1)
+        luts = np.stack([qr[:, j * d : (j + 1) * d] @ cbk[j].T for j in range(mm)], axis=1)
+        cnorm2 = (cbk * cbk).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf[id_col].to_numpy()
+            raw = _matrix(pdf[vec_col])
+            assign = np.argmax(_unit(raw) @ cm.T, axis=1)
+            codes = _pq_assign(raw, cbk)
+            recon_norm = np.sqrt(cnorm2[np.arange(mm)[None, :], codes].sum(axis=1))
+            out = []
+            for qi in range(len(ids)):
+                mask = np.isin(assign, lists[qi])
+                if not mask.any():
+                    continue
+                dots = luts[qi][np.arange(mm)[None, :], codes[mask]].sum(axis=1)
+                s = np.round(dots / (qnorm[qi] * recon_norm[mask]), 6)
+                take = min(k + 1, s.shape[0])
+                idx = np.argpartition(-s, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": ids[qi], "neighbor_id": b_ids[mask][idx], "cos_sim": s[idx]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -572,3 +572,34 @@ def test_pq_candidate_generation_and_codebook_size(spark):
     rec16 = len({(r.query_id, r.neighbor_id) for r in pq_topk(emb, queries, codebooks=cb16, k=5).collect()} & exact) / len(exact)
     rec64 = len({(r.query_id, r.neighbor_id) for r in pq_topk(emb, queries, codebooks=cb64, k=5).collect()} & exact) / len(exact)
     assert rec64 >= rec16, f"k=64 recall {rec64} < k=16 recall {rec16}"
+
+
+def test_ivfpq_candidate_generation_with_pruning(spark):
+    """IVFPQ (coarse lists + ADC over PQ codes): with n_probe=4 of 16 lists
+    the scan prunes to ~1/4 of the corpus, and the exact top-5 must still
+    survive inside the IVFPQ top-50 on clustered data — the two-level
+    candidate-generation contract. Full-probe IVFPQ must dominate pruned
+    IVFPQ (pruning can only lose candidates)."""
+    import numpy as np
+
+    from numaflow_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(16, 64))
+    vecs = np.repeat(centers, 30, axis=0) + 0.1 * rng.normal(size=(480, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id % 30 = 0")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    pruned = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(emb, queries, k=50, n_centroids=16, n_probe=4).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(emb, queries, k=50, n_centroids=16, n_probe=16).collect()
+    }
+    rec_pruned = len(exact & pruned) / len(exact)
+    rec_full = len(exact & full) / len(exact)
+    assert rec_full >= rec_pruned
+    assert rec_pruned >= 0.8, f"pruned IVFPQ 5-in-50 recall: {rec_pruned}"
