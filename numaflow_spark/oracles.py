@@ -1251,3 +1251,17 @@ ORACLES["volume_shipping"] = """
        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
     GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
+
+ORACLES["discounted_brand_revenue"] = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                * 10000 AS BIGINT) AS revenue_c4,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""

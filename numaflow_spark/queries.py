@@ -1763,6 +1763,35 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+    OR'd (brand, size-range, quantity-range) arms. The interesting part is
+    what Catalyst does with the disjunction: the common p_partkey equi-key
+    is extracted so the join stays a broadcast HASH join (not nested-loop),
+    per-side implied predicates (quantity ≤ max of any arm's upper bound,
+    size ≤ max) push to the scans, and the residual OR evaluates post-join
+    in codegen. One agg, no shuffle beyond it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731 — three structurally-identical arms
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        joined.filter(
+            arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30)
+        )
+        .agg(
+            _cents(F.sum(revenue), 10000).alias("revenue_c4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1773,8 +1802,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first 50 slots; the remaining window slots and the tail are filled
 # with queries already driver-certified green in an earlier round
 # (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
-# Positions 1-23 were never certified through r4; 24-38 are the r5
-# additions; 39-50 re-certify earlier queries; 51+ are all certified in
+# Positions 1-23 were never certified through r4; 24-39 are the r5
+# additions; 40-50 re-certify earlier queries; 51+ are all certified in
 # r03/r04. When adding a query, insert it BEFORE position 50 and displace
 # a multiply-certified query to the tail — never push an uncertified one out.
 QUERIES = {
@@ -1818,6 +1847,7 @@ QUERIES = {
     "customer_order_distribution": q_customer_order_distribution,
     "small_quantity_revenue": q_small_quantity_revenue,
     "volume_shipping": q_volume_shipping,
+    "discounted_brand_revenue": q_discounted_brand_revenue,
     # -- 33-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
@@ -1830,8 +1860,8 @@ QUERIES = {
     "route_not": q_route_not,
     "fan_in_union": q_fan_in_union,
     "dedup_exact": q_dedup_exact,
-    "pricing_summary": q_pricing_summary,
     # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
+    "pricing_summary": q_pricing_summary,
     "join_agg": q_join_agg,
     "returned_item_revenue": q_returned_item_revenue,
     "local_supplier_volume": q_local_supplier_volume,
