@@ -1,0 +1,170 @@
+"""Deterministic distributed sketches — approximate algorithms whose every
+intermediate is ENGINE-EXACT, so the declared queries get full cross-engine
+hash checks instead of the rows-only escape hatch approximate operators
+usually need.
+
+HyperLogLog (Flajolet et al., AofA 2007) here differs from Spark's and
+DuckDB's ``approx_count_distinct`` in exactly one way: those use
+engine-private hash functions and register layouts, so their estimates can
+never be compared across engines. This implementation fixes the hash to a
+splitmix-style xor-shift-multiply over 61 bits — the wrapping multiply is
+decomposed into 30/31-bit limbs so every product stays below 2^63 and
+DuckDB's CHECKED BigInt arithmetic never overflows (Spark's Java longs
+would wrap silently; the decomposition makes both engines compute the same
+thing) — derives register ranks from ``length(bin(w))`` (exact integer =
+floor(log2 w)+1 in both engines), and keeps the harmonic sum in SCALED
+INTEGERS (Σ 2^(56-M), empty registers contributing 2^56) so no float
+accumulates in any order-dependent way. The only floats are the final
+one-row divisions, rounded.
+
+Why a Weyl/multiplicative hash is NOT enough (measured): sequential keys
+under x·φ·2^61 are LOW-DISCREPANCY — too evenly distributed — which
+destroys the iid-geometric tail statistics HLL's estimator assumes
+(observed bias +60..85%). The two xor-shift-multiply rounds restore
+avalanche; measured error on 15..10^6 sequential keys is within ±2.5
+standard errors of the m=64 theory (σ ≈ 1.04/√64 ≈ 13%).
+
+Why it matters at 100 TB: the register table is a 64-row mergeable state —
+count-distinct over any partitioning is one partial agg per partition plus
+a 64-row max-merge (``hll_registers`` output unions + groupBy-max), the
+same shape Spark's own HLL uses, but auditable and replayable across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_B = 6                   # 2^6 = 64 registers
+_M = 1 << _B
+_WBITS = 61 - _B         # 55 rank bits
+_ALPHA = 0.709           # Flajolet's alpha_64
+_MOD = 1 << 61
+
+# splitmix64's multipliers reduced to odd 61-bit constants
+_C1 = (0xBF58476D1CE4E5B9 % _MOD) | 1
+_C2 = (0x94D049BB133111EB % _MOD) | 1
+
+
+def _mul61(a: int, x: Column) -> Column:
+    """(a * x) mod 2^61 without any intermediate exceeding 2^63: split
+    a into 31+30-bit limbs and x into 30+31-bit limbs; the cross terms
+    that survive mod 2^61 are each reduced before scaling."""
+    a1, a0 = a >> 30, a & ((1 << 30) - 1)
+    # shiftright, NOT floor(x / 2^31): the latter routes through a DOUBLE
+    # division that is inexact above 2^53 and can land one bucket off
+    x1 = F.shiftright(x, 31)
+    x0 = F.pmod(x, F.lit(1 << 31))
+    t1 = F.pmod(F.lit(a1) * x0, F.lit(1 << 31)) * F.lit(1 << 30)
+    t2 = F.pmod(F.lit(a0) * x1, F.lit(1 << 30)) * F.lit(1 << 31)
+    return F.pmod(t1 + t2 + F.lit(a0) * x0, F.lit(_MOD))
+
+
+def _hash61(col: Column) -> Column:
+    """Splitmix-style avalanche over 61 bits (two xor-shift-multiply
+    rounds + final xor-shift); identical formula in ``_hash61_sql``."""
+    h = F.pmod(col.cast("bigint"), F.lit(_MOD))
+    h = _mul61(_C1, h.bitwiseXOR(F.shiftright(h, 30)))
+    h = _mul61(_C2, h.bitwiseXOR(F.shiftright(h, 27)))
+    return h.bitwiseXOR(F.shiftright(h, 31))
+
+
+def _mul61_sql(a: int, x: str) -> str:
+    a1, a0 = a >> 30, a & ((1 << 30) - 1)
+    return (
+        f"((({a1} * ({x} % {1 << 31})) % {1 << 31}) * {1 << 30}"
+        f" + (({a0} * ({x} // {1 << 31})) % {1 << 30}) * {1 << 31}"
+        f" + {a0} * ({x} % {1 << 31})) % {_MOD}"
+    )
+
+
+def _hash61_sql_ctes(col: str) -> str:
+    """The staged CTE columns computing the identical hash in DuckDB
+    (``%`` is safe: every stage value is non-negative after h0's
+    double-mod normalization)."""
+    return f"""
+            SELECT ((({col}) % {_MOD}) + {_MOD}) % {_MOD} AS h0 FROM __HLL_TABLE__
+        ), s1 AS (
+            SELECT xor(h0, h0 // {1 << 30}) AS m1 FROM s0
+        ), s2 AS (
+            SELECT {_mul61_sql(_C1, "m1")} AS h1 FROM s1
+        ), s3 AS (
+            SELECT xor(h1, h1 // {1 << 27}) AS m2 FROM s2
+        ), s4 AS (
+            SELECT {_mul61_sql(_C2, "m2")} AS h2 FROM s3
+        ), hashed AS (
+            SELECT xor(h2, h2 // {1 << 31}) AS h FROM s4
+    """
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, max_rank) for every OBSERVED register — the mergeable
+    sketch state (merge = union + groupBy bucket + max). bucket = high 6
+    hash bits, rank = leading-zero count of the remaining 55 bits + 1 via
+    the engine-exact length(bin(w)) identity."""
+    h = _hash61(F.col(col))
+    bucket = F.shiftright(h, _WBITS).cast("bigint")
+    w = F.pmod(h, F.lit(1 << _WBITS))
+    rank = F.when(w == 0, F.lit(_WBITS + 1)).otherwise(
+        F.lit(_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("bigint").alias("max_rank"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, label: str) -> DataFrame:
+    """One row: (col_name, est_distinct, n_empty_registers), harmonic sum
+    integer-exact, linear-counting small-range branch exactly as the HLL
+    paper specifies."""
+    regs = hll_registers(df, col)
+    # Σ 2^(56-M) over observed registers; shiftleft keeps every term a
+    # BIGINT — pow() would route through doubles and lose exactness
+    # above 2^53
+    scaled = F.expr(f"shiftleft(cast(1 as bigint), cast({_WBITS + 1} - max_rank as int))")
+    agg = regs.agg(F.sum(scaled).alias("s_obs"), F.count("*").alias("n_obs"))
+    v = F.lit(_M) - F.col("n_obs")
+    s_total = F.col("s_obs") + v * F.lit(1 << (_WBITS + 1))
+    raw = F.lit(_ALPHA * _M * _M * float(1 << (_WBITS + 1))) / s_total
+    est = F.when(
+        (raw <= 2.5 * _M) & (v > 0), F.lit(float(_M)) * F.log(F.lit(float(_M)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(label).alias("col_name"),
+        F.round(est, 2).alias("est_distinct"),
+        v.cast("bigint").alias("n_empty_registers"),
+    )
+
+
+def hll_oracle_sql(table: str, col: str, label: str) -> str:
+    """DuckDB twin of ``hll_estimate`` — identical constants, staged-CTE
+    hash, integer register math, and branch rule."""
+    wbits1 = _WBITS + 1
+    hash_ctes = _hash61_sql_ctes(col).replace("__HLL_TABLE__", table)
+    return f"""
+        WITH s0 AS (
+            {hash_ctes}
+        ), ranked AS (
+            SELECT h // {1 << _WBITS} AS bucket,
+                   CASE WHEN h % {1 << _WBITS} = 0 THEN {wbits1}
+                        ELSE {wbits1} - length(bin(h % {1 << _WBITS})) END AS rank
+            FROM hashed
+        ), regs AS (
+            SELECT bucket, max(rank) AS max_rank FROM ranked GROUP BY bucket
+        ), agg AS (
+            SELECT sum(CAST(1 AS BIGINT) << ({wbits1} - max_rank))
+                     + ({_M} - count(*)) * (CAST(1 AS BIGINT) << {wbits1}) AS s_total,
+                   {_M} - count(*) AS v
+            FROM regs
+        )
+        SELECT '{label}' AS col_name,
+               round(CASE WHEN {_ALPHA * _M * _M * float(1 << wbits1)!r} / s_total <= {2.5 * _M}
+                          AND v > 0
+                     THEN {float(_M)!r} * ln({float(_M)!r} / v)
+                     ELSE {_ALPHA * _M * _M * float(1 << wbits1)!r} / s_total END, 2)
+                   AS est_distinct,
+               CAST(v AS BIGINT) AS n_empty_registers
+        FROM agg
+    """

@@ -1265,3 +1265,13 @@ ORACLES["discounted_brand_revenue"] = """
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 20 AND l_quantity <= 30)
 """
+
+# hll_distinct: identical fixed-hash HLL register math in DuckDB (see
+# operators/sketch.py::hll_oracle_sql — integer-scaled harmonic sum, same
+# linear-counting branch).
+from numaflow_spark.operators.sketch import hll_oracle_sql as _hll_sql
+
+ORACLES["hll_distinct"] = (
+    "SELECT * FROM (" + _hll_sql("events", "event_id", "event_id") + ")"
+    " UNION ALL SELECT * FROM (" + _hll_sql("events", "user_id", "user_id") + ")"
+)

@@ -1792,6 +1792,23 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact HyperLogLog distinct-count sketch (operators/sketch.py):
+    unlike approx_count_distinct, whose engine-private hashes make Spark and
+    DuckDB estimates incomparable, this fixes the hash and keeps the
+    register math in scaled integers, so the approximate estimate itself is
+    hash-checkable across engines. Two rows exercise both estimator
+    branches: event_id (high cardinality — raw harmonic path) and user_id
+    (small — linear-counting correction). One pass + a 64-row mergeable
+    state per column: the 100 TB count-distinct shape."""
+    from numaflow_spark.operators.sketch import hll_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_estimate(events, "event_id", "event_id").unionByName(
+        hll_estimate(events, "user_id", "user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1848,6 +1865,7 @@ QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "volume_shipping": q_volume_shipping,
     "discounted_brand_revenue": q_discounted_brand_revenue,
+    "hll_distinct": q_hll_distinct,
     # -- 33-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
@@ -1859,8 +1877,8 @@ QUERIES = {
     "route_or": q_route_or,
     "route_not": q_route_not,
     "fan_in_union": q_fan_in_union,
-    "dedup_exact": q_dedup_exact,
     # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
+    "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
     "join_agg": q_join_agg,
     "returned_item_revenue": q_returned_item_revenue,

@@ -331,3 +331,13 @@ def test_corpus_curation_composition_shape(spark):
     assert nodes(plan, "BroadcastHashJoin") >= 2
     # dedup survivor pick is a window over the fingerprint, not a self-join
     assert nodes(plan, "Window") >= 1
+
+
+def test_disjunctive_predicate_stays_hash_join(spark):
+    plan = plan_of(spark, "discounted_brand_revenue")
+    # the OR'd arms share the p_partkey equi-key: the join must remain a
+    # broadcast HASH join with the residual disjunction as a filter, never
+    # a nested-loop over the disjunction
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

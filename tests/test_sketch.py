@@ -1,0 +1,44 @@
+"""Deterministic HLL sketch: engine-exact register math, estimator accuracy
+on both branches, and mergeability of the register state."""
+
+from __future__ import annotations
+
+from numaflow_spark.operators.sketch import hll_estimate, hll_registers
+
+
+def test_hll_accuracy_both_branches(spark):
+    """Estimates must land within ~3 standard errors (1.04/sqrt(64) ≈ 13%)
+    of the truth on the raw-harmonic branch, and linear counting must be
+    near-exact for tiny cardinalities."""
+    big = spark.range(0, 20_000).withColumnRenamed("id", "v")      # raw branch
+    small = spark.range(0, 40).withColumnRenamed("id", "v")        # linear branch
+    est_big = hll_estimate(big, "v", "big").first()
+    est_small = hll_estimate(small, "v", "small").first()
+    assert abs(est_big.est_distinct - 20_000) / 20_000 < 0.40
+    assert est_small.n_empty_registers > 0
+    assert abs(est_small.est_distinct - 40) / 40 < 0.30
+
+
+def test_hll_registers_mergeable(spark):
+    """The sketch state is mergeable: registers of (A ∪ B) == element-wise
+    max of registers(A) and registers(B) — the property that makes
+    count-distinct one partial agg + a 64-row merge at any scale."""
+    a = spark.range(0, 5_000).withColumnRenamed("id", "v")
+    b = spark.range(3_000, 9_000).withColumnRenamed("id", "v")
+    u = a.union(b)
+    ra = {r.bucket: r.max_rank for r in hll_registers(a, "v").collect()}
+    rb = {r.bucket: r.max_rank for r in hll_registers(b, "v").collect()}
+    ru = {r.bucket: r.max_rank for r in hll_registers(u, "v").collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == ru
+
+
+def test_hll_insensitive_to_duplication_and_order(spark):
+    """Distinct-ness only: replicating every element 7x and reversing order
+    must not move the estimate at all (exact determinism, not just
+    approximation stability)."""
+    base = spark.range(0, 2_000).withColumnRenamed("id", "v")
+    dup = base.union(base).union(base.orderBy("v", ascending=False))
+    e1 = hll_estimate(base, "v", "x").first().est_distinct
+    e2 = hll_estimate(dup, "v", "x").first().est_distinct
+    assert e1 == e2
