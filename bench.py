@@ -97,7 +97,7 @@ def main() -> None:
         file=sys.stderr,
     )
     line = ""
-    for ndigits, keep in ((2, None), (1, None), (0, None), (1, 55), (1, 40)):
+    for ndigits, keep in ((2, None), (1, None), (0, None), (1, 75), (1, 55), (1, 40)):
         q = timings
         omitted = 0
         if keep is not None and len(timings) > keep:

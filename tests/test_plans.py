@@ -341,3 +341,12 @@ def test_disjunctive_predicate_stays_hash_join(spark):
     assert nodes(plan, "BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_single_shuffle(spark):
+    plan = plan_of(spark, "hll_distinct")
+    # each branch: one partial-agg'd exchange on the 64-value bucket key,
+    # then a one-row final agg — no Python anywhere (pure JVM expressions)
+    assert "partial_max" in plan
+    assert nodes(plan, "BatchEvalPython") == 0
+    assert nodes(plan, "ArrowEvalPython") == 0

@@ -1,0 +1,43 @@
+"""The driver certifies the FIRST 50 entries of the QUERIES dict per round
+(mechanism proven in VERDICT r4). Rotation contract: every query that has
+never received a driver CORRECTNESS row must sit inside that window, so
+the union of rounds covers the full set. This test reads the committed
+driver artifacts and fails if an uncertified query drifts past position 50
+— the exact mistake that silently uncertified 21 queries through r4."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_uncertified_queries_inside_driver_window():
+    from numaflow_spark.queries import QUERIES
+
+    certified: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        certified |= {
+            name
+            for name, r in rows.items()
+            if isinstance(r, dict) and r.get("hash_match") and not r.get("err")
+        }
+    names = list(QUERIES)
+    late_uncertified = [n for n in names[50:] if n not in certified]
+    assert not late_uncertified, (
+        f"queries outside the driver's 50-entry certification window that "
+        f"have no driver row yet: {late_uncertified} — move them before "
+        f"position 50 (displace an already-certified query to the tail)"
+    )
+
+
+def test_every_query_has_an_oracle():
+    from numaflow_spark.oracles import ORACLES
+    from numaflow_spark.queries import QUERIES
+
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries with no DuckDB oracle (rows-only check): {missing}"
