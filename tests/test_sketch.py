@@ -42,3 +42,34 @@ def test_hll_insensitive_to_duplication_and_order(spark):
     e1 = hll_estimate(base, "v", "x").first().est_distinct
     e2 = hll_estimate(dup, "v", "x").first().est_distinct
     assert e1 == e2
+
+
+def test_hll_registers_stream_update_mode(spark, tmp_path):
+    """The register state is a plain (bucket, max) aggregation, so it runs
+    UNMODIFIED as a streaming update-mode query — distinct-count-over-a-
+    stream with 64 rows of state, no custom stateful operator. The final
+    streamed register table must equal the batch sketch of the same data."""
+    from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+
+    df = spark.range(0, 4_000).withColumnRenamed("id", "v")
+    data_dir = write_replay_batches(df, str(tmp_path / "in"), batches=4, order_col="v")
+    from numaflow_spark.operators.sketch import hll_registers
+
+    stream = replay_stream(spark, data_dir, schema=df.schema, max_files_per_trigger=1)
+    q = (
+        hll_registers(stream, "v")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.bucket, r.max_rank) for r in spark.sql("select * from hll_stream").collect()
+    }
+    batch = {(r.bucket, r.max_rank) for r in hll_registers(df, "v").collect()}
+    assert streamed == batch
