@@ -1275,3 +1275,128 @@ ORACLES["hll_distinct"] = (
     "SELECT * FROM (" + _hll_sql("events", "event_id", "event_id") + ")"
     " UNION ALL SELECT * FROM (" + _hll_sql("events", "user_id", "user_id") + ")"
 )
+
+ORACLES["min_cost_supplier"] = """
+    WITH euro_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cost_c
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro_cost AS (
+        SELECT c.*, s.s_name, s.s_acctbal, s.n_name, p.p_partkey, p.p_brand
+        FROM cost c
+        JOIN euro_supp s ON c.l_suppkey = s.s_suppkey
+        JOIN part p ON c.l_partkey = p.p_partkey
+        WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10
+    ),
+    min_cost AS (
+        SELECT p_partkey, min(cost_c) AS min_cost_c
+        FROM euro_cost GROUP BY p_partkey
+    )
+    SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_acctbal_c,
+           s_name, n_name, ec.p_partkey, p_brand, cost_c
+    FROM euro_cost ec JOIN min_cost mc
+      ON ec.p_partkey = mc.p_partkey AND ec.cost_c = mc.min_cost_c
+"""
+
+ORACLES["product_type_profit"] = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+               - CAST(l_quantity AS BIGINT)
+                 * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ) AS profit_c4,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+"""
+
+ORACLES["important_part_value"] = """
+    WITH euro_li AS (
+        SELECT l_partkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ext_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    per_part AS (
+        SELECT l_partkey AS p_partkey, sum(ext_c) AS value_c
+        FROM euro_li GROUP BY l_partkey
+    )
+    SELECT p_partkey, value_c
+    FROM per_part
+    WHERE value_c * 1000 > (SELECT sum(value_c) FROM per_part)
+"""
+
+ORACLES["late_shipment_modes"] = """
+    SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
+                WHEN datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
+                ELSE 'SLOW' END AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+ORACLES["excess_shipment_supplier"] = """
+    WITH per_sp AS (
+        SELECT l_suppkey,
+               sum(CAST(l_quantity AS BIGINT)) AS qty_total,
+               sum(CASE WHEN year(l_shipdate) = 1997
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_1997
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM per_sp WHERE qty_1997 * 2 > qty_total)
+"""
+
+ORACLES["waiting_supplier"] = """
+    WITH li_f AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+                   + INTERVAL 60 DAY AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+        FROM li_f GROUP BY l_orderkey
+    ),
+    late_sup AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM li_f WHERE is_late
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late_sup
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+"""

@@ -1809,6 +1809,225 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c100(col):
+    """Double money/ratio column -> exact integer hundredths (BIGINT), via
+    the decimal cast both engines round identically (the _cents pattern,
+    applied per-row so downstream arithmetic is pure integer)."""
+    return _cents(F.col(col).cast(DEC))
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier). The testdata has no partsupp
+    table, so supply cost per (part, supplier) is derived from lineitem:
+    the minimum extended price (in exact cents) any order paid that
+    supplier for that part. For every ECONOMY part of size <= 10 find the
+    EUROPE supplier(s) achieving the region-wide minimum cost — the
+    correlated MIN subquery decorrelated to a per-part aggregate joined
+    back, TPC-H's canonical rewrite. Cost build: one shuffle on
+    (l_partkey, l_suppkey); region/nation/supplier/part all broadcast; the
+    min-per-part agg and its join share l_partkey partitioning. All
+    min-achieving suppliers are kept (ties included), so no ORDER BY /
+    LIMIT nondeterminism crosses engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_c100("l_extendedprice")).alias("cost_c"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    wanted = part.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+    cost = cost.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+    min_cost = cost.groupBy("p_partkey").agg(F.min("cost_c").alias("min_cost_c"))
+    return (
+        cost.join(min_cost, "p_partkey")
+        .filter(F.col("cost_c") == F.col("min_cost_c"))
+        .select(
+            _c100("s_acctbal").alias("s_acctbal_c"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost_c"),
+        )
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). No
+    partsupp.ps_supplycost exists, so cost is modeled per line as
+    quantity * p_retailprice * l_discount (the discount the supplier
+    absorbed against list price); profit = extprice*(1-disc) - that cost.
+    The money math is per-row BIGINT at scale 1e4 — ext_c*(100-disc_c) and
+    qty*retail_c*disc_c are both exact integer ten-thousandths — so the
+    five-way join + (nation, year) rollup hashes identically on any
+    engine. Plan: part filter (name contains 'red') broadcast-prunes
+    lineitem before the orders join; supplier/nation broadcast; one
+    group-by shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    red_parts = part.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", _c100("p_retailprice").alias("retail_c")
+    )
+    ext_c = _c100("l_extendedprice")
+    disc_c = _c100("l_discount")
+    qty = F.col("l_quantity").cast("bigint")
+    amount_c4 = ext_c * (F.lit(100) - disc_c) - qty * F.col("retail_c") * disc_c
+    return (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount_c4).alias("profit_c4"), F.count("*").alias("n_items"))
+    )
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification). Inventory value
+    per part is derived from lineitem shipped by EUROPE suppliers (no
+    partsupp): sum of extended-price cents. The HAVING
+    `value > fraction * total` scalar subquery becomes a one-row aggregate
+    cross-joined (broadcast) against the per-part rollup — Catalyst's
+    ReuseExchange shares the scan between the two aggregations. The
+    threshold compare is integer cross-multiplication (value_c * 1000 >
+    total_c), no float fraction. Shuffles: one on l_partkey + one
+    single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_keys = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    euro_li = li.join(F.broadcast(euro_keys), li.l_suppkey == euro_keys.s_suppkey)
+    per_part = euro_li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(_c100("l_extendedprice")).alias("value_c")
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("p_partkey", "value_c")
+    )
+
+
+def q_late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority). The testdata
+    carries no l_shipmode/l_receiptdate, so the mode axis is the shipping
+    latency class computed from datediff(l_shipdate, o_orderdate): FAST
+    (<=30d), NORMAL (<=90d), SLOW (else). Per class, count lines from
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders — Q12's
+    conditional CASE-sum over the orders⋈lineitem join. datediff on
+    date-truncated timestamps is whole-day exact in both engines. One
+    broadcast-free shuffle join on orderkey + a 3-group reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    mode = (
+        F.when(lag <= 30, "FAST").when(lag <= 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(mode.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_excess_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess concentration). Without
+    partsupp.ps_availqty, 'excess' is re-posed on shipments: ASIA suppliers
+    for whom some 'small'-named part had more than half its all-time
+    quantity shipped in 1997 alone (qty_1997 * 2 > qty_total, integer
+    quantities). Keeps Q20's nested structure — a part-name IN-subquery,
+    a per-(supp, part) aggregate subquery with a correlated threshold,
+    then a semi-join up to supplier/nation. Distinct supplier output, no
+    LIMIT. Shuffles: one on (l_suppkey, l_partkey); everything dimension-
+    sized is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    small_parts = part.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    qty = F.col("l_quantity").cast("bigint")
+    per_sp = (
+        li.join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qty).alias("qty_total"),
+            F.sum(F.when(F.year("l_shipdate") == 1997, qty).otherwise(0)).alias(
+                "qty_1997"
+            ),
+        )
+        .filter(F.col("qty_1997") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(per_sp, supp.s_suppkey == per_sp.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_name", "n_name")
+    )
+
+
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting). Late delivery
+    is l_shipdate > o_orderdate + 60 days (the testdata has no
+    commit/receipt dates). A supplier 'kept the order waiting' when it is
+    the ONLY late supplier on a finalized ('F') multi-supplier order —
+    Q21's EXISTS (another supplier) AND NOT EXISTS (another late supplier)
+    pair, decorrelated into one per-order aggregate: n_supp = distinct
+    suppliers, n_late = distinct late suppliers; the late lineitems then
+    join back on orderkey and keep n_supp > 1 AND n_late = 1. Output:
+    numwait per supplier (all rows — no LIMIT/tie nondeterminism).
+    Shuffles: per-order agg + orderkey join share partitioning; supplier
+    dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li_f = li.join(f_orders, li.l_orderkey == f_orders.o_orderkey)
+    late = F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_sup = li_f.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late_sup.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1819,8 +2038,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first 50 slots; the remaining window slots and the tail are filled
 # with queries already driver-certified green in an earlier round
 # (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
-# Positions 1-23 were never certified through r4; 24-39 are the r5
-# additions; 40-50 re-certify earlier queries; 51+ are all certified in
+# Positions 1-23 were never certified through r4; 24-46 are the r5
+# additions; 47-50 re-certify earlier queries; 51+ are all certified in
 # r03/r04. When adding a query, insert it BEFORE position 50 and displace
 # a multiply-certified query to the tail — never push an uncertified one out.
 QUERIES = {
@@ -1866,18 +2085,24 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "discounted_brand_revenue": q_discounted_brand_revenue,
     "hll_distinct": q_hll_distinct,
-    # -- 33-50: previously certified, inside the window -----------------------
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_type_profit": q_product_type_profit,
+    "important_part_value": q_important_part_value,
+    "late_shipment_modes": q_late_shipment_modes,
+    "excess_shipment_supplier": q_excess_shipment_supplier,
+    "waiting_supplier": q_waiting_supplier,
+    # -- 47-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    # -- 51+: driver-certified green in CORRECTNESS_r03/r04 -------------------
     "filter_transform": q_filter_transform,
     "flat_map": q_flat_map,
     "route_and": q_route_and,
     "route_or": q_route_or,
     "route_not": q_route_not,
     "fan_in_union": q_fan_in_union,
-    # -- 51+: driver-certified green in CORRECTNESS_r04 -----------------------
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
     "join_agg": q_join_agg,
