@@ -168,3 +168,78 @@ def hll_oracle_sql(table: str, col: str, label: str) -> str:
                CAST(v AS BIGINT) AS n_empty_registers
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) as an EXACT
+# heavy-hitter prefilter. Unlike the HLL above, the sketch here never has to
+# be replicated cross-engine: CMS only ever OVERestimates a count, so
+# filtering the row stream by "estimate >= threshold" provably keeps every
+# true heavy hitter; an exact count over the surviving rows then removes the
+# collision-inflated false positives. The final answer is exact — checkable
+# against a plain GROUP BY/HAVING oracle — while the expensive global
+# aggregation only sees the rows whose key survived the sketch probe.
+#
+# Why it matters at 100 TB: the exact groupBy over a Zipf token/URL/entity
+# stream shuffles every occurrence of every key; with the d×w sketch
+# (mergeable counters built in ONE partial-aggregated shuffle of <= d·w
+# groups, then broadcast) the shuffle carries only occurrences of candidate
+# keys — on heavy-tailed data that is a >99% row reduction for the same
+# exact answer.
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(items: DataFrame, col: str, depth: int = 3, width: int = 2048) -> DataFrame:
+    """The (i, bucket, cnt) CMS state: depth hash rows x width buckets,
+    built in one shuffle with map-side combine (at most depth*width groups
+    regardless of input size). Merge across corpora = union + groupBy sum.
+    Hashes are xxhash64(col, seed=i) — engine-private is fine here, the
+    sketch never crosses engines (see module comment)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    col: str,
+    inv_frac: int,
+    depth: int = 3,
+    width: int = 2048,
+) -> DataFrame:
+    """Exact items occurring >= 1/inv_frac of the time, via CMS prefilter +
+    exact verify. Plan: sketch build (one <=d*w-group shuffle) -> d
+    broadcast probe joins (w-row build sides) -> row filter
+    least(est_i) * inv_frac >= total -> exact groupBy over survivors only
+    -> exact HAVING. The threshold compare is integer cross-multiplication;
+    `total` rides as a broadcast one-row aggregate, never a driver action."""
+    sketch = cms_sketch(items, col, depth, width)
+    probed = items
+    for i in range(depth):
+        s_i = sketch.filter(F.col("i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        probed = probed.withColumn(
+            f"_b{i}", F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width))
+        ).join(F.broadcast(s_i), f"_b{i}")
+    est = F.least(*[F.col(f"_c{i}") for i in range(depth)])
+    total = items.agg(F.count("*").alias("_total"))
+    return (
+        probed.crossJoin(F.broadcast(total))
+        .filter(est * inv_frac >= F.col("_total"))
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"), F.max("_total").alias("_t"))
+        .filter(F.col("cnt") * inv_frac >= F.col("_t"))
+        .drop("_t")
+    )

@@ -1400,3 +1400,24 @@ ORACLES["waiting_supplier"] = """
     WHERE n_supp > 1 AND n_late = 1
     GROUP BY s_name
 """
+
+# cms_heavy_bigrams: the CMS prefilter provably keeps every true heavy
+# hitter (estimates only overestimate) and the exact verify removes the
+# rest, so the oracle is the plain exact GROUP BY / HAVING the sketch
+# accelerates — no sketch replication needed.
+ORACLES["cms_heavy_bigrams"] = """
+    WITH t AS (
+        SELECT string_split(text, ' ') AS a FROM documents
+    ),
+    b AS (
+        SELECT a[i] || ' ' || a[i+1] AS bigram
+        FROM t, unnest(range(1, len(a))) u(i)
+        WHERE len(a) >= 2
+    ),
+    c AS (
+        SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+    )
+    SELECT bigram, cnt
+    FROM c
+    WHERE cnt * 700 >= (SELECT sum(cnt) FROM c)
+"""

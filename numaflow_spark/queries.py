@@ -1809,6 +1809,35 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter bigrams via Count-Min sketch prefilter
+    (operators/sketch.py::cms_heavy_hitters): bigrams covering >= 1/700 of
+    all bigram occurrences. CMS only overestimates, so probing the
+    broadcast d x w sketch and filtering rows by estimate >= threshold
+    keeps every true heavy hitter; the exact groupBy then runs over the
+    surviving rows only and a final exact HAVING drops collision-inflated
+    candidates — the answer is EXACT (plain GROUP BY/HAVING oracle) but on
+    Zipf-shaped 100 TB streams the expensive shuffle sees only candidate
+    rows. Bigram stream built JVM-side: split -> transform(sequence) ->
+    explode, no Python in the path."""
+    from numaflow_spark.operators.sketch import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        docs.select(F.split(F.col("text"), " ").alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a)-1),"
+                    " i -> concat(element_at(a, i), ' ', element_at(a, i+1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return cms_heavy_hitters(bigrams, "bigram", inv_frac=700)
+
+
 def _c100(col):
     """Double money/ratio column -> exact integer hundredths (BIGINT), via
     the decimal cast both engines round identically (the _cents pattern,
@@ -2091,12 +2120,13 @@ QUERIES = {
     "late_shipment_modes": q_late_shipment_modes,
     "excess_shipment_supplier": q_excess_shipment_supplier,
     "waiting_supplier": q_waiting_supplier,
-    # -- 47-50: previously certified, inside the window -----------------------
+    "cms_heavy_bigrams": q_cms_heavy_bigrams,
+    # -- 48-50: previously certified, inside the window -----------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
     "sliding_window": q_sliding_window,
-    "session_window": q_session_window,
     # -- 51+: driver-certified green in CORRECTNESS_r03/r04 -------------------
+    "session_window": q_session_window,
     "filter_transform": q_filter_transform,
     "flat_map": q_flat_map,
     "route_and": q_route_and,

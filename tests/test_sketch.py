@@ -3,6 +3,8 @@ on both branches, and mergeability of the register state."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from numaflow_spark.operators.sketch import hll_estimate, hll_registers
 
 
@@ -73,3 +75,50 @@ def test_hll_registers_stream_update_mode(spark, tmp_path):
     }
     batch = {(r.bucket, r.max_rank) for r in hll_registers(df, "v").collect()}
     assert streamed == batch
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """CMS's one-sided error bound is the correctness foundation of the
+    heavy-hitter prefilter: for EVERY key, min_i(sketch[i][h_i(key)]) must
+    be >= the key's exact count. Zipf-ish input with forced collisions
+    (width 32 << 200 distinct keys)."""
+    from numaflow_spark.operators.sketch import cms_sketch
+
+    rows = [(f"k{i}",) for i in range(200) for _ in range(1 + (200 // (i + 1)))]
+    df = spark.createDataFrame(rows, "key string")
+    depth, width = 3, 32
+    sketch = {(r.i, r.bucket): r.cnt for r in cms_sketch(df, "key", depth, width).collect()}
+    probed = df.groupBy("key").count().withColumns(
+        {
+            f"b{i}": F.pmod(F.xxhash64("key", F.lit(i)), F.lit(width))
+            for i in range(depth)
+        }
+    )
+    for r in probed.collect():
+        est = min(sketch[(i, r[f"b{i}"])] for i in range(depth))
+        assert est >= r["count"], (r.key, est, r["count"])
+
+
+def test_cms_heavy_hitters_exact_despite_collisions(spark):
+    """With width 16 (massive collisions) the prefilter lets extra
+    candidates through, but the exact-verify stage must still return
+    EXACTLY the true heavy-hitter set — same as a plain groupBy/HAVING."""
+    from numaflow_spark.operators.sketch import cms_heavy_hitters
+
+    rows = (
+        [("hot1",)] * 300 + [("hot2",)] * 120
+        + [(f"cold{i}",) for i in range(180) for _ in range(2)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(7)
+    total = len(rows)
+    inv_frac = 10  # threshold: >= 10% of occurrences
+    got = {
+        (r.key, r.cnt)
+        for r in cms_heavy_hitters(df, "key", inv_frac, depth=2, width=16).collect()
+    }
+    exact = {
+        (r.key, r["count"])
+        for r in df.groupBy("key").count().collect()
+        if r["count"] * inv_frac >= total
+    }
+    assert got == exact and got == {("hot1", 300), ("hot2", 120)}
