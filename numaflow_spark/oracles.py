@@ -1421,3 +1421,68 @@ ORACLES["cms_heavy_bigrams"] = """
     FROM c
     WHERE cnt * 700 >= (SELECT sum(cnt) FROM c)
 """
+
+ORACLES["scd2_history"] = """
+    WITH ch AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS eff_from_s, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id, event_type, eff_from_s,
+           coalesce(lead(eff_from_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1,
+                    9999999999) AS eff_to_s
+    FROM ch
+    WHERE prev_type IS NULL OR prev_type != event_type
+"""
+
+ORACLES["uniform_k_sample"] = """
+    SELECT doc_id, lang,
+           (doc_id * 2654435761) % 4294967296 AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT 200
+"""
+
+# pagerank_bipartite: the 5 iterations unroll to a CTE chain; every rank
+# is a scale-1e9 BIGINT and every division is integer floor division, so
+# the iterative fixpoint prefix is bit-exact across engines.
+def _pagerank_sql() -> str:
+    scale = 1_000_000_000
+    base = f"(15 * CAST({scale} AS BIGINT) // 100)"
+    sql = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges0 AS (
+        SELECT cust AS src, -supp AS dst FROM pairs
+        UNION ALL
+        SELECT -supp AS src, cust AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY src),
+    edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d USING (src)),
+    nn AS (SELECT count(DISTINCT src) AS n FROM edges0),
+    r0 AS (
+        SELECT src AS node, n, CAST({scale} AS BIGINT) // n AS rank
+        FROM (SELECT DISTINCT src FROM edges0), nn
+    )"""
+    prev = "r0"
+    for k in range(1, 6):
+        sql += f""",
+    it{k} AS (
+        SELECT dst AS node, max(n) AS n,
+               {base} // max(n) + (85 * sum(rank // deg)) // 100 AS rank
+        FROM edges JOIN {prev} ON src = node
+        GROUP BY dst
+    )"""
+        prev = f"it{k}"
+    sql += f"""
+    SELECT node, rank AS rank_e9 FROM {prev}
+    """
+    return sql
+
+
+ORACLES["pagerank_bipartite"] = _pagerank_sql()

@@ -1838,6 +1838,108 @@ def q_cms_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(bigrams, "bigram", inv_frac=700)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history built from an event log:
+    per user, the validity intervals of their event_type 'state' — a row
+    per state CHANGE with effective_from/effective_to epoch seconds
+    (9999999999 = open interval). The warehouse upsert-history shape:
+    lag() detects changes, lead() closes intervals, both over one
+    (user_id) window ordered by (ts, event_id) — the unique event_id
+    tiebreak makes the interval set deterministic under equal timestamps.
+    One hash shuffle on user_id; both window functions share the sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", ts_s.alias("eff_from_s"), "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "eff_from_s",
+        F.coalesce(
+            F.lead("eff_from_s").over(w2) - 1, F.lit(9999999999)
+        ).alias("eff_to_s"),
+    )
+
+
+def q_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform corpus sample, replayable on any engine: rank
+    every doc by the Knuth multiplicative hash of doc_id and keep the 200
+    smallest — the distributed-heap TakeOrderedAndProject plan (per-
+    partition top-200 merge at the driver-side take, NO global sort), the
+    scale-correct way to draw 'exactly k rows, uniformly, deterministically'
+    from 100 TB. Tie-broken by doc_id so the sample set is unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod((F.col("doc_id") * F.lit(2654435761)).cast("bigint"), F.lit(4294967296))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(200)
+    )
+
+
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the customer<->supplier trade graph
+    (undirected: both directions of every distinct lineitem x orders
+    customer-supplier pair), with ALL rank math in scaled integers so the
+    iterative result is engine-exact: ranks carry scale 1e9, per-edge
+    contribution = rank div out_degree (bigint floor division), damping =
+    (85 * inflow) div 100 — no float ever accumulates, so a 5-deep
+    iterative dataflow hash-matches a 5-times-unrolled CTE chain in the
+    oracle engine. The edge list builds once (one orderkey join + distinct);
+    each iteration is one groupBy-dst shuffle over edges joined to the
+    previous rank table — the O(iters) keyed-shuffle shape GraphX/Pregel
+    uses, expressed declaratively so AQE sizes every round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    # Node ids: customers as +custkey, suppliers as -suppkey (disjoint).
+    fwd = pairs.select(F.col("cust").alias("src"), (-F.col("supp")).alias("dst"))
+    rev = pairs.select((-F.col("supp")).alias("src"), F.col("cust").alias("dst"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Build the (src, dst, deg) edge list ONCE and cut its lineage: five
+    # iterations reuse it, and without the checkpoint each round would
+    # re-derive the orderkey join + distinct (graph.py's CC discipline).
+    edges = edges.join(deg, "src").localCheckpoint(eager=False)
+    scale = 1_000_000_000
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # base teleport term: (15 * scale div 100) div N — same bigint floor
+    # division on both engines.
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
+    )
+    for _ in range(5):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("contrib"), "n")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"), F.max("n").alias("n"))
+        )
+        ranks = inflow.select(
+            F.col("dst").alias("node"),
+            "n",
+            (
+                F.expr(f"(15 * cast({scale} as bigint) div 100) div n")
+                + F.expr("(85 * inflow) div 100")
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)  # flat plan: one shuffle per round
+    return ranks.select("node", F.col("rank").alias("rank_e9"))
+
+
 def _c100(col):
     """Double money/ratio column -> exact integer hundredths (BIGINT), via
     the decimal cast both engines round identically (the _cents pattern,
@@ -2067,10 +2169,12 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first 50 slots; the remaining window slots and the tail are filled
 # with queries already driver-certified green in an earlier round
 # (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
-# Positions 1-23 were never certified through r4; 24-46 are the r5
-# additions; 47-50 re-certify earlier queries; 51+ are all certified in
-# r03/r04. When adding a query, insert it BEFORE position 50 and displace
-# a multiply-certified query to the tail — never push an uncertified one out.
+# Positions 1-23 were never certified through r4; 24-50 are the r5
+# additions (the window is now exactly the 50 uncertified queries); 51+
+# are all certified in r03/r04. When adding a query, insert it BEFORE
+# position 50 and displace a multiply-certified query to the tail — never
+# push an uncertified one out. The window is FULL at 50 uncertified: do
+# not add further queries this round without removing one.
 QUERIES = {
     # -- 1-23: never-certified through r4 (certify this round) --------------
     "sequence_packing": q_sequence_packing,
@@ -2121,11 +2225,13 @@ QUERIES = {
     "excess_shipment_supplier": q_excess_shipment_supplier,
     "waiting_supplier": q_waiting_supplier,
     "cms_heavy_bigrams": q_cms_heavy_bigrams,
-    # -- 48-50: previously certified, inside the window -----------------------
+    "scd2_history": q_scd2_history,
+    "uniform_k_sample": q_uniform_k_sample,
+    "pagerank_bipartite": q_pagerank_bipartite,
+    # -- 51+: driver-certified green in CORRECTNESS_r03/r04 -------------------
     "fixed_window_keyed": q_fixed_window_keyed,
     "fixed_window_global": q_fixed_window_global,
     "sliding_window": q_sliding_window,
-    # -- 51+: driver-certified green in CORRECTNESS_r03/r04 -------------------
     "session_window": q_session_window,
     "filter_transform": q_filter_transform,
     "flat_map": q_flat_map,
