@@ -350,3 +350,75 @@ def test_hll_sketch_single_shuffle(spark):
     assert "partial_max" in plan
     assert nodes(plan, "BatchEvalPython") == 0
     assert nodes(plan, "ArrowEvalPython") == 0
+
+
+def test_tpch_completion_shapes(spark):
+    """The six r5 TPC-H completions keep their scale-critical properties:
+    dims broadcast, no cartesian products, exactly the intended shuffle
+    joins (lineitem x orders must SMJ/shuffle — both fact-sized — but
+    nothing dimension-sized may)."""
+    for name in ("min_cost_supplier", "important_part_value",
+                 "excess_shipment_supplier"):
+        plan = plan_of(spark, name)
+        assert nodes(plan, "CartesianProduct") == 0, name
+        assert nodes(plan, "BroadcastHashJoin") >= 1, name
+        # everything fact-sized aggregates before any join with the dims
+        assert "partial_" in plan, name
+    # waiting_supplier: the orderkey join may be SMJ (fact x fact), but the
+    # supplier dim must broadcast
+    plan = plan_of(spark, "waiting_supplier")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_product_type_profit_part_filter_prunes_fact(spark):
+    """Q9 shape: the p_name filter must reach the part scan (PushedFilters
+    IsNotNull + post-scan Contains) and part must broadcast so the
+    lineitem side is pruned BEFORE the orders shuffle join."""
+    plan = plan_of(spark, "product_type_profit")
+    assert nodes(plan, "BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert nodes(plan, "CartesianProduct") == 0
+
+
+def test_cms_probe_joins_broadcast_no_python(spark):
+    """CMS heavy hitters: the d sketch probes must be broadcast joins (the
+    build sides are <= width rows) and the whole pipeline stays JVM-side —
+    tokenize/bigram/hash/probe all in codegen, no Python workers."""
+    plan = plan_of(spark, "cms_heavy_bigrams")
+    assert nodes(plan, "BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "SortMergeJoin") == 0
+
+
+def test_scd2_single_sort_both_windows(spark):
+    """SCD2: lag-detect and lead-close share one (user_id) partitioning and
+    one sort — exactly one exchange, exactly one Sort node."""
+    plan = plan_of(spark, "scd2_history")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "Sort") == 1
+    assert nodes(plan, "Window") >= 1
+
+
+def test_uniform_k_sample_is_heap_take(spark):
+    """Exactly-k sampling must run as TakeOrderedAndProject (distributed
+    heap take), never a global Sort."""
+    plan = plan_of(spark, "uniform_k_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert nodes(plan, "Sort") == 0
+
+
+def test_pagerank_no_collect_no_cartesian(spark, monkeypatch):
+    """The PageRank loop must stay declarative: building the 5-iteration
+    DataFrame triggers no collect()/toPandas() driver pulls, and the only
+    nested-loop join is the one-row broadcast of the node count."""
+    import pyspark.sql.dataframe as dfmod
+
+    def _boom(self, *a, **k):  # pragma: no cover
+        raise AssertionError("driver-side collect inside pagerank build")
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", _boom)
+    monkeypatch.setattr(dfmod.DataFrame, "toPandas", _boom, raising=False)
+    df = QUERIES["pagerank_bipartite"](spark, SF)
+    monkeypatch.undo()
+    assert df.count() > 0
