@@ -243,3 +243,97 @@ def cms_heavy_hitters(
         .filter(F.col("cnt") * inv_frac >= F.col("_t"))
         .drop("_t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: distinct-count per key — "distinct users per event_type",
+# the shape that at 100 TB replaces count(DISTINCT x) GROUP BY k (whose
+# exact form must shuffle every (k, x) pair) with a per-key 64-register
+# state: shuffle volume collapses from |rows| to |keys| * 64, and the
+# states merge associatively across partitions, days, or engines.
+# Identical fixed-hash register math as the global sketch above, so the
+# per-group estimates are engine-exact too.
+# ---------------------------------------------------------------------------
+
+
+def hll_registers_by(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """(group..., bucket, max_rank) per group — the mergeable per-key
+    sketch state (merge = union + groupBy(group, bucket) + max)."""
+    h = _hash61(F.col(col))
+    bucket = F.shiftright(h, _WBITS).cast("bigint")
+    w = F.pmod(h, F.lit(1 << _WBITS))
+    rank = F.when(w == 0, F.lit(_WBITS + 1)).otherwise(
+        F.lit(_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").cast("bigint").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """One row per group: (group..., est_distinct, n_empty_registers) —
+    same integer harmonic sum and linear-counting branch as the global
+    estimator, evaluated per key. Two shuffles total: the register build
+    (partial-aggregated, <= |keys|*64 groups) and the per-key fold."""
+    regs = hll_registers_by(df, group_cols, col)
+    scaled = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({_WBITS + 1} - max_rank as int))"
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("s_obs"), F.count("*").alias("n_obs")
+    )
+    v = F.lit(_M) - F.col("n_obs")
+    s_total = F.col("s_obs") + v * F.lit(1 << (_WBITS + 1))
+    raw = F.lit(_ALPHA * _M * _M * float(1 << (_WBITS + 1))) / s_total
+    est = F.when(
+        (raw <= 2.5 * _M) & (v > 0), F.lit(float(_M)) * F.log(F.lit(float(_M)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 2).alias("est_distinct"),
+        v.cast("bigint").alias("n_empty_registers"),
+    )
+
+
+def hll_oracle_sql_by(table: str, group_cols: list[str], col: str) -> str:
+    """DuckDB twin of ``hll_estimate_by`` (per-group registers + fold)."""
+    wbits1 = _WBITS + 1
+    gcols = ", ".join(group_cols)
+    hash_ctes = _hash61_sql_ctes(col).replace(
+        f"AS h0 FROM __HLL_TABLE__", f"AS h0, {gcols} FROM {table}"
+    )
+    # thread the group columns through the hash stages
+    for stage_in, stage_out in (("s0", "m1"), ("s1", "h1"), ("s2", "m2"),
+                                ("s3", "h2"), ("s4", "h")):
+        hash_ctes = hash_ctes.replace(
+            f"FROM {stage_in}", f", {gcols} FROM {stage_in}"
+        )
+    return f"""
+        WITH s0 AS (
+            {hash_ctes}
+        ), ranked AS (
+            SELECT {gcols}, h // {1 << _WBITS} AS bucket,
+                   CASE WHEN h % {1 << _WBITS} = 0 THEN {wbits1}
+                        ELSE {wbits1} - length(bin(h % {1 << _WBITS})) END AS rank
+            FROM hashed
+        ), regs AS (
+            SELECT {gcols}, bucket, max(rank) AS max_rank
+            FROM ranked GROUP BY {gcols}, bucket
+        ), agg AS (
+            SELECT {gcols},
+                   sum(CAST(1 AS BIGINT) << ({wbits1} - max_rank))
+                     + ({_M} - count(*)) * (CAST(1 AS BIGINT) << {wbits1}) AS s_total,
+                   {_M} - count(*) AS v
+            FROM regs GROUP BY {gcols}
+        )
+        SELECT {gcols},
+               round(CASE WHEN {_ALPHA * _M * _M * float(1 << wbits1)!r} / s_total <= {2.5 * _M}
+                          AND v > 0
+                     THEN {float(_M)!r} * ln({float(_M)!r} / v)
+                     ELSE {_ALPHA * _M * _M * float(1 << wbits1)!r} / s_total END, 2)
+                   AS est_distinct,
+               CAST(v AS BIGINT) AS n_empty_registers
+        FROM agg
+    """

@@ -122,3 +122,56 @@ def test_cms_heavy_hitters_exact_despite_collisions(spark):
         if r["count"] * inv_frac >= total
     }
     assert got == exact and got == {("hot1", 300), ("hot2", 120)}
+
+
+def test_grouped_hll_cross_engine_exact_and_accurate(spark):
+    """Per-key HLL: (a) Spark and the DuckDB SQL twin must agree EXACTLY
+    (registers, empties, and the rounded estimate), (b) every per-key
+    estimate lands within ~3 standard errors of the exact distinct count,
+    (c) the per-key state merges associatively: sketching two halves and
+    merging registers equals sketching the whole."""
+    import duckdb
+
+    from numaflow_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_oracle_sql_by,
+        hll_registers_by,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    got = {
+        tuple(r)
+        for r in hll_estimate_by(events, ["event_type"], "user_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(
+            hll_oracle_sql_by("events", ["event_type"], "user_id")
+        ).fetchall()
+    }
+    assert got == want
+
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, est, _v in got:
+        assert abs(est - exact[etype]) / exact[etype] < 0.40, (etype, est)
+
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers_by(half_a, ["event_type"], "user_id")
+        .unionByName(hll_registers_by(half_b, ["event_type"], "user_id"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = hll_registers_by(events, ["event_type"], "user_id")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
