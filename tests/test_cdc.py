@@ -1,0 +1,133 @@
+"""CDC apply: merge-on-read upsert semantics, tie-break contract, plan
+shape (snapshot never shuffles), and the streaming foreachBatch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.cdc import cdc_apply, latest_changes
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id int, name string, score int",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string, score int, op string, seq long")
+
+
+def test_cdc_apply_insert_update_delete(spark):
+    snap = _snapshot(spark)
+    ch = _changes(
+        spark,
+        [
+            (2, "b2", 21, "U", 100),  # update key 2
+            (3, None, None, "D", 101),  # delete key 3
+            (5, "e", 50, "I", 102),  # insert new key 5
+        ],
+    )
+    got = {tuple(r) for r in cdc_apply(snap, ch, ["id"], "seq").collect()}
+    assert got == {
+        (1, "a", 10),
+        (2, "b2", 21),
+        (4, "d", 40),
+        (5, "e", 50),
+    }
+
+
+def test_cdc_latest_change_wins_with_delete_tiebreak(spark):
+    ch = _changes(
+        spark,
+        [
+            (7, "x1", 1, "I", 1),
+            (7, "x2", 2, "U", 5),   # later seq wins over the insert
+            (8, "y1", 1, "U", 9),
+            (8, None, None, "D", 9),  # same seq: delete outranks update
+        ],
+    )
+    latest = {r.id: r.op for r in latest_changes(ch, ["id"], "seq").collect()}
+    assert latest == {7: "U", 8: "D"}
+    snap = _snapshot(spark)
+    got_ids = {r.id for r in cdc_apply(snap, ch, ["id"], "seq").collect()}
+    assert 7 in got_ids and 8 not in got_ids
+
+
+def test_cdc_apply_is_idempotent_on_replay(spark):
+    """Applying the same change batch twice must be a no-op the second
+    time — the effectively-once story when an upstream retries."""
+    snap = _snapshot(spark)
+    ch = _changes(spark, [(2, "b2", 21, "U", 100), (3, None, None, "D", 101)])
+    once = cdc_apply(snap, ch, ["id"], "seq")
+    twice = cdc_apply(once, ch, ["id"], "seq")
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_cdc_snapshot_side_never_shuffles(spark):
+    """The scale contract: with broadcast keys the snapshot is read,
+    anti-joined row-locally, and unioned — no Exchange may sit between
+    the snapshot scan and the anti join."""
+    snap = _snapshot(spark)
+    ch = _changes(spark, [(2, "b2", 21, "U", 100)])
+    df = cdc_apply(snap, ch, ["id"], "seq")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_streaming_foreachbatch(spark, tmp_path):
+    """The operator IS the merge-on-read upsert sink: drive a change
+    stream through foreachBatch applying cdc_apply against a parquet
+    snapshot, and check the final snapshot equals the batch result."""
+    import threading
+
+    snap_dir = str(tmp_path / "snap")
+    _snapshot(spark).write.parquet(snap_dir)
+
+    from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+
+    # delete rows carry sentinel payloads (not NULLs): the pandas hop in
+    # write_replay_batches would coerce a nullable int column to DOUBLE
+    ch = _changes(
+        spark,
+        [
+            (1, "", 0, "D", 1),
+            (2, "b2", 21, "U", 2),
+            (5, "e", 50, "I", 3),
+            (5, "e2", 51, "U", 4),
+        ],
+    )
+    data_dir = write_replay_batches(ch, str(tmp_path / "in"), batches=2, order_col="seq")
+    stream = replay_stream(spark, data_dir, schema=ch.schema, max_files_per_trigger=1)
+
+    lock = threading.Lock()
+
+    def apply_batch(batch_df, epoch_id):
+        with lock:  # serialize snapshot swaps
+            snap = batch_df.sparkSession.read.parquet(snap_dir)
+            merged = cdc_apply(snap, batch_df, ["id"], "seq")
+            merged.write.mode("overwrite").parquet(snap_dir + ".next")
+            import shutil
+
+            shutil.rmtree(snap_dir)
+            shutil.move(snap_dir + ".next", snap_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {tuple(r) for r in spark.read.parquet(snap_dir).collect()}
+    batch_result = {
+        tuple(r) for r in cdc_apply(_snapshot(spark), ch, ["id"], "seq").collect()
+    }
+    assert final == batch_result
+    assert (5, "e2", 51) in final and all(r[0] != 1 for r in final)

@@ -175,3 +175,40 @@ def test_grouped_hll_cross_engine_exact_and_accurate(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in whole.collect()
     }
+
+
+def test_cms_sketch_streaming_update_mode(spark, tmp_path):
+    """The CMS counter state is a plain (i, bucket) sum aggregation, so it
+    runs UNMODIFIED as a streaming update-mode query — frequency-over-a-
+    stream with d*w rows of state. The streamed sketch must equal the
+    batch sketch of the same data, which transfers the heavy-hitter
+    guarantee to the online setting (probe the live sketch any time)."""
+    from numaflow_spark.operators.sketch import cms_sketch
+    from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+
+    df = spark.createDataFrame(
+        [(f"k{i % 37}",) for i in range(2_000)], "key string"
+    )
+    data_dir = write_replay_batches(df, str(tmp_path / "in"), batches=4, order_col="key")
+    stream = replay_stream(spark, data_dir, schema=df.schema, max_files_per_trigger=1)
+    q = (
+        cms_sketch(stream, "key", depth=3, width=64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.i, r.bucket, r.cnt)
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    batch = {
+        (r.i, r.bucket, r.cnt)
+        for r in cms_sketch(df, "key", depth=3, width=64).collect()
+    }
+    assert streamed == batch
