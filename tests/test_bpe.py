@@ -1,0 +1,99 @@
+"""BPE trainer: merge list and final segmentation must match an
+independent pure-Python reference (Sennrich-style, dict-based), and the
+encoder must replay merges onto unseen words exactly."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from numaflow_spark.operators.bpe import encode_words, train_bpe, word_freq_table
+
+
+def _ref_train(vocab: dict[str, int], n_merges: int):
+    """Reference BPE on a {word: freq} dict — greedy left-to-right merge
+    application, (count desc, pair asc) tie-break, no Spark."""
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower widest widest widest",
+    "newest newest newest newest newest newest",
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    vocab_df = word_freq_table(docs)
+    vocab = {r.word: r.freq for r in vocab_df.collect()}
+
+    ref_merges, ref_syms = _ref_train(vocab, 8)
+    got_merges, got_syms_df = train_bpe(vocab_df, 8)
+    assert got_merges == ref_merges
+    got_syms = {r.word: list(r.syms) for r in got_syms_df.collect()}
+    assert got_syms == {w: s for w, s in ref_syms.items()}
+
+
+def test_encode_replays_merges_on_unseen_words(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, _ = train_bpe(word_freq_table(docs), 8)
+    unseen = spark.createDataFrame(
+        [("lowest",), ("newer",), ("wide",)], "word string"
+    )
+    got = {r.word: list(r.tokens) for r in encode_words(unseen, merges).collect()}
+    # reference: apply the same merges greedily LTR in order
+    for w, toks in got.items():
+        s = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        assert toks == s, (w, toks, s)
+    assert all("".join(t) == w for w, t in got.items())  # lossless
+
+
+def test_merge_fold_handles_overlaps_and_quotes(spark):
+    """Greedy-LTR on overlapping runs ('aaaa' + (a,a) -> aa,aa) and
+    symbols containing SQL-quote characters must both survive the
+    JVM-side fold."""
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.operators.bpe import _merge_expr
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],), (["'", "a"],)], "syms array<string>"
+    )
+    out = df.withColumn("m", F.expr(_merge_expr("syms", "a", "a"))).collect()
+    assert list(out[0].m) == ["aa", "aa", "a"]
+    assert list(out[1].m) == ["'", "a"]
+    out2 = df.withColumn("m", F.expr(_merge_expr("syms", "'", "a"))).collect()
+    assert list(out2[1].m) == ["'a"]
