@@ -131,3 +131,56 @@ def test_cdc_apply_streaming_foreachbatch(spark, tmp_path):
     }
     assert final == batch_result
     assert (5, "e2", 51) in final and all(r[0] != 1 for r in final)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def _cdc_case(draw):
+    keys = list(range(1, 7))
+    snap = [(k, f"s{k}", k * 10) for k in draw(st.sets(st.sampled_from(keys)))]
+    n = draw(st.integers(0, 12))
+    changes, used_seq = [], set()
+    for i in range(n):
+        k = draw(st.sampled_from(keys))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        seq = draw(
+            st.integers(1, 50).filter(lambda s, k=k: (k, s) not in used_seq)
+        )
+        used_seq.add((k, seq))
+        changes.append((k, f"c{i}", i, op, seq))
+    return snap, changes
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_cdc_case())
+def test_cdc_apply_matches_python_model(spark, case):
+    """Property: for any snapshot and any change batch with per-key-unique
+    seqs, cdc_apply equals the obvious Python model (sort by seq, apply in
+    order). Exercises multi-change keys, delete-then-reinsert, changes to
+    absent keys, and empty batches."""
+    snap_rows, change_rows = case
+    model = {k: (name, score) for k, name, score in snap_rows}
+    for k, name, score, op, _seq in sorted(change_rows, key=lambda r: r[4]):
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = (name, score)
+    snap = spark.createDataFrame(
+        snap_rows or [(None, None, None)], "id int, name string, score int"
+    )
+    if not snap_rows:
+        snap = snap.filter("id is not null")
+    ch = spark.createDataFrame(
+        change_rows or [(None, None, None, None, None)],
+        "id int, name string, score int, op string, seq long",
+    )
+    if not change_rows:
+        ch = ch.filter("id is not null")
+    got = {r.id: (r.name, r.score) for r in cdc_apply(snap, ch, ["id"], "seq").collect()}
+    assert got == model
