@@ -117,25 +117,12 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
 
 def hll_estimate(df: DataFrame, col: str, label: str) -> DataFrame:
     """One row: (col_name, est_distinct, n_empty_registers), harmonic sum
-    integer-exact, linear-counting small-range branch exactly as the HLL
-    paper specifies."""
-    regs = hll_registers(df, col)
-    # Σ 2^(56-M) over observed registers; shiftleft keeps every term a
-    # BIGINT — pow() would route through doubles and lose exactness
-    # above 2^53
-    scaled = F.expr(f"shiftleft(cast(1 as bigint), cast({_WBITS + 1} - max_rank as int))")
-    agg = regs.agg(F.sum(scaled).alias("s_obs"), F.count("*").alias("n_obs"))
-    v = F.lit(_M) - F.col("n_obs")
-    s_total = F.col("s_obs") + v * F.lit(1 << (_WBITS + 1))
-    raw = F.lit(_ALPHA * _M * _M * float(1 << (_WBITS + 1))) / s_total
-    est = F.when(
-        (raw <= 2.5 * _M) & (v > 0), F.lit(float(_M)) * F.log(F.lit(float(_M)) / v)
-    ).otherwise(raw)
-    return agg.select(
-        F.lit(label).alias("col_name"),
-        F.round(est, 2).alias("est_distinct"),
-        v.cast("bigint").alias("n_empty_registers"),
-    )
+    integer-exact (Σ 2^(56-M) via shiftleft so every term stays BIGINT —
+    pow() would route through doubles and lose exactness above 2^53),
+    linear-counting small-range branch exactly as the HLL paper
+    specifies. Identity: sketch-then-estimate, so stored register tables
+    estimate identically (see ``estimate_from_registers``)."""
+    return estimate_from_registers(hll_registers(df, col), label)
 
 
 def hll_oracle_sql(table: str, col: str, label: str) -> str:
@@ -337,3 +324,72 @@ def hll_oracle_sql_by(table: str, group_cols: list[str], col: str) -> str:
                CAST(v AS BIGINT) AS n_empty_registers
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: because the register state is mergeable, the distinct
+# count of a UNION of corpora costs one 64-row max-merge of sketches built
+# independently (per day, per shard, per engine) — no re-scan. Intersection
+# follows by inclusion-exclusion over the same states. This is the sketch
+# workflow a 100 TB ingest actually runs: per-partition register tables are
+# tiny persisted artifacts, and any cross-corpus overlap question is
+# answered from the artifacts alone.
+# ---------------------------------------------------------------------------
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of sketches = element-wise max of register tables."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+
+
+def estimate_from_registers(regs: DataFrame, label: str) -> DataFrame:
+    """The HLL estimator applied to a stored register table — same integer
+    harmonic sum + linear-counting branch as ``hll_estimate`` (which is
+    ``estimate_from_registers(hll_registers(df, col))``)."""
+    scaled = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({_WBITS + 1} - max_rank as int))"
+    )
+    agg = regs.agg(F.sum(scaled).alias("s_obs"), F.count("*").alias("n_obs"))
+    v = F.lit(_M) - F.coalesce(F.col("n_obs"), F.lit(0))
+    s_total = F.coalesce(F.col("s_obs"), F.lit(0)) + v * F.lit(1 << (_WBITS + 1))
+    raw = F.lit(_ALPHA * _M * _M * float(1 << (_WBITS + 1))) / s_total
+    est = F.when(
+        (raw <= 2.5 * _M) & (v > 0), F.lit(float(_M)) * F.log(F.lit(float(_M)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(label).alias("col_name"),
+        F.round(est, 2).alias("est_distinct"),
+        v.cast("bigint").alias("n_empty_registers"),
+    )
+
+
+def hll_set_estimates(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Four rows from two corpora's register states: |A|, |B|, |A ∪ B|
+    (merge + estimate), and |A ∩ B| by inclusion-exclusion (clamped at 0 —
+    the difference of estimates can go slightly negative on disjoint
+    sets). Builds each sketch once; everything downstream is 64-row math."""
+    ra = hll_registers(df_a, col).localCheckpoint(eager=False)
+    rb = hll_registers(df_b, col).localCheckpoint(eager=False)
+    ea = estimate_from_registers(ra, "a")
+    eb = estimate_from_registers(rb, "b")
+    eu = estimate_from_registers(hll_merge(ra, rb), "union")
+    parts = ea.unionByName(eb).unionByName(eu)
+    inter = (
+        parts.groupBy()
+        .pivot("col_name", ["a", "b", "union"])
+        .sum("est_distinct")
+        .select(
+            F.lit("intersection").alias("col_name"),
+            F.round(
+                F.greatest(
+                    F.col("a") + F.col("b") - F.col("union"), F.lit(0.0)
+                ),
+                2,
+            ).alias("est_distinct"),
+            F.lit(None).cast("bigint").alias("n_empty_registers"),
+        )
+    )
+    return parts.unionByName(inter)

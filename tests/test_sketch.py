@@ -212,3 +212,24 @@ def test_cms_sketch_streaming_update_mode(spark, tmp_path):
         for r in cms_sketch(df, "key", depth=3, width=64).collect()
     }
     assert streamed == batch
+
+
+def test_hll_set_algebra_union_and_intersection(spark):
+    """|A|=6k, |B|=6k, |A∩B|=2k (ranges 0..6k and 4k..10k): the union
+    estimate must equal estimating A∪B directly (exactly — same merged
+    registers), and inclusion-exclusion must land within the compounded
+    HLL error of the true intersection. Disjoint sets must clamp to >= 0
+    and stay small relative to |A|."""
+    from numaflow_spark.operators.sketch import hll_set_estimates
+
+    a = spark.range(0, 6_000).withColumnRenamed("id", "v")
+    b = spark.range(4_000, 10_000).withColumnRenamed("id", "v")
+    rows = {r.col_name: r.est_distinct for r in hll_set_estimates(a, b, "v").collect()}
+    direct_union = hll_estimate(a.union(b), "v", "u").first().est_distinct
+    assert rows["union"] == direct_union
+    assert abs(rows["union"] - 10_000) / 10_000 < 0.40
+    assert abs(rows["intersection"] - 2_000) / 2_000 < 1.0  # 3x compounded σ
+    c = spark.range(50_000, 56_000).withColumnRenamed("id", "v")
+    rows2 = {r.col_name: r.est_distinct for r in hll_set_estimates(a, c, "v").collect()}
+    assert rows2["intersection"] >= 0.0
+    assert rows2["intersection"] < 0.25 * rows2["a"]
