@@ -206,12 +206,45 @@ def cms_heavy_hitters(
     width: int = 2048,
 ) -> DataFrame:
     """Exact items occurring >= 1/inv_frac of the time, via CMS prefilter +
-    exact verify. Plan: sketch build (one <=d*w-group shuffle) -> d
-    broadcast probe joins (w-row build sides) -> row filter
+    exact verify. Plan: sketch build (one <=d*w-group shuffle, materialized
+    once) -> per-row probe of the d counter rows -> row filter
     least(est_i) * inv_frac >= total -> exact groupBy over survivors only
     -> exact HAVING. The threshold compare is integer cross-multiplication;
-    `total` rides as a broadcast one-row aggregate, never a driver action."""
-    sketch = cms_sketch(items, col, depth, width)
+    `total` is read off the sketch itself (row 0's counters sum to the
+    stream length), so the input is scanned exactly TWICE — build and
+    probe. In streaming the sketch is maintained incrementally
+    (update-mode agg, see tests) and the amortized cost is one probe pass.
+
+    Probe strategy: the sketch is bounded (depth*width counters), so for
+    the default-sized configs it is collected once and probed as literal
+    arrays — three constant-array lookups per row, no joins. Configs
+    larger than ~32k counters fall back to d broadcast hash joins."""
+    sketch = cms_sketch(items, col, depth, width).localCheckpoint(eager=False)
+    if depth * width <= 32768:
+        # counter tables as array literals: rows[i][bucket] (missing
+        # buckets = 0). One bounded driver pull of <= 32k ints.
+        counters = [[0] * width for _ in range(depth)]
+        total = 0
+        for r in sketch.collect():
+            counters[r["i"]][r["bucket"]] = r["cnt"]
+            if r["i"] == 0:
+                total += r["cnt"]
+        ests = [
+            F.element_at(
+                F.lit(counters[i]),
+                (F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(depth)
+        ]
+        est = F.least(*ests)
+        return (
+            items.filter(est * inv_frac >= F.lit(total))
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * inv_frac >= F.lit(total))
+        )
     probed = items
     for i in range(depth):
         s_i = sketch.filter(F.col("i") == i).select(
@@ -221,9 +254,9 @@ def cms_heavy_hitters(
             f"_b{i}", F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width))
         ).join(F.broadcast(s_i), f"_b{i}")
     est = F.least(*[F.col(f"_c{i}") for i in range(depth)])
-    total = items.agg(F.count("*").alias("_total"))
+    total_df = sketch.filter(F.col("i") == 0).agg(F.sum("cnt").alias("_total"))
     return (
-        probed.crossJoin(F.broadcast(total))
+        probed.crossJoin(F.broadcast(total_df))
         .filter(est * inv_frac >= F.col("_total"))
         .groupBy(col)
         .agg(F.count("*").alias("cnt"), F.max("_total").alias("_t"))

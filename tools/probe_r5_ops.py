@@ -1,0 +1,145 @@
+"""Scale probes for the round-5 operators: iterative PageRank and CMS
+heavy hitters at ~10-100x the sf0.1 scale, on synthetic data sized to the
+local harness. Emits one human-readable block per probe; numbers land in
+SCALE.md.
+
+Usage: python tools/probe_r5_ops.py [--edges N] [--tokens N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.session import get_spark
+
+
+def probe_pagerank(spark, n_edges: int) -> None:
+    """5-iteration integer PageRank over a synthetic bipartite graph with
+    a skewed (Zipf-ish) supplier side — the realistic hub structure."""
+    from pyspark.sql import DataFrame
+
+    n_cust = max(1000, n_edges // 10)
+    pairs = (
+        spark.range(n_edges)
+        .select(
+            F.pmod(F.col("id") * 2654435761, F.lit(n_cust)).alias("cust"),
+            # Zipf-ish hub structure: supplier j chosen with weight ~ 1/j
+            F.expr(
+                "cast(1000 / sqrt(1 + pmod(hash(id), 1000000) / 1000.0) as bigint)"
+            ).alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), (-F.col("supp") - 1).alias("dst"))
+    rev = pairs.select((-F.col("supp") - 1).alias("src"), F.col("cust").alias("dst"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_edge_rows = edges.count()
+
+    scale = 1_000_000_000
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    ranks: DataFrame = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
+    )
+    t0 = time.perf_counter()
+    for _ in range(5):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("contrib"), "n")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"), F.max("n").alias("n"))
+        )
+        ranks = inflow.select(
+            F.col("dst").alias("node"),
+            "n",
+            (
+                F.expr(f"(15 * cast({scale} as bigint) div 100) div n")
+                + F.expr("(85 * inflow) div 100")
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)  # eager: time the actual rounds
+    n_out = ranks.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"pagerank: edges={n_edge_rows:,} nodes={n_out:,} "
+        f"5 iterations in {dt:.2f}s ({n_edge_rows * 5 / dt / 1e6:.1f}M edge-visits/s)"
+    )
+
+
+def probe_cms(spark, n_tokens: int) -> None:
+    """CMS heavy hitters on a Zipf token stream vs the exact groupBy it
+    accelerates: measures the candidate-row reduction (the shuffle the
+    sketch removes) and both wall times."""
+    from numaflow_spark.operators.sketch import cms_heavy_hitters, cms_sketch
+
+    # The regime where the sketch matters: a WIDE key domain (distinct ~
+    # rows, like URLs or shingles, where map-side partial agg cannot
+    # collapse the shuffle) with a thin layer of hot keys. 95% of rows are
+    # near-unique tails; 5% come from 20 hot keys.
+    toks = spark.range(n_tokens).select(
+        F.when(
+            F.pmod(F.hash("id"), F.lit(100)) < 5,
+            F.concat(F.lit("hot"), F.pmod(F.hash("id", "id"), F.lit(20))),
+        )
+        .otherwise(F.concat(F.lit("t"), F.col("id")))
+        .alias("tok")
+    )
+    inv_frac = 2000
+
+    t0 = time.perf_counter()
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * inv_frac >= n_tokens)
+        .count()
+    )
+    t_exact = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    hh = cms_heavy_hitters(toks, "tok", inv_frac).count()
+    t_cms = time.perf_counter() - t0
+    assert hh == exact, (hh, exact)
+
+    # candidate-row reduction: rows surviving the sketch prefilter
+    sketch = cms_sketch(toks, "tok")
+    probed = toks
+    for i in range(3):
+        s_i = sketch.filter(F.col("i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        probed = probed.withColumn(
+            f"_b{i}", F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(2048))
+        ).join(F.broadcast(s_i), f"_b{i}")
+    est = F.least(*[F.col(f"_c{i}") for i in range(3)])
+    survivors = probed.filter(est * inv_frac >= n_tokens).count()
+    print(
+        f"cms: tokens={n_tokens:,} heavies={hh} "
+        f"candidate rows {survivors:,} ({survivors / n_tokens:.1%} of stream) "
+        f"exact={t_exact:.2f}s cms={t_cms:.2f}s"
+    )
+
+
+def main() -> None:
+    n_edges = 1_000_000
+    n_tokens = 20_000_000
+    for i, a in enumerate(sys.argv):
+        if a == "--edges":
+            n_edges = int(sys.argv[i + 1])
+        if a == "--tokens":
+            n_tokens = int(sys.argv[i + 1])
+    spark = get_spark("probe_r5_ops")
+    spark.sparkContext.setLogLevel("ERROR")
+    probe_pagerank(spark, n_edges)
+    probe_cms(spark, n_tokens)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
