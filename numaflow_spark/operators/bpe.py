@@ -63,7 +63,7 @@ def train_bpe(
     syms = vocab.select(
         word_col,
         freq_col,
-        F.split(F.col(word_col), "(?!^)(?=.)").alias("syms"),  # chars; the
+        F.split(F.col(word_col), "(?s)(?!^)(?=.)").alias("syms"),  # chars; the
         # lookahead keeps Spark's trailing-empty split artifact out
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
@@ -103,7 +103,7 @@ def encode_words(
     """Apply a learned merge list (in training order) to a table of words:
     adds a ``tokens`` array<string> column. Each merge is one JVM-side
     fold; the expression chain is linear in len(merges)."""
-    out = words.withColumn("tokens", F.split(F.col(word_col), "(?!^)(?=.)"))
+    out = words.withColumn("tokens", F.split(F.col(word_col), "(?s)(?!^)(?=.)"))
     for a, b in merges:
         out = out.withColumn("tokens", F.expr(_merge_expr("tokens", a, b)))
     return out

@@ -161,3 +161,47 @@ def fuzzy_dedup(
     comp = connected_components(pairs, *pair_cols).localCheckpoint(eager=False)
     survivors = dedup_survivors(df, None, id_col, components=comp)
     return comp, survivors
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list: ranks carry
+    ``scale`` as a BIGINT factor, per-edge contribution is rank div
+    out-degree (floor division), damping is (85 * inflow) div 100 — no
+    float ever accumulates, so the ``iters``-round result is bit-identical
+    across engines, partitionings, and retries (the declared query's
+    oracle unrolls the same rounds as a CTE chain). The (src, dst, deg)
+    edge list materializes once (localCheckpoint); each round is ONE keyed
+    shuffle of (dst, contrib) with map-side partial sums — the
+    GraphX/Pregel shape, declaratively. Returns (node, rank) with rank at
+    scale ``scale``. Single shared implementation for the certified query
+    and the scale probes, so SCALE.md numbers always describe the shipped
+    operator."""
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    e = edges.join(deg, src).localCheckpoint(eager=False)
+    nodes = e.select(F.col(src).alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
+    )
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e[src] == ranks.node)
+            .select(F.col(dst), F.expr("rank div deg").alias("contrib"), "n")
+            .groupBy(dst)
+            .agg(F.sum("contrib").alias("inflow"), F.max("n").alias("n"))
+        )
+        ranks = inflow.select(
+            F.col(dst).alias("node"),
+            "n",
+            (
+                F.expr(f"(15 * cast({scale} as bigint) div 100) div n")
+                + F.expr("(85 * inflow) div 100")
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)  # flat plan: one shuffle per round
+    return ranks.select("node", "rank")

@@ -141,7 +141,7 @@ def hll_oracle_sql(table: str, col: str, label: str) -> str:
         ), regs AS (
             SELECT bucket, max(rank) AS max_rank FROM ranked GROUP BY bucket
         ), agg AS (
-            SELECT sum(CAST(1 AS BIGINT) << ({wbits1} - max_rank))
+            SELECT coalesce(sum(CAST(1 AS BIGINT) << ({wbits1} - max_rank)), 0)
                      + ({_M} - count(*)) * (CAST(1 AS BIGINT) << {wbits1}) AS s_total,
                    {_M} - count(*) AS v
             FROM regs
@@ -198,52 +198,45 @@ def cms_sketch(items: DataFrame, col: str, depth: int = 3, width: int = 2048) ->
     )
 
 
-def cms_heavy_hitters(
+def cms_candidates(
     items: DataFrame,
     col: str,
     inv_frac: int,
     depth: int = 3,
     width: int = 2048,
 ) -> DataFrame:
-    """Exact items occurring >= 1/inv_frac of the time, via CMS prefilter +
-    exact verify. Plan: sketch build (one <=d*w-group shuffle, materialized
-    once) -> per-row probe of the d counter rows -> row filter
-    least(est_i) * inv_frac >= total -> exact groupBy over survivors only
-    -> exact HAVING. The threshold compare is integer cross-multiplication;
-    `total` is read off the sketch itself (row 0's counters sum to the
-    stream length), so the input is scanned exactly TWICE — build and
-    probe. In streaming the sketch is maintained incrementally
-    (update-mode agg, see tests) and the amortized cost is one probe pass.
+    """The CMS prefilter: rows whose key's sketch estimate reaches the
+    1/inv_frac threshold, with the stream total attached as ``_total``.
+    Guaranteed to contain every row of every true heavy hitter (CMS never
+    underestimates). The input is scanned exactly twice — sketch build and
+    probe; ``_total`` is read off the sketch (row 0's counters sum to the
+    stream length), never a third scan.
 
-    Probe strategy: the sketch is bounded (depth*width counters), so for
-    the default-sized configs it is collected once and probed as literal
-    arrays — three constant-array lookups per row, no joins. Configs
-    larger than ~32k counters fall back to d broadcast hash joins."""
+    Probe strategy: the sketch is bounded (depth*width counters), so
+    default-sized configs collect it once and probe as literal arrays —
+    d constant element_at lookups per row, no joins (one bounded driver
+    pull of <= 32k ints). Larger configs ride as d broadcast hash joins."""
     sketch = cms_sketch(items, col, depth, width).localCheckpoint(eager=False)
     if depth * width <= 32768:
-        # counter tables as array literals: rows[i][bucket] (missing
-        # buckets = 0). One bounded driver pull of <= 32k ints.
         counters = [[0] * width for _ in range(depth)]
         total = 0
         for r in sketch.collect():
             counters[r["i"]][r["bucket"]] = r["cnt"]
             if r["i"] == 0:
                 total += r["cnt"]
-        ests = [
-            F.element_at(
-                F.lit(counters[i]),
-                (F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)) + 1).cast(
-                    "int"
-                ),
-            )
-            for i in range(depth)
-        ]
-        est = F.least(*ests)
-        return (
-            items.filter(est * inv_frac >= F.lit(total))
-            .groupBy(col)
-            .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") * inv_frac >= F.lit(total))
+        est = F.least(
+            *[
+                F.element_at(
+                    F.lit(counters[i]),
+                    (
+                        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)) + 1
+                    ).cast("int"),
+                )
+                for i in range(depth)
+            ]
+        )
+        return items.filter(est * inv_frac >= F.lit(total)).withColumn(
+            "_total", F.lit(total)
         )
     probed = items
     for i in range(depth):
@@ -258,6 +251,26 @@ def cms_heavy_hitters(
     return (
         probed.crossJoin(F.broadcast(total_df))
         .filter(est * inv_frac >= F.col("_total"))
+        .drop(*[c for i in range(depth) for c in (f"_b{i}", f"_c{i}")])
+    )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    col: str,
+    inv_frac: int,
+    depth: int = 3,
+    width: int = 2048,
+) -> DataFrame:
+    """Exact items occurring >= 1/inv_frac of the time: the
+    ``cms_candidates`` prefilter (no false negatives) followed by an exact
+    groupBy over the surviving rows only and an exact HAVING that drops
+    collision-inflated candidates. Threshold compares are integer
+    cross-multiplication. In streaming the sketch is maintained
+    incrementally (update-mode agg, see tests), so the amortized cost is
+    one probe pass."""
+    return (
+        cms_candidates(items, col, inv_frac, depth, width)
         .groupBy(col)
         .agg(F.count("*").alias("cnt"), F.max("_total").alias("_t"))
         .filter(F.col("cnt") * inv_frac >= F.col("_t"))

@@ -1905,38 +1905,12 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from numaflow_spark.operators.graph import pagerank
+
     # Node ids: customers as +custkey, suppliers as -suppkey (disjoint).
     fwd = pairs.select(F.col("cust").alias("src"), (-F.col("supp")).alias("dst"))
     rev = pairs.select((-F.col("supp")).alias("src"), F.col("cust").alias("dst"))
-    edges = fwd.unionByName(rev)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # Build the (src, dst, deg) edge list ONCE and cut its lineage: five
-    # iterations reuse it, and without the checkpoint each round would
-    # re-derive the orderkey join + distinct (graph.py's CC discipline).
-    edges = edges.join(deg, "src").localCheckpoint(eager=False)
-    scale = 1_000_000_000
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.agg(F.count("*").alias("n"))
-    # base teleport term: (15 * scale div 100) div N — same bigint floor
-    # division on both engines.
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
-    )
-    for _ in range(5):
-        inflow = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select("dst", F.expr("rank div deg").alias("contrib"), "n")
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"), F.max("n").alias("n"))
-        )
-        ranks = inflow.select(
-            F.col("dst").alias("node"),
-            "n",
-            (
-                F.expr(f"(15 * cast({scale} as bigint) div 100) div n")
-                + F.expr("(85 * inflow) div 100")
-            ).alias("rank"),
-        ).localCheckpoint(eager=False)  # flat plan: one shuffle per round
+    ranks = pagerank(fwd.unionByName(rev), iters=5, scale=1_000_000_000)
     return ranks.select("node", F.col("rank").alias("rank_e9"))
 
 
@@ -2200,7 +2174,7 @@ QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
     "bpe_pair_counts": q_bpe_pair_counts,
     "audio_pcm_energy": q_audio_pcm_energy,
-    # -- 24-28: added in r5, not yet driver-certified -------------------------
+    # -- 24-50: added in r5, not yet driver-certified -------------------------
     "priority_pending_orders": q_priority_pending_orders,
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue_monthly": q_promo_revenue_monthly,

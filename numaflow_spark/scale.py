@@ -226,6 +226,6 @@ def rowgroup_skip_fraction(path: str, col: str, lo, hi) -> float:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 total += 1
-                if st is not None and (st.min > hi or st.max < lo):
+                if st is not None and st.has_min_max and (st.min > hi or st.max < lo):
                     skipped += 1
     return skipped / total if total else 0.0

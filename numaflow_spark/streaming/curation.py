@@ -127,10 +127,15 @@ class StreamingCuration:
             self._neardup = neardup or None
 
     def _fp_store(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self._fp_dir)
-        except Exception:  # noqa: BLE001 — first batch: store not yet created
+        # Explicit existence check (the _BandStore discipline): only a
+        # genuinely absent store means "first batch". A transient READ
+        # failure must propagate and fail the batch — swallowing it would
+        # silently disable exact dedup for that epoch.
+        if not os.path.isdir(self._fp_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(self._fp_dir)
+        ):
             return None
+        return self.spark.read.parquet(self._fp_dir)
 
     def accept(self, batch: DataFrame) -> DataFrame:
         # 1. row-local quality gate
@@ -159,10 +164,24 @@ class StreamingCuration:
         fp = survivors.withColumn("fp", fingerprint_md5(F.col(self.text_col)))
         store = self._fp_store()
         if store is not None:
+            # Replay safety: the store records WHICH doc owns each accepted
+            # fingerprint, and the anti-join only drops a doc when a
+            # DIFFERENT doc holds its fingerprint. If the epoch crashed
+            # after the store append but before the sink write, the replay
+            # re-matches its own (fp, id) rows and the docs still reach the
+            # output — effectively-once instead of silent loss.
+            if "fp_doc" in store.columns:
+                foreign = store.alias("s").join(
+                    fp.select("fp", F.col(self.id_col).alias("_bid")).alias("b"),
+                    (F.col("s.fp") == F.col("b.fp"))
+                    & (F.col("s.fp_doc") != F.col("_bid")),
+                ).select(F.col("s.fp").alias("fp")).distinct()
+            else:  # pre-upgrade store without owner ids: every row foreign
+                foreign = store.select("fp").distinct()
             # no broadcast hint: the store grows with accepted docs, so the
             # planner/AQE must stay free to flip build sides (broadcast
             # while small, shuffle join once it is not)
-            fp = fp.join(store, "fp", "left_anti")
+            fp = fp.join(foreign, "fp", "left_anti")
         w_min = F.min(self.id_col).over(Window.partitionBy("fp"))
         fp = (
             fp.withColumn("keep_id", w_min)
@@ -172,7 +191,9 @@ class StreamingCuration:
         # pin survivors before appending their fingerprints, so the store
         # write cannot re-read a moving plan
         fp = fp.localCheckpoint(eager=True)
-        fp.select("fp").write.mode("append").parquet(self._fp_dir)
+        fp.select("fp", F.col(self.id_col).alias("fp_doc")).write.mode(
+            "append"
+        ).parquet(self._fp_dir)
         survivors = fp.drop("fp")
 
         # 4. near-dup against everything previously accepted

@@ -97,3 +97,19 @@ def test_merge_fold_handles_overlaps_and_quotes(spark):
     assert list(out[1].m) == ["'", "a"]
     out2 = df.withColumn("m", F.expr(_merge_expr("syms", "'", "a"))).collect()
     assert list(out2[1].m) == ["'a"]
+
+
+def test_bpe_char_split_handles_newlines(spark):
+    """The (?s) DOTALL char split must produce single-character symbols
+    even when a 'word' contains \\n or \\r (word_freq_table splits on
+    spaces only, so such words reach the trainer)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a\nb",), ("c\rd",)], "word string")
+    got = {
+        r.word: list(r.tokens)
+        for r in df.withColumn(
+            "tokens", F.split(F.col("word"), "(?s)(?!^)(?=.)")
+        ).collect()
+    }
+    assert got == {"a\nb": ["a", "\n", "b"], "c\rd": ["c", "\r", "d"]}

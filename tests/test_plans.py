@@ -380,15 +380,32 @@ def test_product_type_profit_part_filter_prunes_fact(spark):
     assert nodes(plan, "CartesianProduct") == 0
 
 
-def test_cms_probe_joins_broadcast_no_python(spark):
-    """CMS heavy hitters: the d sketch probes must be broadcast joins (the
-    build sides are <= width rows) and the whole pipeline stays JVM-side —
-    tokenize/bigram/hash/probe all in codegen, no Python workers."""
+def test_cms_probe_is_join_free_constant_lookup(spark):
+    """CMS heavy hitters (default-sized config): the collected sketch is
+    probed as constant-array element_at lookups, so the plan has NO joins
+    at all — one scan, a row-local filter, and the exact candidate
+    aggregation. Everything stays JVM-side, no Python workers."""
     plan = plan_of(spark, "cms_heavy_bigrams")
-    assert nodes(plan, "BroadcastHashJoin") >= 3
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "BroadcastHashJoin") == 0
     assert nodes(plan, "SortMergeJoin") == 0
+    assert nodes(plan, "CartesianProduct") == 0
+    assert "element_at" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_large_config_falls_back_to_broadcast_joins(spark):
+    """Above the 32k-counter literal-probe bound the sketch must ride as d
+    broadcast hash joins (never SMJ/cartesian) — the cluster-safe path for
+    wide sketches."""
+    from numaflow_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame([(f"k{i % 50}",) for i in range(500)], "key string")
+    plan_df = cms_heavy_hitters(df, "key", 10, depth=3, width=16384)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = plan_df._jdf.queryExecution().explainString(mode)
+    assert nodes(plan, "BroadcastHashJoin") >= 3
+    assert nodes(plan, "SortMergeJoin") == 0
+    assert nodes(plan, "CartesianProduct") == 0
 
 
 def test_scd2_single_sort_both_windows(spark):

@@ -98,3 +98,21 @@ def test_curation_via_streaming_query(spark, tmp_path):
         q.stop()
     got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 12]
+
+
+def test_curation_exact_dedup_replay_safe(spark, tmp_path):
+    """Effectively-once under epoch replay: if the fingerprint-store append
+    lands but the sink write does not, the replayed batch must still emit
+    its docs (the store records fingerprint OWNERSHIP, and only a
+    DIFFERENT doc holding the fingerprint kills a doc). Cross-doc exact
+    dedup must keep working afterwards."""
+    cur = StreamingCuration(spark, str(tmp_path / "store"))
+    b1 = _docs(spark, [(1, BASE * 3 + "ending one")])
+    assert [r.doc_id for r in cur.accept(b1).collect()] == [1]
+    # replay the SAME batch: the store already holds doc 1's fingerprint,
+    # but doc 1 owns it, so it must survive, not be silently dropped
+    assert [r.doc_id for r in cur.accept(b1).collect()] == [1]
+    # a different doc with the same text is still an exact dup -> dies
+    b2 = _docs(spark, [(2, BASE * 3 + "ending one"),
+                       (3, "entirely novel content regarding watermark heartbeats " * 9)])
+    assert sorted(r.doc_id for r in cur.accept(b2).collect()) == [3]

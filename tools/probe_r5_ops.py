@@ -21,8 +21,11 @@ from numaflow_spark.session import get_spark
 
 def probe_pagerank(spark, n_edges: int) -> None:
     """5-iteration integer PageRank over a synthetic bipartite graph with
-    a skewed (Zipf-ish) supplier side — the realistic hub structure."""
-    from pyspark.sql import DataFrame
+    a skewed (Zipf-ish) supplier side — the realistic hub structure. The
+    iteration body is the SHARED operators/graph.py::pagerank (the same
+    code path the certified query runs), so these numbers always describe
+    the shipped operator."""
+    from numaflow_spark.operators.graph import pagerank
 
     n_cust = max(1000, n_edges // 10)
     pairs = (
@@ -38,34 +41,11 @@ def probe_pagerank(spark, n_edges: int) -> None:
     )
     fwd = pairs.select(F.col("cust").alias("src"), (-F.col("supp") - 1).alias("dst"))
     rev = pairs.select((-F.col("supp") - 1).alias("src"), F.col("cust").alias("dst"))
-    edges = fwd.unionByName(rev)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
     n_edge_rows = edges.count()
 
-    scale = 1_000_000_000
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.agg(F.count("*").alias("n"))
-    ranks: DataFrame = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
-    )
     t0 = time.perf_counter()
-    for _ in range(5):
-        inflow = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select("dst", F.expr("rank div deg").alias("contrib"), "n")
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"), F.max("n").alias("n"))
-        )
-        ranks = inflow.select(
-            F.col("dst").alias("node"),
-            "n",
-            (
-                F.expr(f"(15 * cast({scale} as bigint) div 100) div n")
-                + F.expr("(85 * inflow) div 100")
-            ).alias("rank"),
-        ).localCheckpoint(eager=True)  # eager: time the actual rounds
-    n_out = ranks.count()
+    n_out = pagerank(edges, iters=5).count()
     dt = time.perf_counter() - t0
     print(
         f"pagerank: edges={n_edge_rows:,} nodes={n_out:,} "
@@ -107,18 +87,11 @@ def probe_cms(spark, n_tokens: int) -> None:
     t_cms = time.perf_counter() - t0
     assert hh == exact, (hh, exact)
 
-    # candidate-row reduction: rows surviving the sketch prefilter
-    sketch = cms_sketch(toks, "tok")
-    probed = toks
-    for i in range(3):
-        s_i = sketch.filter(F.col("i") == i).select(
-            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
-        )
-        probed = probed.withColumn(
-            f"_b{i}", F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(2048))
-        ).join(F.broadcast(s_i), f"_b{i}")
-    est = F.least(*[F.col(f"_c{i}") for i in range(3)])
-    survivors = probed.filter(est * inv_frac >= n_tokens).count()
+    # candidate-row reduction: rows surviving the sketch prefilter — via
+    # the SHARED cms_candidates (the operator's own prefilter path)
+    from numaflow_spark.operators.sketch import cms_candidates
+
+    survivors = cms_candidates(toks, "tok", inv_frac).count()
     print(
         f"cms: tokens={n_tokens:,} heavies={hh} "
         f"candidate rows {survivors:,} ({survivors / n_tokens:.1%} of stream) "
