@@ -1,0 +1,117 @@
+"""Edit-distance similarity join: all pairs of short strings within
+Levenshtein distance ``max_dist`` — the fuzzy-matching primitive for
+entity/title/name dedup, where token-level MinHash is too coarse.
+
+Candidate generation is the q-gram filter (Gravano et al., VLDB 2001):
+one edit destroys at most q of a string's overlapping q-grams, so a
+string of length >= q*(d+1) keeps at least one gram intact under d edits,
+and that surviving gram is a substring of the partner too — within-d
+pairs whose longer side has length >= q*(d+1) MUST share a gram. Pairs
+are additionally length-banded (|len diff| <= d) and count-filtered
+(shared grams >= max_len - q + 1 - d*q), then verified with the exact
+``levenshtein`` (JVM-side, codegen).
+
+Pairs where BOTH strings are shorter than q*(d+1) can share zero grams
+despite being within distance d, so that length class (a tiny, bounded
+set: strings under ~9 chars at the defaults) is supplemented with an
+explicit within-class pair join before verification. The union is EXACT.
+
+Scale shape: explode to (gram, id) rows -> self-join on gram (one hash
+shuffle keyed by gram; frequent-gram skew collapses in the count groupBy
+BEFORE the O(len^2) verification) -> per-pair verify. The gram table is
+the classic inverted index, built in one pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, dist) for every unordered pair with levenshtein <=
+    max_dist, id_a < id_b. Exact output; the q-gram count prefilter prunes
+    the quadratic candidate space for everything but the sub-q*(d+1)
+    length class."""
+    short_len = q * (max_dist + 1)
+    base = df.select(
+        F.col(id_col).alias("gid"),
+        F.col(text_col).alias("gtext"),
+        F.length(text_col).alias("glen"),
+    )
+    grams = base.select(
+        "gid",
+        "gtext",
+        "glen",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(gtext) - {q} + 1, 1)), "
+                f"i -> substring(gtext, i, {q}))"
+            )
+        ).alias("gram"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.gid") < F.col("b.gid"))
+            # length band: |len(s) - len(t)| <= d, pushed into the join
+            & (F.abs(F.col("a.glen") - F.col("b.glen")) <= max_dist),
+        )
+        .groupBy(
+            F.col("a.gid").alias("id_a"),
+            F.col("b.gid").alias("id_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.max(F.greatest(F.col("a.glen"), F.col("b.glen"))).alias("max_len"),
+            F.first("a.gtext").alias("text_a"),
+            F.first("b.gtext").alias("text_b"),
+        )
+        # count bound, clamped to 1: pairs reach this table only via >= 1
+        # shared gram, and the theorem guarantees that for every true pair
+        # whose longer side has >= q*(d+1) chars.
+        .filter(
+            F.col("n_shared")
+            >= F.greatest(F.col("max_len") - q + 1 - max_dist * q, F.lit(1))
+        )
+        .select("id_a", "id_b", "text_a", "text_b")
+    )
+    # Supplement: the BOTH-short length class, where zero shared grams is
+    # possible within distance d. All-pairs inside the class, but as an
+    # EQUI join (never a cartesian/nested-loop node): the shorter side
+    # explodes to length buckets [len, len + d], the other keys on its own
+    # length — every |len diff| <= d pair meets in exactly one bucket. At
+    # the defaults this class is strings < 9 chars, so the per-bucket
+    # blowup is noise.
+    shorts = base.filter(F.col("glen") < short_len)
+    sa = shorts.withColumn(
+        "lb", F.explode(F.expr(f"sequence(glen, glen + {max_dist})"))
+    ).alias("sa")
+    sb = shorts.withColumn("lb", F.col("glen")).alias("sb")
+    short_pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.lb") == F.col("sb.lb"))
+            & (F.col("sa.gid") != F.col("sb.gid")),
+        )
+        .select(
+            F.least(F.col("sa.gid"), F.col("sb.gid")).alias("id_a"),
+            F.greatest(F.col("sa.gid"), F.col("sb.gid")).alias("id_b"),
+            F.col("sa.gtext").alias("text_a"),
+            F.col("sb.gtext").alias("text_b"),
+        )
+    )
+    return (
+        cand.unionByName(short_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1,0 +1,81 @@
+"""Edit-distance similarity join: exactness vs a brute-force Python
+reference (including the sub-q*(d+1) short-string class the q-gram filter
+alone would miss), and the plan's skew-safety property."""
+
+from __future__ import annotations
+
+import itertools
+
+from numaflow_spark.operators.editdist import edit_distance_pairs
+
+
+def _lev(s: str, t: str) -> int:
+    if len(s) < len(t):
+        s, t = t, s
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+STRINGS = [
+    "spark", "spork", "sparkle", "shark", "sharks", "park",
+    "ab", "cd", "abc", "abd", "x", "y", "",
+    "distributed dataflow", "distributed dataflows", "distributed dataflow",
+    "warehouse", "warehouses", "warehose", "wharehouse",
+    "numaflow", "numaflo", "dataflow",
+]
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(STRINGS)], "id long, text string"
+    )
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "id", "text", max_dist=d).collect()
+        }
+        want = {
+            (i, j, _lev(si, sj))
+            for (i, si), (j, sj) in itertools.combinations(enumerate(STRINGS), 2)
+            if _lev(si, sj) <= d
+        }
+        assert got == want, f"d={d}: missing {want - got}, extra {got - want}"
+
+
+def test_edit_distance_short_class_not_lost(spark):
+    """'ab' vs 'cd' (dist 2) share zero 3-grams — only the short-class
+    supplement can find them. 'x' vs 'y' likewise at dist 1."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "x"), (4, "y")], "id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "text", max_dist=2).collect()
+    }
+    assert (1, 2) in got and (3, 4) in got
+
+
+def test_edit_distance_count_filter_prunes_before_verify(spark):
+    """The expensive levenshtein must sit ABOVE the count-filtered pair
+    aggregation in the plan (verify-per-candidate-pair, never
+    verify-per-shared-gram-row), and the short-class supplement must not
+    introduce a full cartesian over the whole input."""
+    df = spark.createDataFrame(
+        [(i, f"string number {i:04d}") for i in range(100)], "id long, text string"
+    )
+    plan_df = edit_distance_pairs(df, "id", "text")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = plan_df._jdf.queryExecution().explainString(mode)
+    # the verify must reference the pair-collapsed columns (post-agg), and
+    # an aggregate node must exist below it (first()-carrying aggs render
+    # as SortAggregate)
+    assert "levenshtein" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "CartesianProduct" not in plan
