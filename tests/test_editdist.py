@@ -79,3 +79,32 @@ def test_edit_distance_count_filter_prunes_before_verify(spark):
     assert "levenshtein" in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ALPHA = "abc"  # tiny alphabet maximizes collisions and near-miss pairs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.text(alphabet=_ALPHA, min_size=0, max_size=12), min_size=2, max_size=14),
+    st.integers(1, 3),
+)
+def test_edit_distance_pairs_property(spark, strings, d):
+    """Property: for ANY string set and ANY d in 1..3, the join equals the
+    brute-force reference — exercises the q-gram bound, the short-class
+    supplement, empty strings, and duplicate texts together."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "text", max_dist=d).collect()
+    }
+    want = {
+        (i, j, _lev(si, sj))
+        for (i, si), (j, sj) in itertools.combinations(enumerate(strings), 2)
+        if _lev(si, sj) <= d
+    }
+    assert got == want
