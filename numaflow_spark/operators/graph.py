@@ -205,3 +205,41 @@ def pagerank(
             ).alias("rank"),
         ).localCheckpoint(eager=False)  # flat plan: one shuffle per round
     return ranks.select("node", "rank")
+
+
+def k_hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimum hop distance (0..k) from a seed set for every node
+    reachable within k hops — frontier-based BFS as k rounds of join +
+    min-merge, the Pregel shortest-path shape expressed declaratively.
+    Only the NEWLY-reached frontier (nodes whose min distance equals the
+    current hop) expands in the next round, so each round's join touches
+    frontier-adjacent edges, not the whole reached set — on high-diameter
+    graphs round cost tracks the frontier, and on small-world graphs the
+    frontier collapses after 2-3 hops. All distances are integers, so the
+    result is engine-exact (an unrolled CTE chain oracles it). Lineage is
+    cut per round (the CC/pagerank discipline). Returns (node, dist)."""
+    dist = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint(eager=False)
+    frontier = dist
+    for h in range(1, k + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier.node)
+            .select(F.col(dst).alias("node"), F.lit(h).alias("dist"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = dist.filter(F.col("dist") == h)
+    return dist

@@ -108,3 +108,38 @@ def test_cc_driver_traffic_is_scalar_only(spark, monkeypatch):
     out = connected_components(edges)
     monkeypatch.setattr(DataFrame, "collect", real_collect)
     assert out.groupBy("component").count().count() == 1
+
+
+def test_k_hop_distances_vs_python_bfs(spark):
+    """Frontier BFS must equal a reference Python BFS on a graph with
+    cycles, multiple shortest paths, unreachable nodes, and a seed set of
+    size 2 — for every k in 0..4."""
+    from collections import deque
+
+    from numaflow_spark.operators.graph import k_hop_distances
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6), (7, 8),
+         (1, 5), (6, 3), (9, 9)]
+    seeds = [1, 9]
+    adj: dict[int, list[int]] = {}
+    for s, d in E:
+        adj.setdefault(s, []).append(d)
+
+    def bfs(limit):
+        out = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if out[u] >= limit:
+                continue
+            for v in adj.get(u, []):
+                if v not in out:
+                    out[v] = out[u] + 1
+                    q.append(v)
+        return out
+
+    edges = spark.createDataFrame(E, "src long, dst long")
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    for k in range(5):
+        got = {r.node: r.dist for r in k_hop_distances(edges, seed_df, k).collect()}
+        assert got == bfs(k), f"k={k}"
