@@ -83,19 +83,55 @@ def edit_distance_pairs(
         )
         .select("id_a", "id_b", "text_a", "text_b")
     )
-    # Supplement: the BOTH-short length class, where zero shared grams is
-    # possible within distance d. All-pairs inside the class, but as an
-    # EQUI join (never a cartesian/nested-loop node): the shorter side
-    # explodes to length buckets [len, len + d], the other keys on its own
-    # length — every |len diff| <= d pair meets in exactly one bucket. At
-    # the defaults this class is strings < 9 chars, so the per-bucket
-    # blowup is noise.
+    # Supplement 1: pairs whose longer side is in (d, q*(d+1)) chars — the
+    # q-gram theorem gives no guarantee there, but the 1-gram (character
+    # MULTISET) bound does: each edit changes at most one character
+    # occurrence, so within-d pairs share >= max_len - d character
+    # occurrences, which is >= 1 in this class. The inverted index drops
+    # to per-character postings with per-id counts, and the multiset
+    # intersection is computed exactly as sum(least(cnt_a, cnt_b)) — a
+    # STRONG count filter (a 7-char name must share >= 5 of its letters),
+    # so short-string-heavy corpora (names, titles) stay subquadratic
+    # instead of the naive all-pairs-per-length-bucket blowup.
     shorts = base.filter(F.col("glen") < short_len)
-    sa = shorts.withColumn(
+    chars = shorts.select(
+        "gid",
+        "gtext",
+        "glen",
+        F.explode(F.expr("transform(sequence(1, length(gtext)), i -> substring(gtext, i, 1))")).alias("ch"),
+    ).groupBy("gid", "gtext", "glen", "ch").agg(F.count("*").alias("cnt"))
+    ca = chars.alias("ca")
+    cb = chars.alias("cb")
+    mid_pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.ch") == F.col("cb.ch"))
+            & (F.col("ca.gid") < F.col("cb.gid"))
+            & (F.abs(F.col("ca.glen") - F.col("cb.glen")) <= max_dist),
+        )
+        .groupBy(
+            F.col("ca.gid").alias("id_a"),
+            F.col("cb.gid").alias("id_b"),
+        )
+        .agg(
+            F.sum(F.least(F.col("ca.cnt"), F.col("cb.cnt"))).alias("shared"),
+            F.max(F.greatest(F.col("ca.glen"), F.col("cb.glen"))).alias("max_len"),
+            F.first("ca.gtext").alias("text_a"),
+            F.first("cb.gtext").alias("text_b"),
+        )
+        .filter(F.col("shared") >= F.col("max_len") - max_dist)
+        .select("id_a", "id_b", "text_a", "text_b")
+    )
+    # Supplement 2: pairs where BOTH strings have <= d chars (edit distance
+    # can never exceed max_len, and zero shared characters is possible) —
+    # all pairs inside this microscopic class, as an EQUI join on exploded
+    # length buckets (never a cartesian/nested-loop node).
+    ultra = base.filter(F.col("glen") <= max_dist)
+    sa = ultra.withColumn(
         "lb", F.explode(F.expr(f"sequence(glen, glen + {max_dist})"))
     ).alias("sa")
-    sb = shorts.withColumn("lb", F.col("glen")).alias("sb")
-    short_pairs = (
+    sb = ultra.withColumn("lb", F.col("glen")).alias("sb")
+    ultra_pairs = (
         sa.join(
             sb,
             (F.col("sa.lb") == F.col("sb.lb"))
@@ -109,7 +145,8 @@ def edit_distance_pairs(
         )
     )
     return (
-        cand.unionByName(short_pairs)
+        cand.unionByName(mid_pairs)
+        .unionByName(ultra_pairs)
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)

@@ -181,29 +181,46 @@ def pagerank(
     GraphX/Pregel shape, declaratively. Returns (node, rank) with rank at
     scale ``scale``. Single shared implementation for the certified query
     and the scale probes, so SCALE.md numbers always describe the shipped
-    operator."""
+    operator.
+
+    The node set is src ∪ dst, and every round rebuilds ranks over ALL
+    nodes (left join + coalesce(inflow, 0)) — a node with no in-edges
+    keeps its teleport mass and keeps CONTRIBUTING, rather than silently
+    vanishing after round 1 as an inner-join formulation would make it.
+    Dangling nodes (no out-edges) keep their rank but redistribute
+    nothing — the simplified leak model; document, don't hide."""
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     e = edges.join(deg, src).localCheckpoint(eager=False)
-    nodes = e.select(F.col(src).alias("node")).distinct()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     n_nodes = nodes.agg(F.count("*").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+    nodes_n = nodes.crossJoin(F.broadcast(n_nodes)).localCheckpoint(eager=False)
+    ranks = nodes_n.select(
         "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
     )
+    base = f"(15 * cast({scale} as bigint) div 100) div n"
     for _ in range(iters):
         inflow = (
             e.join(ranks, e[src] == ranks.node)
-            .select(F.col(dst), F.expr("rank div deg").alias("contrib"), "n")
+            .select(F.col(dst), F.expr("rank div deg").alias("contrib"))
             .groupBy(dst)
-            .agg(F.sum("contrib").alias("inflow"), F.max("n").alias("n"))
+            .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = inflow.select(
-            F.col(dst).alias("node"),
-            "n",
-            (
-                F.expr(f"(15 * cast({scale} as bigint) div 100) div n")
-                + F.expr("(85 * inflow) div 100")
-            ).alias("rank"),
-        ).localCheckpoint(eager=False)  # flat plan: one shuffle per round
+        ranks = (
+            nodes_n.join(inflow, nodes_n.node == inflow[dst], "left")
+            .select(
+                "node",
+                "n",
+                (
+                    F.expr(base)
+                    + F.expr("(85 * coalesce(inflow, 0)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # flat plan: one shuffle per round
+        )
     return ranks.select("node", "rank")
 
 

@@ -135,7 +135,10 @@ class StreamingCuration:
             f.endswith(".parquet") for f in os.listdir(self._fp_dir)
         ):
             return None
-        return self.spark.read.parquet(self._fp_dir)
+        # mergeSchema: a store created before the (fp, fp_doc) upgrade has
+        # fp-only files alongside newer two-column files; without the merge
+        # the inferred schema would be file-order dependent.
+        return self.spark.read.option("mergeSchema", "true").parquet(self._fp_dir)
 
     def accept(self, batch: DataFrame) -> DataFrame:
         # 1. row-local quality gate
@@ -163,25 +166,35 @@ class StreamingCuration:
         # (min id per fingerprint wins, matching the batch twin)
         fp = survivors.withColumn("fp", fingerprint_md5(F.col(self.text_col)))
         store = self._fp_store()
+        store_pairs = None
         if store is not None:
             # Replay safety: the store records WHICH doc owns each accepted
-            # fingerprint, and the anti-join only drops a doc when a
-            # DIFFERENT doc holds its fingerprint. If the epoch crashed
-            # after the store append but before the sink write, the replay
-            # re-matches its own (fp, id) rows and the docs still reach the
-            # output — effectively-once instead of silent loss.
+            # fingerprint, and a batch row dies only when a DIFFERENT doc
+            # holds its fingerprint — evaluated PER ROW (anti join with a
+            # residual ownership predicate), so a replayed batch that
+            # contains both the owner and an intra-batch duplicate keeps
+            # the owner and drops only the duplicate. Pre-upgrade store
+            # rows carry fp_doc NULL; eqNullSafe makes them foreign to
+            # every row (the old, replay-unsafe but dedup-correct read).
             if "fp_doc" in store.columns:
-                foreign = store.alias("s").join(
-                    fp.select("fp", F.col(self.id_col).alias("_bid")).alias("b"),
-                    (F.col("s.fp") == F.col("b.fp"))
-                    & (F.col("s.fp_doc") != F.col("_bid")),
-                ).select(F.col("s.fp").alias("fp")).distinct()
-            else:  # pre-upgrade store without owner ids: every row foreign
-                foreign = store.select("fp").distinct()
+                store_pairs = store.select("fp", "fp_doc").localCheckpoint(
+                    eager=False
+                )
+            else:  # store written entirely before the upgrade
+                id_type = dict(batch.dtypes)[self.id_col]
+                store_pairs = store.select(
+                    "fp", F.lit(None).cast(id_type).alias("fp_doc")
+                ).localCheckpoint(eager=False)
             # no broadcast hint: the store grows with accepted docs, so the
             # planner/AQE must stay free to flip build sides (broadcast
             # while small, shuffle join once it is not)
-            fp = fp.join(foreign, "fp", "left_anti")
+            s = store_pairs.alias("s")
+            fp = fp.alias("b").join(
+                s,
+                (F.col("b.fp") == F.col("s.fp"))
+                & ~F.col("s.fp_doc").eqNullSafe(F.col(f"b.{self.id_col}")),
+                "left_anti",
+            )
         w_min = F.min(self.id_col).over(Window.partitionBy("fp"))
         fp = (
             fp.withColumn("keep_id", w_min)
@@ -191,9 +204,13 @@ class StreamingCuration:
         # pin survivors before appending their fingerprints, so the store
         # write cannot re-read a moving plan
         fp = fp.localCheckpoint(eager=True)
-        fp.select("fp", F.col(self.id_col).alias("fp_doc")).write.mode(
-            "append"
-        ).parquet(self._fp_dir)
+        to_append = fp.select("fp", F.col(self.id_col).alias("fp_doc"))
+        if store_pairs is not None:
+            # idempotent append: a replayed epoch re-derives pairs already
+            # in the store — skip them so the store stays one row per
+            # accepted doc no matter how many times an epoch retries
+            to_append = to_append.join(store_pairs, ["fp", "fp_doc"], "left_anti")
+        to_append.write.mode("append").parquet(self._fp_dir)
         survivors = fp.drop("fp")
 
         # 4. near-dup against everything previously accepted

@@ -143,3 +143,21 @@ def test_k_hop_distances_vs_python_bfs(spark):
     for k in range(5):
         got = {r.node: r.dist for r in k_hop_distances(edges, seed_df, k).collect()}
         assert got == bfs(k), f"k={k}"
+
+
+def test_pagerank_keeps_no_inflow_and_dangling_nodes(spark):
+    """A chain graph 1->2: node 1 has no in-edges and node 2 is dangling.
+    Both must appear in every round's output with the hand-computed
+    integer values (1 keeps its teleport mass; 2 receives 1's full
+    contribution), instead of vanishing through an inner-join rebuild."""
+    from numaflow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    scale = 1_000_000_000
+    got = {r.node: r.rank for r in pagerank(edges, iters=2, scale=scale).collect()}
+    base = (15 * scale // 100) // 2          # 75_000_000
+    r1_1 = base                               # no inflow
+    r1_2 = base + (85 * (scale // 2)) // 100  # inflow = r0(1) div deg(1)
+    r2_2 = base + (85 * r1_1) // 100          # round 2 uses round-1 ranks
+    assert got == {1: r1_1, 2: r2_2}
+    assert r1_2 != r2_2  # sanity: the rounds genuinely differ

@@ -5,6 +5,8 @@ through a real streaming query."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from numaflow_spark.streaming.curation import StreamingCuration, quality_gate
 
 # ~60 words per repetition-of-3: comfortably past the 50-word gate
@@ -116,3 +118,39 @@ def test_curation_exact_dedup_replay_safe(spark, tmp_path):
     b2 = _docs(spark, [(2, BASE * 3 + "ending one"),
                        (3, "entirely novel content regarding watermark heartbeats " * 9)])
     assert sorted(r.doc_id for r in cur.accept(b2).collect()) == [3]
+
+
+def test_curation_replay_with_intra_batch_duplicate(spark, tmp_path):
+    """The ownership check must be PER ROW: a replayed batch containing
+    both the owner and an intra-batch duplicate of the same text keeps
+    the owner (min id) and drops only the duplicate. The store must also
+    stay one row per accepted doc across replays (idempotent append)."""
+    cur = StreamingCuration(spark, str(tmp_path / "store"))
+    b = _docs(spark, [(1, BASE * 3 + "ending one"), (2, BASE * 3 + "ending one")])
+    assert [r.doc_id for r in cur.accept(b).collect()] == [1]
+    # replay: doc 1 owns the fingerprint -> survives; doc 2 still dies
+    assert [r.doc_id for r in cur.accept(b).collect()] == [1]
+    store = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "store" / "fingerprints")
+    )
+    assert store.count() == 1  # no duplicate rows from the replay
+
+
+def test_curation_pre_upgrade_store_still_dedups(spark, tmp_path):
+    """A store written in the old fp-only schema must keep exact dedup
+    working (old rows are foreign to everyone) and new appends must not
+    break reads of the mixed-schema directory."""
+    fp_dir = str(tmp_path / "store" / "fingerprints")
+    cur = StreamingCuration(spark, str(tmp_path / "store"), neardup=False)
+    text1 = BASE * 3 + "ending one"
+    # simulate the pre-upgrade store: fp-only parquet
+    from numaflow_spark.operators.dedup import fingerprint_md5
+
+    _docs(spark, [(1, text1)]).select(
+        fingerprint_md5(F.col("text")).alias("fp")
+    ).write.parquet(fp_dir)
+    b = _docs(spark, [(7, text1), (8, BASE * 3 + "completely different tail")])
+    assert sorted(r.doc_id for r in cur.accept(b).collect()) == [8]
+    # mixed-schema dir reads fine and dedup still holds on the next batch
+    b2 = _docs(spark, [(9, BASE * 3 + "completely different tail")])
+    assert [r.doc_id for r in cur.accept(b2).collect()] == []
