@@ -1486,3 +1486,139 @@ def _pagerank_sql() -> str:
 
 
 ORACLES["pagerank_bipartite"] = _pagerank_sql()
+
+# ---------------------------------------------------------------------------
+# STAGED oracles (r6 declaration queue — see queries.py::STAGED_QUERIES).
+# bpe_merges is deliberately absent: rows-only (no tractable SQL twin for
+# the iterative argmax + array-fold loop).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES: dict[str, str] = {}
+
+STAGED_ORACLES["hourly_channel_matrix"] = """
+    SELECT
+      sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  AND event_type = 'view'  THEN 1 ELSE 0 END) AS night_views,
+      sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 AND event_type = 'view'  THEN 1 ELSE 0 END) AS morning_views,
+      sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 AND event_type = 'view'  THEN 1 ELSE 0 END) AS afternoon_views,
+      sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 AND event_type = 'view'  THEN 1 ELSE 0 END) AS evening_views,
+      sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  AND event_type = 'click' THEN 1 ELSE 0 END) AS night_clicks,
+      sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 AND event_type = 'click' THEN 1 ELSE 0 END) AS morning_clicks,
+      sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 AND event_type = 'click' THEN 1 ELSE 0 END) AS afternoon_clicks,
+      sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 AND event_type = 'click' THEN 1 ELSE 0 END) AS evening_clicks
+    FROM events
+"""
+
+STAGED_ORACLES["basket_pairs"] = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counts AS (
+        SELECT p1, p2, count(*) AS n_orders FROM pairs GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_orders FROM counts
+    WHERE n_orders >= 2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 50
+"""
+
+STAGED_ORACLES["revenue_rolling_30d"] = """
+    WITH daily AS (
+        SELECT n_name AS nation,
+               datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_no,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS day_rev_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+    )
+    SELECT nation, day_no, day_rev_c,
+           sum(day_rev_c) OVER (PARTITION BY nation ORDER BY day_no
+                                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+               AS rev_30d_c
+    FROM daily
+"""
+
+STAGED_ORACLES["clv_deciles"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS ltv_c
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT ltv_c, ntile(10) OVER (ORDER BY ltv_c DESC, o_custkey) AS decile
+        FROM per_cust
+    )
+    SELECT decile, count(*) AS n_customers, sum(ltv_c) AS decile_rev_c
+    FROM tiled GROUP BY decile
+"""
+
+STAGED_ORACLES["cdc_orders_apply"] = """
+    WITH snapshot AS (
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    latest AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    )
+    SELECT s.c_custkey, s.c_name, l.bal_c
+    FROM snapshot s JOIN (SELECT * FROM latest WHERE rn = 1) l USING (c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.bal_c
+    FROM snapshot s
+    WHERE s.c_custkey NOT IN (SELECT c_custkey FROM latest)
+"""
+
+# grouped_hll_users: identical per-group register math in DuckDB
+from numaflow_spark.operators.sketch import hll_oracle_sql_by as _hll_by_sql
+
+STAGED_ORACLES["grouped_hll_users"] = _hll_by_sql(
+    "events", ["event_type"], "user_id"
+)
+
+STAGED_ORACLES["editdist_part_names"] = """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def _khop_sql() -> str:
+    sql = """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, -supp AS dst FROM pairs
+        UNION ALL
+        SELECT -supp AS src, cust AS dst FROM pairs
+    ),
+    d0 AS (
+        SELECT c_custkey AS node, 0 AS dist FROM customer WHERE c_custkey <= 10
+    )"""
+    prev = "d0"
+    for h in range(1, 4):
+        sql += f""",
+    d{h} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT DISTINCT e.dst AS node, {h} AS dist
+            FROM edges e JOIN {prev} f ON e.src = f.node AND f.dist = {h - 1}
+        ) GROUP BY node
+    )"""
+        prev = f"d{h}"
+    sql += f"""
+    SELECT node, dist FROM {prev}
+    """
+    return sql
+
+
+STAGED_ORACLES["khop_trade_graph"] = _khop_sql()

@@ -2254,3 +2254,219 @@ QUERIES = {
     "doc_quality_gopher": q_doc_quality_gopher,
     "pii_scrub": q_pii_scrub,
 }
+
+
+# ---------------------------------------------------------------------------
+# STAGED queries — complete and locally oracle-verified, awaiting r6
+# certification-window slots (the r5 window is frozen at the 50
+# never-certified entries; see the ORDERING CONTRACT above). Verified via
+# `tools/check_queries.py --staged`; registration next round is a pure
+# dict move.
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_channel_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape (time-slot count matrix): one scan of events,
+    conditional-count aggregates for every (hour band x event_type
+    channel) cell — eight independent COUNT(*) FILTER columns folded into
+    a single partial-aggregated pass instead of eight scans. Fully
+    JVM-side, one 1-row reduce."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    cell = lambda lo, hi, et: F.sum(  # noqa: E731 — eight structurally-identical cells
+        F.when((hour >= lo) & (hour < hi) & (F.col("event_type") == et), 1).otherwise(0)
+    )
+    return events.agg(
+        cell(0, 6, "view").alias("night_views"),
+        cell(6, 12, "view").alias("morning_views"),
+        cell(12, 18, "view").alias("afternoon_views"),
+        cell(18, 24, "view").alias("evening_views"),
+        cell(0, 6, "click").alias("night_clicks"),
+        cell(6, 12, "click").alias("morning_clicks"),
+        cell(12, 18, "click").alias("afternoon_clicks"),
+        cell(18, 24, "click").alias("evening_clicks"),
+    )
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in >= 2 orders,
+    top-50 by support. The self-join keys on l_orderkey, so pair blowup
+    is bounded by per-order item count (~7 in TPC-H), never corpus-
+    quadratic; distinct-before-count collapses multi-line duplicates.
+    Heap take (TakeOrderedAndProject) with a full deterministic
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("okey"),
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .distinct()
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    return pairs.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(50)
+
+
+def q_revenue_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling revenue per supplier nation: daily totals first
+    (collapses the fact table to |nations| x |days| rows), then a RANGE
+    BETWEEN 29 PRECEDING frame over integer day numbers — the frame runs
+    over the TINY daily table, not the fact table, and integer cents keep
+    the running sums engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c = _cents(F.col("l_extendedprice").cast(DEC))
+    daily = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")).alias(
+                "day_no"
+            ),
+        )
+        .agg(F.sum(rev_c).alias("day_rev_c"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("day_no")
+        .rangeBetween(-29, 0)
+    )
+    return daily.select(
+        "nation", "day_no", "day_rev_c", F.sum("day_rev_c").over(w).alias("rev_30d_c")
+    )
+
+
+def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: lifetime revenue per customer
+    (integer cents), ntile(10) over a UNIQUE total order (revenue desc,
+    custkey) so bucket assignment is deterministic, then per-decile
+    rollup. Two shuffles: the per-customer agg and the single ntile sort
+    over |customers| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _cents(F.sum(F.col("o_totalprice").cast(DEC))).alias("ltv_c")
+    )
+    w = Window.orderBy(F.col("ltv_c").desc(), F.col("o_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("ltv_c").alias("decile_rev_c"),
+        )
+    )
+
+
+def q_cdc_orders_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply over real tables (operators/cdc.py): treat each
+    customer's orders as an update stream over the customer snapshot —
+    the most recent order (max o_orderkey as the sequence) rewrites the
+    balance to that order's total. Exercises latest-op-per-key collapse
+    + broadcast anti join + union; customers with no orders pass through
+    untouched. All money integer cents."""
+    from numaflow_spark.operators.cdc import cdc_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = cust.select(
+        "c_custkey", "c_name", _cents(F.col("c_acctbal").cast(DEC)).alias("bal_c")
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("bal_c"),
+        F.lit("U").alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    # carry the snapshot's name through the update (a U replaces the whole
+    # row, so join the name in — the realistic enrichment step)
+    changes = changes.drop("c_name").join(
+        F.broadcast(snapshot.select("c_custkey", "c_name")), "c_custkey"
+    ).select("c_custkey", "c_name", "bal_c", "op", "seq")
+    return cdc_apply(snapshot, changes, ["c_custkey"], "seq")
+
+
+def q_grouped_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via the engine-exact grouped HLL
+    (operators/sketch.py::hll_estimate_by): the 100 TB replacement for
+    count(DISTINCT) GROUP BY — |keys| x 64 mergeable register rows
+    instead of shuffling every (key, user) pair. The ESTIMATE itself is
+    hash-checked against the DuckDB twin of the register math."""
+    from numaflow_spark.operators.sketch import hll_estimate_by
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_estimate_by(events, ["event_type"], "user_id")
+
+
+def q_editdist_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein-<=2 part-name pairs (operators/editdist.py):
+    q-gram inverted-index candidates + character-multiset short-class
+    filter + JVM-side verify, checked against the oracle's brute-force
+    cross join."""
+    from numaflow_spark.operators.editdist import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
+
+
+def q_khop_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS distances over the customer<->supplier trade graph from
+    a 10-customer seed set (operators/graph.py::k_hop_distances) —
+    frontier-based shortest paths, integer distances, engine-exact
+    against an unrolled min-merge CTE chain."""
+    from numaflow_spark.operators.graph import k_hop_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), (-F.col("supp")).alias("dst")).unionByName(
+        pairs.select((-F.col("supp")).alias("src"), F.col("cust").alias("dst"))
+    )
+    seeds = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 10
+    ).select(F.col("c_custkey").alias("node"))
+    return k_hop_distances(edges, seeds, 3)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus vocabulary
+    (operators/bpe.py::train_bpe) as (step, sym_a, sym_b) rows. The merge
+    loop's per-round argmax + array-fold apply has no tractable SQL twin,
+    so this is a ROWS-ONLY query (no oracle entry — the driver records
+    the weaker check); the trainer itself is pinned against an
+    independent Python reference in tests/test_bpe.py."""
+    from numaflow_spark.operators.bpe import train_bpe, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(word_freq_table(docs), 8)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step int, sym_a string, sym_b string")
+
+
+STAGED_QUERIES = {
+    "hourly_channel_matrix": q_hourly_channel_matrix,
+    "basket_pairs": q_basket_pairs,
+    "revenue_rolling_30d": q_revenue_rolling_30d,
+    "clv_deciles": q_clv_deciles,
+    "cdc_orders_apply": q_cdc_orders_apply,
+    "grouped_hll_users": q_grouped_hll_users,
+    "editdist_part_names": q_editdist_part_names,
+    "khop_trade_graph": q_khop_trade_graph,
+    "bpe_merges": q_bpe_merges,
+}
