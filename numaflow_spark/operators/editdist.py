@@ -2,28 +2,29 @@
 Levenshtein distance ``max_dist`` — the fuzzy-matching primitive for
 entity/title/name dedup, where token-level MinHash is too coarse.
 
-Candidate generation is the q-gram filter (Gravano et al., VLDB 2001):
-one edit destroys at most q of a string's overlapping q-grams, so a
-string of length >= q*(d+1) keeps at least one gram intact under d edits,
-and that surviving gram is a substring of the partner too — within-d
-pairs whose longer side has length >= q*(d+1) MUST share a gram. Pairs
-are additionally length-banded (|len diff| <= d) and count-filtered
-(shared grams >= max_len - q + 1 - d*q), then verified with the exact
-``levenshtein`` (JVM-side, codegen).
+Candidate generation combines the q-gram count bound (Gravano et al.,
+VLDB 2001 — within-d pairs share >= max_len - q + 1 - d*q gram
+occurrences when the longer side has >= q*(d+1) chars) with PREFIX
+FILTERING (Chaudhuri, Ganti & Kaushik, ICDE 2006): each string joins
+only on its d*q + 1 globally-RAREST gram occurrences, which provably
+still catches every qualifying pair while keeping posting lists small
+under gram skew. Candidates are length-banded (|len diff| <= d) and
+verified with the exact ``levenshtein`` (JVM-side, codegen).
 
 Pairs where BOTH strings are shorter than q*(d+1) can share zero grams
-despite being within distance d, so that length class (a tiny, bounded
-set: strings under ~9 chars at the defaults) is supplemented with an
-explicit within-class pair join before verification. The union is EXACT.
+despite being within distance d, so that length class is supplemented
+with a DELETION-NEIGHBORHOOD join (FastSS): within-d pairs must share a
+<=d-deletion variant, and a short string has at most ~1+L+C(L,2)
+variants, which act as near-unique blocking keys. The union is EXACT.
 
-Scale shape: explode to (gram, id) rows -> self-join on gram (one hash
-shuffle keyed by gram; frequent-gram skew collapses in the count groupBy
-BEFORE the O(len^2) verification) -> per-pair verify. The gram table is
-the classic inverted index, built in one pass."""
+Scale shape: explode to (gram-occurrence, id) rows -> one global
+frequency agg -> per-string rarity prefix (window over gid) -> prefix
+self-join (one hash shuffle keyed by rare occurrences) -> per-pair
+verify. The prefix table is the classic inverted index, skew-immunized."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def edit_distance_pairs(
@@ -43,7 +44,30 @@ def edit_distance_pairs(
         F.col(text_col).alias("gtext"),
         F.length(text_col).alias("glen"),
     )
-    grams = base.select(
+    # PREFIX FILTERING (Chaudhuri, Ganti & Kaushik, ICDE 2006) on gram
+    # OCCURRENCES: a within-d pair must share >= max_len - q + 1 - d*q
+    # gram occurrences, so each string can have at most d*q unshared
+    # occurrences below its smallest shared one in ANY global total
+    # order — ordering occurrences by global rarity and keeping only the
+    # first d*q + 1 per string, every true pair still meets on a prefix
+    # element. This is what makes the inverted index survive gram SKEW:
+    # frequent grams ('the', syllable junctions) almost never land in a
+    # rarity-ordered prefix, so no posting list explodes (measured: the
+    # unfiltered gram join on a 200k synthetic-name corpus with a small
+    # gram vocabulary ran into the billions of join rows; the prefix join
+    # finishes it). Occurrences (gram, k) rather than grams make the
+    # multiset overlap argument exact.
+    prefix_k = max_dist * q + 1
+    # The gram path is responsible ONLY for pairs whose longer side has
+    # >= q*(d+1) chars (the theorem's domain); everything shorter is the
+    # deletion-neighborhood path's job. Restricting the input (a partner
+    # of a qualifying pair has >= q*(d+1) - d chars) and the join (pair
+    # max length >= q*(d+1)) keeps short-string-heavy corpora out of the
+    # gram join entirely — without this, a corpus of 8-char entities pays
+    # a full low-entropy gram join for pairs the variant path already
+    # finds (measured: 200k 8-char names spilled out the disk).
+    gram_side = base.filter(F.col("glen") >= short_len - max_dist)
+    grams = gram_side.select(
         "gid",
         "gtext",
         "glen",
@@ -54,99 +78,92 @@ def edit_distance_pairs(
             )
         ).alias("gram"),
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
+    occ = grams.withColumn(
+        "k",
+        F.row_number().over(Window.partitionBy("gid", "gram").orderBy(F.lit(1))),
+    )
+    elem_freq = occ.groupBy("gram", "k").agg(F.count("*").alias("ef"))
+    prefix = (
+        occ.join(elem_freq, ["gram", "k"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("gid").orderBy("ef", "gram", "k")
+            ),
+        )
+        .filter(F.col("rn") <= prefix_k)
+        .select("gid", "gtext", "glen", "gram", "k")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.gid") < F.col("b.gid"))
             # length band: |len(s) - len(t)| <= d, pushed into the join
-            & (F.abs(F.col("a.glen") - F.col("b.glen")) <= max_dist),
-        )
-        .groupBy(
-            F.col("a.gid").alias("id_a"),
-            F.col("b.gid").alias("id_b"),
-        )
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.max(F.greatest(F.col("a.glen"), F.col("b.glen"))).alias("max_len"),
-            F.first("a.gtext").alias("text_a"),
-            F.first("b.gtext").alias("text_b"),
-        )
-        # count bound, clamped to 1: pairs reach this table only via >= 1
-        # shared gram, and the theorem guarantees that for every true pair
-        # whose longer side has >= q*(d+1) chars.
-        .filter(
-            F.col("n_shared")
-            >= F.greatest(F.col("max_len") - q + 1 - max_dist * q, F.lit(1))
-        )
-        .select("id_a", "id_b", "text_a", "text_b")
-    )
-    # Supplement 1: pairs whose longer side is in (d, q*(d+1)) chars — the
-    # q-gram theorem gives no guarantee there, but the 1-gram (character
-    # MULTISET) bound does: each edit changes at most one character
-    # occurrence, so within-d pairs share >= max_len - d character
-    # occurrences, which is >= 1 in this class. The inverted index drops
-    # to per-character postings with per-id counts, and the multiset
-    # intersection is computed exactly as sum(least(cnt_a, cnt_b)) — a
-    # STRONG count filter (a 7-char name must share >= 5 of its letters),
-    # so short-string-heavy corpora (names, titles) stay subquadratic
-    # instead of the naive all-pairs-per-length-bucket blowup.
-    shorts = base.filter(F.col("glen") < short_len)
-    chars = shorts.select(
-        "gid",
-        "gtext",
-        "glen",
-        F.explode(F.expr("transform(sequence(1, length(gtext)), i -> substring(gtext, i, 1))")).alias("ch"),
-    ).groupBy("gid", "gtext", "glen", "ch").agg(F.count("*").alias("cnt"))
-    ca = chars.alias("ca")
-    cb = chars.alias("cb")
-    mid_pairs = (
-        ca.join(
-            cb,
-            (F.col("ca.ch") == F.col("cb.ch"))
-            & (F.col("ca.gid") < F.col("cb.gid"))
-            & (F.abs(F.col("ca.glen") - F.col("cb.glen")) <= max_dist),
-        )
-        .groupBy(
-            F.col("ca.gid").alias("id_a"),
-            F.col("cb.gid").alias("id_b"),
-        )
-        .agg(
-            F.sum(F.least(F.col("ca.cnt"), F.col("cb.cnt"))).alias("shared"),
-            F.max(F.greatest(F.col("ca.glen"), F.col("cb.glen"))).alias("max_len"),
-            F.first("ca.gtext").alias("text_a"),
-            F.first("cb.gtext").alias("text_b"),
-        )
-        .filter(F.col("shared") >= F.col("max_len") - max_dist)
-        .select("id_a", "id_b", "text_a", "text_b")
-    )
-    # Supplement 2: pairs where BOTH strings have <= d chars (edit distance
-    # can never exceed max_len, and zero shared characters is possible) —
-    # all pairs inside this microscopic class, as an EQUI join on exploded
-    # length buckets (never a cartesian/nested-loop node).
-    ultra = base.filter(F.col("glen") <= max_dist)
-    sa = ultra.withColumn(
-        "lb", F.explode(F.expr(f"sequence(glen, glen + {max_dist})"))
-    ).alias("sa")
-    sb = ultra.withColumn("lb", F.col("glen")).alias("sb")
-    ultra_pairs = (
-        sa.join(
-            sb,
-            (F.col("sa.lb") == F.col("sb.lb"))
-            & (F.col("sa.gid") != F.col("sb.gid")),
+            & (F.abs(F.col("a.glen") - F.col("b.glen")) <= max_dist)
+            # this path's domain: the longer side reaches q*(d+1)
+            & (F.greatest(F.col("a.glen"), F.col("b.glen")) >= short_len),
         )
         .select(
-            F.least(F.col("sa.gid"), F.col("sb.gid")).alias("id_a"),
-            F.greatest(F.col("sa.gid"), F.col("sb.gid")).alias("id_b"),
-            F.col("sa.gtext").alias("text_a"),
-            F.col("sb.gtext").alias("text_b"),
+            F.col("a.gid").alias("id_a"),
+            F.col("b.gid").alias("id_b"),
+            F.col("a.gtext").alias("text_a"),
+            F.col("b.gtext").alias("text_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Supplement: pairs where BOTH strings are under q*(d+1) chars — the
+    # q-gram theorem gives no guarantee there. Candidate generation for
+    # this class is the DELETION NEIGHBORHOOD (FastSS / Schulz-Mihov):
+    # align s and t under <= d edit ops and delete each side's edited
+    # positions — both reach the same subsequence with <= d deletions per
+    # side, so within-d pairs MUST share a <=d-deletion variant. Each
+    # short string (< 9 chars at the defaults) has at most 1 + L + C(L,2)
+    # = ~37 variants, and variants are near-unique blocking keys on real
+    # name/title corpora — unlike per-character postings, whose join
+    # explodes quadratically on small alphabets (measured: a 200k-name
+    # probe filled the spill disk through the char path; the variant path
+    # finishes it). The union with the q-gram candidates is EXACT.
+    shorts = base.filter(F.col("glen") < short_len)
+    variants = shorts.withColumn("variant", F.col("gtext"))
+    nbhd = variants
+    for _ in range(max_dist):
+        variants = variants.select(
+            "gid",
+            "gtext",
+            "glen",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(variant), 1)), "
+                    "i -> concat(substring(variant, 1, i - 1), "
+                    "substring(variant, i + 1, length(variant))))"
+                )
+            ).alias("variant"),
+        ).dropDuplicates(["gid", "variant"])
+        nbhd = nbhd.unionByName(variants)
+    nbhd = nbhd.dropDuplicates(["gid", "variant"])
+    na = nbhd.alias("na")
+    nb = nbhd.alias("nb")
+    short_pairs = (
+        na.join(
+            nb,
+            (F.col("na.variant") == F.col("nb.variant"))
+            & (F.col("na.gid") < F.col("nb.gid"))
+            & (F.abs(F.col("na.glen") - F.col("nb.glen")) <= max_dist),
+        )
+        .select(
+            F.col("na.gid").alias("id_a"),
+            F.col("nb.gid").alias("id_b"),
+            F.col("na.gtext").alias("text_a"),
+            F.col("nb.gtext").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.unionByName(mid_pairs)
-        .unionByName(ultra_pairs)
+        cand.unionByName(short_pairs)
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
