@@ -1622,3 +1622,32 @@ def _khop_sql() -> str:
 
 
 STAGED_ORACLES["khop_trade_graph"] = _khop_sql()
+
+STAGED_ORACLES["yoy_nation_revenue"] = """
+    WITH yearly AS (
+        SELECT n_name AS nation, year(l_shipdate) AS yr,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(l_shipdate)
+    )
+    SELECT nation, yr, rev_c,
+           lag(rev_c) OVER (PARTITION BY nation ORDER BY yr) AS prev_rev_c
+    FROM yearly
+"""
+
+STAGED_ORACLES["part_return_ratio"] = """
+    WITH agg AS (
+        SELECT p_brand,
+               sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS returned_qty,
+               sum(CAST(l_quantity AS BIGINT)) AS shipped_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, returned_qty, shipped_qty,
+           (returned_qty * 1000000) // shipped_qty AS return_ppm
+    FROM agg
+    WHERE shipped_qty >= 10
+"""

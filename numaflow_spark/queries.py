@@ -2470,3 +2470,56 @@ STAGED_QUERIES = {
     "khop_trade_graph": q_khop_trade_graph,
     "bpe_merges": q_bpe_merges,
 }
+
+
+def q_yoy_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue per supplier nation: yearly rollup (integer
+    cents) + lag() over the tiny (nation, year) table — the growth-report
+    shape. No division crosses engines; the previous year's value rides
+    as its own column (ratio math left to the consumer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c = _cents(F.col("l_extendedprice").cast(DEC))
+    yearly = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
+        .agg(F.sum(rev_c).alias("rev_c"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return yearly.select(
+        "nation", "yr", "rev_c", F.lag("rev_c").over(w).alias("prev_rev_c")
+    )
+
+
+def q_part_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate per brand (TPC-DS Q83 flavor on the available flags):
+    returned vs shipped quantity as conditional sums in ONE scan, ratio
+    carried as integer parts-per-million (returned_qty * 1e6 div
+    shipped_qty — bigint floor division, engine-exact). Brands under 10
+    shipped units are filtered to keep the ratio meaningful."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("bigint")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", qty).otherwise(0)).alias(
+                "returned_qty"
+            ),
+            F.sum(qty).alias("shipped_qty"),
+        )
+        .filter(F.col("shipped_qty") >= 10)
+    )
+    return agg.select(
+        "p_brand",
+        "returned_qty",
+        "shipped_qty",
+        F.expr("(returned_qty * 1000000) div shipped_qty").alias("return_ppm"),
+    )
+
+
+STAGED_QUERIES["yoy_nation_revenue"] = q_yoy_nation_revenue
+STAGED_QUERIES["part_return_ratio"] = q_part_return_ratio
