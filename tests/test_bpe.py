@@ -113,3 +113,32 @@ def test_bpe_char_split_handles_newlines(spark):
         ).collect()
     }
     assert got == {"a\nb": ["a", "\n", "b"], "c\rd": ["c", "\r", "d"]}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=7), min_size=1, max_size=12
+    ),
+    st.integers(1, 6),
+)
+def test_train_bpe_property_vs_reference(spark, words, n_merges):
+    """Property: for ANY word list and merge budget, the distributed
+    trainer's merge sequence and final segmentation equal the reference —
+    exercises tie-breaks, single-char words, exhausted-pair corpora, and
+    repeated words (frequency weighting)."""
+    from collections import Counter
+
+    from numaflow_spark.operators.bpe import train_bpe
+
+    vocab = Counter(words)
+    rows = [(w, int(c)) for w, c in vocab.items()]
+    vdf = spark.createDataFrame(rows, "word string, freq long")
+    ref_merges, ref_syms = _ref_train(dict(vocab), n_merges)
+    got_merges, got_df = train_bpe(vdf, n_merges)
+    assert got_merges == ref_merges
+    got_syms = {r.word: list(r.syms) for r in got_df.collect()}
+    assert got_syms == ref_syms

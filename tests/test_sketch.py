@@ -233,3 +233,39 @@ def test_hll_set_algebra_union_and_intersection(spark):
     rows2 = {r.col_name: r.est_distinct for r in hll_set_estimates(a, c, "v").collect()}
     assert rows2["intersection"] >= 0.0
     assert rows2["intersection"] < 0.25 * rows2["a"]
+
+
+def test_grouped_hll_streaming_update_mode(spark, tmp_path):
+    """The per-key register state streams unmodified too: distinct-count
+    per key over a stream with |keys|*64 rows of state. Streamed
+    registers must equal the batch sketch of the same data — the grouped
+    extension of the global streaming test."""
+    from numaflow_spark.operators.sketch import hll_registers_by
+    from numaflow_spark.sources.file_source import replay_stream, write_replay_batches
+
+    df = spark.range(0, 3_000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    data_dir = write_replay_batches(df, str(tmp_path / "in"), batches=3, order_col="v")
+    stream = replay_stream(spark, data_dir, schema=df.schema, max_files_per_trigger=1)
+    q = (
+        hll_registers_by(stream, ["k"], "v")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ghll_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.k, r.bucket, r.max_rank)
+        for r in spark.sql("select * from ghll_stream").collect()
+    }
+    batch = {
+        (r.k, r.bucket, r.max_rank)
+        for r in hll_registers_by(df, ["k"], "v").collect()
+    }
+    assert streamed == batch
