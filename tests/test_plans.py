@@ -439,3 +439,28 @@ def test_pagerank_no_collect_no_cartesian(spark, monkeypatch):
     df = QUERIES["pagerank_bipartite"](spark, SF)
     monkeypatch.undo()
     assert df.count() > 0
+
+
+def test_khop_frontier_rounds_no_collect_no_cartesian(spark, monkeypatch):
+    """k-hop BFS: building the k-round frontier DataFrame must trigger no
+    driver collect, and no round may plan a cartesian product (frontier
+    joins are equi on the src key)."""
+    import pyspark.sql.dataframe as dfmod
+
+    from numaflow_spark.operators.graph import k_hop_distances
+
+    def _boom(self, *a, **k):  # pragma: no cover
+        raise AssertionError("driver-side collect inside k_hop build")
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", _boom)
+    monkeypatch.setattr(dfmod.DataFrame, "toPandas", _boom, raising=False)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    df = k_hop_distances(edges, seeds, 3)
+    monkeypatch.undo()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert nodes(plan, "CartesianProduct") == 0
+    assert {r.node: r.dist for r in df.collect()} == {1: 0, 2: 1, 3: 2}
