@@ -1651,3 +1651,38 @@ STAGED_ORACLES["part_return_ratio"] = """
     FROM agg
     WHERE shipped_qty >= 10
 """
+
+STAGED_ORACLES["repeat_customer_years"] = """
+    WITH cy AS (
+        SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders
+    ),
+    flagged AS (
+        SELECT yr,
+               lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr
+        FROM cy
+    )
+    SELECT yr, count(*) AS n_customers,
+           sum(CASE WHEN prev_yr = yr - 1 THEN 1 ELSE 0 END) AS n_repeat
+    FROM flagged GROUP BY yr
+"""
+
+STAGED_ORACLES["supplier_concentration_hhi"] = """
+    WITH per_supp AS (
+        SELECT n_name AS nation, s_suppkey,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS srev_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, s_suppkey
+    ),
+    totals AS (
+        SELECT nation, sum(srev_c) AS nrev_c FROM per_supp GROUP BY nation
+    ),
+    shared AS (
+        SELECT p.nation, (p.srev_c * 1000000) // t.nrev_c AS share_ppm
+        FROM per_supp p JOIN totals t USING (nation)
+    )
+    SELECT nation, count(*) AS n_suppliers,
+           sum(share_ppm * share_ppm) AS hhi_ppm2
+    FROM shared GROUP BY nation
+"""

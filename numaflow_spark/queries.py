@@ -2523,3 +2523,54 @@ def q_part_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAGED_QUERIES["yoy_nation_revenue"] = q_yoy_nation_revenue
 STAGED_QUERIES["part_return_ratio"] = q_part_return_ratio
+
+
+def q_repeat_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-period retention: per year, how many customers also
+    ordered the PREVIOUS year — the repeat-rate shape. Distinct
+    (customer, year) first (collapses the fact table), then one lag()
+    per customer over the tiny per-customer year list; conditional count
+    per year. Integer-only output."""
+    orders = load_table(spark, sf_dir, "orders")
+    cy = orders.select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    flagged = cy.withColumn("prev_yr", F.lag("yr").over(w))
+    return flagged.groupBy("yr").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(
+            F.when(F.col("prev_yr") == F.col("yr") - 1, 1).otherwise(0)
+        ).alias("n_repeat"),
+    )
+
+
+def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration per nation: Herfindahl-Hirschman index over
+    supplier revenue shares, all integer — share in ppm via bigint floor
+    division against the nation total (broadcast back), HHI = sum of
+    squared ppm shares (fits bigint: 25 suppliers x (1e6)^2). Two keyed
+    shuffles: supplier rollup + nation rollup; the nation totals join
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c = _cents(F.col("l_extendedprice").cast(DEC))
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(rev_c).alias("srev_c"))
+    )
+    totals = per_supp.groupBy("nation").agg(F.sum("srev_c").alias("nrev_c"))
+    shared = per_supp.join(F.broadcast(totals), "nation").withColumn(
+        "share_ppm", F.expr("(srev_c * 1000000) div nrev_c")
+    )
+    return shared.groupBy("nation").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.expr("share_ppm * share_ppm")).alias("hhi_ppm2"),
+    )
+
+
+STAGED_QUERIES["repeat_customer_years"] = q_repeat_customer_years
+STAGED_QUERIES["supplier_concentration_hhi"] = q_supplier_concentration_hhi
