@@ -1686,3 +1686,13 @@ STAGED_ORACLES["supplier_concentration_hhi"] = """
            sum(share_ppm * share_ppm) AS hhi_ppm2
     FROM shared GROUP BY nation
 """
+
+STAGED_ORACLES["corpus_rollup"] = """
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+"""

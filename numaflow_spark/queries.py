@@ -2574,3 +2574,33 @@ def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAGED_QUERIES["repeat_customer_years"] = q_repeat_customer_years
 STAGED_QUERIES["supplier_concentration_hhi"] = q_supplier_concentration_hhi
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inventory with ROLLUP over (lang, source): doc counts,
+    char and whitespace-token totals at every aggregation level in ONE
+    Expand + one shuffle (the multi-level report a curation dashboard
+    reads). NULL group markers replaced by 'ALL' so the level columns
+    hash identically across engines."""
+    from numaflow_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.withColumn("n_tok", token_count(F.col("text")).cast("bigint"))
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("n_tok").alias("toks"),
+        )
+    )
+    return agg.select(
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "n_docs",
+        "chars",
+        "toks",
+    )
+
+
+STAGED_QUERIES["corpus_rollup"] = q_corpus_rollup
