@@ -38,14 +38,23 @@ def latest_changes(
 ) -> DataFrame:
     """One row per key: the winning change. Ordering contract: higher
     ``seq_col`` wins; at equal seq an explicit op rank (D > U > I) breaks
-    the tie, so replays are deterministic regardless of arrival order."""
+    the tie; any REMAINING tie (two changes with identical key, seq AND op
+    but different payloads — a producer bug, but one that must not make
+    the snapshot nondeterministic under replay) is broken by ordering over
+    every payload column, so the same change batch always yields the same
+    snapshot regardless of arrival order (r5 ADVICE)."""
     op_rank = (
         F.when(F.col(op_col) == OP_DELETE, 2)
         .when(F.col(op_col) == OP_UPDATE, 1)
         .otherwise(0)
     )
+    payload_cols = [
+        c for c in changes.columns if c not in (*keys, seq_col, op_col)
+    ]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), op_rank.desc()
+        F.col(seq_col).desc(),
+        op_rank.desc(),
+        *[F.col(c).desc_nulls_last() for c in payload_cols],
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -334,14 +334,31 @@ def hll_oracle_sql_by(table: str, group_cols: list[str], col: str) -> str:
     """DuckDB twin of ``hll_estimate_by`` (per-group registers + fold)."""
     wbits1 = _WBITS + 1
     gcols = ", ".join(group_cols)
-    hash_ctes = _hash61_sql_ctes(col).replace(
-        f"AS h0 FROM __HLL_TABLE__", f"AS h0, {gcols} FROM {table}"
+
+    def _replace_exactly_once(s: str, old: str, new: str) -> str:
+        # Build-time guard (r5 ADVICE): the group columns are threaded
+        # through _hash61_sql_ctes's stage aliases by exact-string replace;
+        # a future rename of a stage alias must fail HERE, loudly, not
+        # silently produce oracle SQL missing the group columns.
+        n = s.count(old)
+        if n != 1:
+            raise AssertionError(
+                f"hll_oracle_sql_by: expected exactly one occurrence of "
+                f"{old!r} in the hash CTE chain, found {n} — "
+                "_hash61_sql_ctes stage aliases changed; update the "
+                "threading list to match"
+            )
+        return s.replace(old, new)
+
+    hash_ctes = _replace_exactly_once(
+        _hash61_sql_ctes(col),
+        "AS h0 FROM __HLL_TABLE__",
+        f"AS h0, {gcols} FROM {table}",
     )
     # thread the group columns through the hash stages
-    for stage_in, stage_out in (("s0", "m1"), ("s1", "h1"), ("s2", "m2"),
-                                ("s3", "h2"), ("s4", "h")):
-        hash_ctes = hash_ctes.replace(
-            f"FROM {stage_in}", f", {gcols} FROM {stage_in}"
+    for stage_in in ("s0", "s1", "s2", "s3", "s4"):
+        hash_ctes = _replace_exactly_once(
+            hash_ctes, f"FROM {stage_in}", f", {gcols} FROM {stage_in}"
         )
     return f"""
         WITH s0 AS (

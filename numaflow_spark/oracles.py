@@ -856,7 +856,8 @@ ORACLES["cohort_retention"] = """
 # Engine-native JSON scalar surface over the props payload column.
 ORACLES["json_props_agg"] = """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -1309,12 +1310,12 @@ ORACLES["min_cost_supplier"] = """
 
 ORACLES["product_type_profit"] = """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                  * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
                - CAST(l_quantity AS BIGINT)
                  * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                  * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
-              ) AS profit_c4,
+              ) AS BIGINT) AS profit_c4,
            count(*) AS n_items
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -1336,7 +1337,7 @@ ORACLES["important_part_value"] = """
         WHERE r_name = 'EUROPE'
     ),
     per_part AS (
-        SELECT l_partkey AS p_partkey, sum(ext_c) AS value_c
+        SELECT l_partkey AS p_partkey, CAST(sum(ext_c) AS BIGINT) AS value_c
         FROM euro_li GROUP BY l_partkey
     )
     SELECT p_partkey, value_c
@@ -1350,10 +1351,10 @@ ORACLES["late_shipment_modes"] = """
                 WHEN datediff('day', CAST(o_orderdate AS DATE),
                               CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
                 ELSE 'SLOW' END AS ship_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
 """
@@ -1438,9 +1439,13 @@ ORACLES["scd2_history"] = """
     WHERE prev_type IS NULL OR prev_type != event_type
 """
 
+# The hash mirrors the query's 16-bit-limb decomposition exactly (see
+# q_uniform_k_sample): a naive doc_id * 2654435761 overflows checked BIGINT
+# arithmetic for doc_id above ~3.47e9.
 ORACLES["uniform_k_sample"] = """
     SELECT doc_id, lang,
-           (doc_id * 2654435761) % 4294967296 AS h
+           (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+             + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
     FROM documents
     ORDER BY h, doc_id
     LIMIT 200
@@ -1474,7 +1479,8 @@ def _pagerank_sql() -> str:
         sql += f""",
     it{k} AS (
         SELECT dst AS node, max(n) AS n,
-               {base} // max(n) + (85 * sum(rank // deg)) // 100 AS rank
+               CAST({base} // max(n)
+                    + (85 * sum(rank // deg)) // 100 AS BIGINT) AS rank
         FROM edges JOIN {prev} ON src = node
         GROUP BY dst
     )"""
@@ -1497,14 +1503,14 @@ STAGED_ORACLES: dict[str, str] = {}
 
 STAGED_ORACLES["hourly_channel_matrix"] = """
     SELECT
-      sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  AND event_type = 'view'  THEN 1 ELSE 0 END) AS night_views,
-      sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 AND event_type = 'view'  THEN 1 ELSE 0 END) AS morning_views,
-      sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 AND event_type = 'view'  THEN 1 ELSE 0 END) AS afternoon_views,
-      sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 AND event_type = 'view'  THEN 1 ELSE 0 END) AS evening_views,
-      sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  AND event_type = 'click' THEN 1 ELSE 0 END) AS night_clicks,
-      sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 AND event_type = 'click' THEN 1 ELSE 0 END) AS morning_clicks,
-      sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 AND event_type = 'click' THEN 1 ELSE 0 END) AS afternoon_clicks,
-      sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 AND event_type = 'click' THEN 1 ELSE 0 END) AS evening_clicks
+      CAST(sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  AND event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS night_views,
+      CAST(sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 AND event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS morning_views,
+      CAST(sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 AND event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS afternoon_views,
+      CAST(sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 AND event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS evening_views,
+      CAST(sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS night_clicks,
+      CAST(sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS morning_clicks,
+      CAST(sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS afternoon_clicks,
+      CAST(sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS evening_clicks
     FROM events
 """
 
@@ -1527,16 +1533,17 @@ STAGED_ORACLES["revenue_rolling_30d"] = """
     WITH daily AS (
         SELECT n_name AS nation,
                datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_no,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS day_rev_c
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS day_rev_c
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY n_name, datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
     )
     SELECT nation, day_no, day_rev_c,
-           sum(day_rev_c) OVER (PARTITION BY nation ORDER BY day_no
+           CAST(sum(day_rev_c) OVER (PARTITION BY nation ORDER BY day_no
                                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
-               AS rev_30d_c
+               AS BIGINT) AS rev_30d_c
     FROM daily
 """
 
@@ -1550,7 +1557,8 @@ STAGED_ORACLES["clv_deciles"] = """
         SELECT ltv_c, ntile(10) OVER (ORDER BY ltv_c DESC, o_custkey) AS decile
         FROM per_cust
     )
-    SELECT decile, count(*) AS n_customers, sum(ltv_c) AS decile_rev_c
+    SELECT decile, count(*) AS n_customers,
+           CAST(sum(ltv_c) AS BIGINT) AS decile_rev_c
     FROM tiled GROUP BY decile
 """
 
@@ -1626,7 +1634,8 @@ STAGED_ORACLES["khop_trade_graph"] = _khop_sql()
 STAGED_ORACLES["yoy_nation_revenue"] = """
     WITH yearly AS (
         SELECT n_name AS nation, year(l_shipdate) AS yr,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -1640,9 +1649,10 @@ STAGED_ORACLES["yoy_nation_revenue"] = """
 STAGED_ORACLES["part_return_ratio"] = """
     WITH agg AS (
         SELECT p_brand,
-               sum(CASE WHEN l_returnflag = 'R'
-                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS returned_qty,
-               sum(CAST(l_quantity AS BIGINT)) AS shipped_qty
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS returned_qty,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     )
@@ -1662,30 +1672,110 @@ STAGED_ORACLES["repeat_customer_years"] = """
         FROM cy
     )
     SELECT yr, count(*) AS n_customers,
-           sum(CASE WHEN prev_yr = yr - 1 THEN 1 ELSE 0 END) AS n_repeat
+           CAST(sum(CASE WHEN prev_yr = yr - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat
     FROM flagged GROUP BY yr
 """
 
 STAGED_ORACLES["supplier_concentration_hhi"] = """
     WITH per_supp AS (
         SELECT n_name AS nation, s_suppkey,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS srev_c
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS srev_c
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY n_name, s_suppkey
     ),
     totals AS (
-        SELECT nation, sum(srev_c) AS nrev_c FROM per_supp GROUP BY nation
+        SELECT nation, CAST(sum(srev_c) AS BIGINT) AS nrev_c
+        FROM per_supp GROUP BY nation
     ),
     shared AS (
         SELECT p.nation, (p.srev_c * 1000000) // t.nrev_c AS share_ppm
         FROM per_supp p JOIN totals t USING (nation)
     )
     SELECT nation, count(*) AS n_suppliers,
-           sum(share_ppm * share_ppm) AS hhi_ppm2
+           CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2
     FROM shared GROUP BY nation
 """
+
+# bpe_merges: the full 8-round BPE training loop unrolled into one static
+# SQL chain (same technique as _pagerank_sql) — closing the last rows-only
+# hole. Each round is (pair counts -> deterministic argmax -> greedy-LTR
+# merge apply). The apply step has a pure window-function form because
+# merge candidates (syms[i]=a AND syms[i+1]=b) can only OVERLAP when a=b
+# (candidate i needs syms[i]=a, candidate i-1 needs syms[i]=b), so:
+#   - a != b: every candidate merges (no chain dependency);
+#   - a == b: candidates form runs over equal-symbol runs and greedy-LTR
+#     takes exactly the even offsets within each run.
+# Both cases collapse to: group consecutive candidate positions
+# (i - row_number() run id), merge iff (i - run_start) is even — which is
+# provably the same result as the Spark side's replace-last aggregate()
+# fold (operators/bpe.py::_merge_expr), since a merged token a||b can never
+# itself equal `a` (b is non-empty). CTEs that are referenced more than
+# once are MATERIALIZED: DuckDB otherwise inlines the whole 8-round chain
+# exponentially.
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    sql = """
+    WITH v0 AS MATERIALIZED (
+        SELECT word, count(*) AS freq,
+               regexp_extract_all(word, '(?s).') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word
+    )"""
+    for k in range(1, n_merges + 1):
+        p = f"v{k - 1}"
+        sql += f""",
+    m{k} AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b,
+                   sum(freq) AS cnt
+            FROM {p}, UNNEST(generate_series(1, len(syms)-1)) AS t(i)
+            GROUP BY 1, 2
+        ) ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    e{k} AS (
+        SELECT word, freq, i, syms[CAST(i AS INT)] AS sym
+        FROM {p}, UNNEST(generate_series(1, len(syms))) AS t(i)
+    ),
+    c{k} AS (
+        SELECT word, freq, i, sym,
+               coalesce(sym = (SELECT a FROM m{k})
+                        AND lead(sym) OVER (PARTITION BY word ORDER BY i)
+                            = (SELECT b FROM m{k}), false) AS cand
+        FROM e{k}
+    ),
+    r{k} AS (
+        SELECT *, CASE WHEN cand THEN
+            i - row_number() OVER (PARTITION BY word, cand ORDER BY i) END AS run_id
+        FROM c{k}
+    ),
+    g{k} AS (
+        SELECT *, cand AND (i - min(i) OVER (PARTITION BY word, run_id)) % 2 = 0
+                      AS merged
+        FROM r{k}
+    ),
+    f{k} AS (
+        SELECT word, freq, i,
+               CASE WHEN merged THEN sym || (SELECT b FROM m{k}) ELSE sym END AS sym,
+               coalesce(lag(merged) OVER (PARTITION BY word ORDER BY i), false)
+                   AS consumed
+        FROM g{k}
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT word, freq, list(sym ORDER BY i) AS syms
+        FROM f{k} WHERE NOT consumed GROUP BY word, freq
+    )"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, a AS sym_a, b AS sym_b FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return sql
+
+
+STAGED_ORACLES["bpe_merges"] = _bpe_merges_sql(8)
 
 STAGED_ORACLES["corpus_rollup"] = """
     SELECT coalesce(lang, 'ALL') AS lang,
@@ -1696,3 +1786,11 @@ STAGED_ORACLES["corpus_rollup"] = """
     FROM documents
     GROUP BY ROLLUP (lang, source)
 """
+
+# ---------------------------------------------------------------------------
+# r6 promotion: every staged oracle moves into the registered set alongside
+# its query (queries.py r6 ORDERING CONTRACT). The staged queue is empty;
+# new oracles written mid-round go into STAGED_ORACLES first.
+# ---------------------------------------------------------------------------
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -1874,9 +1874,23 @@ def q_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest — the distributed-heap TakeOrderedAndProject plan (per-
     partition top-200 merge at the driver-side take, NO global sort), the
     scale-correct way to draw 'exactly k rows, uniformly, deterministically'
-    from 100 TB. Tie-broken by doc_id so the sample set is unique."""
+    from 100 TB. Tie-broken by doc_id so the sample set is unique.
+
+    The hash is computed in 16-bit limbs so no intermediate exceeds 2^48:
+    a naive doc_id * 2654435761 wraps silently in Spark (ANSI off) for
+    doc_id above ~3.47e9 while DuckDB's checked arithmetic errors —
+    breaking cross-engine replayability exactly at large id spaces (r5
+    ADVICE). h = ((d1*A mod 2^16)*2^16 + d0*A) mod 2^32 where
+    d = doc_id mod 2^32 = d1*2^16 + d0, identical to (d*A) mod 2^32."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.pmod((F.col("doc_id") * F.lit(2654435761)).cast("bigint"), F.lit(4294967296))
+    a = F.lit(2654435761)
+    d = F.pmod(F.col("doc_id"), F.lit(4294967296))
+    d1 = F.shiftright(d, 16)  # d >= 0: exact floor(d / 2^16)
+    d0 = d.bitwiseAND(F.lit(65535))
+    h = F.pmod(
+        F.pmod(d1 * a, F.lit(65536)) * F.lit(65536) + d0 * a,
+        F.lit(4294967296),
+    )
     return (
         docs.select("doc_id", "lang", h.alias("h"))
         .orderBy("h", "doc_id")
@@ -2137,18 +2151,10 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
-# ORDERING CONTRACT (r5): the driver's correctness harness certifies the
-# FIRST 50 entries of this dict, in insertion order. Rotation policy:
-# every query that has NEVER received a driver CORRECTNESS row sits inside
-# the first 50 slots; the remaining window slots and the tail are filled
-# with queries already driver-certified green in an earlier round
-# (CORRECTNESS_r03/r04), so the union of rounds covers the full set.
-# Positions 1-23 were never certified through r4; 24-50 are the r5
-# additions (the window is now exactly the 50 uncertified queries); 51+
-# are all certified in r03/r04. When adding a query, insert it BEFORE
-# position 50 and displace a multiply-certified query to the tail — never
-# push an uncertified one out. The window is FULL at 50 uncertified: do
-# not add further queries this round without removing one.
+# Base registry. NOTE: insertion order HERE is not the driver order — the
+# certified window is assembled by the r6 ORDERING CONTRACT rebuild at the
+# END of this module (after the r6 promotions are defined). This literal
+# preserves the r5 grouping for history/readability only.
 QUERIES = {
     # -- 1-23: never-certified through r4 (certify this round) --------------
     "sequence_packing": q_sequence_packing,
@@ -2446,11 +2452,13 @@ def q_khop_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned from the corpus vocabulary
-    (operators/bpe.py::train_bpe) as (step, sym_a, sym_b) rows. The merge
-    loop's per-round argmax + array-fold apply has no tractable SQL twin,
-    so this is a ROWS-ONLY query (no oracle entry — the driver records
-    the weaker check); the trainer itself is pinned against an
-    independent Python reference in tests/test_bpe.py."""
+    (operators/bpe.py::train_bpe) as (step, sym_a, sym_b) rows. Fully
+    oracle-checked: the training loop unrolls into a static SQL CTE chain
+    (oracles.py::_bpe_merges_sql) — the greedy-LTR merge apply has a pure
+    window-function form because candidates only overlap when a == b, and
+    then greedy-LTR is exactly the even offsets within candidate runs.
+    The trainer is additionally pinned against an independent Python
+    reference in tests/test_bpe.py."""
     from numaflow_spark.operators.bpe import train_bpe, word_freq_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2604,3 +2612,40 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_QUERIES["corpus_rollup"] = q_corpus_rollup
+
+
+# ---------------------------------------------------------------------------
+# ORDERING CONTRACT (r6): the driver's correctness harness certifies the
+# FIRST 50 entries of QUERIES, in insertion order. This round's window:
+#   1-5   the five r5 hash-fail re-certs (sole cause was DuckDB's
+#         SUM(BIGINT) -> HUGEINT promotion in the ORACLE SQL, fixed by
+#         CAST(... AS BIGINT); Spark side unchanged — see VERDICT r5),
+#   6-19  the fourteen r6 promotions from the staged queue (all local
+#         hash-green at sf0.01, CORRECTNESS_LOCAL_r05_staged.json;
+#         bpe_merges gained a full training-loop SQL oracle this round),
+#   20-50 queries already driver-certified green in r5 (re-certification
+#         is harmless; the union of rounds covers the full set).
+# Everything past 50 is driver-certified green in r03/r04/r05. When adding
+# a query, insert it BEFORE position 50 and displace a multiply-certified
+# query to the tail — never push an uncertified one out.
+# ---------------------------------------------------------------------------
+
+_RECERT_R6 = [
+    "json_props_agg",
+    "product_type_profit",
+    "important_part_value",
+    "late_shipment_modes",
+    "pagerank_bipartite",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _RECERT_R6},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_RECERT_R6)},
+}
+
+# The staged queue is empty: r6 promoted all fourteen. New queries written
+# mid-round go here first (with oracles in oracles.py::STAGED_ORACLES),
+# get verified via `tools/check_queries.py --staged`, and move into the
+# certification window at the next rotation.
+STAGED_QUERIES = {}

@@ -38,7 +38,11 @@ from pyspark.sql.window import Window
 
 from numaflow_spark.operators.dedup import fingerprint_md5, word_shingles
 from numaflow_spark.operators.text import tokens
-from numaflow_spark.streaming.neardup import StreamingNearDup
+from numaflow_spark.streaming.neardup import (
+    StreamingNearDup,
+    has_local_parquet,
+    require_local_store,
+)
 
 
 def quality_gate(
@@ -105,7 +109,10 @@ class StreamingCuration:
         self.text_col = text_col
         self.ngram = ngram
         self.min_words = min_words
-        self._fp_dir = os.path.join(store_dir, "fingerprints")
+        # Fail loudly at construction for non-local store URIs: the probe
+        # below is os.walk-based, and a silently-absent store would disable
+        # exact dedup every batch (r5 ADVICE).
+        self._fp_dir = os.path.join(require_local_store(store_dir), "fingerprints")
         # benchmark shingles: computed once, pinned, broadcast per batch
         self._bench_sh = (
             word_shingles(benchmark, id_col, text_col, ngram)
@@ -131,9 +138,7 @@ class StreamingCuration:
         # genuinely absent store means "first batch". A transient READ
         # failure must propagate and fail the batch — swallowing it would
         # silently disable exact dedup for that epoch.
-        if not os.path.isdir(self._fp_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(self._fp_dir)
-        ):
+        if not has_local_parquet(self._fp_dir):
             return None
         # mergeSchema: a store created before the (fp, fp_doc) upgrade has
         # fp-only files alongside newer two-column files; without the merge

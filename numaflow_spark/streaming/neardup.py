@@ -56,6 +56,36 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from numaflow_spark.operators.dedup import minhash_signatures, shingle_hashes
 
 
+def require_local_store(path: str) -> str:
+    """The store probes in this module (and streaming/curation.py) use
+    os.path/os.walk, which is correct ONLY for local filesystem paths. For
+    a non-local URI (hdfs://, s3a://) os.path.isdir returns False every
+    batch, which would SILENTLY disable dedup — the exact failure mode the
+    explicit existence checks exist to prevent. Fail loudly at store
+    construction instead: at cluster scale these parquet stores are meant
+    to be swapped for Delta/Iceberg tables (module docstring), not pointed
+    at a remote URI through this code path. Returns the bare local path
+    (file:// prefix stripped)."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"store_dir {path!r} uses scheme {m.group(1)!r}: the parquet "
+            "store probes are local-only (os.walk). Use a local path, or "
+            "swap the store for a Delta/Iceberg table at cluster scale."
+        )
+    return path[len("file://"):] if m else path
+
+
+def has_local_parquet(path: str) -> bool:
+    """True iff a parquet file exists anywhere under ``path`` (recursive —
+    partitioned stores keep files in subdirectories)."""
+    if not os.path.isdir(path):
+        return False
+    return any(f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs)
+
+
 def band_table(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64, bands: int = 16
 ) -> DataFrame:
@@ -164,15 +194,9 @@ class _BandStore:
 
     def __init__(self, spark: SparkSession, store_dir: str):
         self.spark = spark
-        self.store_dir = store_dir
+        self.store_dir = require_local_store(store_dir)
 
-    @staticmethod
-    def _has_parquet(path: str) -> bool:
-        if not os.path.isdir(path):
-            return False
-        return any(
-            f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
-        )
+    _has_parquet = staticmethod(has_local_parquet)
 
     def legacy(self) -> bool:
         """v1 layout: band partitions directly under store_dir (and no
@@ -462,7 +486,7 @@ class StreamingClusterAssign:
         bander=None,
     ):
         self.spark = spark
-        self.store_dir = store_dir
+        self.store_dir = require_local_store(store_dir)
         self.id_col = id_col
         self.text_col = text_col
         self.n, self.k, self.bands = n, k, bands
@@ -471,9 +495,7 @@ class StreamingClusterAssign:
         )
 
     def _store(self) -> DataFrame | None:
-        if not os.path.isdir(self.store_dir) or not any(
-            f.endswith(".parquet") for _r, _d, fs in os.walk(self.store_dir) for f in fs
-        ):
+        if not has_local_parquet(self.store_dir):
             return None
         return self.spark.read.parquet(self.store_dir)
 

@@ -57,6 +57,35 @@ def test_entry_smoke(spark):
     assert set(df.columns) >= {"window_start", "window_end", "event_type", "n_events", "sum_value_cents"}
 
 
+def _all_oracles():
+    """Every oracle the repo declares: registered + staged declaration queue."""
+    from numaflow_spark.oracles import STAGED_ORACLES
+
+    return {**ORACLES, **STAGED_ORACLES}
+
+
+@pytest.mark.parametrize("name", sorted(_all_oracles()))
+def test_oracle_types_spark_expressible(name, duck):
+    """The r5 postmortem guard: DuckDB silently promotes SUM(BIGINT) ->
+    HUGEINT (and exact decimal math -> DECIMAL), neither of which Spark can
+    emit — the driver's value-hash is type-sensitive, so such a column
+    hash-mismatches even when every value is numerically identical (all five
+    r5 driver failures were exactly this). DESCRIBE every oracle and forbid
+    any output column type outside what a Spark BIGINT/INT/DOUBLE/VARCHAR
+    twin can produce. Fix sites wrap the outer aggregate in
+    CAST(... AS BIGINT)."""
+    desc = duck.execute(f"DESCRIBE {_all_oracles()[name]}").fetchall()
+    offenders = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if "HUGEINT" in typ or typ.startswith("DECIMAL")
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits Spark-inexpressible column types {offenders}; "
+        "CAST the outer aggregate to BIGINT (see VERDICT r5 'What's wrong' #1)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_decimal_in_final_schema(name, spark):
     """Final schemas must not expose DECIMAL: engines canonicalize decimal

@@ -337,3 +337,21 @@ def test_streaming_embedding_neardup(spark, tmp_path):
     batch2 = rows([(10, base[0] * 1.001), (11, base[2])])
     kept2 = {r.vec_id for r in nd.accept(batch2).collect()}
     assert kept2 == {11}
+
+
+def test_non_local_store_uri_fails_loudly(spark, tmp_path):
+    """r5 ADVICE: a non-local store URI must raise at construction, not
+    silently return an empty store every batch (which would permanently
+    disable dedup). file:// URIs are local and must keep working."""
+    import pytest as _pytest
+
+    from numaflow_spark.streaming.curation import StreamingCuration
+    from numaflow_spark.streaming.neardup import require_local_store
+
+    for bad in ("hdfs://nn:8020/stores/x", "s3a://bucket/stores/x"):
+        with _pytest.raises(ValueError, match="local-only"):
+            StreamingNearDup(spark, bad)
+        with _pytest.raises(ValueError, match="local-only"):
+            StreamingCuration(spark, bad, neardup=False)
+    assert require_local_store(f"file://{tmp_path}") == str(tmp_path)
+    assert require_local_store(str(tmp_path)) == str(tmp_path)
