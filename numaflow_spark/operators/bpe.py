@@ -55,17 +55,31 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def train_bpe(
-    vocab: DataFrame, n_merges: int, word_col: str = "word", freq_col: str = "freq"
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    *,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table. Returns the
     ordered merge list and the final symbolized vocab (word, freq, syms).
-    Lineage is cut each round (localCheckpoint) so the plan stays flat."""
-    syms = vocab.select(
-        word_col,
-        freq_col,
-        F.split(F.col(word_col), "(?s)(?!^)(?=.)").alias("syms"),  # chars; the
-        # lookahead keeps Spark's trailing-empty split artifact out
-    ).localCheckpoint(eager=False)
+    Lineage is cut each round so the plan stays flat; pass
+    ``checkpoint_dir`` (or set
+    ``spark.numaflow_spark.checkpoint.dir``) to make the cut
+    durable at cluster scale (operators/graph.py::cut_lineage)."""
+    from numaflow_spark.operators.graph import cut_lineage
+
+    syms = cut_lineage(
+        vocab.select(
+            word_col,
+            freq_col,
+            F.split(F.col(word_col), "(?s)(?!^)(?=.)").alias("syms"),  # chars;
+            # the lookahead keeps Spark's trailing-empty split artifact out
+        ),
+        checkpoint_dir,
+        eager=False,
+    )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -91,9 +105,11 @@ def train_bpe(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        syms = syms.withColumn(
-            "syms", F.expr(_merge_expr("syms", a, b))
-        ).localCheckpoint(eager=False)
+        syms = cut_lineage(
+            syms.withColumn("syms", F.expr(_merge_expr("syms", a, b))),
+            checkpoint_dir,
+            eager=False,
+        )
     return merges, syms
 
 

@@ -23,7 +23,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_survivors", "fuzzy_dedup"]
+__all__ = ["connected_components", "cut_lineage", "dedup_survivors", "fuzzy_dedup"]
+
+
+def cut_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, *, eager: bool = True
+) -> DataFrame:
+    """Flat-plan discipline for iterative operators (CC / PageRank / BFS /
+    BPE): cut the lineage every round so the plan doesn't deepen.
+
+    Default is ``localCheckpoint`` — blocks live on executor memory/disk,
+    which is fast but NOT fault-tolerant: losing an executor mid-iteration
+    fails the whole chain. At cluster scale pass ``checkpoint_dir`` (or set
+    ``spark.numaflow_spark.checkpoint.dir`` in the session conf — a
+    runtime-settable app key; scale.py::cluster_conf sets it) to switch to
+    a durable ``checkpoint()`` on shared storage, which
+    also bounds recovery: a retry re-reads the last round's checkpoint
+    instead of recomputing from round 0.
+    """
+    if checkpoint_dir is None:
+        try:
+            checkpoint_dir = df.sparkSession.conf.get(
+                "spark.numaflow_spark.checkpoint.dir", None
+            )
+        except Exception:  # pragma: no cover — conf surface unavailable
+            checkpoint_dir = None
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -81,6 +111,7 @@ def connected_components(
     dst: str = "v",
     *,
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = the
     minimum node id reachable from it. Isolated nodes (absent from the edge
@@ -95,15 +126,17 @@ def connected_components(
     # references it from several union/join branches, so leaving the
     # (possibly expensive — e.g. a full LSH pipeline) upstream lazy would
     # re-evaluate it per branch.
-    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))).localCheckpoint(
-        eager=True
+    e = cut_lineage(
+        _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))),
+        checkpoint_dir,
+        eager=True,
     )
     for _ in range(max_iter):
         srcs = e.select(F.col("u").alias("s")).distinct()
         targets_with_out = e.join(srcs, e.v == srcs.s, "left_semi")
         if targets_with_out.isEmpty():
             break
-        e = _round(e).localCheckpoint(eager=True)
+        e = cut_lineage(_round(e), checkpoint_dir, eager=True)
     else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # At the fixpoint the edge set is a star forest: (member, root) with
@@ -120,6 +153,7 @@ def dedup_survivors(
     *,
     pair_cols: tuple[str, str] = ("d1", "d2"),
     components: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Corpus after fuzzy dedup: one survivor (minimum id) per near-dup
     component, everything un-paired kept as-is.
@@ -137,7 +171,9 @@ def dedup_survivors(
     if components is None:
         if pairs is None:
             raise ValueError("dedup_survivors needs pairs or precomputed components")
-        components = connected_components(pairs, *pair_cols)
+        components = connected_components(
+            pairs, *pair_cols, checkpoint_dir=checkpoint_dir
+        )
     losers = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -150,6 +186,7 @@ def fuzzy_dedup(
     id_col: str,
     *,
     pair_cols: tuple[str, str] = ("d1", "d2"),
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clusters, survivors) from ONE pair table and ONE CC run — the
     composed form of the neardup_clusters / neardup_survivors queries.
@@ -158,7 +195,11 @@ def fuzzy_dedup(
     exactly once and both outputs derive from the same materialized
     component table. Clusters: (node, component); survivors: ``df`` minus
     non-root members."""
-    comp = connected_components(pairs, *pair_cols).localCheckpoint(eager=False)
+    comp = cut_lineage(
+        connected_components(pairs, *pair_cols, checkpoint_dir=checkpoint_dir),
+        checkpoint_dir,
+        eager=False,
+    )
     survivors = dedup_survivors(df, None, id_col, components=comp)
     return comp, survivors
 
@@ -169,6 +210,8 @@ def pagerank(
     scale: int = 1_000_000_000,
     src: str = "src",
     dst: str = "dst",
+    *,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list: ranks carry
     ``scale`` as a BIGINT factor, per-edge contribution is rank div
@@ -190,14 +233,16 @@ def pagerank(
     Dangling nodes (no out-edges) keep their rank but redistribute
     nothing — the simplified leak model; document, don't hide."""
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    e = edges.join(deg, src).localCheckpoint(eager=False)
+    e = cut_lineage(edges.join(deg, src), checkpoint_dir, eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
     n_nodes = nodes.agg(F.count("*").alias("n"))
-    nodes_n = nodes.crossJoin(F.broadcast(n_nodes)).localCheckpoint(eager=False)
+    nodes_n = cut_lineage(
+        nodes.crossJoin(F.broadcast(n_nodes)), checkpoint_dir, eager=False
+    )
     ranks = nodes_n.select(
         "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
     )
@@ -219,8 +264,9 @@ def pagerank(
                     + F.expr("(85 * coalesce(inflow, 0)) div 100")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)  # flat plan: one shuffle per round
         )
+        ranks = cut_lineage(ranks, checkpoint_dir, eager=False)  # flat plan:
+        # one shuffle per round
     return ranks.select("node", "rank")
 
 
@@ -231,6 +277,7 @@ def k_hop_distances(
     src: str = "src",
     dst: str = "dst",
     node_col: str = "node",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Minimum hop distance (0..k) from a seed set for every node
     reachable within k hops — frontier-based BFS as k rounds of join +
@@ -242,9 +289,11 @@ def k_hop_distances(
     frontier collapses after 2-3 hops. All distances are integers, so the
     result is engine-exact (an unrolled CTE chain oracles it). Lineage is
     cut per round (the CC/pagerank discipline). Returns (node, dist)."""
-    dist = seeds.select(
-        F.col(node_col).alias("node"), F.lit(0).alias("dist")
-    ).distinct().localCheckpoint(eager=False)
+    dist = cut_lineage(
+        seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("dist")).distinct(),
+        checkpoint_dir,
+        eager=False,
+    )
     frontier = dist
     for h in range(1, k + 1):
         nxt = (
@@ -252,11 +301,10 @@ def k_hop_distances(
             .select(F.col(dst).alias("node"), F.lit(h).alias("dist"))
             .distinct()
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+        dist = cut_lineage(
+            dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist")),
+            checkpoint_dir,
+            eager=False,
         )
         frontier = dist.filter(F.col("dist") == h)
     return dist

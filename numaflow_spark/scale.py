@@ -28,6 +28,7 @@ def cluster_conf(
     cores_per_executor: int = 8,
     executor_mem_gb: int = 32,
     streaming: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, str]:
     """Config dict for ``SparkSession.builder.config(map=...)`` (or
     ``get_spark(extra_conf=...)``) sized for the given fleet.
@@ -61,6 +62,14 @@ def cluster_conf(
         # python stages (pandas UDF paths): bounded Arrow batches
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     }
+    if checkpoint_dir:
+        # Iterative operators (CC / PageRank / BFS / BPE) cut lineage each
+        # round; with this set they use durable checkpoint() on shared
+        # storage instead of executor-local blocks, so a lost executor
+        # costs one round's recompute, not the whole iteration chain
+        # (operators/graph.py::cut_lineage reads this app-scoped key —
+        # runtime-settable, unlike the core spark.checkpoint.dir).
+        conf["spark.numaflow_spark.checkpoint.dir"] = checkpoint_dir
     if streaming:
         conf.update(
             {

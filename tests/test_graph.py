@@ -161,3 +161,59 @@ def test_pagerank_keeps_no_inflow_and_dangling_nodes(spark):
     r2_2 = base + (85 * r1_1) // 100          # round 2 uses round-1 ranks
     assert got == {1: r1_1, 2: r2_2}
     assert r1_2 != r2_2  # sanity: the rounds genuinely differ
+
+
+def test_durable_checkpoint_path(spark, tmp_path):
+    """cut_lineage with a checkpoint_dir (param or spark.checkpoint.dir
+    conf) must produce identical results to the localCheckpoint default
+    AND actually write durable checkpoint data under the directory —
+    the 100 TB fault-tolerance knob (scale.py::cluster_conf wires the
+    conf)."""
+    import os
+
+    from numaflow_spark.operators.bpe import train_bpe
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], ["u", "v"]
+    )
+    base = {
+        tuple(r) for r in connected_components(edges).collect()
+    }
+
+    ckpt = str(tmp_path / "ckpt")
+    durable = {
+        tuple(r)
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert durable == base
+    written = [
+        os.path.join(r, f) for r, _d, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "durable checkpoint dir is empty — checkpoint() not used"
+
+    # conf-driven path (what cluster_conf sets): BPE's per-round cut also
+    # goes durable with zero per-call plumbing
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        ["word", "freq"],
+    )
+    merges_local, _ = train_bpe(vocab, 3)
+    spark.conf.set("spark.numaflow_spark.checkpoint.dir", ckpt)
+    try:
+        n_before = len(written)
+        merges_durable, _ = train_bpe(vocab, 3)
+        assert merges_durable == merges_local
+        written_after = [
+            os.path.join(r, f) for r, _d, fs in os.walk(ckpt) for f in fs
+        ]
+        assert len(written_after) > n_before
+    finally:
+        spark.conf.unset("spark.numaflow_spark.checkpoint.dir")
+
+
+def test_cluster_conf_checkpoint_dir():
+    from numaflow_spark.scale import cluster_conf
+
+    assert "spark.numaflow_spark.checkpoint.dir" not in cluster_conf()
+    conf = cluster_conf(checkpoint_dir="hdfs://nn/ckpt")
+    assert conf["spark.numaflow_spark.checkpoint.dir"] == "hdfs://nn/ckpt"
