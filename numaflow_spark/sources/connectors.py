@@ -186,19 +186,39 @@ class NatsSourceHandle(SourceHandle):
     has no ack; at-most-once, same as the reference's nats source,
     nats.rs). The async subscription callback appends payloads to an
     in-memory queue (list append is atomic under the GIL); read() drains
-    up to batch_size."""
+    up to batch_size.
+
+    Works with NO extra dependency: when nats-py is absent the built-in
+    wire-protocol client (sources/nats_wire.py) takes over — wire-level
+    e2e in tests/test_nats_wire.py. options["client"]:
+    "auto" (default) | "nats-py" | "builtin"."""
 
     def __init__(self, options: dict):
         self.servers = options.get("servers", "nats://localhost:4222")
         self.subject = options["subject"]
         self.batch_size = int(options.get("batch_size", 500))
+        self.client_choice = options.get("client", "auto")
         self._conn = None
         self._pump: _AsyncPump | None = None
         self._queue: list[bytes] = []
         self._seq = 0
 
     def _connect(self):
-        nats = _require("nats", "NATS")
+        # Client resolution: nats-py when installed; otherwise the built-in
+        # wire-protocol client (sources/nats_wire.py — same async surface,
+        # real NATS frames), so S6 works out of the box with no extra
+        # dependency. options["client"] pins one explicitly:
+        # "nats-py" | "builtin" | "auto" (default).
+        choice = getattr(self, "client_choice", "auto")
+        if choice == "nats-py":
+            nats = _require("nats", "NATS")
+        elif choice == "builtin":
+            from numaflow_spark.sources import nats_wire as nats
+        else:
+            try:
+                nats = __import__("nats")
+            except ImportError:
+                from numaflow_spark.sources import nats_wire as nats
         self._pump = _AsyncPump()
         queue = self._queue
 

@@ -18,7 +18,11 @@ from numaflow_spark.sources.connectors import (
     "handle,lib",
     [
         (PulsarSourceHandle({"topic": "t"}), "pulsar"),
-        (NatsSourceHandle({"subject": "s"}), "nats"),
+        # NATS core is no longer gated: with client="auto"/"builtin" the
+        # built-in wire client (sources/nats_wire.py) takes over when
+        # nats-py is absent — wire-level e2e in tests/test_nats_wire.py.
+        # Pinning client="nats-py" must still gate actionably:
+        (NatsSourceHandle({"subject": "s", "client": "nats-py"}), "nats"),
         (JetStreamSourceHandle({"stream": "st"}), "nats"),
     ],
 )

@@ -1,0 +1,97 @@
+"""Wire-level NATS verification (r5 VERDICT 'What's missing' #1): the S6
+source handle drives the built-in wire client against an in-process
+protocol-faithful server — real TCP sockets, real core-NATS frames
+(INFO/CONNECT/PING/PONG/SUB/PUB/MSG), not in-memory fakes. Reference
+parity target: numaflow's nats source e2e (test/builtin-source-e2e/)
+against a containerized nats-server, which this sandbox cannot run."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from numaflow_spark.sources.connectors import NatsSourceHandle
+from numaflow_spark.sources.nats_wire import (
+    MiniNatsServer,
+    _subject_matches,
+)
+
+
+@pytest.fixture()
+def server():
+    s = MiniNatsServer().start()
+    yield s
+    s.stop()
+
+
+def _drain(handle, want: int, timeout: float = 10.0):
+    """read() until `want` rows arrived (delivery is async over the socket)."""
+    rows, off = [], handle.initial_offset()
+    deadline = time.time() + timeout
+    while len(rows) < want and time.time() < deadline:
+        batch, off = handle.read(off)
+        rows.extend(batch)
+        if len(rows) < want:
+            time.sleep(0.05)
+    return rows, off
+
+
+def test_subject_matching():
+    assert _subject_matches("orders.*", "orders.eu")
+    assert not _subject_matches("orders.*", "orders.eu.north")
+    assert _subject_matches("orders.>", "orders.eu.north")
+    assert not _subject_matches("orders.>", "orders")
+    assert _subject_matches("orders.eu", "orders.eu")
+    assert not _subject_matches("orders.eu", "orders.us")
+
+
+def test_source_handle_over_real_sockets(server):
+    h = NatsSourceHandle(
+        {"servers": server.url, "subject": "orders.*", "client": "builtin"}
+    )
+    # connect + subscribe happens on first read
+    rows0, off0 = h.read(h.initial_offset())
+    assert rows0 == [] and off0 == {"seq": 0}
+
+    for i in range(5):
+        server.publish("orders.eu", f"m{i}".encode())
+    server.publish("shipments.eu", b"not-subscribed")
+
+    rows, off = _drain(h, want=5)
+    assert [bytes(r[3]) for r in rows] == [b"m0", b"m1", b"m2", b"m3", b"m4"]
+    assert off == {"seq": 5}
+    # wildcard excluded the shipments subject
+    time.sleep(0.2)
+    more, off2 = h.read(off)
+    assert more == [] and off2 == off
+
+    # the conversation on the socket was real protocol frames
+    for frame in ("CONNECT", "PING", "SUB", "PUB"):
+        assert frame in server.frames_seen, (frame, server.frames_seen)
+
+
+def test_auto_falls_back_to_builtin_without_natspy(server):
+    # nats-py is not installed in this environment, so "auto" (the
+    # default) must resolve to the built-in wire client and just work.
+    h = NatsSourceHandle({"servers": server.url, "subject": "t"})
+    h.read(h.initial_offset())
+    server.publish("t", b"payload")
+    rows, off = _drain(h, want=1)
+    assert [bytes(r[3]) for r in rows] == [b"payload"] and off == {"seq": 1}
+
+
+def test_two_clients_fan_out(server):
+    h1 = NatsSourceHandle(
+        {"servers": server.url, "subject": "fan", "client": "builtin"}
+    )
+    h2 = NatsSourceHandle(
+        {"servers": server.url, "subject": "fan", "client": "builtin"}
+    )
+    h1.read(h1.initial_offset())
+    h2.read(h2.initial_offset())
+    server.publish("fan", b"x")
+    r1, _ = _drain(h1, want=1)
+    r2, _ = _drain(h2, want=1)
+    assert [bytes(r[3]) for r in r1] == [b"x"]
+    assert [bytes(r[3]) for r in r2] == [b"x"]
