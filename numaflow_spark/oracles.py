@@ -1794,3 +1794,108 @@ STAGED_ORACLES["corpus_rollup"] = """
 # ---------------------------------------------------------------------------
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# ---------------------------------------------------------------------------
+# r7 staged oracles (queries.py r7 declaration queue).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["session_islands"] = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts_s,
+               CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts_s,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts_s, event_id) AS BIGINT)
+                   AS sess_no
+        FROM flagged
+    )
+    SELECT user_id, sess_no, count(*) AS n_events,
+           min(ts_s) AS start_s, max(ts_s) AS end_s,
+           max(ts_s) - min(ts_s) AS dur_s
+    FROM numbered GROUP BY user_id, sess_no
+"""
+
+STAGED_ORACLES["gap_fill_locf"] = """
+    WITH daily AS (
+        SELECT n_name AS nation,
+               datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_no,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS day_rev_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    cal AS (
+        SELECT nation, unnest(generate_series(min(day_no), max(day_no))) AS day_no
+        FROM daily GROUP BY nation
+    )
+    SELECT c.nation, c.day_no,
+           CAST(last_value(d.day_rev_c IGNORE NULLS)
+                OVER (PARTITION BY c.nation ORDER BY c.day_no) AS BIGINT)
+               AS rev_filled_c,
+           CASE WHEN d.day_rev_c IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM cal c LEFT JOIN daily d ON c.nation = d.nation AND c.day_no = d.day_no
+"""
+
+STAGED_ORACLES["inverted_index"] = """
+    WITH pairs AS (
+        SELECT DISTINCT term, doc_id FROM (
+            SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents
+        ) WHERE len(term) > 0
+    )
+    SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term HAVING count(*) >= 10
+"""
+
+STAGED_ORACLES["corpus_profile"] = """
+    WITH n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT column_name, n_rows, n_null, n_distinct FROM (
+        SELECT 'doc_id' AS column_name, (SELECT n_rows FROM n) AS n_rows,
+               count(*) - count(doc_id) AS n_null,
+               count(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'text', (SELECT n_rows FROM n),
+               count(*) - count(text), count(DISTINCT text) FROM documents
+        UNION ALL
+        SELECT 'lang', (SELECT n_rows FROM n),
+               count(*) - count(lang), count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'source', (SELECT n_rows FROM n),
+               count(*) - count(source), count(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', (SELECT n_rows FROM n),
+               count(*) - count(n_chars), count(DISTINCT n_chars) FROM documents
+    )
+"""
+
+# weighted_sample: mirrors q_weighted_sample's integer priority-sampling
+# rank exactly (16-bit-limb Knuth hash, 2^16 scale, floor division).
+STAGED_ORACLES["weighted_sample"] = """
+    SELECT doc_id, lang, n_chars,
+           (((((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+              + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296)
+            * 65536) // greatest(CAST(n_chars AS BIGINT), 1) AS rank
+    FROM documents
+    ORDER BY rank, doc_id
+    LIMIT 200
+"""
+
+# triangle_count: id-oriented 3-way self-join — the orientation choice
+# (degree order in the operator, id order here) never changes the count.
+STAGED_ORACLES["triangle_count"] = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""

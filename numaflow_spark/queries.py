@@ -2649,3 +2649,190 @@ QUERIES = {
 # get verified via `tools/check_queries.py --staged`, and move into the
 # certification window at the next rotation.
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 declaration queue: staged queries (oracles in oracles.py::STAGED_ORACLES,
+# verified via `tools/check_queries.py --staged` before any window slot).
+# ---------------------------------------------------------------------------
+
+
+def _knuth32(col):
+    """(col * 2654435761) mod 2^32 in 16-bit limbs so no intermediate
+    exceeds 2^48 — replayable on checked-arithmetic engines for the full
+    int64 id space (the q_uniform_k_sample fix, shared)."""
+    a = F.lit(2654435761)
+    d = F.pmod(col, F.lit(4294967296))
+    d1 = F.shiftright(d, 16)
+    d0 = d.bitwiseAND(F.lit(65535))
+    return F.pmod(
+        F.pmod(d1 * a, F.lit(65536)) * F.lit(65536) + d0 * a,
+        F.lit(4294967296),
+    )
+
+
+def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user event stream cut
+    at >30-minute silences, one row per session with bounds and size — the
+    batch twin of the R3 session window, and the canonical lag()+running-
+    sum island pattern. ONE exchange total: the lag window, the running
+    sum, and the session groupBy all share the user_id hash partitioning
+    (the sort is reused too), so Catalyst plans a single shuffle. Integer
+    epoch-seconds math end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    new_sess = F.when(
+        F.col("ts_s") - F.lag("ts_s").over(w) > 1800, 1
+    ).otherwise(0)
+    sess = e.withColumn("sess_no", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        (F.max("ts_s") - F.min("ts_s")).alias("dur_s"),
+    )
+
+
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward: daily
+    per-nation revenue joined onto each nation's full day calendar
+    (sequence() explode — no driver-side date loop), missing days filled
+    by last(ignorenulls) over the per-nation day order. The report shape
+    every monitoring pipeline needs before rates/rolling windows make
+    sense. is_gap marks synthesized rows. Scale: the calendar is
+    |nations| x |days| (tiny vs the fact table); the fill window rides the
+    same partitioning as the daily rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    day_no = F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01"))
+    daily = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), day_no.alias("day_no"))
+        .agg(F.sum(_cents(F.col("l_extendedprice").cast(DEC))).alias("day_rev_c"))
+    )
+    cal = (
+        daily.groupBy("nation")
+        .agg(F.min("day_no").alias("lo"), F.max("day_no").alias("hi"))
+        .select("nation", F.explode(F.expr("sequence(lo, hi)")).alias("day_no"))
+    )
+    w = Window.partitionBy("nation").orderBy("day_no")
+    joined = cal.join(daily, ["nation", "day_no"], "left")
+    return joined.select(
+        "nation",
+        "day_no",
+        F.last("day_rev_c", ignorenulls=True).over(w).alias("rev_filled_c"),
+        F.when(F.col("day_rev_c").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: per-term posting lists over the corpus — the
+    retrieval-side primitive of a RAG/search pipeline. (term, doc)
+    distinct pairs -> one groupBy(term) emitting document frequency and
+    the doc_id-sorted posting array; terms under df 10 are left to the
+    long tail (the realistic index cut). Postings arrive pre-grouped from
+    the shuffle, so sort_array is per-group local work; at 100 TB the
+    posting array for a stop-word-grade term is the known skew point —
+    cap or segment those terms (delta-encoded segments) at write time."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("term"), "doc_id"
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling in ONE corpus pass: per-column null counts
+    and exact distinct counts over documents, unpivoted to one row per
+    column. The multi-count(DISTINCT) agg plans as one Expand (the
+    grouping-sets machinery) — still a single scan, no per-column rescan;
+    the stack() unpivot runs on the 1-row aggregate. The schema-drift /
+    ingest-QA primitive every pipeline fronts its corpus with."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(c).cast("bigint").alias(f"dist_{c}") for c in cols],
+    )
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in cols
+    )
+    return agg.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (column_name, n_null, n_distinct)"
+        ),
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k sample (priority sampling, Duffield,
+    Lund & Thorup, JACM'07): rank = u / w with u the Knuth multiplicative
+    hash of doc_id and w = n_chars, keep the 200 smallest ranks — long
+    documents are proportionally more likely to be drawn, the standard
+    size-weighted corpus subsample. All integer (rank carries a 2^16
+    scale, bigint floor division), so the sample replays bit-identically
+    on any engine; distributed heap take, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_h", _knuth32(F.col("doc_id")))
+        .withColumn(
+            "rank",
+            F.expr("(_h * 65536) div greatest(cast(n_chars as bigint), 1)"),
+        )
+        .select("doc_id", "lang", "n_chars", "rank")
+        .orderBy("rank", "doc_id")
+        .limit(200)
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph (parts sharing
+    an order), via operators/graph.py::triangle_count — degree-ordered
+    orientation bounds the wedge join at O(sqrt(m)) per node, the
+    skew-proof MapReduce formulation. Oracle: the id-oriented 3-way
+    self-join (orientation choice never changes the count)."""
+    from numaflow_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+STAGED_QUERIES["session_islands"] = q_session_islands
+STAGED_QUERIES["gap_fill_locf"] = q_gap_fill_locf
+STAGED_QUERIES["inverted_index"] = q_inverted_index
+STAGED_QUERIES["corpus_profile"] = q_corpus_profile
+STAGED_QUERIES["weighted_sample"] = q_weighted_sample
+STAGED_QUERIES["triangle_count"] = q_triangle_count
