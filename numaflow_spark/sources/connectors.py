@@ -260,6 +260,7 @@ class JetStreamSourceHandle(SourceHandle):
         self.durable = options.get("durable", "numaflow-spark")
         self.batch_size = int(options.get("batch_size", 500))
         self.fetch_timeout_s = float(options.get("fetch_timeout_s", 1.0))
+        self.client_choice = options.get("client", "auto")
         self._sub = None
         self._pump: _AsyncPump | None = None
         self._timeout_errs: tuple = ()
@@ -269,7 +270,19 @@ class JetStreamSourceHandle(SourceHandle):
     def _connect(self):
         import asyncio
 
-        nats = _require("nats", "JetStream")
+        # Same client resolution as NatsSourceHandle: nats-py when
+        # installed, else the built-in wire client (nats_wire.py implements
+        # the durable-pull-consumer JS subset this handle uses).
+        choice = getattr(self, "client_choice", "auto")
+        if choice == "nats-py":
+            nats = _require("nats", "JetStream")
+        elif choice == "builtin":
+            from numaflow_spark.sources import nats_wire as nats
+        else:
+            try:
+                nats = __import__("nats")
+            except ImportError:
+                from numaflow_spark.sources import nats_wire as nats
         self._pump = _AsyncPump()
         nats_timeout = getattr(getattr(nats, "errors", None), "TimeoutError", None)
         self._timeout_errs = tuple(

@@ -26,9 +26,16 @@ nats.rs) is the same core-NATS fire-and-forget consumer; its e2e runs
 against a containerized nats-server (test/builtin-source-e2e/), which this
 sandbox cannot run — MiniNatsServer is the closest wire-faithful stand-in.
 
+A minimal JetStream layer (S7) rides on the same frames: the JS API is
+core-NATS request/reply on $JS.API.> subjects, delivery is MSG frames
+whose reply-to is the ack subject, acks are PUBs to it. The subset is
+exactly what ``JetStreamSourceHandle`` needs — durable PULL consumers,
+batch MSG.NEXT fetch, explicit ack, ack-wait redelivery (at-least-once;
+the reference's jetstream.rs consumer shape).
+
 Not implemented (documented divergences): auth, TLS, INFO-driven cluster
-topology, JetStream (S7 needs the JS API consumer protocol — still
-client-gated), and max_payload enforcement.
+topology, max_payload enforcement; JetStream push consumers, flow
+control, replicas, and persistence across server restarts.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ from __future__ import annotations
 import asyncio
 import json
 import threading
+import time
 
 
 def _subject_matches(pattern: str, subject: str) -> bool:
@@ -59,13 +67,14 @@ def _subject_matches(pattern: str, subject: str) -> bool:
 
 class _Msg:
     """Delivered message — same attribute surface as nats-py's Msg where
-    the handles touch it (``data``, ``subject``)."""
+    the handles touch it (``data``, ``subject``, ``reply``)."""
 
-    __slots__ = ("subject", "data")
+    __slots__ = ("subject", "data", "reply")
 
-    def __init__(self, subject: str, data: bytes):
+    def __init__(self, subject: str, data: bytes, reply: str = ""):
         self.subject = subject
         self.data = data
+        self.reply = reply
 
 
 class WireNatsConnection:
@@ -113,11 +122,12 @@ class WireNatsConnection:
                     # MSG <subject> <sid> [reply-to] <#bytes>
                     parts = line[4:].strip().split(b" ")
                     subject, sid = parts[0].decode(), int(parts[1])
+                    reply = parts[2].decode() if len(parts) == 4 else ""
                     nbytes = int(parts[-1])
                     payload = await self._reader.readexactly(nbytes + 2)  # +CRLF
                     cb = self._subs.get(sid)
                     if cb is not None:
-                        await cb(_Msg(subject, payload[:-2]))
+                        await cb(_Msg(subject, payload[:-2], reply))
                 elif line.startswith(b"PING"):
                     await self._send(b"PONG\r\n")
                 elif line.startswith(b"PONG"):
@@ -143,6 +153,35 @@ class WireNatsConnection:
             f"PUB {subject} {len(data)}\r\n".encode() + data + b"\r\n"
         )
 
+    async def publish_request(self, subject: str, reply: str, data: bytes) -> None:
+        await self._send(
+            f"PUB {subject} {reply} {len(data)}\r\n".encode() + data + b"\r\n"
+        )
+
+    async def unsubscribe(self, sid: int) -> None:
+        self._subs.pop(sid, None)
+        await self._send(f"UNSUB {sid}\r\n".encode())
+
+    async def request(
+        self, subject: str, data: bytes, timeout: float = 5.0
+    ) -> bytes:
+        """Core-NATS request/reply: one-shot inbox subscription + PUB with
+        reply-to — the transport every $JS.API call rides on."""
+        self._next_sid += 1
+        inbox = f"_INBOX.req.{self._next_sid}"
+        fut = asyncio.get_running_loop().create_future()
+
+        async def _cb(msg):
+            if not fut.done():
+                fut.set_result(msg.data)
+
+        sid = await self.subscribe(inbox, _cb)
+        try:
+            await self.publish_request(subject, inbox, data)
+            return await asyncio.wait_for(fut, timeout)
+        finally:
+            await self.unsubscribe(sid)
+
     async def flush(self, timeout: float = 5.0) -> None:
         f = asyncio.get_running_loop().create_future()
         self._pong_waiters.append(f)
@@ -154,6 +193,10 @@ class WireNatsConnection:
             self._reader_task.cancel()
         if self._writer:
             self._writer.close()
+
+    def jetstream(self) -> "_JsContext":
+        """nats-py-shaped JetStream context (pull consumers only)."""
+        return _JsContext(self)
 
 
 async def connect(servers: str) -> WireNatsConnection:
@@ -183,6 +226,11 @@ class MiniNatsServer:
         self._thread = threading.Thread(target=self._loop.run_forever, daemon=True)
         self._server = None
         self._conns: dict[int, tuple] = {}  # id(writer) -> (send, subs)
+        # JetStream state: stream -> {"subjects": [...], "msgs": [(subj, payload)]}
+        self._streams: dict[str, dict] = {}
+        # (stream, durable) -> {"cursor": int, "pending": {sseq: deadline}}
+        self._consumers: dict[tuple[str, str], dict] = {}
+        self.js_ack_wait: float = 30.0  # seconds before an unacked msg redelivers
         self.frames_seen: list[str] = []  # first word of every inbound frame
 
     def start(self) -> "MiniNatsServer":
@@ -243,11 +291,17 @@ class MiniNatsServer:
                     sid = int(line[6:].strip().split(b" ")[0])
                     subs[:] = [(p, s) for p, s in subs if s != sid]
                 elif line.startswith(b"PUB "):
+                    # PUB <subject> [reply-to] <#bytes>
                     parts = line[4:].strip().split(b" ")
                     subject = parts[0].decode()
+                    reply = parts[1].decode() if len(parts) == 3 else ""
                     nbytes = int(parts[-1])
                     payload = (await reader.readexactly(nbytes + 2))[:-2]
-                    self._route(subject, payload)
+                    if subject.startswith("$JS."):
+                        self._handle_js(subject, reply, payload)
+                    else:
+                        self._append_streams(subject, payload)
+                        self._route(subject, payload, reply)
                 else:
                     await send(b"-ERR 'Unknown Protocol Operation'\r\n")
                     break
@@ -257,16 +311,17 @@ class MiniNatsServer:
             self._conns.pop(id(writer), None)
             writer.close()
 
-    def _route(self, subject: str, payload: bytes) -> None:
+    def _route(self, subject: str, payload: bytes, reply: str = "") -> None:
         # connection registry: PUB on one connection reaches SUBs on others
         for send, subs in list(self._conns.values()):
             for pattern, sid in subs:
                 if _subject_matches(pattern, subject):
-                    frame = (
-                        f"MSG {subject} {sid} {len(payload)}\r\n".encode()
-                        + payload
-                        + b"\r\n"
+                    head = (
+                        f"MSG {subject} {sid} {reply} {len(payload)}\r\n"
+                        if reply
+                        else f"MSG {subject} {sid} {len(payload)}\r\n"
                     )
+                    frame = head.encode() + payload + b"\r\n"
                     asyncio.run_coroutine_threadsafe(send(frame), self._loop)
 
     def publish(self, subject: str, data: bytes) -> None:
@@ -295,3 +350,162 @@ class MiniNatsServer:
 
         asyncio.run_coroutine_threadsafe(_down(), self._loop).result(10)
         self._loop.call_soon_threadsafe(self._loop.stop)
+
+    # ------------------------------------------------------------------
+    # JetStream server side (subset — see the JetStream section below):
+    # durable pull consumers, MSG.NEXT batch fetch, explicit ack,
+    # ack-wait redelivery. All interactions arrive as ordinary PUB frames
+    # on $JS.* subjects and leave as ordinary MSG frames.
+    # ------------------------------------------------------------------
+
+    def add_stream(self, name: str, subjects: list[str]) -> None:
+        """Declare a stream capturing every PUB whose subject matches one
+        of ``subjects`` (like `nats stream add`). In-memory only."""
+        self._streams[name] = {"subjects": list(subjects), "msgs": []}
+
+    def _append_streams(self, subject: str, payload: bytes) -> None:
+        for st in self._streams.values():
+            if any(_subject_matches(p, subject) for p in st["subjects"]):
+                st["msgs"].append((subject, payload))
+
+    def _handle_js(self, subject: str, reply: str, payload: bytes) -> None:
+        parts = subject.split(".")
+        if subject.startswith("$JS.API.CONSUMER.DURABLE.CREATE."):
+            stream, durable = parts[-2], parts[-1]
+            if stream not in self._streams:
+                self._route(
+                    reply,
+                    json.dumps(
+                        {"error": {"code": 404, "description": "stream not found"}}
+                    ).encode(),
+                )
+                return
+            self._consumers.setdefault(
+                (stream, durable), {"cursor": 0, "pending": {}}
+            )
+            self._route(
+                reply,
+                json.dumps(
+                    {
+                        "name": durable,
+                        "stream_name": stream,
+                        "config": {"durable_name": durable},
+                    }
+                ).encode(),
+            )
+        elif subject.startswith("$JS.API.CONSUMER.MSG.NEXT."):
+            stream, durable = parts[-2], parts[-1]
+            cons = self._consumers.get((stream, durable))
+            if cons is None or stream not in self._streams:
+                return  # fetch on unknown consumer: client times out (JS parity)
+            batch = int(json.loads(payload or b"{}").get("batch", 1))
+            msgs = self._streams[stream]["msgs"]
+            now = time.monotonic()
+            out: list[int] = []
+            # redeliveries first: pending past their ack-wait deadline
+            for sseq, deadline in sorted(cons["pending"].items()):
+                if len(out) >= batch:
+                    break
+                if now >= deadline:
+                    out.append(sseq)
+            # then new messages from the cursor
+            while len(out) < batch and cons["cursor"] < len(msgs):
+                out.append(cons["cursor"])
+                cons["cursor"] += 1
+            for sseq in out:
+                cons["pending"][sseq] = now + self.js_ack_wait
+                _subj, data = msgs[sseq]
+                ack = f"$JS.ACK.{stream}.{durable}.{sseq}"
+                self._route(reply, data, reply=ack)
+        elif subject.startswith("$JS.ACK."):
+            stream, durable, sseq = parts[2], parts[3], int(parts[4])
+            cons = self._consumers.get((stream, durable))
+            if cons is not None:
+                cons["pending"].pop(sseq, None)
+
+
+# ---------------------------------------------------------------------------
+# Minimal JetStream layer (client + server), same wire-faithful posture:
+# the JS API is ordinary core-NATS request/reply on $JS.API.> subjects,
+# message delivery is ordinary MSG frames whose reply-to is the ack
+# subject, and acks are ordinary PUBs to it — so everything below rides the
+# frames already implemented above. Subset: durable PULL consumers with
+# explicit ack, batch MSG.NEXT fetch, and ack-wait redelivery (the
+# at-least-once contract JetStreamSourceHandle needs — the reference's
+# jetstream.rs consumer is the same shape). Not implemented: push
+# consumers, flow control, replicas, persistence across server restarts.
+# ---------------------------------------------------------------------------
+
+
+class _JsMsg:
+    """Fetched JetStream message: nats-py surface used by the handle
+    (``data`` + ``ack()``)."""
+
+    __slots__ = ("subject", "data", "_reply", "_conn")
+
+    def __init__(self, subject: str, data: bytes, reply: str, conn):
+        self.subject = subject
+        self.data = data
+        self._reply = reply
+        self._conn = conn
+
+    async def ack(self) -> None:
+        await self._conn.publish(self._reply, b"+ACK")
+        await self._conn.flush()
+
+
+class _JsPullSubscription:
+    def __init__(self, conn: "WireNatsConnection", stream: str, durable: str):
+        self._conn = conn
+        self.stream, self.durable = stream, durable
+        self._inbox_seq = 0
+
+    async def fetch(self, batch: int, timeout: float = 5.0) -> list[_JsMsg]:
+        self._inbox_seq += 1
+        inbox = f"_INBOX.{self.durable}.{self._inbox_seq}"
+        got: list[_JsMsg] = []
+        done = asyncio.get_running_loop().create_future()
+
+        async def _cb(msg):
+            got.append(_JsMsg(msg.subject, msg.data, msg.reply, self._conn))
+            if len(got) >= batch and not done.done():
+                done.set_result(True)
+
+        sid = await self._conn.subscribe(inbox, _cb)
+        try:
+            await self._conn.publish_request(
+                f"$JS.API.CONSUMER.MSG.NEXT.{self.stream}.{self.durable}",
+                inbox,
+                json.dumps({"batch": batch}).encode(),
+            )
+            try:
+                await asyncio.wait_for(done, timeout)
+            except asyncio.TimeoutError:
+                if not got:
+                    raise
+        finally:
+            await self._conn.unsubscribe(sid)
+        return got
+
+
+class _JsContext:
+    def __init__(self, conn: "WireNatsConnection"):
+        self._conn = conn
+
+    async def pull_subscribe(
+        self, subject: str, durable: str, stream: str
+    ) -> _JsPullSubscription:
+        # Durable-consumer create is idempotent on the server side; the
+        # request/reply proves the consumer exists before the first fetch.
+        reply = await self._conn.request(
+            f"$JS.API.CONSUMER.DURABLE.CREATE.{stream}.{durable}",
+            json.dumps(
+                {"stream_name": stream, "config": {"durable_name": durable}}
+            ).encode(),
+        )
+        info = json.loads(reply or b"{}")
+        if info.get("error"):
+            raise ConnectionError(f"consumer create failed: {info['error']}")
+        return _JsPullSubscription(self._conn, stream, durable)
+
+

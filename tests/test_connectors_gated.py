@@ -23,7 +23,7 @@ from numaflow_spark.sources.connectors import (
         # nats-py is absent — wire-level e2e in tests/test_nats_wire.py.
         # Pinning client="nats-py" must still gate actionably:
         (NatsSourceHandle({"subject": "s", "client": "nats-py"}), "nats"),
-        (JetStreamSourceHandle({"stream": "st"}), "nats"),
+        (JetStreamSourceHandle({"stream": "st", "client": "nats-py"}), "nats"),
     ],
 )
 def test_gated_read_raises_actionable(handle, lib):

@@ -95,3 +95,56 @@ def test_two_clients_fan_out(server):
     r2, _ = _drain(h2, want=1)
     assert [bytes(r[3]) for r in r1] == [b"x"]
     assert [bytes(r[3]) for r in r2] == [b"x"]
+
+
+def test_jetstream_fetch_ack_redelivery(server):
+    """S7 wire-level: durable pull consumer over real frames — create via
+    $JS.API request/reply, MSG.NEXT batch fetch, ack by PUB to the
+    delivered reply subject, and ack-wait redelivery of the unacked tail
+    (the at-least-once contract)."""
+    from numaflow_spark.sources.connectors import JetStreamSourceHandle
+
+    server.add_stream("ORDERS", ["orders.>"])
+    # a fetch with an unfilled batch waits its full timeout, so the ack
+    # wait must comfortably exceed (first fetch + second fetch) wall time
+    server.js_ack_wait = 2.5
+    for i in range(3):
+        server.publish("orders.eu", f"j{i}".encode())
+
+    h = JetStreamSourceHandle(
+        {
+            "servers": server.url,
+            "stream": "ORDERS",
+            "client": "builtin",
+            "fetch_timeout_s": 0.4,
+            "batch_size": 10,
+        }
+    )
+    rows, off = h.read(h.initial_offset())
+    assert [bytes(r[3]) for r in rows] == [b"j0", b"j1", b"j2"]
+    assert off == {"seq": 3}
+
+    # commit acks only below the offset — j2 stays pending on the server
+    h.ack({"seq": 2})
+    # before the ack-wait deadline nothing redelivers and the cursor is
+    # exhausted: an immediate fetch times out to an empty batch
+    rows2, off2 = h.read(off)
+    assert rows2 == [] and off2 == off
+
+    time.sleep(2.5)  # past ack-wait: the unacked message redelivers
+    rows3, off3 = h.read(off)
+    assert [bytes(r[3]) for r in rows3] == [b"j2"] and off3 == {"seq": 4}
+    h.ack(off3)
+    time.sleep(2.7)
+    rows4, _ = h.read(off3)
+    assert rows4 == []  # fully acked: nothing left to redeliver
+
+
+def test_jetstream_unknown_stream_fails_loudly(server):
+    from numaflow_spark.sources.connectors import JetStreamSourceHandle
+
+    h = JetStreamSourceHandle(
+        {"servers": server.url, "stream": "NOPE", "client": "builtin"}
+    )
+    with pytest.raises(Exception, match="stream not found|consumer create"):
+        h.read(h.initial_offset())
