@@ -1917,3 +1917,7 @@ STAGED_ORACLES["chunk_documents"] = """
            md5(array_to_string(chunk, ' ')) AS chunk_md5
     FROM chunks WHERE len(chunk) > 0
 """
+
+# r6 late-window promotion twin (see queries.py).
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -2873,3 +2873,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_QUERIES["chunk_documents"] = q_chunk_documents
+
+
+# r6 late-window promotion: the seven queries staged mid-round are all
+# hash-green at sf0.001 AND sf0.01, so they take window positions 20-26
+# (displacing r5-certified fill toward the tail — re-certification of the
+# displaced entries already happened in r5, so nothing uncertified leaves
+# the window). 121 queries total; the staged queue is empty again.
+_R6_HEAD = list(QUERIES)[:19]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R6_HEAD},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R6_HEAD)},
+}
+STAGED_QUERIES = {}

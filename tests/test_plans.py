@@ -467,9 +467,11 @@ def test_khop_frontier_rounds_no_collect_no_cartesian(spark, monkeypatch):
 
 
 def staged_plan_of(spark, name: str) -> str:
+    # staged queries promote into QUERIES once certified; resolve either way
     from numaflow_spark.queries import STAGED_QUERIES
 
-    df = STAGED_QUERIES[name](spark, SF)
+    fn = STAGED_QUERIES.get(name) or QUERIES[name]
+    df = fn(spark, SF)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
 
