@@ -35,14 +35,64 @@ def edit_distance_pairs(
     q: int = 3,
 ) -> DataFrame:
     """(id_a, id_b, dist) for every unordered pair with levenshtein <=
-    max_dist, id_a < id_b. Exact output; the q-gram count prefilter prunes
-    the quadratic candidate space for everything but the sub-q*(d+1)
-    length class."""
+    max_dist, id_a < id_b. Exact output.
+
+    COLLAPSE-TO-DISTINCT first (r6 perf fix — the BPE/vocab trick applied
+    to similarity joins): edit distance depends only on the text, so the
+    pair search runs over DISTINCT texts and the result expands back to
+    id pairs through the per-text id lists. On duplicate-heavy corpora
+    this is transformative — the sf0.1 part table carries 20k rows over
+    only 64 distinct names, and the gram join over raw rows generated
+    ~296M candidate rows (measured) where the distinct-text search
+    touches 64 strings; equal-text id pairs never enter the join at all
+    (they are dist-0 by identity and enumerated directly). On an all-
+    unique corpus the collapse is one cheap distinct. The distinct-text
+    search itself is the q-gram-prefix + deletion-neighborhood candidate
+    machinery (_distinct_text_pairs below)."""
+    ids = df.select(F.col(id_col).alias("_eid"), F.col(text_col).alias("_etext"))
+    texts = ids.select(F.col("_etext").alias("gtext")).distinct()
+    dpairs = _distinct_text_pairs(texts, max_dist=max_dist, q=q)
+
+    # dist-0 pairs: every unordered id pair sharing a text
+    xa, xb = ids.alias("xa"), ids.alias("xb")
+    same = xa.join(
+        xb,
+        (F.col("xa._etext") == F.col("xb._etext"))
+        & (F.col("xa._eid") < F.col("xb._eid")),
+    ).select(
+        F.col("xa._eid").alias("id_a"),
+        F.col("xb._eid").alias("id_b"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+
+    # cross-text pairs: expand (text_a, text_b, dist) through both id lists
+    cross = (
+        dpairs.join(ids.alias("ia"), F.col("ia._etext") == F.col("text_a"))
+        .join(ids.alias("ib"), F.col("ib._etext") == F.col("text_b"))
+        .select(
+            F.least("ia._eid", "ib._eid").alias("id_a"),
+            F.greatest("ia._eid", "ib._eid").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+    return same.unionByName(cross)
+
+
+def _distinct_text_pairs(
+    texts: DataFrame,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """(text_a, text_b, dist) over a DISTINCT ``gtext`` column: every
+    unordered pair with 1 <= levenshtein <= max_dist (text_a < text_b —
+    strings order themselves; equality is excluded by construction). The
+    q-gram count prefilter prunes the quadratic candidate space for
+    everything but the sub-q*(d+1) length class."""
     short_len = q * (max_dist + 1)
-    base = df.select(
-        F.col(id_col).alias("gid"),
-        F.col(text_col).alias("gtext"),
-        F.length(text_col).alias("glen"),
+    base = texts.select(
+        F.col("gtext").alias("gid"),
+        F.col("gtext"),
+        F.length("gtext").alias("glen"),
     )
     # PREFIX FILTERING (Chaudhuri, Ganti & Kaushik, ICDE 2006) on gram
     # OCCURRENCES: a within-d pair must share >= max_len - q + 1 - d*q
@@ -108,12 +158,9 @@ def edit_distance_pairs(
             & (F.greatest(F.col("a.glen"), F.col("b.glen")) >= short_len),
         )
         .select(
-            F.col("a.gid").alias("id_a"),
-            F.col("b.gid").alias("id_b"),
             F.col("a.gtext").alias("text_a"),
             F.col("b.gtext").alias("text_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     # Supplement: pairs where BOTH strings are under q*(d+1) chars — the
     # q-gram theorem gives no guarantee there. Candidate generation for
@@ -155,17 +202,25 @@ def edit_distance_pairs(
             & (F.abs(F.col("na.glen") - F.col("nb.glen")) <= max_dist),
         )
         .select(
-            F.col("na.gid").alias("id_a"),
-            F.col("nb.gid").alias("id_b"),
             F.col("na.gtext").alias("text_a"),
             F.col("nb.gtext").alias("text_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # VERIFY BEFORE DEDUP (r6 perf fix, measured 230s -> see SCALE.md):
+    # a candidate pair can meet on up to prefix_k shared prefix elements
+    # (or several shared deletion variants), so the raw candidate stream
+    # carries duplicates — but deduplicating FIRST means shuffling the
+    # full candidate volume (low-entropy corpora: 20-100x the true pairs,
+    # each row carrying both text payloads), while the levenshtein verify
+    # is a cheap codegen filter that runs INSIDE the join stage with no
+    # exchange at all. Order of operations: join -> verify (drops
+    # everything beyond max_dist) -> ONE narrow (id_a, id_b, dist)
+    # groupBy for dedup. Re-verifying a duplicate candidate costs ~L^2
+    # integer ops; shuffling it costs serialization + disk + network.
     return (
         cand.unionByName(short_pairs)
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
+        .groupBy("text_a", "text_b")
+        .agg(F.min("dist").alias("dist"))
     )

@@ -245,13 +245,16 @@ def triangle_count(
         eager=True,  # referenced three times below — materialize once
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # project wedges down to the two closing endpoints BEFORE the closing
+    # join: the wedge set is the big intermediate (sum of squared
+    # out-degrees), so every dropped column is shuffle volume saved
     wedges = e1.join(
         e2,
         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.d") != F.col("e2.d")),
-    )
+    ).select(F.col("e1.d").alias("x"), F.col("e2.d").alias("y"))
     closed = wedges.join(
         e3,
-        (F.col("e3.s") == F.col("e1.d")) & (F.col("e3.d") == F.col("e2.d")),
+        (F.col("e3.s") == F.col("x")) & (F.col("e3.d") == F.col("y")),
         "left_semi",
     )
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
