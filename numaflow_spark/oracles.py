@@ -1589,11 +1589,31 @@ STAGED_ORACLES["grouped_hll_users"] = _hll_by_sql(
     "events", ["event_type"], "user_id"
 )
 
+# Same collapse-to-distinct structure as the operator (r6): the pair
+# search runs over DISTINCT names (levenshtein is text-only), dist-0 id
+# pairs come straight from equal names, cross-name pairs expand through
+# the per-name id lists. Equivalent to the naive
+# `part a JOIN part b ON a.p_partkey < b.p_partkey WHERE lev <= 2`
+# cross join, but 64 distinct names at sf0.1 instead of 20k rows: the
+# brute-force form took DuckDB 75s at sf0.1 and dominated oracle-side
+# verification walls.
 STAGED_ORACLES["editdist_part_names"] = """
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           levenshtein(a.p_name, b.p_name) AS dist
-    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    WITH names AS MATERIALIZED (SELECT DISTINCT p_name FROM part),
+    dpairs AS MATERIALIZED (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, 0 AS dist
+    FROM part a JOIN part b
+      ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+    UNION ALL
+    SELECT least(ia.p_partkey, ib.p_partkey) AS id_a,
+           greatest(ia.p_partkey, ib.p_partkey) AS id_b, d.dist
+    FROM dpairs d
+    JOIN part ia ON ia.p_name = d.name_a
+    JOIN part ib ON ib.p_name = d.name_b
 """
 
 
