@@ -1941,3 +1941,17 @@ STAGED_ORACLES["chunk_documents"] = """
 # r6 late-window promotion twin (see queries.py).
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+STAGED_ORACLES["sliding_distinct_users"] = """
+    WITH day_user AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events
+    )
+    SELECT day + off AS win_end_day, count(DISTINCT user_id) AS n_users
+    FROM day_user, UNNEST(generate_series(0, 6)) AS t(off)
+    GROUP BY day + off
+"""
+
+# promotion event 3 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -2623,7 +2623,10 @@ STAGED_QUERIES["corpus_rollup"] = q_corpus_rollup
 #   6-19  the fourteen r6 promotions from the staged queue (all local
 #         hash-green at sf0.01, CORRECTNESS_LOCAL_r05_staged.json;
 #         bpe_merges gained a full training-loop SQL oracle this round),
-#   20-50 queries already driver-certified green in r5 (re-certification
+#   20-27 the eight queries written AND locally certified (sf0.001 +
+#         sf0.01) mid-round — see the promotion events at the very end
+#         of this module,
+#   28-50 queries already driver-certified green in r5 (re-certification
 #         is harmless; the union of rounds covers the full set).
 # Everything past 50 is driver-certified green in r03/r04/r05. When adding
 # a query, insert it BEFORE position 50 and displace a multiply-certified
@@ -2885,5 +2888,44 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R6_HEAD},
     **STAGED_QUERIES,
     **{k: v for k, v in QUERIES.items() if k not in set(_R6_HEAD)},
+}
+STAGED_QUERIES = {}
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per 7-day sliding window (day grain) — the
+    rolling-reach metric. COUNT(DISTINCT) does not decompose over sliding
+    windows, so the scale shape is: collapse events to distinct
+    (day, user) once (the only corpus-sized shuffle), then explode each
+    pair into the 7 window-end days it contributes to and run one exact
+    countDistinct per window end. Cost is 7x the |day,user| table — at
+    100 TB that beats re-scanning raw events per window by the event/user
+    multiplicity, and window width only scales the small side. Integer
+    day bins (micros-epoch) keep both engines identical."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+    ).distinct()
+    exploded = day_user.select(
+        F.explode(
+            F.expr("sequence(day, day + 6)")
+        ).alias("win_end_day"),
+        "user_id",
+    )
+    return exploded.groupBy("win_end_day").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+STAGED_QUERIES["sliding_distinct_users"] = q_sliding_distinct_users
+
+
+# Promotion event 3 (same criteria as above: hash-green at sf0.001 AND
+# sf0.01 before any window slot): sliding_distinct_users -> position 27.
+_R6_HEAD2 = list(QUERIES)[:26]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R6_HEAD2},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R6_HEAD2)},
 }
 STAGED_QUERIES = {}
