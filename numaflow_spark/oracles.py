@@ -1955,3 +1955,110 @@ STAGED_ORACLES["sliding_distinct_users"] = """
 # promotion event 3 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 1 twins (queries.py). Integer-only outputs; every SUM that
+# DuckDB would promote to HUGEINT is cast back to BIGINT (the r5 lesson,
+# enforced by tests/test_queries_oracle.py::test_oracle_types_spark_expressible).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["event_transitions"] = """
+    WITH s AS (
+        SELECT event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS from_type
+        FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n
+    FROM s WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""
+
+STAGED_ORACLES["top_event_paths"] = """
+    WITH s AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    ), p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM s WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 50
+"""
+
+STAGED_ORACLES["vocab_coverage"] = """
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), c AS (
+        SELECT term, count(*) AS n FROM t WHERE len(term) > 0 GROUP BY term
+    ), cu AS (
+        SELECT term, n,
+               CAST(sum(n) OVER (ORDER BY n DESC, term) AS BIGINT) AS cum
+        FROM c
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+    )
+    SELECT term, n, cum
+    FROM cu, tot
+    WHERE (cum - n) * 10 < total * 9
+"""
+
+STAGED_ORACLES["ohlc_daily"] = """
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               epoch_us(ts) // 1000000 AS ts_s,
+               event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    )
+    SELECT event_type, day,
+           arg_min(v_u, ts_s * 100000000 + event_id) AS open_u,
+           arg_max(v_u, ts_s * 100000000 + event_id) AS close_u,
+           min(v_u) AS lo_u,
+           max(v_u) AS hi_u,
+           count(*) AS n
+    FROM e GROUP BY event_type, day
+"""
+
+STAGED_ORACLES["source_length_histogram"] = """
+    SELECT source,
+           length(bin(n_chars)) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY source, bucket
+"""
+
+STAGED_ORACLES["lang_confusion"] = """
+    WITH c AS (
+        SELECT lang, string_split(text, ' ') AS w FROM documents
+    ), n AS (
+        SELECT lang,
+               len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_n,
+               len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_n,
+               len(list_filter(w, x -> x IN ('le','la','et','les','est'))) AS fr_n,
+               len(list_filter(w, x -> x IN ('el','los','las','y','es'))) AS es_n
+        FROM c
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN en_n > 0 AND en_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'en'
+                    WHEN de_n > 0 AND de_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'de'
+                    WHEN fr_n > 0 AND fr_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'fr'
+                    WHEN es_n > 0 AND es_n >= greatest(en_n, de_n, fr_n, es_n) THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM n
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+"""
+
+# promotion event 4 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

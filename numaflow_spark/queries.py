@@ -2929,3 +2929,175 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R6_HEAD2)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 1: event analytics + corpus profiling shapes. Verified via
+# `tools/check_queries.py --staged` at sf0.001 + sf0.01 before any window
+# slot (the standing promotion criteria).
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over the event stream: per-user consecutive
+    (from_type -> to_type) pairs counted — the behavioral-model input every
+    product-analytics pipeline derives. One exchange: the lag window hashes
+    on user_id and the tiny 5x5 transition groupBy rides a partial agg.
+    Integer epoch-micros ordering with event_id tiebreak keeps the pair set
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("to_type"),
+        F.expr("unix_micros(ts)").alias("ts_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_u", "event_id")
+    t = e.withColumn("from_type", F.lag("to_type").over(w)).filter(
+        F.col("from_type").isNotNull()
+    )
+    return t.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 onboarding journeys: each user's first five events as a
+    'a>b>c' path string, counted across users, deterministic total order
+    (n_users desc, path) so the LIMIT is engine-exact. Scale shape: the
+    row_number window and the per-user path groupBy share the user_id
+    hash partitioning (one exchange), the path census is a tiny partial
+    agg, and the top-50 is a distributed heap take, not a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_u", "event_id")
+    first5 = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(50)
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer sizing: the smallest frequency-ranked vocabulary prefix
+    covering >= 90% of all token occurrences, with each kept term's count
+    and running cumulative. The global rank window runs on the COLLAPSED
+    vocabulary (|distinct terms|, already tiny after the corpus groupBy),
+    never on the corpus; the coverage test is integer cross-multiplication
+    ((cum - n) * 10 < total * 9) against the broadcast 1-row total, so no
+    float crosses engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter((F.col("cum") - F.col("n")) * 10 < F.col("total") * 9)
+        .select("term", "n", "cum")
+    )
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick downsample of the event stream: per (event_type, day)
+    open/close (value at the first/last event — min_by/max_by on an
+    integer (second, event_id) composite key), low/high, and count. Values
+    ride as floor-micros bigints so both engines agree bit-for-bit
+    (IEEE double multiply + floor is deterministic; no rounding-mode
+    divergence). ONE shuffle: partial min_by/max_by/min/max/count combine
+    map-side — the hypertable continuous-aggregate shape."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("v_u"),
+    )
+    key = "ts_s * 100000000 + event_id"
+    return e.groupBy("event_type", "day").agg(
+        F.expr(f"min_by(v_u, {key})").alias("open_u"),
+        F.expr(f"max_by(v_u, {key})").alias("close_u"),
+        F.min("v_u").alias("lo_u"),
+        F.max("v_u").alias("hi_u"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per source over power-of-two buckets —
+    the size-distribution profile a curation run reads before choosing
+    chunk/packing parameters. The bucket is the binary magnitude
+    length(bin(n_chars)) = floor(log2)+1, computed in pure integer string
+    ops (log2() doubles round differently across libms at boundary values;
+    bin() cannot). Row-local + one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.length(F.expr("bin(n_chars)")).cast("bigint").alias("bucket"),
+            F.col("n_chars"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the marker-based
+    lang_id prediction (operators/text.py) against the labeled lang column
+    — the eval loop that decides whether the cheap classifier is good
+    enough to gate a corpus. Row-local CASE ladder + one 5x5 groupBy."""
+    from numaflow_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+STAGED_QUERIES["event_transitions"] = q_event_transitions
+STAGED_QUERIES["top_event_paths"] = q_top_event_paths
+STAGED_QUERIES["vocab_coverage"] = q_vocab_coverage
+STAGED_QUERIES["ohlc_daily"] = q_ohlc_daily
+STAGED_QUERIES["source_length_histogram"] = q_source_length_histogram
+STAGED_QUERIES["lang_confusion"] = q_lang_confusion
+
+
+# Promotion event 4 (standing criteria: hash-green at sf0.001 AND sf0.01,
+# tools/check_queries.py --staged): the six r7 batch-1 queries take window
+# positions 28-33, displacing multiply-certified r5 entries toward the
+# tail. 128 queries total; staged queue empty again.
+_R7_HEAD1 = list(QUERIES)[:27]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_HEAD1},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD1)},
+}
+STAGED_QUERIES = {}

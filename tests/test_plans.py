@@ -510,3 +510,57 @@ def test_gap_fill_locf_no_python_no_cartesian(spark):
     plan = staged_plan_of(spark, "gap_fill_locf")
     assert nodes(plan, "CartesianProduct") == 0
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_event_transitions_single_exchange(spark):
+    """lag window + 5x5 transition groupBy: the window's user_id hash
+    partitioning is the only exchange before the tiny final agg gather."""
+    plan = staged_plan_of(spark, "event_transitions")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+    assert nodes(plan, "HashAggregate") >= 2  # partial + final on transitions
+
+
+def test_top_event_paths_heap_take(spark):
+    """The top-50 must be a distributed heap take, and the row_number
+    window + per-user path groupBy share one user_id partitioning."""
+    plan = staged_plan_of(spark, "top_event_paths")
+    assert nodes(plan, "TakeOrderedAndProject") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_vocab_coverage_window_on_collapsed_vocab(spark):
+    """The global rank window must run AFTER the vocabulary groupBy (on
+    |distinct terms| rows, not corpus tokens): the plan's Window node sits
+    above a HashAggregate, and the 1-row total joins as broadcast."""
+    plan = staged_plan_of(spark, "vocab_coverage")
+    assert nodes(plan, "Window") == 1
+    assert plan.index("Window") < plan.index("Generate")  # formatted tree: op list order
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row total
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_ohlc_daily_one_shuffle_partial_agg(spark):
+    """Candlestick downsample: exactly one exchange (the (type, day)
+    groupBy), with map-side partial min_by/max_by/min/max/count."""
+    plan = staged_plan_of(spark, "ohlc_daily")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "HashAggregate") == 2  # partial + final
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_source_length_histogram_rowlocal(spark):
+    """Power-of-two bucketing is row-local codegen: one exchange for the
+    (source, bucket) groupBy, no Python, no join."""
+    plan = staged_plan_of(spark, "source_length_histogram")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "SortMergeJoin") + nodes(plan, "BroadcastHashJoin") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_lang_confusion_rowlocal_case_ladder(spark):
+    """The marker CASE ladder stays in codegen: one exchange for the 5x5
+    confusion groupBy, zero Python stages."""
+    plan = staged_plan_of(spark, "lang_confusion")
+    assert nodes(plan, "Exchange") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
