@@ -2062,3 +2062,84 @@ STAGED_ORACLES["lang_confusion"] = """
 # promotion event 4 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# r7 staged batch 2 twins.
+
+STAGED_ORACLES["customer_rfm"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+               count(*) AS frequency,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ), maxd AS (
+        SELECT max(epoch_us(o_orderdate) // 86400000000) AS corpus_max_day
+        FROM orders
+    ), base AS (
+        SELECT o_custkey,
+               corpus_max_day - last_day AS recency_days,
+               frequency, monetary_c
+        FROM per_cust, maxd
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_c,
+           ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_band,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_band,
+           ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_band
+    FROM base
+"""
+
+STAGED_ORACLES["user_streaks"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ), isl AS (
+        SELECT user_id,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM ud
+    ), runs AS (
+        SELECT user_id, island, count(*) AS run_len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days,
+           max(run_len) AS longest_streak
+    FROM runs GROUP BY user_id
+"""
+
+STAGED_ORACLES["order_fill_latency"] = """
+    SELECT o_orderpriority,
+           (epoch_us(l_shipdate) // 86400000000
+            - epoch_us(o_orderdate) // 86400000000) // 7 AS latency_weeks,
+           count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, latency_weeks
+"""
+
+STAGED_ORACLES["copurchase_lift"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders_t AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+    ), singles AS (
+        SELECT l_partkey, count(*) AS n_single FROM op GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 5
+    )
+    SELECT part_a, part_b, n_ab,
+           sa.n_single AS n_a, sb.n_single AS n_b,
+           (n_ab * n_orders * 1000000) // (sa.n_single * sb.n_single) AS lift_ppm
+    FROM pairs
+    JOIN singles sa ON sa.l_partkey = part_a
+    JOIN singles sb ON sb.l_partkey = part_b
+    CROSS JOIN n_orders_t
+    ORDER BY lift_ppm DESC, part_a, part_b
+    LIMIT 50
+"""
+
+# promotion event 5 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -3101,3 +3101,165 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD1)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 2: customer segmentation, streaks, fulfillment latency,
+# market-basket lift. Same promotion criteria as batch 1.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per ordering customer, recency (days from last
+    order to the corpus max order day), frequency (order count), monetary
+    (lifetime cents), each banded into quintiles with ntile(5) — the
+    classic CRM cut. The three rank windows run on the COLLAPSED
+    per-customer aggregate (|customers| rows, not the fact table), each
+    with a custkey tiebreak so band edges are engine-exact; the corpus max
+    day rides as a broadcast 1-row aggregate. Integer day/cent math only."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(_cents(F.col("o_totalprice").cast(DEC))).alias("monetary_c"),
+    )
+    maxd = orders.agg(F.max(day).alias("corpus_max_day"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        (F.col("corpus_max_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_c",
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary_c"), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(5).over(r_w).alias("r_band"),
+        F.ntile(5).over(f_w).alias("f_band"),
+        F.ntile(5).over(m_w).alias("m_band"),
+    )
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands at
+    day grain): distinct (user, day) once — the only corpus-sized shuffle —
+    then island id = day - row_number() rides the same user partitioning,
+    and two tiny per-user aggregates finish it. The engagement metric
+    behind every retention dashboard. Integer day bins."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn("island", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.max("run_len").alias("longest_streak"),
+    )
+
+
+def q_order_fill_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency distribution: days from order placement to each
+    line's ship date, bucketed into weeks, counted per order priority —
+    the SLA histogram an ops dashboard reads. The orders->lineitem join
+    shuffles on orderkey once (both sides pre-projected to two columns);
+    the (priority, week) census is a tiny partial agg. Integer day/week
+    floor division on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("od"),
+    )
+    l = li.select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("sd"),
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        "o_orderpriority",
+        F.expr("(sd - od) div 7").alias("latency_weeks"),
+    )
+    return j.groupBy("o_orderpriority", "latency_weeks").agg(
+        F.count("*").alias("n_lines")
+    )
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for part pairs: lift_ppm = n_ab * n_orders *
+    1e6 div (n_a * n_b), top 50 by (lift desc, pair) — the market-basket
+    signal behind 'bought together'. Scale shape: per-order part lists
+    collapse to distinct pairs (orientation a < b halves the space and the
+    per-order explosion is bounded by basket size, not corpus size); the
+    singles table joins back TWICE by part key (broadcastable — |parts|
+    rows); n_orders rides as a 1-row broadcast; the top-50 is a heap take.
+    All-integer lift via bigint floor division. Pairs below support 5 are
+    cut before the joins, the standard a-priori prune."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    singles = op.groupBy("l_partkey").agg(F.count("*").alias("n_single"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    sa = singles.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_single").alias("n_b")
+    )
+    enriched = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+STAGED_QUERIES["customer_rfm"] = q_customer_rfm
+STAGED_QUERIES["user_streaks"] = q_user_streaks
+STAGED_QUERIES["order_fill_latency"] = q_order_fill_latency
+STAGED_QUERIES["copurchase_lift"] = q_copurchase_lift
+
+
+# Promotion event 5 (same standing criteria): batch-2 queries take window
+# positions 34-37. 132 queries total; staged queue empty again.
+_R7_HEAD2 = list(QUERIES)[:33]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_HEAD2},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD2)},
+}
+STAGED_QUERIES = {}

@@ -564,3 +564,42 @@ def test_lang_confusion_rowlocal_case_ladder(spark):
     plan = staged_plan_of(spark, "lang_confusion")
     assert nodes(plan, "Exchange") == 1
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_customer_rfm_windows_on_collapsed_customers(spark):
+    """The three ntile windows run on the per-customer aggregate, never
+    the fact table: plan has exactly 3 Window nodes above the customer
+    groupBy, the corpus-max-day joins as a 1-row broadcast, no Python."""
+    plan = staged_plan_of(spark, "customer_rfm")
+    assert nodes(plan, "Window") == 3
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_user_streaks_islands_share_partitioning(spark):
+    """distinct (user, day) is the only corpus-sized shuffle; the island
+    window and both per-user aggregates ride the same user_id hash."""
+    plan = staged_plan_of(spark, "user_streaks")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+    assert nodes(plan, "Exchange") <= 3
+
+
+def test_order_fill_latency_pruned_join(spark):
+    """Both join sides pre-project to two columns: the scans read only
+    orderkey/priority/dates, and the census agg is partial+final."""
+    plan = staged_plan_of(spark, "order_fill_latency")
+    assert "o_totalprice" not in plan and "l_extendedprice" not in plan
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_copurchase_lift_broadcast_enrich_heap_take(spark):
+    """The singles/n_orders enrichment joins broadcast; the top-50 is a
+    distributed heap take, never a global sort; no cartesian beyond the
+    1-row n_orders broadcast."""
+    plan = staged_plan_of(spark, "copurchase_lift")
+    assert nodes(plan, "BroadcastHashJoin") >= 2
+    assert nodes(plan, "TakeOrderedAndProject") == 1
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
