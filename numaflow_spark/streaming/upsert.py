@@ -1,0 +1,112 @@
+"""Streaming CDC materialization: keep a keyed snapshot table current
+against a change stream — the serving-table / feature-table maintenance
+loop. Each micro-batch of (key, payload, op, seq) changes is merged with
+``operators.cdc.cdc_apply`` (collapse-to-latest, anti-join survivors,
+union upserts) and the snapshot is atomically swapped, so readers always
+see a consistent keyed state.
+
+The reference expresses this as a keyed reduce whose state store IS the
+latest-value-per-key table (`rust/numaflow-core/src/reduce/` keeps per-key
+state in the PBQ/WAL); here the state is an explicit parquet snapshot that
+any downstream batch job can read directly — Structured Streaming's
+``foreachBatch`` is the documented home for merge-on-read upsert sinks.
+
+Correctness under replay: Structured Streaming re-delivers a micro-batch
+after a crash between sink-write and offset-commit. ``cdc_apply`` is
+replay-idempotent — re-applying a batch to the already-updated snapshot
+drops the same keys and re-inserts the same winning payloads, so the
+swapped store converges to the identical state (pinned by
+``tests/test_streaming_upsert.py::test_replayed_batch_is_idempotent``).
+
+Scale shape: the per-key collapse shuffles only the CHANGE BATCH; the
+changed-key set broadcasts so the snapshot is read once and filtered
+row-locally — no snapshot shuffle. The local rename swap is the
+single-node stand-in for a manifest commit (Delta/Iceberg) on a cluster
+filesystem, same reader-visible atomicity (see ``maintenance.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from numaflow_spark.operators.cdc import cdc_apply
+from numaflow_spark.streaming.neardup import (
+    has_local_parquet,
+    require_local_store,
+)
+
+
+class StreamingUpsert:
+    """``foreachBatch`` handler materializing a change stream into a keyed
+    parquet snapshot at ``store_path``.
+
+    ``payload_cols`` fixes the snapshot schema (key columns + payloads);
+    change batches additionally carry ``op_col`` ('I'/'U'/'D') and
+    ``seq_col`` (monotone per key). The first batch bootstraps the store
+    from its own upserts.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        keys: Sequence[str],
+        payload_cols: Sequence[str],
+        seq_col: str,
+        op_col: str = "op",
+        broadcast_keys: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.store_path = require_local_store(store_path)
+        self.keys = list(keys)
+        self.payload_cols = list(payload_cols)
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.broadcast_keys = broadcast_keys
+
+    # -- snapshot access ----------------------------------------------------
+    def snapshot(self) -> DataFrame | None:
+        """Current keyed state, or None before the first batch."""
+        if not has_local_parquet(self.store_path):
+            return None
+        return self.spark.read.parquet(self.store_path)
+
+    # -- the foreachBatch contract ------------------------------------------
+    def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch and atomically swap the snapshot.
+
+        Empty batches are a no-op (idle-source ticks must not rewrite the
+        store). The merged frame is fully materialized into a sibling temp
+        dir BEFORE the rename swap, so the plan's lazy reads of the old
+        snapshot finish while that snapshot still exists.
+        """
+        if changes.isEmpty():
+            return
+        snap = self.snapshot()
+        if snap is None:
+            empty = changes.sparkSession.createDataFrame(
+                [], changes.select(*self.keys, *self.payload_cols).schema
+            )
+            merged = cdc_apply(
+                empty, changes, self.keys, self.seq_col, self.op_col,
+                broadcast_keys=self.broadcast_keys,
+            )
+        else:
+            merged = cdc_apply(
+                snap, changes, self.keys, self.seq_col, self.op_col,
+                broadcast_keys=self.broadcast_keys,
+            )
+        tmp = f"{self.store_path.rstrip('/')}.upsert-{time.time_ns()}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.store_path):
+            old = f"{self.store_path.rstrip('/')}.old-{time.time_ns()}"
+            os.replace(self.store_path, old)
+            os.replace(tmp, self.store_path)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp, self.store_path)

@@ -1,0 +1,111 @@
+"""Streaming CDC materialization (streaming/upsert.py): a change stream
+merged into a keyed parquet snapshot via foreachBatch must equal the batch
+cdc_apply of the same change log, stay idempotent under micro-batch
+replay, and fail loudly on non-local store URIs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.cdc import cdc_apply
+from numaflow_spark.streaming.upsert import StreamingUpsert
+
+SCHEMA = "k bigint, val string, op string, seq bigint"
+
+# seq-ordered change log: batch 1 (seq 1-4), batch 2 (seq 5-7)
+LOG = [
+    (1, "a1", "I", 1),
+    (2, "b1", "I", 2),
+    (3, "c1", "I", 3),
+    (2, "b2", "U", 4),
+    (3, None, "D", 5),
+    (4, "d1", "I", 6),
+    (1, "a2", "U", 7),
+]
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _snap_rows(spark, store):
+    return sorted(
+        (r.k, r.val) for r in spark.read.parquet(store).collect()
+    )
+
+
+def test_streaming_upsert_matches_batch_cdc(spark, tmp_path):
+    """Two micro-batches through a real streaming query == one-shot
+    cdc_apply of the full log on an empty snapshot."""
+    from numaflow_spark.sources.file_source import (
+        replay_stream,
+        write_replay_batches,
+    )
+
+    changes = _changes(spark, LOG)
+    data_dir = write_replay_batches(
+        changes, str(tmp_path / "in"), batches=2, order_col="seq"
+    )
+    store = str(tmp_path / "store")
+    ups = StreamingUpsert(
+        spark, store, keys=["k"], payload_cols=["val"], seq_col="seq"
+    )
+    q = (
+        replay_stream(
+            spark, data_dir, schema=changes.schema, max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(ups.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    empty = spark.createDataFrame([], "k bigint, val string")
+    expected = sorted(
+        (r.k, r.val)
+        for r in cdc_apply(empty, changes, ["k"], "seq").collect()
+    )
+    assert _snap_rows(spark, store) == expected == [(1, "a2"), (2, "b2"), (4, "d1")]
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Re-applying the same micro-batch (crash between sink write and
+    offset commit) must leave the snapshot unchanged."""
+    store = str(tmp_path / "store")
+    ups = StreamingUpsert(
+        spark, store, keys=["k"], payload_cols=["val"], seq_col="seq"
+    )
+    b1 = _changes(spark, LOG[:4])
+    ups.apply_batch(b1, 0)
+    first = _snap_rows(spark, store)
+    ups.apply_batch(b1, 0)  # replay
+    assert _snap_rows(spark, store) == first == [(1, "a1"), (2, "b2"), (3, "c1")]
+    # and the NEXT batch still applies cleanly on top
+    ups.apply_batch(_changes(spark, LOG[4:]), 1)
+    assert _snap_rows(spark, store) == [(1, "a2"), (2, "b2"), (4, "d1")]
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    store = str(tmp_path / "store")
+    ups = StreamingUpsert(
+        spark, store, keys=["k"], payload_cols=["val"], seq_col="seq"
+    )
+    ups.apply_batch(_changes(spark, LOG[:4]), 0)
+    before = _snap_rows(spark, store)
+    ups.apply_batch(_changes(spark, []), 1)
+    assert _snap_rows(spark, store) == before
+
+
+def test_non_local_store_uri_fails_loudly(spark):
+    with pytest.raises(ValueError, match="local-only"):
+        StreamingUpsert(
+            spark,
+            "hdfs://nn/warehouse/snap",
+            keys=["k"],
+            payload_cols=["val"],
+            seq_col="seq",
+        )
