@@ -2143,3 +2143,64 @@ STAGED_ORACLES["copurchase_lift"] = """
 # promotion event 5 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# r7 staged batch 3 twins.
+
+STAGED_ORACLES["first_touch_attribution"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS ts_u,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), a AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'click' THEN ts_u END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_u, event_id) AS lc_ts
+        FROM e
+    )
+    SELECT CASE WHEN lc_ts IS NULL THEN -1
+                ELSE (ts_u - lc_ts) // 86400000000 END AS gap_days,
+           count(*) AS n_purchases,
+           CAST(sum(v_u) AS BIGINT) AS value_u
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY gap_days
+"""
+
+STAGED_ORACLES["pareto_parts"] = """
+    WITH base AS (
+        SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    ), flagged AS (
+        SELECT *,
+               max(size) OVER (
+                   ORDER BY price_c
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_cheaper_size
+        FROM base
+    )
+    SELECT p_partkey, price_c, size
+    FROM flagged
+    WHERE best_cheaper_size IS NULL OR best_cheaper_size <= size
+"""
+
+STAGED_ORACLES["brand_mode_returnflag"] = """
+    WITH census AS (
+        SELECT p_brand, l_returnflag, count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, l_returnflag
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY p_brand ORDER BY n DESC, l_returnflag
+               ) AS rn
+        FROM census
+    )
+    SELECT p_brand, l_returnflag AS mode_flag, n
+    FROM ranked WHERE rn = 1
+"""
+
+# promotion event 6 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

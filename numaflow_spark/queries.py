@@ -3263,3 +3263,104 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD2)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 3: attribution, skyline, deterministic mode. Same
+# promotion criteria.
+# ---------------------------------------------------------------------------
+
+
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click attribution: every purchase attributed to the user's
+    most recent PRIOR click (same instant resolved by event_id order —
+    the documented contract), reported as a click-to-purchase gap-day
+    histogram with attributed value; purchases with no prior click land
+    in gap_days = -1. ONE exchange: the carried-forward click timestamp
+    (last_value IGNORE NULLS) rides the user_id window partitioning and
+    the tiny histogram agg is partial+final. Value rides as floor-micros
+    bigints (IEEE-deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_u"),
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("v_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_u", "event_id")
+    lc = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_u")), ignorenulls=True
+    ).over(w)
+    purchases = e.withColumn("lc_ts", lc).filter(
+        F.col("event_type") == "purchase"
+    )
+    gap = F.when(F.col("lc_ts").isNull(), F.lit(-1)).otherwise(
+        F.expr("(ts_u - lc_ts) div 86400000000")
+    )
+    return purchases.groupBy(gap.alias("gap_days")).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("v_u").alias("value_u"),
+    )
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over (price down, size up): parts no
+    other part strictly beats on BOTH axes (the strict-dominance frontier
+    — the contract; <=-dominance differs only on exact ties). The classic
+    skyline query (Borzsony et al., ICDE'01) in ONE window: sort by
+    price, and a part survives iff the max size over all STRICTLY cheaper
+    parts (RANGE ... 1 PRECEDING on integer cents) does not exceed it.
+    No self-join, no cartesian — the window runs on the |parts| table.
+    Integer cents/size only."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        _cents(F.col("p_retailprice").cast(DEC)).alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn("best_cheaper_size", F.max("size").over(w))
+    return flagged.filter(
+        F.col("best_cheaper_size").isNull()
+        | (F.col("best_cheaper_size") <= F.col("size"))
+    ).select("p_partkey", "price_c", "size")
+
+
+def q_brand_mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each brand's most frequent return flag, ties to
+    the lexicographically smallest flag — the categorical-summary shape.
+    Census groupBy + rank window on the tiny (brand, flag) table; the
+    part dimension broadcasts into the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    census = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), "l_returnflag")
+    return (
+        census.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("l_returnflag").alias("mode_flag"), "n")
+    )
+
+
+STAGED_QUERIES["first_touch_attribution"] = q_first_touch_attribution
+STAGED_QUERIES["pareto_parts"] = q_pareto_parts
+STAGED_QUERIES["brand_mode_returnflag"] = q_brand_mode_returnflag
+
+
+# Promotion event 6 (same standing criteria): batch-3 queries take window
+# positions 38-40. 135 queries total; staged queue empty again.
+_R7_HEAD3 = list(QUERIES)[:37]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_HEAD3},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD3)},
+}
+STAGED_QUERIES = {}

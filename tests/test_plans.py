@@ -603,3 +603,33 @@ def test_copurchase_lift_broadcast_enrich_heap_take(spark):
     assert nodes(plan, "TakeOrderedAndProject") == 1
     assert nodes(plan, "CartesianProduct") == 0
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_first_touch_attribution_single_user_exchange(spark):
+    """The carried-forward click window and the purchase filter ride one
+    user_id partitioning; histogram agg is partial+final; no Python."""
+    plan = staged_plan_of(spark, "first_touch_attribution")
+    assert nodes(plan, "Window") == 1
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_pareto_parts_no_self_join(spark):
+    """Skyline via ONE range window on the parts table: no join of any
+    kind, no cartesian — the O(n log n) formulation, not the O(n^2)
+    dominance self-join."""
+    plan = staged_plan_of(spark, "pareto_parts")
+    assert nodes(plan, "Window") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert nodes(plan, j) == 0, j
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_brand_mode_broadcast_dim(spark):
+    """The part dimension broadcasts into the fact scan; the rank window
+    runs on the tiny (brand, mode) census."""
+    plan = staged_plan_of(spark, "brand_mode_returnflag")
+    assert nodes(plan, "BroadcastHashJoin") == 1
+    assert nodes(plan, "Window") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
