@@ -85,7 +85,16 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = len(df.collect())
+            # Materialize through Arrow (toPandas): every value crosses to
+            # Python, but as columnar batches — the path a real consumer
+            # uses. Row-at-a-time collect() measures py4j pickling, not the
+            # plan: editdist's 5.5M output rows cost 16.4s via collect vs
+            # 3.4s via Arrow with the identical plan (r6 A/B). Arrow's own
+            # fallback (fallback.enabled=true) covers exotic types.
+            try:
+                n = len(df.toPandas())
+            except Exception:  # noqa: BLE001 — keep the suite running
+                n = len(df.collect())
             runs.append(time.perf_counter() - t0)
             del df
         dt = min(runs)
