@@ -2204,3 +2204,58 @@ STAGED_ORACLES["brand_mode_returnflag"] = """
 # promotion event 6 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# r7 staged batch 4 twins.
+
+STAGED_ORACLES["median_order_value"] = """
+    WITH base AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        FROM orders
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n_orders
+        FROM base
+    )
+    SELECT o_orderpriority, n_orders, price_c AS median_price_c
+    FROM ranked WHERE rn = (n_orders + 1) // 2
+"""
+
+STAGED_ORACLES["label_source_matrix"] = """
+    SELECT source, label, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM embeddings JOIN documents ON vec_id = doc_id
+    GROUP BY source, label
+"""
+
+STAGED_ORACLES["seasonal_index"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY yr, mo
+    ), yearly AS (
+        SELECT yr, CAST(sum(rev_c) AS BIGINT) AS year_c FROM monthly GROUP BY yr
+    )
+    SELECT monthly.yr, mo, rev_c,
+           (rev_c * 12 * 1000000) // year_c AS index_ppm
+    FROM monthly JOIN yearly ON monthly.yr = yearly.yr
+"""
+
+STAGED_ORACLES["error_rate_hours"] = """
+    WITH hours AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_bin,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events GROUP BY hour_bin
+    )
+    SELECT hour_bin, n_events, n_errors,
+           (n_errors * 1000000) // n_events AS err_ppm
+    FROM hours WHERE (n_errors * 1000000) // n_events > 250000
+"""
+
+# promotion event 7 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -3364,3 +3364,116 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD3)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 4: exact medians, cross-modality join, seasonality,
+# rate alerting. Same promotion criteria.
+# ---------------------------------------------------------------------------
+
+
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (lower-median contract: the value at
+    row_number (n+1) div 2 in (value, orderkey) order — deterministic,
+    interpolation-free, so it replays on any engine). Both windows (rank
+    and group size) ride ONE priority partitioning; at 100 TB the
+    per-group sort is the unavoidable cost of an EXACT median — the
+    approximate path is percentile_approx over the same partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        _cents(F.col("o_totalprice").cast(DEC)).alias("price_c"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_orders", F.count("*").over(wc)
+    )
+    return ranked.filter(
+        F.expr("rn = (n_orders + 1) div 2")
+    ).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("price_c").alias("median_price_c"),
+    )
+
+
+def q_label_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality metadata join: embedding cluster labels against the
+    text corpus's source field — the coverage matrix that shows which
+    ingest source feeds which embedding cluster. Equi-join on the shared
+    id space (vec_id = doc_id), count matrix with per-cell char volume.
+    At scale both sides are bucketed on id (scale.py::write_bucketed)
+    so the join is exchange-free; here it is one keyed shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .groupBy("source", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: each (year, month) revenue as parts-per-
+    million of its year's MEAN month (rev_c * 12 * 1e6 div year_total) —
+    the classic seasonal index, all bigint floor division. Month rollup
+    (one shuffle) -> year totals (tiny) broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(F.sum(_cents(F.col("o_totalprice").cast(DEC))).alias("rev_c"))
+    yearly = monthly.groupBy("yr").agg(F.sum("rev_c").alias("year_c"))
+    return (
+        monthly.join(F.broadcast(yearly), "yr")
+        .select(
+            "yr",
+            "mo",
+            "rev_c",
+            F.expr("(rev_c * 12 * 1000000) div year_c").alias("index_ppm"),
+        )
+    )
+
+
+def q_error_rate_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational rate alert: hours whose error share exceeds 25% of
+    events (err_ppm > 250000, integer ppm). One conditional-sum groupBy
+    over hour bins — the monitoring query the streaming twin
+    (fixed_window_keyed) feeds continuously; the HAVING filter runs on
+    the aggregate, costing nothing at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bin")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    return hours.withColumn(
+        "err_ppm", F.expr("(n_errors * 1000000) div n_events")
+    ).filter(F.col("err_ppm") > 250000)
+
+
+STAGED_QUERIES["median_order_value"] = q_median_order_value
+STAGED_QUERIES["label_source_matrix"] = q_label_source_matrix
+STAGED_QUERIES["seasonal_index"] = q_seasonal_index
+STAGED_QUERIES["error_rate_hours"] = q_error_rate_hours
+
+
+# Promotion event 7 (same standing criteria): batch-4 queries take window
+# positions 41-44. 139 queries total; staged queue empty again.
+_R7_HEAD4 = list(QUERIES)[:40]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_HEAD4},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD4)},
+}
+STAGED_QUERIES = {}

@@ -633,3 +633,39 @@ def test_brand_mode_broadcast_dim(spark):
     assert nodes(plan, "BroadcastHashJoin") == 1
     assert nodes(plan, "Window") == 1
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_median_order_value_one_partitioning(spark):
+    """Both windows (rank + group size) share the priority partitioning:
+    one exchange, one sort, no join, no Python."""
+    plan = staged_plan_of(spark, "median_order_value")
+    assert nodes(plan, "Window") <= 2
+    assert nodes(plan, "Exchange") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_label_source_matrix_keyed_join(spark):
+    """Cross-modality join is a keyed equi-join (no cartesian, no
+    Python); the count matrix agg is partial+final."""
+    plan = staged_plan_of(spark, "label_source_matrix")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_seasonal_index_broadcast_year_totals(spark):
+    """Year totals join back as a broadcast; the month rollup is the
+    only fact-sized shuffle."""
+    plan = staged_plan_of(spark, "seasonal_index")
+    assert nodes(plan, "BroadcastHashJoin") == 1
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_error_rate_hours_single_groupby(spark):
+    """Rate alert = one conditional-sum groupBy over hour bins: one
+    exchange, partial+final agg, row-local ppm filter."""
+    plan = staged_plan_of(spark, "error_rate_hours")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
