@@ -2259,3 +2259,61 @@ STAGED_ORACLES["error_rate_hours"] = """
 # promotion event 7 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# r7 staged batch 5 twins.
+
+STAGED_ORACLES["degree_distribution"] = """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS (
+        SELECT u, v FROM edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM edges
+    ), deg AS (
+        SELECT u, count(*) AS degree FROM und GROUP BY u
+    )
+    SELECT length(bin(degree)) AS degree_bucket,
+           count(*) AS n_nodes,
+           CAST(sum(degree) AS BIGINT) AS sum_degree
+    FROM deg GROUP BY degree_bucket
+"""
+
+STAGED_ORACLES["gini_orders"] = """
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS x FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rank
+        FROM per_cust
+    ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS s0,
+               CAST(sum(rank * x) AS BIGINT) AS s1
+        FROM ranked
+    )
+    SELECT n, s0,
+           (2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS gini_ppm
+    FROM m
+"""
+
+STAGED_ORACLES["interarrival_histogram"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM events
+    ), gaps AS (
+        SELECT event_type,
+               ts_s - lag(ts_s) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+               ) AS gap_s
+        FROM e
+    )
+    SELECT event_type, length(bin(gap_s)) AS gap_bucket, count(*) AS n
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type, gap_bucket
+"""
+
+# promotion event 8 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

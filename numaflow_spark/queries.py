@@ -3477,3 +3477,114 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD4)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 5: graph degree profile, inequality metric, interarrival
+# histogram. Same promotion criteria.
+# ---------------------------------------------------------------------------
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph in power-of-two
+    buckets — the first diagnostic run before any graph algorithm (it
+    decides orientation/salting strategy; see triangle_count). Distinct
+    undirected edges -> per-node degree (each edge counted at both ends
+    via the symmetric union) -> log2-bucket census. bin()-length bucketing
+    keeps it integer-exact (no libm log2)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy(
+            F.length(F.expr("bin(degree)")).cast("bigint").alias("degree_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("degree").alias("sum_degree"),
+        )
+    )
+
+
+def q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-count concentration across customers, in
+    exact integer ppm: gini_ppm = (2*S1 - (n+1)*S0) * 1e6 div (n*S0) with
+    S0 = total orders, S1 = sum of rank*orders over customers ranked
+    ascending (ties by custkey — deterministic). The rank window runs on
+    the COLLAPSED per-customer table; both moments reduce to one row.
+    Operand bound: rank*x <= |customers|^2 * max_orders — bigint-safe to
+    ~10^8 customers (documented; beyond that, bucket the rank moment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per_cust.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.expr("rank * x")).alias("s1"),
+    )
+    return m.select(
+        "n",
+        "s0",
+        F.expr("(2 * s1 - (n + 1) * s0) * 1000000 div (n * s0)").alias(
+            "gini_ppm"
+        ),
+    )
+
+
+def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival profile: seconds between consecutive
+    events, binned into power-of-two buckets (bin()-length, integer-
+    exact), counted per event_type of the LATER event — the traffic-shape
+    diagnostic behind session-gap and rate-limit tuning. One exchange:
+    the lag window hashes on user_id; the (type, bucket) census is a tiny
+    partial agg. Zero-gap pairs land in bucket 1 (bin(0) = '0')."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = e.withColumn("prev_s", F.lag("ts_s").over(w)).filter(
+        F.col("prev_s").isNotNull()
+    )
+    return (
+        gaps.select(
+            "event_type",
+            F.length(F.expr("bin(ts_s - prev_s)")).cast("bigint").alias(
+                "gap_bucket"
+            ),
+        )
+        .groupBy("event_type", "gap_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+STAGED_QUERIES["degree_distribution"] = q_degree_distribution
+STAGED_QUERIES["gini_orders"] = q_gini_orders
+STAGED_QUERIES["interarrival_histogram"] = q_interarrival_histogram
+
+
+# Promotion event 8 (same standing criteria): batch-5 queries take window
+# positions 45-47. 142 queries total; staged queue empty again.
+_R7_HEAD5 = list(QUERIES)[:44]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_HEAD5},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD5)},
+}
+STAGED_QUERIES = {}

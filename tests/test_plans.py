@@ -669,3 +669,28 @@ def test_error_rate_hours_single_groupby(spark):
     assert nodes(plan, "Exchange") == 1
     assert nodes(plan, "HashAggregate") == 2
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_degree_distribution_no_cartesian(spark):
+    plan = staged_plan_of(spark, "degree_distribution")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_gini_rank_window_on_collapsed_customers(spark):
+    """The rank window runs on the per-customer aggregate (one Window
+    above a HashAggregate), and the moments reduce to one row; no join."""
+    plan = staged_plan_of(spark, "gini_orders")
+    assert nodes(plan, "Window") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert nodes(plan, j) == 0, j
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_interarrival_histogram_single_user_exchange(spark):
+    """lag window + (type, bucket) census: the user_id hash is the only
+    fact-sized exchange; census agg is partial+final."""
+    plan = staged_plan_of(spark, "interarrival_histogram")
+    assert nodes(plan, "Window") == 1
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
