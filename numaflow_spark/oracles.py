@@ -2317,3 +2317,56 @@ STAGED_ORACLES["interarrival_histogram"] = """
 # promotion event 8 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# r7 staged batch 6 twins.
+
+STAGED_ORACLES["revenue_pareto_customers"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+               count(*) AS n_customers
+        FROM per_cust
+    ), cum AS (
+        SELECT rev_c,
+               CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS cum_c
+        FROM per_cust
+    )
+    SELECT count(*) AS n_top, n_customers,
+           CAST(sum(rev_c) AS BIGINT) AS top_rev_c, total_rev_c
+    FROM cum, tot
+    WHERE (cum_c - rev_c) * 10 < total_rev_c * 8
+    GROUP BY n_customers, total_rev_c
+"""
+
+STAGED_ORACLES["segment_status_matrix"] = """
+    SELECT c_mktsegment, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+"""
+
+STAGED_ORACLES["negative_balance_exposure"] = """
+    WITH risky AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 0
+    ), open_orders AS (
+        SELECT o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS open_c
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT n_name AS nation,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_risky_customers,
+           count(*) AS n_open_orders,
+           CAST(sum(open_c) AS BIGINT) AS exposure_c
+    FROM open_orders
+    JOIN risky ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+# promotion event 9 twin (see queries.py)
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -3588,3 +3588,100 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD5)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged batch 6: the 80/20 concentration cut, segment-status census,
+# credit-risk exposure. Fills the round's certification window to 50
+# fresh entries. Same promotion criteria.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 report: the smallest set of customers (by lifetime
+    revenue, ties by custkey) covering >= 80% of total revenue — vocab
+    coverage's shape on the revenue domain. ONE rank window on the
+    COLLAPSED per-customer table; the coverage test is integer cross-
+    multiplication against the broadcast 1-row total; the final reduce
+    emits one row (n_top, n_customers, top_rev_c, total_rev_c)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice").cast(DEC))).alias("rev_c")
+    )
+    tot = per_cust.agg(
+        F.sum("rev_c").alias("total_rev_c"),
+        F.count("*").alias("n_customers"),
+    )
+    w = Window.orderBy(F.desc("rev_c"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_cust.withColumn("cum_c", F.sum("rev_c").over(w))
+    kept = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("cum_c") - F.col("rev_c")) * 10 < F.col("total_rev_c") * 8
+    )
+    return kept.groupBy("n_customers", "total_rev_c").agg(
+        F.count("*").alias("n_top"),
+        F.sum("rev_c").alias("top_rev_c"),
+    ).select("n_top", "n_customers", "top_rev_c", "total_rev_c")
+
+
+def q_segment_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment x order-status census with revenue — the order-book
+    health matrix. Customer (dimension) broadcasts into the orders scan;
+    the tiny matrix agg is partial+final. Integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice").cast(DEC))).alias("rev_c"),
+        )
+    )
+
+
+def q_negative_balance_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-risk exposure: per nation, customers in negative account
+    balance and the open-order value still owed to them — filter pushed
+    to the customer scan, broadcast dim join into the orders fact, open
+    orders filtered at THEIR scan. Integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    risky = cust.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey",
+        _cents(F.col("o_totalprice").cast(DEC)).alias("open_c"),
+    )
+    return (
+        open_orders.join(
+            F.broadcast(risky), open_orders.o_custkey == risky.c_custkey
+        )
+        .join(F.broadcast(nation), risky.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("n_risky_customers"),
+            F.count("*").alias("n_open_orders"),
+            F.sum("open_c").alias("exposure_c"),
+        )
+    )
+
+
+STAGED_QUERIES["revenue_pareto_customers"] = q_revenue_pareto_customers
+STAGED_QUERIES["segment_status_matrix"] = q_segment_status_matrix
+STAGED_QUERIES["negative_balance_exposure"] = q_negative_balance_exposure
+
+
+# Promotion event 9 (same standing criteria): batch-6 queries take window
+# positions 48-50, completing a fully-fresh 50-slot certification window
+# for r7. 145 queries total; staged queue empty again.
+_R7_HEAD6 = list(QUERIES)[:47]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_HEAD6},
+    **STAGED_QUERIES,
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD6)},
+}
+STAGED_QUERIES = {}

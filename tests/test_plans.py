@@ -694,3 +694,30 @@ def test_interarrival_histogram_single_user_exchange(spark):
     assert nodes(plan, "Window") == 1
     assert nodes(plan, "HashAggregate") == 2
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_revenue_pareto_window_on_collapsed_customers(spark):
+    """The cumulative window runs on the per-customer aggregate; the
+    1-row total joins as broadcast; final reduce is one row."""
+    plan = staged_plan_of(spark, "revenue_pareto_customers")
+    assert nodes(plan, "Window") == 1
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_segment_status_matrix_broadcast_dim(spark):
+    plan = staged_plan_of(spark, "segment_status_matrix")
+    assert nodes(plan, "BroadcastHashJoin") == 1
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_negative_balance_filters_reach_scans(spark):
+    """Both predicates (acctbal < 0, status = 'O') push to their parquet
+    scans; the dim joins broadcast."""
+    plan = staged_plan_of(spark, "negative_balance_exposure")
+    pushed = plan.split("PushedFilters:")
+    joined = "|".join(p.split("\n")[0] for p in pushed[1:])
+    assert "c_acctbal" in joined and "o_orderstatus" in joined
+    assert nodes(plan, "BroadcastHashJoin") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
