@@ -63,7 +63,10 @@ def test_interval_join_streaming_e2e(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.monotonic() + 60
+        # 120s: generous because this poll loop shares the host with other
+        # Spark JVMs in CI-style runs — 60s expired once under full-machine
+        # contention while the query itself was healthy (r6).
+        deadline = time.monotonic() + 120
         got = set()
         while time.monotonic() < deadline:
             got = {
