@@ -1,0 +1,681 @@
+"""Minimal Kafka wire protocol (v0 API subset): a real blocking-socket
+client and an in-process TCP broker, both speaking the published binary
+protocol (kafka.apache.org/protocol: size-prefixed frames, big-endian
+primitives, int16-length strings / int32-length bytes, MessageSet v0
+entries with CRC32 over magic..value).
+
+Why this exists: the sandboxed build environment has neither a Kafka
+broker nor the Spark Kafka connector jar (spark-sql-kafka-0-10 ships
+separately from pyspark), so S3/K3 could only ever be verified at the
+envelope-mapping level (tests/test_kafka_metadata.py). This module closes
+the gap at the wire level, the same treatment the NATS/JetStream sources
+got in nats_wire.py:
+
+  * :class:`KafkaWireClient` — a from-scratch client implementing
+    Metadata/Produce/Fetch/OffsetCommit/OffsetFetch/ApiVersions v0, CRC-
+    validating every fetched message.
+  * :class:`MiniKafkaBroker` — a protocol-faithful in-process broker
+    (threaded TCP, in-memory partitioned logs, consumer-group offset
+    store) used by the wire-level e2e test (tests/test_kafka_wire.py):
+    handle → our client → TCP → our broker is a genuine network round
+    trip with real Kafka frames on the socket.
+  * :class:`KafkaLiteSourceHandle` — the S3 read surface as a
+    user-defined SourceHandle (sources/user_defined.py): per-partition
+    offsets in the Spark-checkpointed offset dict, ack → consumer-group
+    OffsetCommit (the reference's commit loop,
+    rust/extns/numaflow-kafka/src/source.rs), rows in the connector's
+    record schema so :func:`kafka.kafka_envelope` applies unchanged.
+  * :func:`kafka_wire_sink` — the K3 produce surface (key-hash partition
+    assignment, acks=1), usable as a foreachBatch writer.
+
+The PRODUCTION path remains ``spark.readStream.format("kafka")``
+(sources/kafka.py) — this module exists so the mapping and the
+offset/ack/resume contract are verified against actual protocol bytes,
+matching the reference's test/kafka-e2e/kafka_test.go shape as far as a
+broker-less sandbox allows.
+
+Not implemented (documented divergences): record-batch v2 (so no per-
+record timestamps/headers on the wire — v0 MessageSets predate both),
+compression, TLS/SASL, group membership/rebalance (offsets are committed
+per explicit group name; assignment is static), multi-broker metadata.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import zlib
+
+from pyspark.sql import types as T
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_VERSIONS = 18
+
+ERR_NONE = 0
+ERR_UNKNOWN_TOPIC = 3
+ERR_CORRUPT = 2
+
+
+# --------------------------------------------------------------------------
+# primitive codecs
+# --------------------------------------------------------------------------
+
+def _i8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def _i16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def _i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return _i16(-1)
+    b = s.encode()
+    return _i16(len(b)) + b
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _i32(-1)
+    return _i32(len(b)) + b
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self.take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self.take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self.take(n).decode()
+
+    def bytes(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self.take(n)
+
+
+# --------------------------------------------------------------------------
+# MessageSet v0
+# --------------------------------------------------------------------------
+
+def _message_v0(key: bytes | None, value: bytes | None) -> bytes:
+    body = _i8(0) + _i8(0) + _bytes(key) + _bytes(value)  # magic, attrs
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return struct.pack(">I", crc) + body
+
+
+def encode_message_set(
+    entries: list[tuple[int, bytes | None, bytes | None]],
+) -> bytes:
+    """entries: (offset, key, value) -> wire MessageSet v0 bytes."""
+    out = b""
+    for offset, key, value in entries:
+        msg = _message_v0(key, value)
+        out += _i64(offset) + _i32(len(msg)) + msg
+    return out
+
+
+def decode_message_set(
+    buf: bytes,
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Wire MessageSet v0 -> (offset, key, value) entries, CRC-checked.
+    A trailing partial message (legal per protocol when max_bytes cuts a
+    fetch) is dropped."""
+    out = []
+    r = _Reader(buf)
+    while len(buf) - r.pos >= 12:
+        offset = r.i64()
+        size = r.i32()
+        if len(buf) - r.pos < size:
+            break  # partial trailing message
+        msg = r.take(size)
+        (crc,) = struct.unpack(">I", msg[:4])
+        if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch at offset {offset}")
+        mr = _Reader(msg[4:])
+        magic, _attrs = mr.i8(), mr.i8()
+        if magic != 0:
+            raise ValueError(f"unsupported message magic {magic}")
+        key = mr.bytes()
+        value = mr.bytes()
+        out.append((offset, key, value))
+    return out
+
+
+# --------------------------------------------------------------------------
+# broker
+# --------------------------------------------------------------------------
+
+class MiniKafkaBroker:
+    """In-process single-node broker: threaded TCP accept loop, in-memory
+    per-(topic, partition) logs, consumer-group offset store. Topics
+    auto-create with ``num_partitions`` on first Metadata/Produce touch
+    (auto.create.topics.enable parity)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2):
+        self.host = host
+        self.num_partitions = num_partitions
+        self._logs: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
+        self._topics: dict[str, int] = {}
+        self._group_offsets: dict[tuple[str, str, int], int] = {}
+        self._lock = threading.Lock()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(16)
+        self._closing = False
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    # -- test/inspection helpers -------------------------------------------
+    def log(self, topic: str, partition: int):
+        with self._lock:
+            return list(self._logs.get((topic, partition), []))
+
+    def committed(self, group: str, topic: str, partition: int) -> int:
+        with self._lock:
+            return self._group_offsets.get((group, topic, partition), -1)
+
+    def _ensure_topic(self, topic: str) -> None:
+        if topic not in self._topics:
+            self._topics[topic] = self.num_partitions
+            for p in range(self.num_partitions):
+                self._logs[(topic, p)] = []
+
+    # -- wire loop ----------------------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve_conn, args=(conn,), daemon=True
+            ).start()
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                head = _recv_exact(conn, 4)
+                if head is None:
+                    return
+                (size,) = struct.unpack(">i", head)
+                frame = _recv_exact(conn, size)
+                if frame is None:
+                    return
+                resp = self._handle(frame)
+                conn.sendall(_i32(len(resp)) + resp)
+        except OSError:
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _handle(self, frame: bytes) -> bytes:
+        r = _Reader(frame)
+        api_key, _api_version, corr_id = r.i16(), r.i16(), r.i32()
+        r.string()  # client_id
+        body = {
+            API_PRODUCE: self._produce,
+            API_FETCH: self._fetch,
+            API_METADATA: self._metadata,
+            API_OFFSET_COMMIT: self._offset_commit,
+            API_OFFSET_FETCH: self._offset_fetch,
+            API_VERSIONS: self._api_versions,
+        }[api_key](r)
+        return _i32(corr_id) + body
+
+    def _api_versions(self, r: _Reader) -> bytes:
+        keys = [API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT,
+                API_OFFSET_FETCH, API_VERSIONS]
+        out = _i16(ERR_NONE) + _i32(len(keys))
+        for k in keys:
+            out += _i16(k) + _i16(0) + _i16(0)
+        return out
+
+    def _metadata(self, r: _Reader) -> bytes:
+        n = r.i32()
+        requested = [r.string() for _ in range(n)]
+        with self._lock:
+            for t in requested:
+                if t:
+                    self._ensure_topic(t)
+            topics = requested if requested else list(self._topics)
+            out = _i32(1) + _i32(0) + _string(self.host) + _i32(self.port)
+            out += _i32(len(topics))
+            for t in topics:
+                nparts = self._topics.get(t, 0)
+                out += _i16(ERR_NONE) + _string(t) + _i32(nparts)
+                for p in range(nparts):
+                    out += (
+                        _i16(ERR_NONE) + _i32(p) + _i32(0)
+                        + _i32(1) + _i32(0)   # replicas [0]
+                        + _i32(1) + _i32(0)   # isr [0]
+                    )
+        return out
+
+    def _produce(self, r: _Reader) -> bytes:
+        r.i16()  # required_acks (0/1/-1 all behave as 1 here: in-memory)
+        r.i32()  # timeout
+        n_topics = r.i32()
+        out_topics = b""
+        with self._lock:
+            for _ in range(n_topics):
+                topic = r.string() or ""
+                self._ensure_topic(topic)
+                n_parts = r.i32()
+                parts_out = b""
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    ms = r.take(r.i32())
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        parts_out += _i32(pid) + _i16(ERR_UNKNOWN_TOPIC) + _i64(-1)
+                        continue
+                    base = len(log)
+                    try:
+                        for _off, key, value in decode_message_set(ms):
+                            log.append((key, value))
+                        parts_out += _i32(pid) + _i16(ERR_NONE) + _i64(base)
+                    except ValueError:
+                        parts_out += _i32(pid) + _i16(ERR_CORRUPT) + _i64(-1)
+                out_topics += _string(topic) + _i32(n_parts) + parts_out
+        return _i32(n_topics) + out_topics
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        r.i32()  # max_wait
+        r.i32()  # min_bytes
+        n_topics = r.i32()
+        out_topics = b""
+        with self._lock:
+            for _ in range(n_topics):
+                topic = r.string() or ""
+                n_parts = r.i32()
+                parts_out = b""
+                for _ in range(n_parts):
+                    pid, off, max_bytes = r.i32(), r.i64(), r.i32()
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        parts_out += (
+                            _i32(pid) + _i16(ERR_UNKNOWN_TOPIC) + _i64(-1) + _i32(0)
+                        )
+                        continue
+                    hw = len(log)
+                    entries, size = [], 0
+                    for o in range(max(off, 0), hw):
+                        key, value = log[o]
+                        sz = 26 + (len(key) if key else 0) + (len(value) if value else 0)
+                        if entries and size + sz > max_bytes:
+                            break
+                        entries.append((o, key, value))
+                        size += sz
+                    ms = encode_message_set(entries)
+                    parts_out += (
+                        _i32(pid) + _i16(ERR_NONE) + _i64(hw) + _i32(len(ms)) + ms
+                    )
+                out_topics += _string(topic) + _i32(n_parts) + parts_out
+        return _i32(n_topics) + out_topics
+
+    def _offset_commit(self, r: _Reader) -> bytes:
+        group = r.string() or ""
+        n_topics = r.i32()
+        out_topics = b""
+        with self._lock:
+            for _ in range(n_topics):
+                topic = r.string() or ""
+                n_parts = r.i32()
+                parts_out = b""
+                for _ in range(n_parts):
+                    pid, off = r.i32(), r.i64()
+                    r.string()  # metadata
+                    self._group_offsets[(group, topic, pid)] = off
+                    parts_out += _i32(pid) + _i16(ERR_NONE)
+                out_topics += _string(topic) + _i32(n_parts) + parts_out
+        return _i32(n_topics) + out_topics
+
+    def _offset_fetch(self, r: _Reader) -> bytes:
+        group = r.string() or ""
+        n_topics = r.i32()
+        out_topics = b""
+        with self._lock:
+            for _ in range(n_topics):
+                topic = r.string() or ""
+                n_parts = r.i32()
+                parts_out = b""
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    off = self._group_offsets.get((group, topic, pid), -1)
+                    parts_out += _i32(pid) + _i64(off) + _string("") + _i16(ERR_NONE)
+                out_topics += _string(topic) + _i32(n_parts) + parts_out
+        return _i32(n_topics) + out_topics
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+# --------------------------------------------------------------------------
+# client
+# --------------------------------------------------------------------------
+
+class KafkaWireClient:
+    """Blocking single-connection client for the v0 subset. One in-flight
+    request at a time (correlation ids still checked)."""
+
+    def __init__(self, bootstrap: str, client_id: str = "numaflow-spark"):
+        self._bootstrap = bootstrap
+        self._client_id = client_id
+        self._sock: socket.socket | None = None
+        self._corr = 0
+        self._lock = threading.Lock()
+
+    # Spark pickles the stream reader (and with it the source handle) into
+    # python workers; a live socket cannot cross that boundary. Drop the
+    # connection on serialize, reconnect lazily on first use afterward —
+    # the protocol is stateless per request, so this is transparent.
+    def __getstate__(self):
+        return {"_bootstrap": self._bootstrap, "_client_id": self._client_id}
+
+    def __setstate__(self, state):
+        self.__init__(state["_bootstrap"], state["_client_id"])
+
+    def _ensure_sock(self) -> socket.socket:
+        if self._sock is None:
+            host, port = self._bootstrap.rsplit(":", 1)
+            self._sock = socket.create_connection((host, int(port)), timeout=30)
+        return self._sock
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+
+    def _request(self, api_key: int, body: bytes) -> _Reader:
+        with self._lock:
+            self._sock = self._ensure_sock()
+            self._corr += 1
+            corr = self._corr
+            frame = (
+                _i16(api_key) + _i16(0) + _i32(corr) + _string(self._client_id) + body
+            )
+            self._sock.sendall(_i32(len(frame)) + frame)
+            head = _recv_exact(self._sock, 4)
+            if head is None:
+                raise ConnectionError("broker closed connection")
+            (size,) = struct.unpack(">i", head)
+            resp = _recv_exact(self._sock, size)
+            if resp is None:
+                raise ConnectionError("broker closed connection mid-frame")
+        r = _Reader(resp)
+        got = r.i32()
+        if got != corr:
+            raise ValueError(f"correlation id mismatch: sent {corr} got {got}")
+        return r
+
+    def metadata(self, topics: list[str] | None = None) -> dict[str, list[int]]:
+        body = _i32(len(topics or []))
+        for t in topics or []:
+            body += _string(t)
+        r = self._request(API_METADATA, body)
+        n_brokers = r.i32()
+        for _ in range(n_brokers):
+            r.i32(), r.string(), r.i32()
+        out: dict[str, list[int]] = {}
+        for _ in range(r.i32()):
+            err, name = r.i16(), r.string() or ""
+            parts = []
+            for _ in range(r.i32()):
+                r.i16()
+                pid = r.i32()
+                r.i32()
+                for _ in range(r.i32()):
+                    r.i32()
+                for _ in range(r.i32()):
+                    r.i32()
+                parts.append(pid)
+            if err == ERR_NONE:
+                out[name] = sorted(parts)
+        return out
+
+    def produce(
+        self,
+        topic: str,
+        partition: int,
+        records: list[tuple[bytes | None, bytes | None]],
+        acks: int = 1,
+    ) -> int:
+        ms = encode_message_set([(0, k, v) for k, v in records])
+        body = (
+            _i16(acks) + _i32(5000) + _i32(1)
+            + _string(topic) + _i32(1) + _i32(partition) + _i32(len(ms)) + ms
+        )
+        r = self._request(API_PRODUCE, body)
+        r.i32()  # topic count
+        r.string()
+        r.i32()  # partition count
+        r.i32()  # partition id
+        err = r.i16()
+        base = r.i64()
+        if err != ERR_NONE:
+            raise IOError(f"produce error {err} on {topic}/{partition}")
+        return base
+
+    def fetch(
+        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20
+    ) -> tuple[list[tuple[int, bytes | None, bytes | None]], int]:
+        """Returns (entries, high_watermark); entries CRC-validated."""
+        body = (
+            _i32(-1) + _i32(100) + _i32(1) + _i32(1)
+            + _string(topic) + _i32(1)
+            + _i32(partition) + _i64(offset) + _i32(max_bytes)
+        )
+        r = self._request(API_FETCH, body)
+        r.i32()
+        r.string()
+        r.i32()
+        r.i32()
+        err = r.i16()
+        hw = r.i64()
+        ms = r.take(r.i32())
+        if err != ERR_NONE:
+            raise IOError(f"fetch error {err} on {topic}/{partition}")
+        return decode_message_set(ms), hw
+
+    def offset_commit(self, group: str, topic: str, offsets: dict[int, int]) -> None:
+        body = _string(group) + _i32(1) + _string(topic) + _i32(len(offsets))
+        for pid, off in offsets.items():
+            body += _i32(pid) + _i64(off) + _string("")
+        r = self._request(API_OFFSET_COMMIT, body)
+        r.i32(); r.string()
+        for _ in range(r.i32()):
+            r.i32()
+            err = r.i16()
+            if err != ERR_NONE:
+                raise IOError(f"offset commit error {err}")
+
+    def offset_fetch(self, group: str, topic: str, partitions: list[int]) -> dict[int, int]:
+        body = _string(group) + _i32(1) + _string(topic) + _i32(len(partitions))
+        for pid in partitions:
+            body += _i32(pid)
+        r = self._request(API_OFFSET_FETCH, body)
+        r.i32(); r.string()
+        out = {}
+        for _ in range(r.i32()):
+            pid = r.i32()
+            off = r.i64()
+            r.string()
+            r.i16()
+            out[pid] = off
+        return out
+
+
+# --------------------------------------------------------------------------
+# S3 source handle + K3 sink over the wire client
+# --------------------------------------------------------------------------
+
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),  # v0 wire has none
+    ]
+)
+
+
+class KafkaLiteSourceHandle:
+    """S3 as a user-defined SourceHandle over the wire client.
+
+    Offsets dict maps str(partition) -> next offset to read (the Spark-
+    checkpointed truth, mirroring the built-in connector); ``ack`` also
+    commits to the broker's consumer-group store (the reference's commit
+    loop), and ``initial_offset`` resumes from that store when the
+    checkpoint is fresh — so either recovery path lands on the same spot.
+    """
+
+    def __init__(self, opts: dict):
+        self.topic = opts["topic"]
+        self.group = opts.get("group", "numaflow-spark")
+        self.max_records = int(opts.get("max_records", 1000))
+        self._client = KafkaWireClient(opts["bootstrap"])
+        self._parts = self._client.metadata([self.topic]).get(self.topic, [])
+
+    def partitions(self) -> list[int]:
+        return list(self._parts)
+
+    def pending(self) -> int:
+        total = 0
+        committed = self._client.offset_fetch(self.group, self.topic, self._parts)
+        for p in self._parts:
+            _, hw = self._client.fetch(self.topic, p, max(committed.get(p, 0), 0), 1)
+            total += hw - max(committed.get(p, 0), 0)
+        return total
+
+    def initial_offset(self) -> dict:
+        committed = self._client.offset_fetch(self.group, self.topic, self._parts)
+        return {str(p): max(committed.get(p, -1), 0) for p in self._parts}
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        rows: list[tuple] = []
+        end = dict(start)
+        budget = self.max_records
+        for p in self._parts:
+            if budget <= 0:
+                break
+            off = int(start.get(str(p), 0))
+            entries, _hw = self._client.fetch(self.topic, p, off)
+            for o, key, value in entries[:budget]:
+                rows.append((key, value, self.topic, p, o, None))
+            if entries:
+                taken = entries[:budget]
+                end[str(p)] = taken[-1][0] + 1
+                budget -= len(taken)
+        return rows, end
+
+    def read_between(self, start: dict, end: dict) -> list[tuple]:
+        rows: list[tuple] = []
+        for p in self._parts:
+            lo, hi = int(start.get(str(p), 0)), int(end.get(str(p), 0))
+            if hi <= lo:
+                continue
+            off = lo
+            while off < hi:
+                entries, _hw = self._client.fetch(self.topic, p, off)
+                if not entries:
+                    break
+                for o, key, value in entries:
+                    if o >= hi:
+                        break
+                    rows.append((key, value, self.topic, p, o, None))
+                off = entries[-1][0] + 1
+        return rows
+
+    def ack(self, end: dict) -> None:
+        self._client.offset_commit(
+            self.group, self.topic, {int(p): off for p, off in end.items()}
+        )
+
+    def schema(self) -> T.StructType:
+        return KAFKA_RECORD_SCHEMA
+
+
+def kafka_wire_sink(
+    rows: list[tuple[bytes | None, bytes | None]],
+    bootstrap: str,
+    topic: str,
+) -> dict[int, int]:
+    """K3 produce surface: (key, value) rows partitioned by key hash (null
+    keys -> partition 0), one Produce per partition, acks=1. Returns
+    {partition: base_offset}. Usable inside foreachBatch after a
+    ``collect``-free ``mapInPandas``/``foreachPartition`` fan-out at scale;
+    kept driver-side here because the wire tests drive small batches."""
+    client = KafkaWireClient(bootstrap)
+    try:
+        parts = client.metadata([topic])[topic]
+        buckets: dict[int, list[tuple[bytes | None, bytes | None]]] = {}
+        for key, value in rows:
+            pid = (zlib.crc32(key) % len(parts)) if key is not None else 0
+            buckets.setdefault(pid, []).append((key, value))
+        return {
+            pid: client.produce(topic, pid, batch)
+            for pid, batch in sorted(buckets.items())
+        }
+    finally:
+        client.close()

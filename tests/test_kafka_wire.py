@@ -1,0 +1,167 @@
+"""Wire-level Kafka e2e (sources/kafka_wire.py): real protocol frames over
+TCP between our client and the in-process broker — produce/fetch round
+trips with CRC validation, consumer-group offset commit/resume, the S3
+source handle driven through a REAL streaming query with the standard
+kafka_envelope mapping, and the K3 produce sink. The broker-ful analogue
+is the reference's test/kafka-e2e/kafka_test.go."""
+
+from __future__ import annotations
+
+import pytest
+
+from numaflow_spark.sources.kafka import kafka_envelope
+from numaflow_spark.sources.kafka_wire import (
+    KafkaLiteSourceHandle,
+    KafkaWireClient,
+    MiniKafkaBroker,
+    decode_message_set,
+    encode_message_set,
+    kafka_wire_sink,
+)
+from numaflow_spark.sources.user_defined import make_udsource
+
+
+@pytest.fixture()
+def broker():
+    b = MiniKafkaBroker()
+    yield b
+    b.close()
+
+
+def test_message_set_codec_crc_roundtrip():
+    entries = [(0, b"k0", b"v0"), (1, None, b"v1"), (2, b"k2", None)]
+    wire = encode_message_set(entries)
+    assert decode_message_set(wire) == entries
+    # flip one payload byte -> CRC must catch it
+    corrupt = wire[:-1] + bytes([wire[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        decode_message_set(corrupt)
+
+
+def test_produce_fetch_roundtrip(broker):
+    c = KafkaWireClient(broker.bootstrap)
+    assert c.metadata(["t1"]) == {"t1": [0, 1]}
+    base = c.produce("t1", 0, [(b"a", b"v1"), (None, b"v2")])
+    assert base == 0
+    assert c.produce("t1", 0, [(b"b", b"v3")]) == 2
+    entries, hw = c.fetch("t1", 0, 0)
+    assert hw == 3
+    assert entries == [(0, b"a", b"v1"), (1, None, b"v2"), (2, b"b", b"v3")]
+    # offset-addressed re-read (replayability)
+    entries2, _ = c.fetch("t1", 0, 2)
+    assert entries2 == [(2, b"b", b"v3")]
+    c.close()
+
+
+def test_fetch_respects_max_bytes(broker):
+    c = KafkaWireClient(broker.bootstrap)
+    c.produce("t2", 0, [(None, bytes([i]) * 100) for i in range(10)])
+    entries, hw = c.fetch("t2", 0, 0, max_bytes=300)
+    assert hw == 10 and 1 <= len(entries) < 10
+    # paging through by offset reaches the high watermark
+    seen, off = 0, 0
+    while off < hw:
+        page, _ = c.fetch("t2", 0, off, max_bytes=300)
+        assert page
+        seen += len(page)
+        off = page[-1][0] + 1
+    assert seen == 10
+    c.close()
+
+
+def test_consumer_group_offsets(broker):
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["t3"])
+    assert c.offset_fetch("g1", "t3", [0, 1]) == {0: -1, 1: -1}
+    c.offset_commit("g1", "t3", {0: 5, 1: 2})
+    assert c.offset_fetch("g1", "t3", [0, 1]) == {0: 5, 1: 2}
+    assert broker.committed("g1", "t3", 0) == 5
+    # groups are isolated
+    assert c.offset_fetch("g2", "t3", [0]) == {0: -1}
+    c.close()
+
+
+def test_source_handle_read_ack_resume(broker):
+    c = KafkaWireClient(broker.bootstrap)
+    c.produce("t4", 0, [(b"k", b"a"), (b"k", b"b")])
+    c.produce("t4", 1, [(None, b"c")])
+
+    h = KafkaLiteSourceHandle({"bootstrap": broker.bootstrap, "topic": "t4"})
+    assert h.partitions() == [0, 1]
+    start = h.initial_offset()
+    assert start == {"0": 0, "1": 0}
+    rows, end = h.read(start)
+    assert {(r[3], r[4], r[1]) for r in rows} == {
+        (0, 0, b"a"), (0, 1, b"b"), (1, 0, b"c"),
+    }
+    assert end == {"0": 2, "1": 1}
+    # replay of the committed range is deterministic
+    assert h.read_between(start, end) == rows
+    h.ack(end)
+    # a NEW handle (fresh checkpoint) resumes from the group commit
+    h2 = KafkaLiteSourceHandle({"bootstrap": broker.bootstrap, "topic": "t4"})
+    assert h2.initial_offset() == {"0": 2, "1": 1}
+    assert h2.pending() == 0
+    c.produce("t4", 1, [(None, b"d")])
+    assert h2.pending() == 1
+    c.close()
+
+
+def test_streaming_e2e_with_envelope(spark, broker, tmp_path):
+    """handle -> our client -> TCP -> our broker through a REAL streaming
+    query, mapped by the same kafka_envelope the production connector path
+    uses: ids are vertex/topic-partition-offset, keys utf8-decoded, and a
+    second produce round arrives without re-reading the first."""
+    c = KafkaWireClient(broker.bootstrap)
+    c.produce("t5", 0, [(b"u1", b"p1"), (b"u2", b"p2")])
+    c.produce("t5", 1, [(b"u3", b"p3")])
+
+    spark.dataSource.register(
+        make_udsource(KafkaLiteSourceHandle, name="kafka_lite")
+    )
+    records = (
+        spark.readStream.format("kafka_lite")
+        .options(bootstrap=broker.bootstrap, topic="t5", group="g-e2e")
+        .load()
+    )
+    out = kafka_envelope(records, vertex_name="kafka-source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kafka_wire_sink_tbl")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.id.vertex_name, r.id.offset, tuple(r.keys), bytes(r.value))
+            for r in spark.sql("select * from kafka_wire_sink_tbl").collect()
+        }
+        assert got == {
+            ("kafka-source", "t5-0-0", ("u1",), b"p1"),
+            ("kafka-source", "t5-0-1", ("u2",), b"p2"),
+            ("kafka-source", "t5-1-0", ("u3",), b"p3"),
+        }
+        c.produce("t5", 0, [(b"u4", b"p4")])
+        q.processAllAvailable()
+        rows = spark.sql("select * from kafka_wire_sink_tbl").collect()
+        assert len(rows) == 4  # exactly one new row, no re-delivery
+        # ack-after-commit reached the broker's group store
+        assert broker.committed("g-e2e", "t5", 0) >= 2
+    finally:
+        q.stop()
+
+
+def test_wire_sink_partitions_by_key(broker):
+    offsets = kafka_wire_sink(
+        [(b"alpha", b"v1"), (b"alpha", b"v2"), (None, b"v3")],
+        broker.bootstrap,
+        "t6",
+    )
+    assert set(offsets) <= {0, 1}
+    logs = broker.log("t6", 0) + broker.log("t6", 1)
+    assert sorted(v for _k, v in logs) == [b"v1", b"v2", b"v3"]
+    # same key always lands in the same partition
+    by_part = [broker.log("t6", p) for p in (0, 1)]
+    alpha_parts = {p for p in (0, 1) if any(k == b"alpha" for k, _ in by_part[p])}
+    assert len(alpha_parts) == 1
