@@ -93,7 +93,16 @@ def main() -> None:
             # fallback (fallback.enabled=true) covers exotic types.
             try:
                 n = len(df.toPandas())
-            except Exception:  # noqa: BLE001 — keep the suite running
+            except Exception as ex:  # noqa: BLE001 — keep the suite running
+                # Loud fallback: this run's time now includes the failed
+                # Arrow attempt PLUS a full re-execution via collect() —
+                # flag it so the artifact number is never silently ~2x.
+                print(
+                    f"# {name}: Arrow materialization failed"
+                    f" ({type(ex).__name__}); timed run includes collect()"
+                    " fallback re-execution",
+                    file=sys.stderr,
+                )
                 n = len(df.collect())
             runs.append(time.perf_counter() - t0)
             del df

@@ -23,6 +23,49 @@ from pyspark.sql import SparkSession
 from numaflow_spark.scale import partitions_for
 
 
+def swap_dir(path: str, tmp: str) -> None:
+    """Rename-swap ``tmp`` into ``path``: readers see the old or the new
+    file set, never a mix. The pre-swap state is parked as a
+    ``<path>.old-<ns>`` sibling and removed only after the new state is in
+    place, so a crash at ANY point leaves a recoverable directory on disk
+    (see :func:`recover_dir`); on a cluster filesystem substitute a
+    manifest/metadata-table commit (Delta/Iceberg style) — this is the
+    single-node stand-in with the same reader-visible atomicity."""
+    if os.path.exists(path):
+        old = f"{path.rstrip('/')}.old-{time.time_ns()}"
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, path)
+
+
+def recover_dir(path: str) -> bool:
+    """Crash recovery for :func:`swap_dir`: if ``path`` is missing but a
+    parked ``.old-<ns>`` sibling exists (crash between the two renames),
+    restore the NEWEST one — the pre-swap state; the interrupted writer's
+    batch replays on top (all swap users here are replay-idempotent).
+    Stray ``.old-*`` siblings next to a live ``path`` (crash after the
+    second rename, before cleanup) and orphaned write temps are removed.
+    Returns True if a restore happened."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path.rstrip("/"))
+    if not os.path.isdir(parent):
+        return False
+    olds = sorted(
+        f for f in os.listdir(parent) if f.startswith(f"{base}.old-")
+    )
+    restored = False
+    if not os.path.exists(path) and olds:
+        os.replace(os.path.join(parent, olds[-1]), path)
+        olds = olds[:-1]
+        restored = True
+    for f in olds:
+        if os.path.exists(path):  # keep the newest parked copy if still lost
+            shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
+    return restored
+
+
 def dir_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) for a parquet directory."""
     n, total = 0, 0
@@ -57,11 +100,12 @@ def compact_parquet(
         return {"compacted": False, "n_files": n_files, "bytes": total}
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}.compact-{time.time_ns()}"
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}.old-{time.time_ns()}"
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old)
+    try:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    swap_dir(path, tmp)
     new_files, new_total = dir_stats(path)
     return {
         "compacted": True,

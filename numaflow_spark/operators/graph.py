@@ -255,7 +255,8 @@ def triangle_count(
     # semi-join is strictly worse: the intersection form moves only |E|
     # rows carrying O(sqrt(m))-bounded neighbor arrays (orientation caps
     # out-degree), and the intersect itself is row-local inside codegen.
-    # Measured on the sf0.1 co-purchase graph: 16.9s -> ~4s.
+    # Measured on the sf0.1 co-purchase graph: full query 16.9s -> 8.3s
+    # (the remaining cost is the edge BUILD, not this count).
     adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
     with_u = oriented.join(adj, on="s").select(
         F.col("d").alias("v"), F.col("nbrs").alias("nbrs_u")

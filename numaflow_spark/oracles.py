@@ -2017,14 +2017,25 @@ STAGED_ORACLES["ohlc_daily"] = """
                event_id,
                CAST(floor(value * 1000000) AS BIGINT) AS v_u
         FROM events
+    ), oc AS (
+        SELECT event_type, day, v_u,
+               first_value(v_u) OVER (
+                   PARTITION BY event_type, day ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS open_u,
+               last_value(v_u) OVER (
+                   PARTITION BY event_type, day ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS close_u
+        FROM e
     )
     SELECT event_type, day,
-           arg_min(v_u, ts_s * 100000000 + event_id) AS open_u,
-           arg_max(v_u, ts_s * 100000000 + event_id) AS close_u,
+           max(open_u) AS open_u,
+           max(close_u) AS close_u,
            min(v_u) AS lo_u,
            max(v_u) AS hi_u,
            count(*) AS n
-    FROM e GROUP BY event_type, day
+    FROM oc GROUP BY event_type, day
 """
 
 STAGED_ORACLES["source_length_histogram"] = """

@@ -3021,12 +3021,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candlestick downsample of the event stream: per (event_type, day)
-    open/close (value at the first/last event — min_by/max_by on an
-    integer (second, event_id) composite key), low/high, and count. Values
-    ride as floor-micros bigints so both engines agree bit-for-bit
-    (IEEE double multiply + floor is deterministic; no rounding-mode
-    divergence). ONE shuffle: partial min_by/max_by/min/max/count combine
-    map-side — the hypertable continuous-aggregate shape."""
+    open/close (value at the first/last event in (second, event_id)
+    order — a fully-framed window over the unique composite order, so no
+    packed-integer tiebreak key that could collide at scale), low/high,
+    and count. Values ride as floor-micros bigints so both engines agree
+    bit-for-bit (IEEE double multiply + floor is deterministic). ONE
+    exchange: the window and the final aggregate share the
+    (event_type, day) hash partitioning — the hypertable
+    continuous-aggregate shape."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
@@ -3035,10 +3037,21 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
         F.expr("cast(floor(value * 1000000) as bigint)").alias("v_u"),
     )
-    key = "ts_s * 100000000 + event_id"
-    return e.groupBy("event_type", "day").agg(
-        F.expr(f"min_by(v_u, {key})").alias("open_u"),
-        F.expr(f"max_by(v_u, {key})").alias("close_u"),
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    oc = e.select(
+        "event_type",
+        "day",
+        "v_u",
+        F.first("v_u").over(w).alias("open_u"),
+        F.last("v_u").over(w).alias("close_u"),
+    )
+    return oc.groupBy("event_type", "day").agg(
+        F.max("open_u").alias("open_u"),   # constant within the group
+        F.max("close_u").alias("close_u"),
         F.min("v_u").alias("lo_u"),
         F.max("v_u").alias("hi_u"),
         F.count("*").alias("n"),

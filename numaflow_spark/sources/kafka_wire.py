@@ -157,6 +157,8 @@ def decode_message_set(
     while len(buf) - r.pos >= 12:
         offset = r.i64()
         size = r.i32()
+        if size < 14:  # crc4 + magic1 + attrs1 + keylen4 + vallen4
+            raise ValueError(f"corrupt message size {size} at offset {offset}")
         if len(buf) - r.pos < size:
             break  # partial trailing message
         msg = r.take(size)
@@ -247,7 +249,8 @@ class MiniKafkaBroker:
                 if frame is None:
                     return
                 resp = self._handle(frame)
-                conn.sendall(_i32(len(resp)) + resp)
+                if resp is not None:  # acks=0 Produce: no response frame
+                    conn.sendall(_i32(len(resp)) + resp)
         except OSError:
             pass
         finally:
@@ -256,7 +259,7 @@ class MiniKafkaBroker:
             except OSError:
                 pass
 
-    def _handle(self, frame: bytes) -> bytes:
+    def _handle(self, frame: bytes) -> bytes | None:
         r = _Reader(frame)
         api_key, _api_version, corr_id = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
@@ -268,7 +271,7 @@ class MiniKafkaBroker:
             API_OFFSET_FETCH: self._offset_fetch,
             API_VERSIONS: self._api_versions,
         }[api_key](r)
-        return _i32(corr_id) + body
+        return None if body is None else _i32(corr_id) + body
 
     def _api_versions(self, r: _Reader) -> bytes:
         keys = [API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT,
@@ -299,8 +302,8 @@ class MiniKafkaBroker:
                     )
         return out
 
-    def _produce(self, r: _Reader) -> bytes:
-        r.i16()  # required_acks (0/1/-1 all behave as 1 here: in-memory)
+    def _produce(self, r: _Reader) -> bytes | None:
+        acks = r.i16()  # 0 = fire-and-forget: append but send NO response
         r.i32()  # timeout
         n_topics = r.i32()
         out_topics = b""
@@ -325,6 +328,8 @@ class MiniKafkaBroker:
                     except ValueError:
                         parts_out += _i32(pid) + _i16(ERR_CORRUPT) + _i64(-1)
                 out_topics += _string(topic) + _i32(n_parts) + parts_out
+        if acks == 0:
+            return None  # protocol: acks=0 producers get no Produce response
         return _i32(n_topics) + out_topics
 
     def _fetch(self, r: _Reader) -> bytes:
@@ -445,6 +450,16 @@ class KafkaWireClient:
                 pass
             self._sock = None
 
+    def _send_only(self, api_key: int, body: bytes) -> None:
+        with self._lock:
+            self._sock = self._ensure_sock()
+            self._corr += 1
+            frame = (
+                _i16(api_key) + _i16(0) + _i32(self._corr)
+                + _string(self._client_id) + body
+            )
+            self._sock.sendall(_i32(len(frame)) + frame)
+
     def _request(self, api_key: int, body: bytes) -> _Reader:
         with self._lock:
             self._sock = self._ensure_sock()
@@ -504,6 +519,11 @@ class KafkaWireClient:
             _i16(acks) + _i32(5000) + _i32(1)
             + _string(topic) + _i32(1) + _i32(partition) + _i32(len(ms)) + ms
         )
+        if acks == 0:
+            # fire-and-forget: the protocol sends NO Produce response for
+            # acks=0 — awaiting one would desynchronize the connection
+            self._send_only(API_PRODUCE, body)
+            return -1
         r = self._request(API_PRODUCE, body)
         r.i32()  # topic count
         r.string()
@@ -621,10 +641,10 @@ class KafkaLiteSourceHandle:
                 break
             off = int(start.get(str(p), 0))
             entries, _hw = self._client.fetch(self.topic, p, off)
-            for o, key, value in entries[:budget]:
+            taken = entries[:budget]
+            for o, key, value in taken:
                 rows.append((key, value, self.topic, p, o, None))
-            if entries:
-                taken = entries[:budget]
+            if taken:
                 end[str(p)] = taken[-1][0] + 1
                 budget -= len(taken)
         return rows, end

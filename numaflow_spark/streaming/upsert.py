@@ -27,13 +27,13 @@ filesystem, same reader-visible atomicity (see ``maintenance.py``).
 
 from __future__ import annotations
 
-import os
 import shutil
 import time
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from numaflow_spark.maintenance import recover_dir, swap_dir
 from numaflow_spark.operators.cdc import cdc_apply
 from numaflow_spark.streaming.neardup import (
     has_local_parquet,
@@ -71,7 +71,12 @@ class StreamingUpsert:
 
     # -- snapshot access ----------------------------------------------------
     def snapshot(self) -> DataFrame | None:
-        """Current keyed state, or None before the first batch."""
+        """Current keyed state, or None before the first batch. Recovers a
+        swap interrupted mid-rename (maintenance.recover_dir): the parked
+        pre-swap state is restored and the interrupted micro-batch replays
+        on top — apply_batch is replay-idempotent, so the store converges
+        to the same state it would have reached without the crash."""
+        recover_dir(self.store_path)
         if not has_local_parquet(self.store_path):
             return None
         return self.spark.read.parquet(self.store_path)
@@ -102,11 +107,9 @@ class StreamingUpsert:
                 broadcast_keys=self.broadcast_keys,
             )
         tmp = f"{self.store_path.rstrip('/')}.upsert-{time.time_ns()}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.store_path):
-            old = f"{self.store_path.rstrip('/')}.old-{time.time_ns()}"
-            os.replace(self.store_path, old)
-            os.replace(tmp, self.store_path)
-            shutil.rmtree(old)
-        else:
-            os.replace(tmp, self.store_path)
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)  # no orphan per failed batch
+            raise
+        swap_dir(self.store_path, tmp)

@@ -165,3 +165,46 @@ def test_wire_sink_partitions_by_key(broker):
     by_part = [broker.log("t6", p) for p in (0, 1)]
     alpha_parts = {p for p in (0, 1) if any(k == b"alpha" for k, _ in by_part[p])}
     assert len(alpha_parts) == 1
+
+
+def test_acks_zero_is_fire_and_forget(broker):
+    """Protocol contract: acks=0 producers get NO Produce response — the
+    broker must not send one (it would desynchronize the connection) and
+    the client must not await one. The connection stays usable for the
+    next correlated request."""
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["t7"])
+    assert c.produce("t7", 0, [(b"k", b"v0")], acks=0) == -1
+    # the very next correlated request must still line up
+    entries, hw = c.fetch("t7", 0, 0)
+    assert hw == 1 and entries == [(0, b"k", b"v0")]
+    c.close()
+
+
+def test_corrupt_size_field_gets_error_response(broker):
+    """A produce whose MessageSet carries a nonsense size field must come
+    back as an ERR_CORRUPT partition response, not a dead connection."""
+    import struct as _s
+
+    from numaflow_spark.sources.kafka_wire import (
+        API_PRODUCE,
+        ERR_CORRUPT,
+        _i16,
+        _i32,
+        _i64,
+        _string,
+    )
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["t8"])
+    bad_ms = _i64(0) + _i32(-1) + b"garbage-bytes-here"
+    body = (
+        _i16(1) + _i32(5000) + _i32(1)
+        + _string("t8") + _i32(1) + _i32(0) + _i32(len(bad_ms)) + bad_ms
+    )
+    r = c._request(API_PRODUCE, body)
+    r.i32(); r.string(); r.i32(); r.i32()
+    assert r.i16() == ERR_CORRUPT
+    # connection still alive for the next request
+    assert c.metadata(["t8"]) == {"t8": [0, 1]}
+    c.close()

@@ -540,12 +540,13 @@ def test_vocab_coverage_window_on_collapsed_vocab(spark):
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
-def test_ohlc_daily_one_shuffle_partial_agg(spark):
-    """Candlestick downsample: exactly one exchange (the (type, day)
-    groupBy), with map-side partial min_by/max_by/min/max/count."""
+def test_ohlc_daily_one_shuffle_window_shares_partitioning(spark):
+    """Candlestick downsample: the open/close window and the final
+    aggregate share ONE (type, day) hash partitioning — exactly one
+    exchange, no packed tiebreak keys, no Python."""
     plan = staged_plan_of(spark, "ohlc_daily")
     assert nodes(plan, "Exchange") == 1
-    assert nodes(plan, "HashAggregate") == 2  # partial + final
+    assert nodes(plan, "Window") == 1
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 

@@ -109,3 +109,59 @@ def test_non_local_store_uri_fails_loudly(spark):
             payload_cols=["val"],
             seq_col="seq",
         )
+
+
+def test_crash_between_renames_recovers(spark, tmp_path):
+    """Crash window of the swap: store moved to .old-<ns> but the new
+    state not yet renamed in (the state swap_dir can be killed in).
+    snapshot() must restore the parked state, and replaying the
+    interrupted batch must converge to the correct snapshot."""
+    import os
+    import time as _t
+
+    store = str(tmp_path / "store")
+    ups = StreamingUpsert(
+        spark, store, keys=["k"], payload_cols=["val"], seq_col="seq"
+    )
+    ups.apply_batch(_changes(spark, LOG[:4]), 0)
+    committed = _snap_rows(spark, store)
+    # simulate the crash: park the store exactly as swap_dir's first
+    # rename does, leaving no live store dir
+    os.replace(store, f"{store}.old-{_t.time_ns()}")
+    assert ups.snapshot() is not None  # recovery restored the parked state
+    assert _snap_rows(spark, store) == committed
+    # the interrupted batch replays on top and converges
+    ups.apply_batch(_changes(spark, LOG[4:]), 1)
+    assert _snap_rows(spark, store) == [(1, "a2"), (2, "b2"), (4, "d1")]
+
+
+def test_failed_write_leaves_no_orphan_tmp(spark, tmp_path):
+    """A failing micro-batch write must not accumulate .upsert-<ns>
+    orphans next to the store."""
+    import os
+
+    store = str(tmp_path / "store")
+    ups = StreamingUpsert(
+        spark, store, keys=["k"], payload_cols=["val"], seq_col="seq"
+    )
+    ups.apply_batch(_changes(spark, LOG[:4]), 0)
+    # force a deterministic write-time failure: a python UDF raising
+    # inside the plan, so the tmp dir is partially written then abandoned
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import LongType
+
+    @SF.udf(LongType())
+    def boom(x):
+        raise RuntimeError("boom")
+
+    bad = spark.createDataFrame([(9, "x", "I", 99)], SCHEMA).withColumn(
+        "seq", boom("seq")
+    )
+    with pytest.raises(Exception):
+        ups.apply_batch(bad, 1)
+    siblings = [
+        f for f in os.listdir(tmp_path) if f.startswith("store.upsert-")
+    ]
+    assert siblings == []
+    # store unchanged and readable
+    assert _snap_rows(spark, store) == [(1, "a1"), (2, "b2"), (3, "c1")]
