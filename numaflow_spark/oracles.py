@@ -2381,3 +2381,43 @@ STAGED_ORACLES["negative_balance_exposure"] = """
 # promotion event 9 twin (see queries.py)
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# r7 staged queue twins (verified, awaiting the r7 window rotation).
+
+STAGED_ORACLES["dow_hour_heatmap"] = """
+    SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_u
+    FROM events
+    GROUP BY dow, hour
+"""
+
+STAGED_ORACLES["first_event_census"] = """
+    WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type AS first_type, count(*) AS n_users
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+"""
+
+STAGED_ORACLES["wau_dau_stickiness"] = """
+    WITH day_user AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT day, count(DISTINCT user_id) AS dau FROM day_user GROUP BY day
+    ), wau AS (
+        SELECT day + off AS day, count(DISTINCT user_id) AS wau
+        FROM day_user, UNNEST(generate_series(0, 6)) AS t(off)
+        GROUP BY day + off
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           (dau * 1000000) // wau AS stickiness_ppm
+    FROM dau JOIN wau ON dau.day = wau.day
+"""

@@ -3698,3 +3698,83 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_HEAD6)},
 }
 STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r7 staged queue (NOT promoted this round — the r6 certification window is
+# full at 50 fresh entries; these are verified and ready for the r7
+# rotation). Standing criteria apply: hash-green at sf0.001 + sf0.01 via
+# `tools/check_queries.py --staged` before any window slot.
+# ---------------------------------------------------------------------------
+
+
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: events and value by (day-of-week, hour) — the
+    capacity-planning census. Day-of-week via pure integer epoch math
+    ((epoch_days + 4) mod 7, 0 = Sunday; engine date functions disagree
+    on week origin, integers cannot). One tiny 7x24 groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+            F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
+            F.expr("cast(floor(value * 1000000) as bigint)").alias("v_u"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n_events"), F.sum("v_u").alias("value_u"))
+    )
+
+
+def q_first_event_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-context census: each user's FIRST event type, counted —
+    the cold-start profile (users whose first touch is already a purchase
+    need no funnel). One user_id exchange: the rank window and nothing
+    else touches the corpus; the census is a 5-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_u", "event_id")
+    first = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return first.groupBy(F.col("event_type").alias("first_type")).agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def q_wau_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU in integer ppm) per day: daily distinct users
+    against the trailing-7-day distinct users ending that day — the
+    engagement ratio every growth dashboard tracks. The trailing-window
+    side reuses the sliding_distinct_users shape (explode each distinct
+    (day, user) into the 7 window-ends it serves); the join is day-keyed
+    and tiny. Windows with no 7-day history still report (ppm is exact
+    on whatever history exists — the standard convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        day_user.select(
+            F.explode(F.expr("sequence(day, day + 6)")).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+    )
+
+
+STAGED_QUERIES["dow_hour_heatmap"] = q_dow_hour_heatmap
+STAGED_QUERIES["first_event_census"] = q_first_event_census
+STAGED_QUERIES["wau_dau_stickiness"] = q_wau_dau_stickiness
