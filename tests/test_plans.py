@@ -722,3 +722,26 @@ def test_negative_balance_filters_reach_scans(spark):
     assert "c_acctbal" in joined and "o_orderstatus" in joined
     assert nodes(plan, "BroadcastHashJoin") == 2
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_dow_hour_heatmap_rowlocal_census(spark):
+    """Integer dow/hour bucketing is row-local codegen feeding one tiny
+    7x24 groupBy: one exchange, partial+final agg, no Python."""
+    plan = staged_plan_of(spark, "dow_hour_heatmap")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "HashAggregate") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_first_event_census_single_user_exchange(spark):
+    plan = staged_plan_of(spark, "first_event_census")
+    assert nodes(plan, "Window") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_wau_dau_day_keyed_join(spark):
+    """Both sides collapse to per-day aggregates before the join: no
+    cartesian, no Python, the join keys on day."""
+    plan = staged_plan_of(spark, "wau_dau_stickiness")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
