@@ -76,11 +76,20 @@ def test_interval_join_streaming_e2e(spark, tmp_path):
             if got == EXPECTED:
                 break
             time.sleep(0.3)
-        assert got == EXPECTED
+        assert got == EXPECTED, f"timed out; sink has {got!r}"
         # bounded state: the join runs with a state operator whose eviction
-        # is driven by the two watermarks (no unbounded-state rejection)
-        progress = q.lastProgress or {}
-        assert progress.get("stateOperators"), "join must be stateful"
+        # is driven by the two watermarks (no unbounded-state rejection).
+        # Progress reporting lags the sink commit, so poll recentProgress
+        # instead of reading lastProgress once (full-suite flake, r6).
+        state_seen = False
+        state_deadline = time.monotonic() + 30
+        while time.monotonic() < state_deadline and not state_seen:
+            state_seen = any(
+                p.get("stateOperators") for p in (q.recentProgress or [])
+            )
+            if not state_seen:
+                time.sleep(0.3)
+        assert state_seen, "join must be stateful"
     finally:
         q.stop()
 
