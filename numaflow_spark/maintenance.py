@@ -46,7 +46,9 @@ def recover_dir(path: str) -> bool:
     restore the NEWEST one — the pre-swap state; the interrupted writer's
     batch replays on top (all swap users here are replay-idempotent).
     Stray ``.old-*`` siblings next to a live ``path`` (crash after the
-    second rename, before cleanup) and orphaned write temps are removed.
+    second rename, before cleanup) are removed. Orphaned write temps are
+    NOT touched — a concurrent writer may own them; writers clean their
+    own temp on failure (see the try/except around each tmp write).
     Returns True if a restore happened."""
     parent = os.path.dirname(os.path.abspath(path)) or "."
     base = os.path.basename(path.rstrip("/"))
