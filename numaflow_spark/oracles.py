@@ -2421,3 +2421,38 @@ STAGED_ORACLES["wau_dau_stickiness"] = """
            (dau * 1000000) // wau AS stickiness_ppm
     FROM dau JOIN wau ON dau.day = wau.day
 """
+
+STAGED_ORACLES["dedup_rate_by_source"] = """
+    WITH fp AS (
+        SELECT source,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS fp
+        FROM documents
+    ), agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+        FROM fp GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           ((n_docs - n_distinct) * 1000000) // n_docs AS dup_ppm
+    FROM agg
+"""
+
+STAGED_ORACLES["supplier_lead_time_stats"] = """
+    WITH x AS (
+        SELECT l_suppkey,
+               epoch_us(l_shipdate) // 86400000000
+               - epoch_us(o_orderdate) // 86400000000 AS lead_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), m AS (
+        SELECT l_suppkey, count(*) AS n,
+               CAST(sum(lead_days) AS BIGINT) AS s1,
+               CAST(sum(lead_days * lead_days) AS BIGINT) AS s2
+        FROM x GROUP BY l_suppkey
+        HAVING count(*) >= 10
+    )
+    SELECT l_suppkey, n,
+           (s1 * 100) // n AS mean_days_x100,
+           ((n * s2 - s1 * s1) * 10000) // (n * n) AS var_days_x10000
+    FROM m
+"""

@@ -3778,3 +3778,67 @@ def q_wau_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED_QUERIES["dow_hour_heatmap"] = q_dow_hour_heatmap
 STAGED_QUERIES["first_event_census"] = q_first_event_census
 STAGED_QUERIES["wau_dau_stickiness"] = q_wau_dau_stickiness
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation KPI: per ingest source, exact-duplicate rate in integer
+    ppm — docs vs distinct normalized fingerprints (operators/text.py's
+    md5-over-normalized-text, the same identity the dedup operators key
+    on). One fingerprint shuffle; the per-source census is tiny."""
+    from numaflow_spark.operators.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint_md5(F.col("text")).alias("fp"))
+    agg = fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        F.expr("((n_docs - n_distinct) * 1000000) div n_docs").alias(
+            "dup_ppm"
+        ),
+    )
+
+
+def q_supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-consistency profile: per supplier, order->ship lead-time
+    count, mean (x100) and variance (x10000) — ALL integer, via the
+    moment identity n*Var = n*Σx² - (Σx)²; per-supplier n keeps every
+    product far inside bigint (documented bound: n·Σx² < 2^63 needs
+    n ≲ 2.5e7 rows per supplier at 120-day lead times). One orderkey
+    join + one supplier rollup; suppliers under 10 lines filtered so the
+    moments mean something."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("od"),
+    )
+    l = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("sd"),
+    )
+    x = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        "l_suppkey", (F.col("sd") - F.col("od")).alias("lead_days")
+    )
+    m = x.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum("lead_days").alias("s1"),
+        F.sum(F.expr("lead_days * lead_days")).alias("s2"),
+    ).filter(F.col("n") >= 10)
+    return m.select(
+        "l_suppkey",
+        "n",
+        F.expr("(s1 * 100) div n").alias("mean_days_x100"),
+        F.expr("((n * s2 - s1 * s1) * 10000) div (n * n)").alias(
+            "var_days_x10000"
+        ),
+    )
+
+
+STAGED_QUERIES["dedup_rate_by_source"] = q_dedup_rate_by_source
+STAGED_QUERIES["supplier_lead_time_stats"] = q_supplier_lead_time_stats

@@ -745,3 +745,18 @@ def test_wau_dau_day_keyed_join(spark):
     plan = staged_plan_of(spark, "wau_dau_stickiness")
     assert nodes(plan, "CartesianProduct") == 0
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_dedup_rate_one_fingerprint_shuffle(spark):
+    plan = staged_plan_of(spark, "dedup_rate_by_source")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_lead_time_stats_partial_moments(spark):
+    """The moment sums (n, s1, s2) combine map-side: partial+final agg
+    above the orderkey join, no Python, no cartesian."""
+    plan = staged_plan_of(spark, "supplier_lead_time_stats")
+    assert nodes(plan, "HashAggregate") == 2
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
