@@ -1870,7 +1870,8 @@ STAGED_ORACLES["inverted_index"] = """
             SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents
         ) WHERE len(term) > 0
     )
-    SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    SELECT term, count(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM pairs GROUP BY term HAVING count(*) >= 10
 """
 
@@ -2456,3 +2457,7 @@ STAGED_ORACLES["supplier_lead_time_stats"] = """
            ((n * s2 - s1 * s1) * 10000) // (n * n) AS var_days_x10000
     FROM m
 """
+
+# Promotion event 10 twin (see queries.py — r7 window rotation).
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

