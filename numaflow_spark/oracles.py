@@ -713,8 +713,13 @@ _NEARDUP_PAIRS_CTES = """
 # component id = min reachable node. The recursive UNION deduplicates, so
 # the fixpoint is the closure — exact CC for oracle-scale graphs (the Spark
 # side uses large-star/small-star, which computes the same fixpoint).
+# `und` MUST be MATERIALIZED: DuckDB inlines plain CTEs into the recursive
+# loop, so every iteration re-ran the entire upstream candidate-pair chain
+# (the banded-LSH scan included) — measured 47.9s -> 2.5s at sf0.1 for
+# embedding_clusters from this one keyword. The recursion then iterates
+# over a few-hundred-row edge table, which is the shape that scales.
 _CC_CTES = """
-    und AS (
+    und AS MATERIALIZED (
         SELECT d1 AS a, d2 AS b FROM pairs
         UNION ALL
         SELECT d2, d1 FROM pairs
