@@ -44,21 +44,47 @@ def _require(module: str, extra: str):
         ) from e
 
 
+def _pulsar_module(choice: str = "auto"):
+    """Client resolution for S4/K4: the pulsar-client wheel when installed,
+    else the built-in binary-protocol client (sources/pulsar_wire.py — the
+    same Client surface over real Pulsar frames). Same pattern as the NATS
+    handles' nats-py/builtin fallback."""
+    if choice == "pulsar-client":
+        return _require("pulsar", "Pulsar")
+    if choice == "builtin":
+        from numaflow_spark.sources import pulsar_wire
+
+        return pulsar_wire
+    try:
+        return __import__("pulsar")
+    except ImportError:
+        from numaflow_spark.sources import pulsar_wire
+
+        return pulsar_wire
+
+
 class PulsarSourceHandle(SourceHandle):
     """S4: shared-subscription consumer; ack = cumulative ack to the last
-    message id of the committed range (pulsar_source.go)."""
+    message id of the committed range (pulsar_source.go).
+
+    Works with NO extra dependency: when the pulsar-client wheel is absent
+    the built-in binary-protocol client (sources/pulsar_wire.py — same
+    Client/subscribe/receive/acknowledge surface, real Pulsar frames) takes
+    over — wire-level e2e in tests/test_pulsar_wire.py. options["client"]:
+    "auto" (default) | "pulsar-client" | "builtin"."""
 
     def __init__(self, options: dict):
         self.service_url = options.get("service_url", "pulsar://localhost:6650")
         self.topic = options["topic"]
         self.subscription = options.get("subscription", "numaflow-spark")
         self.batch_size = int(options.get("batch_size", 500))
+        self.client_choice = options.get("client", "auto")
         self._client = None
         self._inflight: dict[int, object] = {}  # seq -> MessageId, acked on commit
         self._seq = 0
 
     def _consumer(self):
-        pulsar = _require("pulsar", "Pulsar")
+        pulsar = _pulsar_module(self.client_choice)
         if self._client is None:
             self._client = pulsar.Client(self.service_url)
             self._cons = self._client.subscribe(
@@ -377,11 +403,11 @@ def envelope_to_sqs_entry(row, entry_id: int) -> dict:
 _PULSAR_PRODUCERS: dict[tuple, object] = {}
 
 
-def _pulsar_producer_cached(service_url: str, topic: str, producer_name):
+def _pulsar_producer_cached(service_url: str, topic: str, producer_name, choice: str = "auto"):
     key = (service_url, topic, producer_name)
     prod = _PULSAR_PRODUCERS.get(key)
     if prod is None:
-        pulsar = _require("pulsar", "Pulsar")
+        pulsar = _pulsar_module(choice)
         client = pulsar.Client(service_url)
         prod = client.create_producer(topic, producer_name=producer_name)
         _PULSAR_PRODUCERS[key] = prod
@@ -402,6 +428,7 @@ class PulsarSinkHandle:
         self.service_url = options.get("service_url", "pulsar://localhost:6650")
         self.topic = options["topic"]
         self.producer_name = options.get("producer_name")
+        self.client_choice = options.get("client", "auto")
         # injectable for broker-free tests; must be picklable enough for
         # local-mode executors (cloudpickle handles closures)
         self._client_factory = client_factory
@@ -409,7 +436,10 @@ class PulsarSinkHandle:
     def _producer(self):
         if self._client_factory is not None:
             return self._client_factory()
-        return _pulsar_producer_cached(self.service_url, self.topic, self.producer_name)
+        return _pulsar_producer_cached(
+            self.service_url, self.topic, self.producer_name,
+            getattr(self, "client_choice", "auto"),
+        )
 
     def send_partition(self, rows) -> None:
         producer = None

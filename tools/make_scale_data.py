@@ -1,0 +1,144 @@
+"""Derived x10 scale dataset ("sf1") for local engine-vs-oracle certification.
+
+The sandbox ships driver-generated parquet only up to sf0.1 (TESTDATA.md) and
+/root/testdata is read-only, so sf1-scale certification needs a derived
+input. This tool replicates the sf0.1 tables R times (default 10) with
+key-space shifts that preserve referential integrity, writing single parquet
+FILES (DuckDB-authored, so both engines read literally the same bytes) under
+an in-repo directory that is gitignored.
+
+The derivation is designed so the x10 corpus scales ORGANICALLY rather than
+pathologically — every query's cost and output should grow ~linearly, the
+way a 10x bigger real corpus would, not quadratically through cross-replica
+duplicate collisions:
+
+- region/nation: copied (fixed dimensions; per-nation groups grow 10x).
+- customer/supplier/part/orders/lineitem/events: replicated with each key
+  column shifted by replica_i * (max_key + 1), so joins only match within a
+  replica and fact/dim ratios are preserved.
+- part.p_name: replicas 1+ append a 4-char replica tag (' bbbb', ' cccc',
+  ...). Pairwise tag edit distance >= 4 > the editdist operator's max_dist=2,
+  so Levenshtein pairs stay within-replica (10x pairs, not 100x).
+- documents.text: replicas 1+ get a deterministic per-replica TOKEN
+  PERMUTATION (sort positions by hash(position, replica)). Token multisets —
+  so vocab, token counts, BPE, quality stats — are preserved exactly, while
+  shingles/minhash/simhash/winnowing fingerprints diverge across replicas:
+  each replica keeps sf0.1's planted dup structure internally (identical
+  texts permute identically) and contributes its own dup groups, so dedup
+  outputs scale 10x instead of every doc acquiring 9 cross-replica twins.
+  Token permutation preserves text length (same tokens, same single-space
+  joins), so n_chars stays exact.
+- embeddings.embedding: replicas 1+ get a circular rotation by replica
+  index. Rotations of these vectors are uncorrelated, so ANN/cluster
+  structure replicates (10x clusters) rather than collapsing into
+  64-member identical cliques.
+
+Usage: python tools/make_scale_data.py [out_dir] [R] [src_sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC_DEFAULT = "/root/testdata/sf0.1"
+OUT_DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1")
+
+# (table, [key columns shifted by replica * (max+1)])
+SHIFTS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation"]
+
+
+def _strides(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
+    """One stride per key DOMAIN (not per table): o_custkey must shift by the
+    customer stride, vec_id by the doc stride, etc., or the integrity of
+    cross-table joins breaks."""
+    q = lambda t, c: con.execute(
+        f"SELECT max({c}) + 1 FROM '{src}/{t}.parquet'"
+    ).fetchone()[0]
+    return {
+        "c_custkey": q("customer", "c_custkey"),
+        "s_suppkey": q("supplier", "s_suppkey"),
+        "p_partkey": q("part", "p_partkey"),
+        "o_orderkey": q("orders", "o_orderkey"),
+        "event_id": q("events", "event_id"),
+        "user_id": q("events", "user_id"),
+        # one id domain for documents+embeddings (vec_id joins doc_id)
+        "doc_id": q("documents", "doc_id"),
+    }
+
+
+DOMAIN_OF = {
+    "c_custkey": "c_custkey", "o_custkey": "c_custkey",
+    "s_suppkey": "s_suppkey", "l_suppkey": "s_suppkey",
+    "p_partkey": "p_partkey", "l_partkey": "p_partkey",
+    "o_orderkey": "o_orderkey", "l_orderkey": "o_orderkey",
+    "event_id": "event_id", "user_id": "user_id",
+    "doc_id": "doc_id", "vec_id": "doc_id",
+}
+
+
+def replica_select(table: str, i: int, strides: dict[str, int], src: str) -> str:
+    cols = []
+    con_cols = duckdb.connect().execute(
+        f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'"
+    ).fetchall()
+    for name, typ, *_ in con_cols:
+        if name in SHIFTS.get(table, []):
+            cols.append(f"{name} + {i * strides[DOMAIN_OF[name]]} AS {name}")
+        elif table == "part" and name == "p_name" and i > 0:
+            tag = chr(ord("a") + i) * 4
+            cols.append(f"p_name || ' {tag}' AS p_name")
+        elif table == "documents" and name == "text" and i > 0:
+            # deterministic per-replica token permutation: stable across
+            # identical texts (depends only on position + replica), so
+            # within-replica exact-dup groups survive the shuffle.
+            cols.append(
+                "array_to_string(list_transform(list_sort(list_transform("
+                "generate_series(1, len(string_split(text, ' '))), "
+                f"j -> struct_pack(k := hash(j, {i}), t := string_split(text, ' ')[j]))), "
+                "s -> s.t), ' ') AS text"
+            )
+        elif table == "embeddings" and name == "embedding" and i > 0:
+            cols.append(
+                f"list_concat(embedding[{i + 1}:], embedding[:{i}]) AS embedding"
+            )
+        else:
+            cols.append(name)
+    return f"SELECT {', '.join(cols)} FROM '{src}/{table}.parquet'"
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else OUT_DEFAULT
+    r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else SRC_DEFAULT
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    strides = _strides(con, src)
+    print(f"strides: {strides}")
+    for t in COPY:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+    for t in SHIFTS:
+        union = "\nUNION ALL\n".join(replica_select(t, i, strides, src) for i in range(r))
+        con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
