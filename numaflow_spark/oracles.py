@@ -2466,3 +2466,129 @@ STAGED_ORACLES["supplier_lead_time_stats"] = """
 # Promotion event 10 twin (see queries.py — r7 window rotation).
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# ---------------------------------------------------------------------------
+# r8 staged queue twins. Integer-only / set-determined outputs; every SUM
+# DuckDB would promote to HUGEINT is cast back to BIGINT; rank()/row_number()
+# cast to INTEGER to match Spark's IntegerType.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["topk_brand_parts_ties"] = """
+    WITH rev AS (
+        SELECT p_brand, p_partkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    ), ranked AS (
+        SELECT *,
+               CAST(rank() OVER (PARTITION BY p_brand ORDER BY rev_c DESC)
+                    AS INTEGER) AS rnk
+        FROM rev
+    )
+    SELECT p_brand, p_partkey, rev_c, rnk FROM ranked WHERE rnk <= 3
+"""
+
+STAGED_ORACLES["quantity_quartiles"] = """
+    WITH base AS (
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+    ), ranked AS (
+        SELECT l_returnflag, qty,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM base
+    )
+    SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (n + 3) // 4 THEN qty END) AS q25_qty,
+           max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS q50_qty,
+           max(CASE WHEN rn = (3 * n + 3) // 4 THEN qty END) AS q75_qty
+    FROM ranked GROUP BY l_returnflag
+"""
+
+STAGED_ORACLES["session_funnel"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), numbered AS (
+        SELECT *,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+               ) AS sess_no
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_no, count(*) AS n_events,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM numbered GROUP BY user_id, sess_no
+    )
+    SELECT length(bin(n_events)) AS size_bucket,
+           count(*) AS n_sessions,
+           CAST(sum(conv) AS BIGINT) AS n_converted
+    FROM sessions GROUP BY size_bucket
+"""
+
+STAGED_ORACLES["brand_rank_shift_yoy"] = """
+    WITH yearly AS (
+        SELECT p_brand, year(l_shipdate) AS yr,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, yr
+    ), ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY yr ORDER BY rev_c DESC, p_brand
+               ) AS INTEGER) AS rnk
+        FROM yearly
+    )
+    SELECT p_brand, yr, rev_c, rnk,
+           lag(rnk) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_rnk
+    FROM ranked
+"""
+
+STAGED_ORACLES["source_overlap_matrix"] = """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(w, u.i, u.i + 4), ' ') AS sh
+        FROM toks, unnest(range(1, len(w) - 3)) u(i)
+        WHERE len(w) >= 5
+    )
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY src_a, src_b
+"""
+
+STAGED_ORACLES["customer_order_gap_median"] = """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) // 86400000000 AS od
+        FROM orders
+    ), gaps AS (
+        SELECT o_custkey,
+               od - lag(od) OVER (
+                   PARTITION BY o_custkey ORDER BY od, o_orderkey
+               ) AS gap_days
+        FROM o
+    ), ranked AS (
+        SELECT o_custkey, gap_days,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY gap_days
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS m
+        FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT o_custkey, CAST(max(m) AS BIGINT) AS n_gaps,
+           max(CASE WHEN rn = (m + 1) // 2 THEN gap_days END) AS median_gap_days
+    FROM ranked GROUP BY o_custkey
+    HAVING max(m) >= 3
+"""

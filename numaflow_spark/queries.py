@@ -3893,3 +3893,198 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R7_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)},
 }
+
+
+# ---------------------------------------------------------------------------
+# r8 staged queue (NOT promoted this round). Standing criteria: hash-green at
+# sf0.001 + sf0.01 via `tools/check_queries.py --staged` before any window
+# slot. Candidates from the r6 verdict's breadth list: top-k with ties,
+# exact order-statistic quantiles, streaming-consistent sessionization,
+# rank-shift, cross-source contamination, per-entity median.
+# ---------------------------------------------------------------------------
+
+
+def q_topk_brand_parts_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue WITH ties (rank(), not
+    row_number()): the leaderboard semantics where equal revenue shares
+    the podium — the output is determined by the VALUE SET, so it is
+    engine-order-independent without any tiebreak column. One part-key
+    rollup + a rank window over the collapsed (brand, part) table; the
+    fact scan never sees the window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice").cast(DEC))).alias("rev_c"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev_c"))
+    return rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+
+
+def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quartiles of order quantity per return flag, as order
+    statistics (value at row ceil(q*n) of the sorted column — the
+    inverse-CDF definition). percentile_approx-style sketches are
+    engine-specific; the order-statistic form is bit-identical on any
+    engine because the value at a rank is a property of the sorted
+    multiset (row_number tiebreaks between equal qty rows cannot change
+    it). One exchange: rank + count ride the same returnflag partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag", F.floor("l_quantity").cast("bigint").alias("qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("qty")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = base.select(
+        "l_returnflag",
+        "qty",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("qty"))).alias("q25_qty"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("qty"))).alias("q50_qty"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("qty"))).alias("q75_qty"),
+    )
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by session size: 30-minute-gap sessionization (the exact
+    batch twin of a session-window streaming reduce), each session flagged
+    if it contains a purchase, then a census over power-of-two session-size
+    buckets — does engagement length buy conversion? One user_id exchange
+    for the two stacked windows; the census is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | (F.col("ts_s") - F.lag("ts_s").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_no", F.sum("new_sess").over(w))
+    sessions = marked.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    return (
+        sessions.groupBy(
+            F.length(F.expr("bin(n_events)")).cast("bigint").alias("size_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("conv").alias("n_converted"),
+        )
+    )
+
+
+def q_brand_rank_shift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard churn: each brand's revenue rank within a ship year vs
+    its rank in its previous appearing year — the market-movement report.
+    Rank order is totalized (rev desc, brand) so both engines place every
+    row identically; the shift rides a lag window on the tiny (brand,
+    year) rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    yearly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(F.sum(_cents(F.col("l_extendedprice").cast(DEC))).alias("rev_c"))
+    )
+    wy = Window.partitionBy("yr").orderBy(F.desc("rev_c"), "p_brand")
+    wb = Window.partitionBy("p_brand").orderBy("yr")
+    ranked = yearly.withColumn("rnk", F.row_number().over(wy))
+    return ranked.select(
+        "p_brand", "yr", "rev_c", "rnk", F.lag("rnk").over(wb).alias("prev_rnk")
+    )
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct 5-gram shingles shared
+    between every pair of ingest sources — the decontamination audit that
+    tells you WHICH corpora leak into each other (the per-doc variant is
+    `decontaminate`/`dup_ngram_frac`; this is the corpus-level rollup).
+    Scale shape: one distinct over (source, shingle) — linear — then a
+    shingle-keyed self-join whose blowup is bounded by sources-per-shingle
+    (≤ 20 here); stop-word-grade shingles are the documented skew point,
+    the same segmenting mitigation as the inverted index applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 5)
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> array_join(slice(w, i, 5), ' '))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def q_customer_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence: per customer, the EXACT median gap in days between
+    consecutive orders (lower median as an order statistic — same
+    engine-proof form as q_quantity_quartiles), for customers with >= 3
+    gaps. Both windows (the consecutive-order lag and the gap rank) hash
+    on o_custkey, so the whole query is one exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("od").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("o_custkey", (F.col("od") - F.col("prev")).alias("gap_days"))
+    )
+    wg = Window.partitionBy("o_custkey").orderBy("gap_days")
+    wn = Window.partitionBy("o_custkey")
+    ranked = gaps.select(
+        "o_custkey",
+        "gap_days",
+        F.row_number().over(wg).alias("rn"),
+        F.count("*").over(wn).alias("m"),
+    )
+    return (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.max("m").alias("n_gaps"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(m + 1) div 2"), F.col("gap_days"))
+            ).alias("median_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+
+
+STAGED_QUERIES["topk_brand_parts_ties"] = q_topk_brand_parts_ties
+STAGED_QUERIES["quantity_quartiles"] = q_quantity_quartiles
+STAGED_QUERIES["session_funnel"] = q_session_funnel
+STAGED_QUERIES["brand_rank_shift_yoy"] = q_brand_rank_shift_yoy
+STAGED_QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+STAGED_QUERIES["customer_order_gap_median"] = q_customer_order_gap_median

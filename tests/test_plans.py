@@ -760,3 +760,57 @@ def test_lead_time_stats_partial_moments(spark):
     assert nodes(plan, "HashAggregate") == 2
     assert nodes(plan, "CartesianProduct") == 0
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_topk_ties_rank_on_collapsed_rollup(spark):
+    """The rank window runs over the (brand, part) ROLLUP, not the fact
+    scan: dim join broadcasts, two exchanges total (rollup keys + brand
+    window), no Python."""
+    plan = staged_plan_of(spark, "topk_brand_parts_ties")
+    assert nodes(plan, "BroadcastHashJoin") == 1
+    assert nodes(plan, "Exchange") == 2
+    assert nodes(plan, "Window") == 1
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_quantity_quartiles_one_exchange_two_windows(spark):
+    """Both order-statistic windows (row_number + partition count) hash on
+    l_returnflag and share ONE exchange — the quantile never re-shuffles."""
+    plan = staged_plan_of(spark, "quantity_quartiles")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "Window") == 2
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_session_funnel_stacked_user_windows(spark):
+    """Sessionization's lag + running-sum windows stack on the same
+    user_id partitioning; only the tiny bucket census re-shuffles."""
+    plan = staged_plan_of(spark, "session_funnel")
+    assert nodes(plan, "Exchange") == 2
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_brand_rank_shift_windows_on_rollup(spark):
+    plan = staged_plan_of(spark, "brand_rank_shift_yoy")
+    assert nodes(plan, "BroadcastHashJoin") == 1
+    assert nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_source_overlap_shingle_equijoin_no_cartesian(spark):
+    """The contamination matrix is a shingle-keyed EQUI-join over the
+    distinct (source, shingle) table — never an all-pairs comparison."""
+    plan = staged_plan_of(spark, "source_overlap_matrix")
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_gap_median_single_custkey_exchange(spark):
+    """All three windows (consecutive-order lag, gap rank, gap count) hash
+    on o_custkey: the whole median pipeline is ONE exchange."""
+    plan = staged_plan_of(spark, "customer_order_gap_median")
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "Window") == 3
+    assert not re.search(r"EvalPython|MapInPandas", plan)
