@@ -204,6 +204,39 @@ def fuzzy_dedup(
     return comp, survivors
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Per-group distinct item pairs ``(group, u, v)`` with ``u < v`` — the
+    co-occurrence/edge-build primitive under market-basket and co-purchase
+    graphs. One ``collect_set`` per group (set dedup rides the aggregation),
+    then the pair expansion runs ROW-LOCALLY over the sorted item array
+    inside codegen: the input shuffles ONCE on the group key, versus twice
+    (both join sides) plus a sort-merge for the equivalent self-join, and
+    no (group, item) pre-distinct exchange is needed. Pair blowup is
+    |group|² exactly like the self-join formulation — bounded by basket
+    size, never corpus size — and a pathologically large group surfaces as
+    one big aggregation value rather than a skewed join key (salt upstream
+    if a group can exceed executor memory; TPC-H-shape baskets are ≤7)."""
+    from pyspark.sql import functions as F
+
+    sets = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
+    )
+    return sets.select(
+        F.col(group_col),
+        F.explode(
+            F.expr(
+                "flatten(transform(_items, (x, i) -> "
+                "transform(slice(_items, i + 2, size(_items)), "
+                "y -> named_struct('u', x, 'v', y))))"
+            )
+        ).alias("_e"),
+    ).select(group_col, F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "u",

@@ -2296,26 +2296,19 @@ def q_hourly_channel_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-occurring in >= 2 orders,
-    top-50 by support. The self-join keys on l_orderkey, so pair blowup
-    is bounded by per-order item count (~7 in TPC-H), never corpus-
-    quadratic; distinct-before-count collapses multi-line duplicates.
-    Heap take (TakeOrderedAndProject) with a full deterministic
-    tie-break."""
+    top-50 by support. Edge build via operators/graph.py::cooccurrence_pairs
+    (one orderkey shuffle + row-local pair expansion over the per-order
+    item set — r7 rewrite of the orderkey self-join, which shuffled
+    lineitem twice); pair blowup stays bounded by per-order item count
+    (~7 in TPC-H), never corpus-quadratic, and the set-agg collapses
+    multi-line duplicates. Heap take (TakeOrderedAndProject) with a full
+    deterministic tie-break."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("okey"),
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .distinct()
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(F.col("u").alias("p1"), F.col("v").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
@@ -2821,18 +2814,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order), via operators/graph.py::triangle_count — degree-ordered
     orientation bounds the wedge join at O(sqrt(m)) per node, the
     skew-proof MapReduce formulation. Oracle: the id-oriented 3-way
-    self-join (orientation choice never changes the count)."""
-    from numaflow_spark.operators.graph import triangle_count
+    self-join (orientation choice never changes the count). Edge build via
+    cooccurrence_pairs (one orderkey shuffle + row-local pair expansion —
+    r7 rewrite of the orderkey self-join that shuffled lineitem twice)."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs, triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("u", "v")
         .distinct()
     )
     return triangle_count(edges)
@@ -3218,24 +3208,20 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles table joins back TWICE by part key (broadcastable — |parts|
     rows); n_orders rides as a 1-row broadcast; the top-50 is a heap take.
     All-integer lift via bigint floor division. Pairs below support 5 are
-    cut before the joins, the standard a-priori prune."""
+    cut before the joins, the standard a-priori prune. Pair build via
+    cooccurrence_pairs (one orderkey shuffle, row-local expansion — r7
+    rewrite of the self-join)."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = op.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
     singles = op.groupBy("l_partkey").agg(F.count("*").alias("n_single"))
-    a, b = op.alias("a"), op.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        cooccurrence_pairs(li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey")
+        .groupBy(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
     )
@@ -3510,15 +3496,12 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edges -> per-node degree (each edge counted at both ends
     via the symmetric union) -> log2-bucket census. bin()-length bucketing
     keeps it integer-exact (no libm log2)."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("u", "v")
         .distinct()
     )
     und = edges.unionByName(

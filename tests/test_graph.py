@@ -217,3 +217,35 @@ def test_cluster_conf_checkpoint_dir():
     assert "spark.numaflow_spark.checkpoint.dir" not in cluster_conf()
     conf = cluster_conf(checkpoint_dir="hdfs://nn/ckpt")
     assert conf["spark.numaflow_spark.checkpoint.dir"] == "hdfs://nn/ckpt"
+
+
+def test_cooccurrence_pairs_matches_self_join(spark):
+    """The one-shuffle set-expansion edge build is pair-for-pair identical
+    to the classic group-keyed self-join (including multi-line duplicate
+    collapse), which it replaced in r7 for halving shuffle volume."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 10),   # dup item in group
+        (2, 20), (2, 20),                      # single-item group: no pairs
+        (3, 5),                                # singleton: no pairs
+        (4, 7), (4, 3),                        # unsorted input
+    ]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = sorted(
+        tuple(r) for r in cooccurrence_pairs(df, "g", "item").collect()
+    )
+    a, b = df.alias("a"), df.alias("b")
+    want = sorted(
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .select("a.g", F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    assert (1, 10, 20) in got and (4, 3, 7) in got
+    assert not any(g in (2, 3) for g, _, _ in got)

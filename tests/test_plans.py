@@ -492,8 +492,23 @@ def test_session_islands_single_exchange(spark):
 
 
 def test_triangle_count_no_cartesian_no_python(spark):
+    """r7: the co-purchase edge build is cooccurrence_pairs (one orderkey
+    shuffle + row-local expansion) — no lineitem self-join, so no
+    sort-merge join anywhere in the pipeline."""
     plan = staged_plan_of(spark, "triangle_count")
     assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "SortMergeJoin") == 0
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_basket_pairs_single_scan_edge_build(spark):
+    """The market-basket pair table reads lineitem ONCE (set-agg + local
+    expansion); the old self-join formulation scanned and shuffled it
+    twice."""
+    plan = staged_plan_of(spark, "basket_pairs")
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert nodes(plan, "SortMergeJoin") == 0
+    assert nodes(plan, "Exchange") == 2
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
@@ -675,6 +690,7 @@ def test_error_rate_hours_single_groupby(spark):
 def test_degree_distribution_no_cartesian(spark):
     plan = staged_plan_of(spark, "degree_distribution")
     assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "SortMergeJoin") == 0  # r7 cooccurrence edge build
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 

@@ -28,10 +28,15 @@ duplicate collisions:
   outputs scale 10x instead of every doc acquiring 9 cross-replica twins.
   Token permutation preserves text length (same tokens, same single-space
   joins), so n_chars stays exact.
-- embeddings.embedding: replicas 1+ get a circular rotation by replica
-  index. Rotations of these vectors are uncorrelated, so ANN/cluster
-  structure replicates (10x clusters) rather than collapsing into
-  64-member identical cliques.
+- embeddings.embedding: replicas 1+ get a deterministic per-replica
+  DIAGONAL SIGN FLIP (dim j negated when hash(j, replica) is odd) — an
+  orthogonal transform, so every within-replica dot product / cosine is
+  bit-exact-preserved (cluster structure replicates 10x organically),
+  while cross-replica cosines collapse to ~N(0, 1/sqrt(dim)) noise.
+  (A circular ROTATION was tried first and rejected: these synthetic
+  vectors are rotation-correlated, which exploded the banded-LSH
+  candidate set to 155M pairs at x10 — the pathological blowup this
+  derivation exists to avoid.)
 
 Usage: python tools/make_scale_data.py [out_dir] [R] [src_sf_dir]
 """
@@ -112,7 +117,9 @@ def replica_select(table: str, i: int, strides: dict[str, int], src: str) -> str
             )
         elif table == "embeddings" and name == "embedding" and i > 0:
             cols.append(
-                f"list_concat(embedding[{i + 1}:], embedding[:{i}]) AS embedding"
+                "list_transform(generate_series(1, len(embedding)), "
+                f"j -> CASE WHEN hash(j, {i}) % 2 = 0 "
+                "THEN embedding[j] ELSE -embedding[j] END) AS embedding"
             )
         else:
             cols.append(name)
