@@ -2592,3 +2592,8 @@ STAGED_ORACLES["customer_order_gap_median"] = """
     FROM ranked GROUP BY o_custkey
     HAVING max(m) >= 3
 """
+
+
+# Promotion event 11 twin (see queries.py — r8 window rotation).
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

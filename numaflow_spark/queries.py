@@ -4071,3 +4071,69 @@ STAGED_QUERIES["session_funnel"] = q_session_funnel
 STAGED_QUERIES["brand_rank_shift_yoy"] = q_brand_rank_shift_yoy
 STAGED_QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
 STAGED_QUERIES["customer_order_gap_median"] = q_customer_order_gap_median
+
+
+# ---------------------------------------------------------------------------
+# Promotion event 11 + r8 window rotation. The six staged queries above are
+# hash-green at sf0.001 AND sf0.01 (standing criteria, re-verified by the r7
+# judge), so they enter the registry; the certification window (first 50
+# keys — the slice the driver certifies each round) is rebuilt as:
+#   positions 1-6   the six newly promoted queries (first driver cert).
+#   positions 7-10  basket_pairs / triangle_count / copurchase_lift /
+#                   degree_distribution — rewritten onto cooccurrence_pairs
+#                   in r7 AFTER their r6 certs (VERDICT r7 "What's wrong" #3);
+#                   the rewrite-certification rule (test_registry_contract)
+#                   requires a fresh driver row for any post-cert rewrite.
+#   positions 11-50 the 40 least-recently-certified queries: the 6 whose
+#                   freshest green row is r4, then 34 of the 45 last green
+#                   in r5 (computed from CORRECTNESS_r01-r07).
+# Tail order (positions 51+) is untouched; no query leaves the registry.
+# ---------------------------------------------------------------------------
+QUERIES.update(STAGED_QUERIES)
+STAGED_QUERIES = {}
+
+_R8_WINDOW = [
+    "topk_brand_parts_ties", "quantity_quartiles", "session_funnel",
+    "brand_rank_shift_yoy", "source_overlap_matrix",
+    "customer_order_gap_median",
+    # post-rewrite re-certs (r7 commit cf8348e):
+    "basket_pairs", "triangle_count", "copurchase_lift",
+    "degree_distribution",
+    # 6 queries last green in r4:
+    "doc_quality_gopher", "grouping_sets", "hash_sample", "pii_scrub",
+    "salted_skew_join", "tfidf_topterms",
+    # 34 of the 45 last green in r5:
+    "audio_pcm_energy", "bm25_rank", "bpe_pair_counts",
+    "brand_supplier_counts", "cms_heavy_bigrams", "cohort_retention",
+    "corpus_curation", "customer_order_distribution", "decontaminate",
+    "discounted_brand_revenue", "domain_mix_sample", "dup_ngram_frac",
+    "embedding_clusters", "embedding_dedup_survivors", "embedding_quantize",
+    "excess_shipment_supplier", "forecast_revenue", "funnel_conversion",
+    "hll_distinct", "idle_customer_balance", "label_centroids",
+    "large_order_customers", "lsh_multiprobe_topk", "min_cost_supplier",
+    "nation_market_share", "neardup_clusters", "neardup_survivors",
+    "ngram_lm_score", "pq_adc_topk", "priority_pending_orders",
+    "promo_revenue_monthly", "quality_quantile_filter", "scd2_history",
+    "sequence_packing",
+]
+assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R8_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)},
+}
+
+
+# Rewrite-certification contract (VERDICT r7 "Next round" #4): any commit
+# that changes a REGISTERED query's plan must append its name here; the
+# registry-contract test pins this list inside the first-50 certification
+# window, so the next driver round re-certifies it. Remove a name only when
+# a later CORRECTNESS_r0N.json artifact carries its green row (the test
+# checks that too — stale entries that already got their fresh row fail
+# loudly so the list can't rot).
+RECERT_PENDING = [
+    # r7 commit cf8348e swapped the edge build to cooccurrence_pairs after
+    # the r6 certs; fresh driver rows expected in CORRECTNESS_r08.
+    "basket_pairs", "triangle_count", "copurchase_lift",
+    "degree_distribution",
+]
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])

@@ -35,6 +35,42 @@ def test_uncertified_queries_inside_driver_window():
     )
 
 
+def test_recert_pending_queries_inside_driver_window():
+    """Rewrite-certification rule (VERDICT r7 #4): a registered query whose
+    plan changed after its last driver cert must re-enter the window head.
+    RECERT_PENDING is the declaration; this test enforces (a) every pending
+    name sits inside the first-50 window and (b) no name lingers after a
+    fresh driver artifact already carries its green row — the list is a
+    queue, not a graveyard."""
+    from numaflow_spark.queries import QUERIES, RECERT_PENDING
+
+    head = set(list(QUERIES)[:50])
+    outside = [n for n in RECERT_PENDING if n not in head]
+    assert not outside, (
+        f"rewritten-after-cert queries outside the certification window: "
+        f"{outside}"
+    )
+    # Names whose fresh row already landed (any artifact from r8 on) must be
+    # removed so the queue reflects reality.
+    fresh: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+        rnd = int(os.path.basename(path).split("_r0")[1].split(".")[0])
+        if rnd < 8:
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        fresh |= {
+            name
+            for name, r in rows.items()
+            if isinstance(r, dict) and r.get("hash_match") and not r.get("err")
+        }
+    stale = [n for n in RECERT_PENDING if n in fresh]
+    assert not stale, (
+        f"RECERT_PENDING entries already re-certified by a fresh driver "
+        f"artifact — remove them: {stale}"
+    )
+
+
 def test_every_query_has_an_oracle():
     from numaflow_spark.oracles import ORACLES
     from numaflow_spark.queries import QUERIES

@@ -76,6 +76,16 @@ def main() -> int:
     only = set(argv[1:])
     report: dict[str, dict] = {}
 
+    def _flush():
+        # Flush after EVERY query: the r7 sf1 attempt died at a 5400s timeout
+        # having written nothing because the artifact landed only at the end.
+        # A partial artifact is evidence; a missing one is not.
+        if json_out:
+            import json
+
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=2)
+
     import __spark_entry__ as e
     from numaflow_spark.session import get_spark
 
@@ -105,6 +115,7 @@ def main() -> int:
                     "spark_rows": None, "oracle_rows": None,
                     "err": "skipped (--skip)",
                 }
+                _flush()
             continue
         # One query blowing up must not discard the evidence gathered for
         # every query before it: record the error and keep going.
@@ -119,6 +130,7 @@ def main() -> int:
                 "spark_rows": None, "oracle_rows": None,
                 "err": f"{type(ex).__name__}: {ex}",
             }
+            _flush()
             failures.append(name)
             continue
 
@@ -129,6 +141,7 @@ def main() -> int:
                 "spark_rows": len(spark_rows), "oracle_rows": None,
                 "err": "no_oracle (rows-only)",
             }
+            _flush()
             continue
 
         try:
@@ -142,6 +155,7 @@ def main() -> int:
                 "spark_rows": len(spark_rows), "oracle_rows": None,
                 "err": f"oracle: {type(ex).__name__}: {ex}",
             }
+            _flush()
             failures.append(name)
             continue
 
@@ -165,6 +179,7 @@ def main() -> int:
             "rows_match": rows_ok, "schema_match": schema_ok, "hash_match": hash_ok,
             "spark_rows": len(spark_rows), "oracle_rows": len(duck_rows), "err": None,
         }
+        _flush()
         if schema_ok and rows_ok and hash_ok:
             print(f"✓ {name:24s} rows={len(spark_rows):7d}")
         else:
