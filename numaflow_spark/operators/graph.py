@@ -219,10 +219,13 @@ def cooccurrence_pairs(
     |group|² exactly like the self-join formulation — bounded by basket
     size, never corpus size — and a pathologically large group surfaces as
     one big aggregation value rather than a skewed join key (salt upstream
-    if a group can exceed executor memory; TPC-H-shape baskets are ≤7)."""
+    if a group can exceed executor memory; TPC-H-shape baskets are ≤7).
+    NULL group keys are dropped to match the self-join formulation this
+    replaced (``a.g == b.g`` never matches NULL; groupBy would otherwise
+    keep a NULL-key group and emit pairs within it — ADVICE r7)."""
     from pyspark.sql import functions as F
 
-    sets = df.groupBy(group_col).agg(
+    sets = df.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )
     return sets.select(

@@ -404,7 +404,10 @@ _PULSAR_PRODUCERS: dict[tuple, object] = {}
 
 
 def _pulsar_producer_cached(service_url: str, topic: str, producer_name, choice: str = "auto"):
-    key = (service_url, topic, producer_name)
+    # `choice` is part of the identity: a producer created with the builtin
+    # wire client must not be handed to a handle that pinned
+    # client="pulsar-client" (ADVICE r7).
+    key = (service_url, topic, producer_name, choice)
     prod = _PULSAR_PRODUCERS.get(key)
     if prod is None:
         pulsar = _pulsar_module(choice)

@@ -81,6 +81,11 @@ def crc32c(data: bytes, crc: int = 0) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # Two's-complement 64-bit mask: protobuf encodes a negative int64 as the
+    # 10-byte varint of its unsigned equivalent. Without the mask, Python's
+    # arithmetic right shift of a negative never reaches 0 and the loop
+    # hangs (ADVICE r7).
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -364,6 +369,17 @@ class Client:
                     if prod is not None:
                         msg = _one(sub, 4, b"").decode(errors="replace")
                         prod._receipt(seq, msg or "send error")
+                elif cmd_type == MESSAGE and not ok:
+                    # A frame failing CRC32C must not be silently dropped:
+                    # the broker counted it inflight and a FLOW permit is
+                    # consumed, so without redelivery the message is lost to
+                    # this consumer until ack-timeout (ADVICE r7). Ask for
+                    # immediate redelivery of everything unacked.
+                    cid = _one(sub, 1)
+                    if cid in self._consumers:
+                        self._write(encode_frame(
+                            REDELIVER_UNACKNOWLEDGED_MESSAGES, {1: cid}
+                        ))
                 elif cmd_type == MESSAGE and ok:
                     cid = _one(sub, 1)
                     mid = pb_decode(_one(sub, 2, b""))
@@ -392,6 +408,11 @@ class Client:
                 self._cv.notify_all()
             for cons in list(self._consumers.values()):
                 cons._closed()
+            # Wake producers blocked in flush(): their pending receipts will
+            # never arrive once the connection is down (ADVICE r7).
+            for prod in list(self._producers.values()):
+                with prod._cv:
+                    prod._cv.notify_all()
 
     # -- pulsar-client surface -------------------------------------------
 
@@ -567,8 +588,18 @@ class Producer:
 
     def flush(self, timeout_s: float = 10.0) -> None:
         with self._cv:
-            if not self._cv.wait_for(lambda: not self._pending, timeout_s):
+            # Fail fast on a dead connection instead of burning the full
+            # timeout waiting for receipts that can never arrive (ADVICE r7):
+            # the client's read loop notifies this CV when it closes.
+            if not self._cv.wait_for(
+                lambda: not self._pending or self._client._closed, timeout_s
+            ):
                 raise TimeoutError(f"{len(self._pending)} sends unacknowledged")
+            if self._pending and self._client._closed:
+                raise ConnectionError(
+                    f"connection closed with {len(self._pending)} sends "
+                    f"unacknowledged"
+                )
             if self._errors:
                 errs, self._errors = self._errors, []
                 raise ConnectionError(f"send failed: {errs}")
@@ -625,6 +656,7 @@ class MiniPulsarServer:
         self._consumer_topic: dict[tuple, tuple[str, str]] = {}
         self.frames_seen: list[str] = []
         self.crc_failures = 0
+        self._corrupt_next: set[str] = set()  # topics whose next dispatch is mangled
         self._srv: socket.socket | None = None
         self._threads: list[threading.Thread] = []
         self._running = False
@@ -875,10 +907,24 @@ class MiniPulsarServer:
                     body = {1: cid, 2: {1: 0, 2: stored.entry}}
                     if rdc:
                         body[3] = rdc
-                    frames.append((conn, encode_payload_frame(
-                        MESSAGE, body, pb_decode_to_encode(stored.meta), stored.payload)))
+                    frame = encode_payload_frame(
+                        MESSAGE, body, pb_decode_to_encode(stored.meta), stored.payload)
+                    if topic in self._corrupt_next:
+                        # Test hook: mangle the payload AFTER the checksum was
+                        # computed so the consumer's CRC32C verify fails. The
+                        # entry stays inflight, exactly like a real broker
+                        # whose frame was damaged in transit.
+                        self._corrupt_next.discard(topic)
+                        frame = frame[:-1] + bytes([frame[-1] ^ 0xFF])
+                    frames.append((conn, frame))
         for conn, frame in frames:
             self._send(conn, frame)
+
+    def corrupt_next_dispatch(self, topic: str) -> None:
+        """Arrange for the next MESSAGE frame dispatched for `topic` to fail
+        the consumer's CRC32C verification (wire-fault injection)."""
+        with self._lock:
+            self._corrupt_next.add(topic)
 
 
 def pb_decode_to_encode(meta: bytes) -> dict[int, object]:

@@ -249,3 +249,15 @@ def test_cooccurrence_pairs_matches_self_join(spark):
     assert got == want
     assert (1, 10, 20) in got and (4, 3, 7) in got
     assert not any(g in (2, 3) for g, _, _ in got)
+
+
+def test_cooccurrence_pairs_drops_null_group(spark):
+    """NULL group keys emit no pairs — parity with the self-join formulation
+    (``a.g == b.g`` never matches NULL), which groupBy alone would break by
+    keeping a NULL-key group (ADVICE r7)."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs
+
+    rows = [(None, 1), (None, 2), (None, 3), (7, 4), (7, 5)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = sorted(tuple(r) for r in cooccurrence_pairs(df, "g", "item").collect())
+    assert got == [(7, 4, 5)]

@@ -217,3 +217,58 @@ def test_sink_handle_wire_e2e(server):
                                .timestamp() * 1000) for m in metas)
     kv = pb_decode(metas[1][4][0])
     assert kv[1] == [b"h"] and kv[2] == [b"1"]
+
+
+def test_varint_negative_int64_roundtrip():
+    """A negative int64 (e.g. event_timestamp=-1) must encode as the 10-byte
+    two's-complement varint, not hang the encoder (ADVICE r7)."""
+    from numaflow_spark.sources.pulsar_wire import _read_varint, _varint
+
+    enc = _varint(-1)
+    assert len(enc) == 10  # protobuf int64 negative — always 10 bytes
+    val, pos = _read_varint(enc, 0)
+    assert pos == len(enc) and val == (1 << 64) - 1  # unsigned twin
+    # And through the codec: field survives a pb round-trip.
+    buf = pb_encode({12: -5})
+    dec = pb_decode(buf)
+    assert dec[12][0] == (-5) & ((1 << 64) - 1)
+
+
+def test_flush_fails_fast_when_connection_dies(server):
+    """flush() must raise as soon as the connection is gone, not sit out the
+    full timeout waiting for receipts that cannot arrive (ADVICE r7)."""
+    c = Client(server.url)
+    prod = c.create_producer("ff", producer_name="ff-prod")
+    # Queue a send the broker will never receipt: kill the socket first.
+    # shutdown (not close) — close() does not wake a thread blocked in recv.
+    import socket as _socket
+
+    c._sock.shutdown(_socket.SHUT_RDWR)  # read loop exits -> _closed=True
+    deadline = time.monotonic() + 2.0
+    while not c._closed and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert c._closed
+    with prod._cv:
+        prod._pending[999] = None  # simulate an in-flight unreceipted send
+    t0 = time.monotonic()
+    with pytest.raises((ConnectionError, TimeoutError)) as ei:
+        prod.flush(timeout_s=10.0)
+    assert time.monotonic() - t0 < 2.0  # fast-fail, not the 10s timeout
+    assert ei.type is ConnectionError
+
+
+def test_corrupt_message_frame_triggers_redelivery(server):
+    """A MESSAGE frame failing CRC32C on the CONSUMER side must not be a
+    silent drop: the client asks for redelivery so the message is not lost
+    until ack-timeout (ADVICE r7). Simulated by flipping payload bytes on
+    the broker's stored copy for the first dispatch only."""
+    c = Client(server.url)
+    prod = c.create_producer("cr", producer_name="cr-prod")
+    prod.send(b"precious")
+    server.corrupt_next_dispatch("cr")
+    cons = c.subscribe("cr", "s-cr", consumer_type=ConsumerType.Shared)
+    # First dispatch is corrupt and dropped; the client's REDELIVER request
+    # makes the broker resend the intact copy.
+    m = cons.receive(timeout_millis=5000)
+    assert m.data() == b"precious"
+    c.close()
