@@ -34,10 +34,16 @@ offset/ack/resume contract are verified against actual protocol bytes,
 matching the reference's test/kafka-e2e/kafka_test.go shape as far as a
 broker-less sandbox allows.
 
+Implemented transports: plaintext and one-way TLS
+(``KafkaWireClient(tls=True, tls_ca_file=...)`` — security.protocol=SSL
+with server-certificate verification, the reference's kafka_source.go
+`tls` block).
+
 Not implemented (documented divergences): record-batch v2 (so no per-
 record timestamps/headers on the wire — v0 MessageSets predate both),
-compression, TLS/SASL, group membership/rebalance (offsets are committed
-per explicit group name; assignment is static), multi-broker metadata.
+compression, mutual-TLS client certs and SASL, group membership/rebalance
+(offsets are committed per explicit group name; assignment is static),
+multi-broker metadata.
 """
 
 from __future__ import annotations
@@ -185,9 +191,16 @@ class MiniKafkaBroker:
     auto-create with ``num_partitions`` on first Metadata/Produce touch
     (auto.create.topics.enable parity)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
+                 tls_cert_file: str | None = None, tls_key_file: str | None = None):
         self.host = host
         self.num_partitions = num_partitions
+        self._ssl_ctx = None
+        if tls_cert_file:
+            import ssl
+
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(tls_cert_file, tls_key_file)
         self._logs: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
         self._topics: dict[str, int] = {}
         self._group_offsets: dict[tuple[str, str, int], int] = {}
@@ -235,8 +248,22 @@ class MiniKafkaBroker:
             except OSError:
                 return
             threading.Thread(
-                target=self._serve_conn, args=(conn,), daemon=True
+                target=self._serve_entry, args=(conn,), daemon=True
             ).start()
+
+    def _serve_entry(self, conn: socket.socket) -> None:
+        # TLS handshake in the per-connection thread so a stalled handshake
+        # cannot block the accept loop.
+        if self._ssl_ctx is not None:
+            try:
+                conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
+        self._serve_conn(conn)
 
     def _serve_conn(self, conn: socket.socket) -> None:
         try:
@@ -419,9 +446,15 @@ class KafkaWireClient:
     """Blocking single-connection client for the v0 subset. One in-flight
     request at a time (correlation ids still checked)."""
 
-    def __init__(self, bootstrap: str, client_id: str = "numaflow-spark"):
+    def __init__(self, bootstrap: str, client_id: str = "numaflow-spark",
+                 tls: bool = False, tls_ca_file: str | None = None):
         self._bootstrap = bootstrap
         self._client_id = client_id
+        # security.protocol=SSL parity (reference kafka_source.go `tls`
+        # block): full certificate verification; `tls_ca_file` points at a
+        # private CA bundle (caCertSecret), else the system trust store.
+        self._tls = tls
+        self._tls_ca_file = tls_ca_file
         self._sock: socket.socket | None = None
         self._corr = 0
         self._lock = threading.Lock()
@@ -431,15 +464,23 @@ class KafkaWireClient:
     # connection on serialize, reconnect lazily on first use afterward —
     # the protocol is stateless per request, so this is transparent.
     def __getstate__(self):
-        return {"_bootstrap": self._bootstrap, "_client_id": self._client_id}
+        return {"_bootstrap": self._bootstrap, "_client_id": self._client_id,
+                "_tls": self._tls, "_tls_ca_file": self._tls_ca_file}
 
     def __setstate__(self, state):
-        self.__init__(state["_bootstrap"], state["_client_id"])
+        self.__init__(state["_bootstrap"], state["_client_id"],
+                      state.get("_tls", False), state.get("_tls_ca_file"))
 
     def _ensure_sock(self) -> socket.socket:
         if self._sock is None:
             host, port = self._bootstrap.rsplit(":", 1)
-            self._sock = socket.create_connection((host, int(port)), timeout=30)
+            sock = socket.create_connection((host, int(port)), timeout=30)
+            if self._tls:
+                import ssl
+
+                ctx = ssl.create_default_context(cafile=self._tls_ca_file)
+                sock = ctx.wrap_socket(sock, server_hostname=host)
+            self._sock = sock
         return self._sock
 
     def close(self) -> None:

@@ -33,8 +33,14 @@ Frame layout (published spec):
   where crc32c covers everything AFTER the checksum field
   (metadataSize + metadata + payload); all integers big-endian.
 
+Implemented transports: plaintext (pulsar://) and one-way TLS
+(pulsar+ssl://, server-certificate verification against the system trust
+store or a ``tls_trust_certs_file_path`` CA bundle — the reference's
+pulsar spec `tls` block).
+
 Not implemented (documented divergences, same scoping as the Kafka v0
-codec): TLS/SASL auth, topic lookup & partitioned-topic metadata (the
+codec): mutual-TLS client certs and SASL/JWT auth, topic lookup &
+partitioned-topic metadata (the
 client connects straight to the given address; real brokers accept this
 for locally-owned topics), batched messages (num_messages_in_batch > 1),
 compression, schema registry, key-shared dispatch ordering.
@@ -286,20 +292,34 @@ class _WireMessage:
         return self._props
 
 
-def _parse_service_url(url: str) -> tuple[str, int]:
-    hostport = url.split("://", 1)[-1].strip("/")
+def _parse_service_url(url: str) -> tuple[str, int, bool]:
+    scheme, _, rest = url.partition("://")
+    tls = scheme == "pulsar+ssl"  # published scheme for the TLS listener
+    hostport = (rest or scheme).strip("/")
     host, _, port = hostport.partition(":")
-    return host or "localhost", int(port or 6650)
+    return host or "localhost", int(port or (6651 if tls else 6650)), tls
 
 
 class Client:
     """Synchronous wire client. One socket; a reader thread dispatches
     CONNECTED / *_SUCCESS / SEND_RECEIPT / MESSAGE / PING frames."""
 
-    def __init__(self, service_url: str, operation_timeout_seconds: float = 10.0):
+    def __init__(self, service_url: str, operation_timeout_seconds: float = 10.0,
+                 tls_trust_certs_file_path: str | None = None):
         self._timeout = operation_timeout_seconds
-        host, port = _parse_service_url(service_url)
+        host, port, tls = _parse_service_url(service_url)
         self._sock = socket.create_connection((host, port), timeout=operation_timeout_seconds)
+        if tls:
+            # pulsar+ssl:// — TLS with full certificate verification, the
+            # reference's tls block (pulsar spec: tlsTrustCertsFilePath). A
+            # custom CA file covers the self-signed/private-CA deployment;
+            # with none given, the system trust store applies.
+            import ssl
+
+            ctx = ssl.create_default_context(
+                cafile=tls_trust_certs_file_path
+            )
+            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
         self._sock.settimeout(None)
         self._wlock = threading.Lock()
         self._cv = threading.Condition()
@@ -645,9 +665,16 @@ class MiniPulsarServer:
     accounting; unacked messages are redelivered when their consumer
     disconnects, asks for redelivery, or exceeds ``ack_timeout_s``."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, ack_timeout_s: float | None = None):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, ack_timeout_s: float | None = None,
+                 tls_cert_file: str | None = None, tls_key_file: str | None = None):
         self._host, self._port = host, port
         self.ack_timeout_s = ack_timeout_s
+        self._ssl_ctx = None
+        if tls_cert_file:
+            import ssl
+
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(tls_cert_file, tls_key_file)
         self._lock = threading.RLock()
         self._topics: dict[str, list[_Stored]] = {}
         self._producer_topics: dict[tuple, str] = {}
@@ -663,7 +690,8 @@ class MiniPulsarServer:
 
     @property
     def url(self) -> str:
-        return f"pulsar://{self._host}:{self._actual_port}"
+        scheme = "pulsar+ssl" if self._ssl_ctx is not None else "pulsar"
+        return f"{scheme}://{self._host}:{self._actual_port}"
 
     def start(self) -> "MiniPulsarServer":
         self._srv = socket.create_server((self._host, self._port))
@@ -718,9 +746,23 @@ class MiniPulsarServer:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
-            t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
+            t = threading.Thread(target=self._serve_entry, args=(conn,), daemon=True)
             t.start()
             self._threads.append(t)
+
+    def _serve_entry(self, conn: socket.socket) -> None:
+        # TLS handshake happens in the per-connection thread so a stalled
+        # handshake cannot block the accept loop.
+        if self._ssl_ctx is not None:
+            try:
+                conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
+        self._serve(conn)
 
     def _timeout_loop(self) -> None:
         while self._running:

@@ -208,3 +208,38 @@ def test_corrupt_size_field_gets_error_response(broker):
     # connection still alive for the next request
     assert c.metadata(["t8"]) == {"t8": [0, 1]}
     c.close()
+
+
+def test_tls_produce_fetch_roundtrip(tmp_path):
+    """One-way TLS e2e over a loopback self-signed CA: the client verifies
+    the broker's certificate (hostname + chain) and the full produce/fetch
+    path runs over the encrypted socket — security.protocol=SSL parity with
+    the reference's kafka `tls` block (r7 verdict #8)."""
+    pytest.importorskip("cryptography")
+    from tests.tls_helper import make_self_signed_cert
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    b = MiniKafkaBroker(tls_cert_file=cert, tls_key_file=key)
+    try:
+        c = KafkaWireClient(b.bootstrap, tls=True, tls_ca_file=cert)
+        assert c.metadata(["ts"]) == {"ts": [0, 1]}
+        assert c.produce("ts", 0, [(b"k", b"secret")]) == 0
+        entries, hw = c.fetch("ts", 0, 0)
+        assert hw == 1 and entries == [(0, b"k", b"secret")]
+        import ssl
+
+        assert isinstance(c._sock, ssl.SSLSocket)  # actually encrypted
+        c.close()
+        # A client that does NOT trust the CA must be rejected during the
+        # handshake — verification is on, not decorative.
+        c2 = KafkaWireClient(b.bootstrap, tls=True)  # system trust store
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            c2.metadata(["ts"])
+        c2.close()
+        # Plaintext client against the TLS listener fails cleanly too.
+        c3 = KafkaWireClient(b.bootstrap)
+        with pytest.raises((ConnectionError, OSError)):
+            c3.metadata(["ts"])
+        c3.close()
+    finally:
+        b.close()

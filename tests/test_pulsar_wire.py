@@ -272,3 +272,32 @@ def test_corrupt_message_frame_triggers_redelivery(server):
     m = cons.receive(timeout_millis=5000)
     assert m.data() == b"precious"
     c.close()
+
+
+def test_tls_produce_consume_roundtrip(tmp_path):
+    """pulsar+ssl:// e2e over a loopback self-signed CA: certificate
+    verification on, full produce/consume/ack over the encrypted socket —
+    the reference pulsar spec's `tls` block (r7 verdict #8)."""
+    pytest.importorskip("cryptography")
+    import ssl
+
+    from tests.tls_helper import make_self_signed_cert
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    s = MiniPulsarServer(tls_cert_file=cert, tls_key_file=key).start()
+    try:
+        assert s.url.startswith("pulsar+ssl://")
+        c = Client(s.url, tls_trust_certs_file_path=cert)
+        assert isinstance(c._sock, ssl.SSLSocket)  # actually encrypted
+        prod = c.create_producer("tls-t", producer_name="tls-prod")
+        prod.send(b"sealed")
+        cons = c.subscribe("tls-t", "s-tls", consumer_type=ConsumerType.Shared)
+        m = cons.receive(timeout_millis=3000)
+        assert m.data() == b"sealed"
+        cons.acknowledge(m)
+        c.close()
+        # An untrusting client is rejected at the handshake.
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError, TimeoutError)):
+            Client(s.url)  # system trust store: self-signed CA not present
+    finally:
+        s.stop()
