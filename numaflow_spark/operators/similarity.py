@@ -68,6 +68,23 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_idx(s: np.ndarray, ids: np.ndarray, take: int) -> np.ndarray:
+    """Indices of the ``take`` best candidates under the SAME total order
+    the global merge window uses — (score desc, id asc) — so per-batch
+    pruning can never drop a candidate the merge would keep. A bare
+    argpartition picks an arbitrary member of a rounded-score tie at the
+    selection boundary; with duplicated/derived corpora (e.g. the ×10
+    sign-flip replica data) those ties are common and the arbitrary pick
+    diverges from the deterministic oracle order."""
+    n = s.shape[0]
+    if n <= take:
+        return np.lexsort((ids, -s))
+    kth = np.partition(s, n - take)[n - take]  # take-th largest score
+    cand = np.flatnonzero(s >= kth)  # every member of the boundary tie
+    order = np.lexsort((ids[cand], -s[cand]))[:take]
+    return cand[order]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,7 +114,7 @@ def brute_force_topk(
             take = min(k + 1, s.shape[1])
             out = []
             for qi in range(s.shape[0]):
-                idx = np.argpartition(-s[qi], take - 1)[:take]
+                idx = _topk_idx(s[qi], c_ids, take)
                 out.append(
                     pd.DataFrame(
                         {"query_id": ids[qi], "neighbor_id": c_ids[idx], "cos_sim": s[qi][idx]}
@@ -618,7 +635,7 @@ def ivf_topk(
                     continue
                 s = np.round(qm[qi] @ bm[mask].T, 6)
                 take = min(k + 1, s.shape[0])
-                idx = np.argpartition(-s, take - 1)[:take]
+                idx = _topk_idx(s, b_ids[mask], take)
                 out.append(
                     pd.DataFrame(
                         {"query_id": ids[qi], "neighbor_id": b_ids[mask][idx], "cos_sim": s[idx]}
@@ -990,7 +1007,7 @@ def ivf_pq_topk(
                 dots = luts[qi][np.arange(mm)[None, :], codes[mask]].sum(axis=1)
                 s = np.round(dots / (qnorm[qi] * recon_norm[mask]), 6)
                 take = min(k + 1, s.shape[0])
-                idx = np.argpartition(-s, take - 1)[:take]
+                idx = _topk_idx(s, b_ids[mask], take)
                 out.append(
                     pd.DataFrame(
                         {"query_id": ids[qi], "neighbor_id": b_ids[mask][idx], "cos_sim": s[idx]}

@@ -70,3 +70,48 @@ def test_frame_sample_stride(spark):
     assert got == {(1, 0), (1, 4), (1, 8), (2, 0), (3, 0), (3, 4)}
     # blob/meta plumbing survives the explode
     assert {"blob", "meta", "frame_idx"} <= set(out.columns)
+
+
+def test_topk_idx_tie_break_matches_global_order():
+    """The per-batch pruner must use the merge window's total order
+    (score desc, id asc): with rounded-score ties wider than the take
+    budget, an arbitrary-member argpartition keeps different ids than
+    the oracle's deterministic order (the ×10 replica-data mismatch on
+    embedding_topk / ivf_ann_topk)."""
+    import numpy as np
+
+    from numaflow_spark.operators.similarity import _topk_idx
+
+    s = np.array([0.5, 0.9, 0.9, 0.9, 0.1, 0.9])
+    ids = np.array([10, 7, 3, 9, 1, 5])
+    idx = _topk_idx(s, ids, 3)
+    # all four 0.9s tie at the boundary; keep the lowest ids among them
+    assert ids[idx].tolist() == [3, 5, 7]
+    # short input: full (score desc, id asc) sort
+    idx = _topk_idx(s[:2], ids[:2], 5)
+    assert ids[idx].tolist() == [7, 10]
+
+
+def test_brute_force_topk_deterministic_with_duplicate_vectors(spark):
+    """Duplicated corpus vectors (the sign-flip replica scenario) create
+    exact cosine ties; the result must still equal the (cos desc, id asc)
+    oracle order regardless of partitioning."""
+    import numpy as np
+
+    from numaflow_spark.operators.similarity import brute_force_topk
+
+    base = np.eye(4).tolist() + [[1.0, 1.0, 0.0, 0.0]]
+    # ids 0..4 plus exact duplicates of every vector at ids 100..104
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, v) for i, v in enumerate(base)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    out = brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=3).collect()
+    got = [(r.rank, r.neighbor_id, r.cos_sim) for r in sorted(out, key=lambda r: r.rank)]
+    # cos(e0, e0-dup)=1.0 -> id 100 first; cos(e0, [1,1,0,0])=0.707107 twice
+    assert got == [
+        (1, 100, 1.0),
+        (2, 4, 0.707107),
+        (3, 104, 0.707107),
+    ]
