@@ -34,16 +34,24 @@ offset/ack/resume contract are verified against actual protocol bytes,
 matching the reference's test/kafka-e2e/kafka_test.go shape as far as a
 broker-less sandbox allows.
 
-Implemented transports: plaintext and one-way TLS
+Implemented transports: plaintext, one-way TLS
 (``KafkaWireClient(tls=True, tls_ca_file=...)`` — security.protocol=SSL
 with server-certificate verification, the reference's kafka_source.go
-`tls` block).
+`tls` block), and SASL/PLAIN
+(``KafkaWireClient(sasl_plain_username=..., sasl_plain_password=...)`` —
+SaslHandshake (17) + SaslAuthenticate (36) per kafka.apache.org/protocol
+with the RFC 4616 PLAIN token, the reference's kafka_source.go `sasl`
+block mechanism PLAIN; composes with TLS for SASL_SSL parity). The
+broker enforces it when built with ``sasl_users={user: password}``:
+pre-auth connections can reach only ApiVersions/SaslHandshake/
+SaslAuthenticate, anything else closes the link (real-broker behavior).
 
 Not implemented (documented divergences): record-batch v2 (so no per-
 record timestamps/headers on the wire — v0 MessageSets predate both),
-compression, mutual-TLS client certs and SASL, group membership/rebalance
-(offsets are committed per explicit group name; assignment is static),
-multi-broker metadata.
+compression, mutual-TLS client certs, SASL mechanisms beyond PLAIN
+(SCRAM/GSSAPI/OAUTHBEARER), group membership/rebalance (offsets are
+committed per explicit group name; assignment is static), multi-broker
+metadata.
 """
 
 from __future__ import annotations
@@ -60,11 +68,16 @@ API_FETCH = 1
 API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC = 3
 ERR_CORRUPT = 2
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTH_FAILED = 58
 
 
 # --------------------------------------------------------------------------
@@ -185,6 +198,12 @@ def decode_message_set(
 # broker
 # --------------------------------------------------------------------------
 
+class _CloseConn(Exception):
+    """Raised by the broker's dispatcher to drop a connection that sends a
+    data request before SASL authentication completes (real-broker
+    behavior: no error frame, just a closed socket)."""
+
+
 class MiniKafkaBroker:
     """In-process single-node broker: threaded TCP accept loop, in-memory
     per-(topic, partition) logs, consumer-group offset store. Topics
@@ -192,9 +211,14 @@ class MiniKafkaBroker:
     (auto.create.topics.enable parity)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
-                 tls_cert_file: str | None = None, tls_key_file: str | None = None):
+                 tls_cert_file: str | None = None, tls_key_file: str | None = None,
+                 sasl_users: dict[str, str] | None = None):
         self.host = host
         self.num_partitions = num_partitions
+        # SASL/PLAIN credential store; when set, every connection must
+        # complete SaslHandshake + SaslAuthenticate before any data API
+        # (real brokers close unauthenticated connections; so does this one).
+        self._sasl_users = sasl_users
         self._ssl_ctx = None
         if tls_cert_file:
             import ssl
@@ -266,6 +290,9 @@ class MiniKafkaBroker:
         self._serve_conn(conn)
 
     def _serve_conn(self, conn: socket.socket) -> None:
+        # Per-connection SASL session state: authenticated-from-birth when
+        # the broker carries no credential store.
+        state = {"authenticated": self._sasl_users is None, "handshake": False}
         try:
             while True:
                 head = _recv_exact(conn, 4)
@@ -275,7 +302,10 @@ class MiniKafkaBroker:
                 frame = _recv_exact(conn, size)
                 if frame is None:
                     return
-                resp = self._handle(frame)
+                try:
+                    resp = self._handle(frame, state)
+                except _CloseConn:
+                    return  # unauthenticated data request: drop the link
                 if resp is not None:  # acks=0 Produce: no response frame
                     conn.sendall(_i32(len(resp)) + resp)
         except OSError:
@@ -286,23 +316,69 @@ class MiniKafkaBroker:
             except OSError:
                 pass
 
-    def _handle(self, frame: bytes) -> bytes | None:
+    def _handle(self, frame: bytes, state: dict | None = None) -> bytes | None:
+        state = state if state is not None else {"authenticated": True}
         r = _Reader(frame)
         api_key, _api_version, corr_id = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
-        body = {
-            API_PRODUCE: self._produce,
-            API_FETCH: self._fetch,
-            API_METADATA: self._metadata,
-            API_OFFSET_COMMIT: self._offset_commit,
-            API_OFFSET_FETCH: self._offset_fetch,
-            API_VERSIONS: self._api_versions,
-        }[api_key](r)
+        # Pre-auth, only ApiVersions and the SASL pair are reachable — a
+        # real broker closes the connection on anything else.
+        if not state["authenticated"] and api_key not in (
+            API_VERSIONS, API_SASL_HANDSHAKE, API_SASL_AUTHENTICATE,
+        ):
+            raise _CloseConn()
+        if api_key == API_SASL_HANDSHAKE:
+            body = self._sasl_handshake(r, state)
+        elif api_key == API_SASL_AUTHENTICATE:
+            body = self._sasl_authenticate(r, state)
+        else:
+            body = {
+                API_PRODUCE: self._produce,
+                API_FETCH: self._fetch,
+                API_METADATA: self._metadata,
+                API_OFFSET_COMMIT: self._offset_commit,
+                API_OFFSET_FETCH: self._offset_fetch,
+                API_VERSIONS: self._api_versions,
+            }[api_key](r)
         return None if body is None else _i32(corr_id) + body
+
+    def _sasl_handshake(self, r: _Reader, state: dict) -> bytes:
+        """SaslHandshake v0/v1 (api_key 17): mechanism -> error_code +
+        enabled_mechanisms. Only PLAIN is served."""
+        mech = r.string()
+        state["handshake"] = mech == "PLAIN"
+        err = ERR_NONE if state["handshake"] else ERR_UNSUPPORTED_SASL_MECHANISM
+        return _i16(err) + _i32(1) + _string("PLAIN")
+
+    def _sasl_authenticate(self, r: _Reader, state: dict) -> bytes:
+        """SaslAuthenticate v0 (api_key 36): auth_bytes -> error_code +
+        error_message + auth_bytes. PLAIN token per RFC 4616:
+        [authzid] NUL authcid NUL passwd."""
+        if not state["handshake"]:
+            return (
+                _i16(ERR_ILLEGAL_SASL_STATE)
+                + _string("SaslHandshake must precede SaslAuthenticate")
+                + _bytes(b"")
+            )
+        token = r.bytes() or b""
+        parts = token.split(b"\x00")
+        ok = False
+        if len(parts) == 3:
+            user, pw = parts[1].decode("utf-8"), parts[2].decode("utf-8")
+            ok = (self._sasl_users or {}).get(user) == pw
+        if ok:
+            state["authenticated"] = True
+            return _i16(ERR_NONE) + _string(None) + _bytes(b"")
+        return (
+            _i16(ERR_SASL_AUTH_FAILED)
+            + _string("authentication failed: invalid credentials")
+            + _bytes(b"")
+        )
 
     def _api_versions(self, r: _Reader) -> bytes:
         keys = [API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT,
-                API_OFFSET_FETCH, API_VERSIONS]
+                API_OFFSET_FETCH, API_SASL_HANDSHAKE, API_VERSIONS,
+                API_SASL_AUTHENTICATE]
         out = _i16(ERR_NONE) + _i32(len(keys))
         for k in keys:
             out += _i16(k) + _i16(0) + _i16(0)
@@ -447,7 +523,9 @@ class KafkaWireClient:
     request at a time (correlation ids still checked)."""
 
     def __init__(self, bootstrap: str, client_id: str = "numaflow-spark",
-                 tls: bool = False, tls_ca_file: str | None = None):
+                 tls: bool = False, tls_ca_file: str | None = None,
+                 sasl_plain_username: str | None = None,
+                 sasl_plain_password: str | None = None):
         self._bootstrap = bootstrap
         self._client_id = client_id
         # security.protocol=SSL parity (reference kafka_source.go `tls`
@@ -455,6 +533,11 @@ class KafkaWireClient:
         # private CA bundle (caCertSecret), else the system trust store.
         self._tls = tls
         self._tls_ca_file = tls_ca_file
+        # SASL/PLAIN parity (reference kafka_source.go `sasl` block,
+        # mechanism PLAIN): the handshake runs on every (re)connect, which
+        # makes it transparent to Spark's pickle/reconnect cycle.
+        self._sasl_user = sasl_plain_username
+        self._sasl_pass = sasl_plain_password
         self._sock: socket.socket | None = None
         self._corr = 0
         self._lock = threading.Lock()
@@ -465,11 +548,13 @@ class KafkaWireClient:
     # the protocol is stateless per request, so this is transparent.
     def __getstate__(self):
         return {"_bootstrap": self._bootstrap, "_client_id": self._client_id,
-                "_tls": self._tls, "_tls_ca_file": self._tls_ca_file}
+                "_tls": self._tls, "_tls_ca_file": self._tls_ca_file,
+                "_sasl_user": self._sasl_user, "_sasl_pass": self._sasl_pass}
 
     def __setstate__(self, state):
         self.__init__(state["_bootstrap"], state["_client_id"],
-                      state.get("_tls", False), state.get("_tls_ca_file"))
+                      state.get("_tls", False), state.get("_tls_ca_file"),
+                      state.get("_sasl_user"), state.get("_sasl_pass"))
 
     def _ensure_sock(self) -> socket.socket:
         if self._sock is None:
@@ -480,8 +565,51 @@ class KafkaWireClient:
 
                 ctx = ssl.create_default_context(cafile=self._tls_ca_file)
                 sock = ctx.wrap_socket(sock, server_hostname=host)
+            if self._sasl_user is not None:
+                self._sasl_exchange(sock)
             self._sock = sock
         return self._sock
+
+    def _sasl_exchange(self, sock: socket.socket) -> None:
+        """SaslHandshake v1 + SaslAuthenticate v0 on a fresh connection,
+        before it is published as self._sock (kafka.apache.org/protocol;
+        PLAIN token per RFC 4616). Raises ConnectionError on rejection so
+        a bad credential fails loudly at first use, not as a hang."""
+
+        def raw(api_key: int, version: int, body: bytes) -> _Reader:
+            self._corr += 1
+            frame = (
+                _i16(api_key) + _i16(version) + _i32(self._corr)
+                + _string(self._client_id) + body
+            )
+            sock.sendall(_i32(len(frame)) + frame)
+            head = _recv_exact(sock, 4)
+            if head is None:
+                raise ConnectionError("broker closed connection during SASL")
+            (size,) = struct.unpack(">i", head)
+            resp = _recv_exact(sock, size)
+            if resp is None:
+                raise ConnectionError("broker closed connection mid-SASL-frame")
+            r = _Reader(resp)
+            if r.i32() != self._corr:
+                raise ValueError("correlation id mismatch during SASL")
+            return r
+
+        r = raw(API_SASL_HANDSHAKE, 1, _string("PLAIN"))
+        err = r.i16()
+        if err != ERR_NONE:
+            mechs = [r.string() for _ in range(r.i32())]
+            raise ConnectionError(
+                f"SASL handshake rejected (error {err}); broker offers {mechs}"
+            )
+        token = b"\x00" + self._sasl_user.encode("utf-8") + b"\x00" + (
+            self._sasl_pass or ""
+        ).encode("utf-8")
+        r = raw(API_SASL_AUTHENTICATE, 0, _bytes(token))
+        err = r.i16()
+        msg = r.string()
+        if err != ERR_NONE:
+            raise ConnectionError(f"SASL authentication failed (error {err}): {msg}")
 
     def close(self) -> None:
         if self._sock is not None:
