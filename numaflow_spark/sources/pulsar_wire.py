@@ -33,14 +33,20 @@ Frame layout (published spec):
   where crc32c covers everything AFTER the checksum field
   (metadataSize + metadata + payload); all integers big-endian.
 
-Implemented transports: plaintext (pulsar://) and one-way TLS
+Implemented transports: plaintext (pulsar://), one-way TLS
 (pulsar+ssl://, server-certificate verification against the system trust
 store or a ``tls_trust_certs_file_path`` CA bundle — the reference's
-pulsar spec `tls` block).
+pulsar spec `tls` block), and CONNECT-carried authentication
+(``Client(auth_method_name="basic", auth_data=b"user:password")`` —
+CommandConnect.auth_method_name/auth_data per the public PulsarApi.proto,
+the published AuthenticationBasic wire form; the broker enforces it when
+built with ``basic_users`` and rejects with
+CommandError(AuthenticationError) + close, pre-auth data commands drop
+the link).
 
 Not implemented (documented divergences, same scoping as the Kafka v0
-codec): mutual-TLS client certs and SASL/JWT auth, topic lookup &
-partitioned-topic metadata (the
+codec): mutual-TLS client certs, token/OAuth2 auth providers beyond
+basic, topic lookup & partitioned-topic metadata (the
 client connects straight to the given address; real brokers accept this
 for locally-owned topics), batched messages (num_messages_in_batch > 1),
 compression, schema registry, key-shared dispatch ordering.
@@ -305,8 +311,11 @@ class Client:
     CONNECTED / *_SUCCESS / SEND_RECEIPT / MESSAGE / PING frames."""
 
     def __init__(self, service_url: str, operation_timeout_seconds: float = 10.0,
-                 tls_trust_certs_file_path: str | None = None):
+                 tls_trust_certs_file_path: str | None = None,
+                 auth_method_name: str | None = None,
+                 auth_data: bytes | None = None):
         self._timeout = operation_timeout_seconds
+        self._handshake_error: str | None = None
         host, port, tls = _parse_service_url(service_url)
         self._sock = socket.create_connection((host, port), timeout=operation_timeout_seconds)
         if tls:
@@ -333,13 +342,25 @@ class Client:
         self._closed = False
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
-        # CommandConnect: client_version=1, protocol_version=4 (proto nums)
-        self._write(encode_frame(CONNECT, {1: "numaflow-spark-wire", 4: PROTOCOL_VERSION}))
+        # CommandConnect: client_version=1, auth_data=3, protocol_version=4,
+        # auth_method_name=5 (proto nums). Auth parity with the reference's
+        # pulsar `auth` block: method "basic" carries "user:password" bytes
+        # (the published AuthenticationBasic wire form); credentials only
+        # belong on a pulsar+ssl:// URL in real deployments.
+        connect_body: dict[int, object] = {
+            1: "numaflow-spark-wire", 4: PROTOCOL_VERSION,
+        }
+        if auth_method_name is not None:
+            connect_body[5] = auth_method_name
+            connect_body[3] = auth_data or b""
+        self._write(encode_frame(CONNECT, connect_body))
         with self._cv:
             if not self._cv.wait_for(lambda: self._connected or self._closed, self._timeout):
                 raise TimeoutError("CONNECTED not received")
             if self._closed:
-                raise ConnectionError("connection closed during handshake")
+                raise ConnectionError(
+                    self._handshake_error or "connection closed during handshake"
+                )
 
     # -- plumbing ---------------------------------------------------------
 
@@ -373,6 +394,14 @@ class Client:
                     self._write(encode_frame(PONG, {}))
                 elif cmd_type in (SUCCESS, PRODUCER_SUCCESS, ERROR):
                     rid = _one(sub, 1)
+                    if cmd_type == ERROR and not self._connected:
+                        # Handshake rejection (e.g. AuthenticationError):
+                        # surface the broker's message through the
+                        # constructor's ConnectionError, not a bare close.
+                        self._handshake_error = (
+                            _one(sub, 3, b"").decode(errors="replace")
+                            or "handshake rejected"
+                        )
                     with self._cv:
                         self._responses[rid] = {"type": cmd_type, "fields": sub}
                         self._cv.notify_all()
@@ -666,9 +695,14 @@ class MiniPulsarServer:
     disconnects, asks for redelivery, or exceeds ``ack_timeout_s``."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, ack_timeout_s: float | None = None,
-                 tls_cert_file: str | None = None, tls_key_file: str | None = None):
+                 tls_cert_file: str | None = None, tls_key_file: str | None = None,
+                 basic_users: dict[str, str] | None = None):
         self._host, self._port = host, port
         self.ack_timeout_s = ack_timeout_s
+        # Basic-auth credential store; when set, CONNECT must carry
+        # auth_method_name="basic" + "user:password" auth_data or the
+        # broker answers CommandError(AuthenticationError) and closes.
+        self._basic_users = basic_users
         self._ssl_ctx = None
         if tls_cert_file:
             import ssl
@@ -788,9 +822,12 @@ class MiniPulsarServer:
     def _serve(self, conn: socket.socket) -> None:
         conn_id = id(conn)
         my_consumers: set[int] = set()
+        authed = self._basic_users is None
         try:
             while True:
                 cmd_type, sub, meta, payload, ok = read_frame(conn)
+                if not authed and cmd_type not in (CONNECT, PING, PONG):
+                    return  # pre-auth data command: drop the link
                 self.frames_seen.append(
                     {CONNECT: "CONNECT", SUBSCRIBE: "SUBSCRIBE", PRODUCER: "PRODUCER",
                      SEND: "SEND", ACK: "ACK", FLOW: "FLOW", PING: "PING", PONG: "PONG",
@@ -799,6 +836,23 @@ class MiniPulsarServer:
                      UNSUBSCRIBE: "UNSUBSCRIBE"}.get(cmd_type, str(cmd_type))
                 )
                 if cmd_type == CONNECT:
+                    if not authed:
+                        method = _one(sub, 5, b"")
+                        data = _one(sub, 3, b"") or b""
+                        user, sep, pw = data.decode(errors="replace").partition(":")
+                        if not (
+                            method == b"basic"
+                            and sep == ":"
+                            and self._basic_users.get(user) == pw
+                        ):
+                            # CommandError: request_id=1, error=2
+                            # (ServerError.AuthenticationError = 3), message=3
+                            self._send(conn, encode_frame(
+                                ERROR,
+                                {1: 0, 2: 3, 3: "authentication failed"},
+                            ))
+                            return
+                        authed = True
                     # CommandConnected: server_version=1 protocol_version=2
                     self._send(conn, encode_frame(
                         CONNECTED, {1: "mini-pulsar", 2: PROTOCOL_VERSION}))

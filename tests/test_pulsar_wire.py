@@ -301,3 +301,57 @@ def test_tls_produce_consume_roundtrip(tmp_path):
             Client(s.url)  # system trust store: self-signed CA not present
     finally:
         s.stop()
+
+
+def test_basic_auth_produce_consume_roundtrip():
+    """CONNECT-carried basic auth (CommandConnect.auth_method_name=5 /
+    auth_data=3, public PulsarApi.proto): good credentials run the full
+    produce/consume/ack path; bad credentials get the broker's
+    CommandError(AuthenticationError) message surfaced in the
+    ConnectionError; a client that skips auth is dropped on its first data
+    command."""
+    s = MiniPulsarServer(basic_users={"svc": "hunter2"}).start()
+    try:
+        c = Client(s.url, auth_method_name="basic", auth_data=b"svc:hunter2",
+                   operation_timeout_seconds=30)
+        prod = c.create_producer("t-auth")
+        prod.send(b"locked")
+        cons = c.subscribe("t-auth", "sub1")
+        m = cons.receive(timeout_millis=15000)
+        assert m.data() == b"locked"
+        cons.acknowledge(m)
+        c.close()
+
+        with pytest.raises(ConnectionError, match="authentication failed"):
+            Client(s.url, auth_method_name="basic", auth_data=b"svc:wrong")
+
+        with pytest.raises((ConnectionError, TimeoutError, OSError)):
+            # No auth at all: CONNECT is rejected the same way.
+            Client(s.url, operation_timeout_seconds=2.0)
+    finally:
+        s.stop()
+
+
+def test_basic_auth_over_tls(tmp_path):
+    """Credentials ride the verified TLS channel (the only deployment
+    where 'basic' is safe on a real network)."""
+    pytest.importorskip("cryptography")
+    from tests.tls_helper import make_self_signed_cert
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    s = MiniPulsarServer(
+        tls_cert_file=cert, tls_key_file=key, basic_users={"svc": "pw"}
+    ).start()
+    try:
+        c = Client(
+            s.url, tls_trust_certs_file_path=cert,
+            auth_method_name="basic", auth_data=b"svc:pw",
+            operation_timeout_seconds=30,
+        )
+        prod = c.create_producer("t-auth-tls")
+        prod.send(b"sealed+locked")
+        cons = c.subscribe("t-auth-tls", "sub1")
+        assert cons.receive(timeout_millis=15000).data() == b"sealed+locked"
+        c.close()
+    finally:
+        s.stop()
