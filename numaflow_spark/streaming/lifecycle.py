@@ -69,17 +69,32 @@ class Throttler:
     mid-batch, so throughput inside a batch is unaffected (load-shaping, not
     task slowdown)."""
 
-    def __init__(self, limit: RateLimit, writer: Callable[["object", int], None]):
+    def __init__(self, limit: RateLimit, writer: Callable[["object", int], None],
+                 shared_limiter=None):
         self.limit = limit
         self.writer = writer
+        # Optional distributed mode: a streaming/throttle_store.py
+        # DistributedRateLimit whose budget is SPLIT across every live
+        # pipeline sharing the same store (the reference's
+        # numaflow-throttling pool semantics); the local ramp pacing below
+        # still applies on top as this replica's ceiling.
+        self.shared_limiter = shared_limiter
         self._t0: float | None = None
         self._rows = 0
 
     def __call__(self, df, epoch_id: int) -> None:
         if self._t0 is None:
             self._t0 = time.monotonic()
+        n = df.count()
+        if self.shared_limiter is not None and n:
+            # Block until the fleet-wide bucket grants this batch's rows;
+            # over-grants (window roll mid-acquire) are not possible since
+            # acquire_n never returns more than asked.
+            need = n
+            while need > 0:
+                need -= self.shared_limiter.acquire_n(need)
         self.writer(df, epoch_id)
-        self._rows += df.count()
+        self._rows += n
         elapsed = time.monotonic() - self._t0
         target = self._rows / self.limit.allowed_tps(elapsed)
         if target > elapsed:

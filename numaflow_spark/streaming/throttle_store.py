@@ -1,0 +1,355 @@
+"""Distributed rate-limit state: a shared processor pool that splits one
+TPS budget across live consumers.
+
+Reference parity (rust/numaflow-throttling/): each processor ``register``s
+itself in an external store, heartbeats while alive, and periodically
+``sync_pool_size``s; the store answers with a :class:`Consensus` —
+``agree`` when every live processor reports the same pool size, else
+``disagree`` (state/store.rs:10-39 defines exactly this trait; the Redis
+implementation backs multi-pod deployments, the in-memory one backs
+tests). Every processor then serves itself ``limit / pool_size`` tokens
+per second, so the FLEET respects the configured rate no matter how many
+replicas scale up or down; a processor that dies without deregistering is
+evicted when its heartbeat goes stale, and the survivors' budgets grow
+back automatically.
+
+Spark realization: the natural shared medium on a Spark cluster is the
+shared filesystem every job already depends on for checkpoints (HDFS/
+object store/NFS) — so the distributed store here is a JSON state file
+updated via lock + atomic replace (:class:`FileStore`), playing the role
+Redis plays for the reference, plus the same-process
+:class:`InMemoryStore` twin for tests and local mode. The consumer is
+:class:`DistributedRateLimit`, the token-bucket front end that
+foreachBatch writers / source paced loops call ``acquire_n`` on — its
+ramp math (min burst -> max over ramp_up_s) reuses
+:class:`..streaming.lifecycle.RateLimit`'s published slope semantics
+(lib.rs: ``max_ever_filled`` grows by ``(max-min)/ramp_up`` per refill).
+
+Divergences (documented): refill granularity is one second (the
+reference's token window), but consensus runway optimism
+(OptimisticValidityUpdateSecs) is not modeled — we re-sync every
+``refresh_interval`` instead of extending validity windows; file locking
+uses POSIX ``fcntl`` when available and falls back to lock-file
+creation (O_EXCL) elsewhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+
+
+@dataclass
+class Consensus:
+    """sync_pool_size answer: the pool size this store currently sees and
+    whether every live processor has converged on it (state.rs Consensus
+    enum: Agree(usize) / Disagree(usize))."""
+
+    size: int
+    agree: bool
+
+
+class InMemoryStore:
+    """Same-process store (reference store/in_memory_store.rs): a dict of
+    processor_id -> (last_heartbeat, last_reported_pool_size,
+    prev_max_filled) behind one lock."""
+
+    def __init__(self, stale_after_s: float = 3.0):
+        self._stale = stale_after_s
+        self._lock = threading.Lock()
+        self._procs: dict[str, dict] = {}
+        self._prev_max: dict[str, float] = {}
+
+    def _evict_stale(self, now: float) -> None:
+        dead = [
+            pid for pid, p in self._procs.items()
+            if now - p["hb"] > self._stale
+        ]
+        for pid in dead:
+            self._prev_max[pid] = self._procs.pop(pid)["max_filled"]
+
+    def register(self, processor_id: str) -> tuple[int, float]:
+        now = time.monotonic()
+        with self._lock:
+            self._evict_stale(now)
+            prev = self._prev_max.get(processor_id, 0.0)
+            self._procs[processor_id] = {
+                "hb": now, "reported": 0, "max_filled": prev,
+            }
+            return len(self._procs), prev
+
+    def deregister(self, processor_id: str, prev_max_filled: float) -> None:
+        with self._lock:
+            self._procs.pop(processor_id, None)
+            self._prev_max[processor_id] = prev_max_filled
+
+    def sync_pool_size(
+        self, processor_id: str, pool_size: int, max_filled: float = 0.0
+    ) -> Consensus:
+        now = time.monotonic()
+        with self._lock:
+            self._evict_stale(now)
+            p = self._procs.get(processor_id)
+            if p is None:  # evicted (e.g. long GC pause): re-register
+                self._procs[processor_id] = p = {
+                    "hb": now, "reported": 0, "max_filled": 0.0,
+                }
+            p["hb"] = now
+            p["reported"] = pool_size
+            p["max_filled"] = max_filled
+            size = len(self._procs)
+            agree = all(q["reported"] == size for q in self._procs.values())
+            return Consensus(size, agree)
+
+
+class FileStore:
+    """Shared-filesystem store: one JSON file, mutated under an exclusive
+    lock and published with an atomic rename — the role the reference's
+    redis_store.rs plays for multi-pod deployments, realized on the
+    storage a Spark cluster already shares (the checkpoint filesystem).
+
+    File shape: {"procs": {pid: {"hb": epoch_s, "reported": int,
+    "max_filled": float}}, "prev_max": {pid: float}}. Heartbeats use wall
+    epoch seconds (monotonic clocks don't compare across hosts); staleness
+    tolerates ordinary skew because ``stale_after_s`` should be several
+    heartbeat intervals.
+    """
+
+    def __init__(self, path: str, stale_after_s: float = 3.0):
+        self._path = path
+        self._lock_path = path + ".lock"
+        self._stale = stale_after_s
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    # -- locked read-modify-write -----------------------------------------
+
+    def _mutate(self, fn):
+        with self._flock():
+            try:
+                with open(self._path) as f:
+                    state = json.load(f)
+            except (OSError, ValueError):
+                state = {"procs": {}, "prev_max": {}}
+            out = fn(state)
+            tmp = f"{self._path}.tmp.{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._path)
+            return out
+
+    class _flockctx:
+        def __init__(self, store: "FileStore"):
+            self._store = store
+            self._fd: int | None = None
+
+        def __enter__(self):
+            try:
+                import fcntl
+
+                self._fd = os.open(self._store._lock_path, os.O_CREAT | os.O_RDWR)
+                fcntl.flock(self._fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: O_EXCL spin lock
+                deadline = time.monotonic() + 10.0
+                while True:
+                    try:
+                        self._fd = os.open(
+                            self._store._lock_path + ".x",
+                            os.O_CREAT | os.O_EXCL | os.O_RDWR,
+                        )
+                        self._excl = True
+                        return self
+                    except FileExistsError:
+                        if time.monotonic() > deadline:
+                            raise TimeoutError("rate-limit store lock timeout")
+                        time.sleep(0.005)
+            return self
+
+        def __exit__(self, *exc):
+            if self._fd is not None:
+                if getattr(self, "_excl", False):
+                    os.close(self._fd)
+                    os.unlink(self._store._lock_path + ".x")
+                else:
+                    import fcntl
+
+                    fcntl.flock(self._fd, fcntl.LOCK_UN)
+                    os.close(self._fd)
+            return False
+
+    def _flock(self):
+        return FileStore._flockctx(self)
+
+    @staticmethod
+    def _evict(state: dict, now: float, stale: float) -> None:
+        dead = [
+            pid for pid, p in state["procs"].items() if now - p["hb"] > stale
+        ]
+        for pid in dead:
+            state["prev_max"][pid] = state["procs"].pop(pid)["max_filled"]
+
+    # -- Store contract ----------------------------------------------------
+
+    def register(self, processor_id: str) -> tuple[int, float]:
+        def fn(state):
+            now = time.time()
+            self._evict(state, now, self._stale)
+            prev = float(state["prev_max"].get(processor_id, 0.0))
+            state["procs"][processor_id] = {
+                "hb": now, "reported": 0, "max_filled": prev,
+            }
+            return len(state["procs"]), prev
+
+        return self._mutate(fn)
+
+    def deregister(self, processor_id: str, prev_max_filled: float) -> None:
+        def fn(state):
+            state["procs"].pop(processor_id, None)
+            state["prev_max"][processor_id] = prev_max_filled
+
+        self._mutate(fn)
+
+    def sync_pool_size(
+        self, processor_id: str, pool_size: int, max_filled: float = 0.0
+    ) -> Consensus:
+        def fn(state):
+            now = time.time()
+            self._evict(state, now, self._stale)
+            p = state["procs"].get(processor_id)
+            if p is None:
+                state["procs"][processor_id] = p = {
+                    "hb": now, "reported": 0, "max_filled": 0.0,
+                }
+            p["hb"] = now
+            p["reported"] = pool_size
+            p["max_filled"] = max_filled
+            size = len(state["procs"])
+            agree = all(
+                q["reported"] == size for q in state["procs"].values()
+            )
+            return Consensus(size, agree)
+
+        return self._mutate(fn)
+
+
+class DistributedRateLimit:
+    """Pool-aware token bucket (the RateLimiter trait, lib.rs:27-41):
+    ``acquire_n`` blocks for tokens, ``deposit_unused`` returns what a
+    batch did not consume, ``shutdown`` deregisters. Each instance serves
+    ``allowance / pool_size`` tokens per one-second window, where the
+    allowance ramps from ``min_tps`` (burst) to ``max_tps`` over
+    ``ramp_up_s`` seconds (max_ever_filled slope, lib.rs:50-57) and
+    ``pool_size`` tracks the shared store via a background refresher
+    thread (state.rs background task)."""
+
+    def __init__(
+        self,
+        store,
+        *,
+        max_tps: float,
+        min_tps: float | None = None,
+        ramp_up_s: float = 0.0,
+        processor_id: str | None = None,
+        refresh_interval_s: float = 0.5,
+    ):
+        self.store = store
+        self.max_tps = float(max_tps)
+        self.min_tps = float(min_tps if min_tps is not None else max_tps)
+        self.ramp_up_s = float(ramp_up_s)
+        self.processor_id = processor_id or f"proc-{uuid.uuid4().hex[:8]}"
+        pool, prev_max = store.register(self.processor_id)
+        self._cv = threading.Condition()
+        self._pool = max(1, pool)
+        self.last_consensus = Consensus(self._pool, True)
+        # resume the ramp where a same-named predecessor left it
+        self._max_ever_filled = max(prev_max, self.min_tps)
+        self._window_start = time.monotonic()
+        self._t0 = self._window_start
+        self._tokens = self._allowance() / self._pool
+        self._closed = False
+        self._refresher = threading.Thread(
+            target=self._refresh_loop, args=(refresh_interval_s,), daemon=True
+        )
+        self._refresher.start()
+
+    # -- internals ---------------------------------------------------------
+
+    def _allowance(self) -> float:
+        """Current whole-pool TPS allowance on the published ramp."""
+        if self.ramp_up_s <= 0 or self.max_tps <= self.min_tps:
+            return self.max_tps
+        elapsed = time.monotonic() - self._t0
+        slope = (self.max_tps - self.min_tps) / self.ramp_up_s
+        return min(self.max_tps, self.min_tps + slope * elapsed)
+
+    def _refresh_loop(self, interval: float) -> None:
+        while not self._closed:
+            time.sleep(interval)
+            if self._closed:
+                return
+            try:
+                c = self.store.sync_pool_size(
+                    self.processor_id, self._pool, self._max_ever_filled
+                )
+            except Exception:  # noqa: BLE001 — store outage: keep last pool
+                continue
+            with self._cv:
+                self.last_consensus = c
+                self._pool = max(1, c.size)
+                self._cv.notify_all()
+
+    def _refill(self) -> None:
+        now = time.monotonic()
+        if now - self._window_start >= 1.0:
+            share = self._allowance() / self._pool
+            self._max_ever_filled = max(self._max_ever_filled, share)
+            self._tokens = share
+            self._window_start = now
+
+    # -- RateLimiter trait -------------------------------------------------
+
+    def acquire_n(
+        self, n: int | None = None, timeout_s: float | None = None
+    ) -> int:
+        """Take up to ``n`` tokens (all available if None). Blocks until at
+        least one token exists or the timeout passes; returns what was
+        granted (0 on timeout), exactly acquire_n's contract."""
+        deadline = (
+            None if timeout_s is None else time.monotonic() + timeout_s
+        )
+        with self._cv:
+            while not self._closed:
+                self._refill()
+                avail = int(self._tokens)
+                if avail > 0:
+                    take = avail if n is None else min(n, avail)
+                    self._tokens -= take
+                    return take
+                wait = 1.0 - (time.monotonic() - self._window_start)
+                if deadline is not None:
+                    if time.monotonic() >= deadline:
+                        return 0
+                    wait = min(wait, deadline - time.monotonic())
+                self._cv.wait(timeout=max(wait, 0.01))
+            return 0
+
+    def deposit_unused(self, n: int) -> None:
+        with self._cv:
+            self._tokens += max(0, int(n))
+            self._cv.notify_all()
+
+    @property
+    def pool_size(self) -> int:
+        return self._pool
+
+    def shutdown(self) -> None:
+        self._closed = True
+        with self._cv:
+            self._cv.notify_all()
+        try:
+            self.store.deregister(self.processor_id, self._max_ever_filled)
+        except Exception:  # noqa: BLE001 — best-effort on teardown
+            pass

@@ -170,3 +170,50 @@ def test_ordered_sink_through_compiler(spark, tmp_path):
     assert sum(len(v) for v in per_key_orders.values()) == 40
     for key, offs in per_key_orders.items():
         assert offs == sorted(offs), f"FIFO violated for {key}: {offs}"
+
+
+def test_throttler_with_shared_store_splits_fleet_budget(tmp_path):
+    """Distributed mode: two throttled pipelines sharing one FileStore
+    split the fleet budget — together they cannot beat max_tps, and the
+    batch blocks until the shared bucket grants its rows (the reference's
+    numaflow-throttling pool semantics over the checkpoint filesystem)."""
+    from numaflow_spark.streaming.throttle_store import (
+        DistributedRateLimit,
+        FileStore,
+    )
+
+    class FakeBatch:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n
+
+    path = str(tmp_path / "rl.json")
+    a = DistributedRateLimit(FileStore(path), max_tps=100,
+                             processor_id="a", refresh_interval_s=0.05)
+    b = DistributedRateLimit(FileStore(path), max_tps=100,
+                             processor_id="b", refresh_interval_s=0.05)
+    try:
+        deadline = time.monotonic() + 5.0
+        while (a.pool_size != 2 or b.pool_size != 2) and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert a.pool_size == 2 and b.pool_size == 2
+        seen_a, seen_b = [], []
+        th_a = Throttler(RateLimit(max_tps=10_000),
+                         lambda df, e: seen_a.append(e), shared_limiter=a)
+        th_b = Throttler(RateLimit(max_tps=10_000),
+                         lambda df, e: seen_b.append(e), shared_limiter=b)
+        time.sleep(1.05)  # fresh window: each side holds a 50-token share
+        t0 = time.monotonic()
+        th_a(FakeBatch(75), 0)   # 50 now + 25 from the NEXT window: blocks
+        elapsed = time.monotonic() - t0
+        th_b(FakeBatch(40), 0)   # fits b's share accumulated meanwhile
+        assert seen_a == [0] and seen_b == [0]
+        assert elapsed >= 0.5, (
+            f"75 rows against a 50-token share must block into the next "
+            f"window, finished in {elapsed:.2f}s"
+        )
+    finally:
+        a.shutdown()
+        b.shutdown()

@@ -1,0 +1,131 @@
+"""Distributed rate-limit store (streaming/throttle_store.py): the
+register/heartbeat/sync_pool_size contract from the reference's
+rust/numaflow-throttling state::store::Store trait, driven through the
+file-backed store two consumers actually share."""
+
+from __future__ import annotations
+
+import time
+
+from numaflow_spark.streaming.throttle_store import (
+    Consensus,
+    DistributedRateLimit,
+    FileStore,
+    InMemoryStore,
+)
+
+
+def _wait_for(pred, timeout=5.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return pred()
+
+
+def test_store_register_sync_deregister(tmp_path):
+    s = FileStore(str(tmp_path / "rl.json"), stale_after_s=5.0)
+    assert s.register("a") == (1, 0.0)
+    assert s.register("b")[0] == 2
+    # 'a' still thinks the pool is 1 -> disagree; once both report 2, agree
+    c = s.sync_pool_size("a", 1)
+    assert isinstance(c, Consensus) and c.size == 2 and not c.agree
+    s.sync_pool_size("a", 2)
+    assert s.sync_pool_size("b", 2).agree
+    # deregister shrinks the pool and parks max_filled for a successor
+    s.deregister("b", prev_max_filled=7.5)
+    assert s.sync_pool_size("a", 1).size == 1
+    assert s.register("b") == (2, 7.5)
+
+
+def test_stale_heartbeat_eviction(tmp_path):
+    s = FileStore(str(tmp_path / "rl.json"), stale_after_s=0.3)
+    s.register("alive")
+    s.register("dead")  # never heartbeats again
+    assert _wait_for(
+        lambda: s.sync_pool_size("alive", 1).size == 1, timeout=3.0
+    ), "dead processor was not evicted after its heartbeat went stale"
+
+
+def test_budget_splits_across_pool_and_recovers(tmp_path):
+    path = str(tmp_path / "rl.json")
+    a = DistributedRateLimit(
+        FileStore(path, stale_after_s=5.0), max_tps=100,
+        processor_id="a", refresh_interval_s=0.05,
+    )
+    try:
+        assert a.acquire_n() == 100  # alone: the full budget
+        b = DistributedRateLimit(
+            FileStore(path, stale_after_s=5.0), max_tps=100,
+            processor_id="b", refresh_interval_s=0.05,
+        )
+        assert _wait_for(lambda: a.pool_size == 2 and b.pool_size == 2)
+        # next full window on each side grants the half share
+        time.sleep(1.05)
+        got_a, got_b = a.acquire_n(), b.acquire_n()
+        assert got_a == 50 and got_b == 50, (got_a, got_b)
+        b.shutdown()
+        assert _wait_for(lambda: a.pool_size == 1)
+        time.sleep(1.05)
+        assert a.acquire_n() == 100  # budget recovered after deregister
+    finally:
+        a.shutdown()
+
+
+def test_acquire_n_partial_timeout_and_deposit():
+    s = InMemoryStore(stale_after_s=5.0)
+    rl = DistributedRateLimit(
+        s, max_tps=10, processor_id="p", refresh_interval_s=0.05
+    )
+    try:
+        assert rl.acquire_n(4) == 4  # n-bounded take
+        assert rl.acquire_n(None) == 6  # rest of the window
+        t0 = time.monotonic()
+        assert rl.acquire_n(1, timeout_s=0.15) in (0, 1)
+        # either timed out quickly or a window rolled — never a long block
+        assert time.monotonic() - t0 < 1.5
+        rl.deposit_unused(3)
+        assert rl.acquire_n(5) >= 3  # deposited tokens are reusable now
+    finally:
+        rl.shutdown()
+
+
+def test_ramp_up_slope():
+    s = InMemoryStore(stale_after_s=5.0)
+    rl = DistributedRateLimit(
+        s, max_tps=1000, min_tps=100, ramp_up_s=5.0,
+        processor_id="p", refresh_interval_s=0.5,
+    )
+    try:
+        early = rl.acquire_n()
+        assert early <= 400, f"burst {early} ignored the published ramp"
+        time.sleep(1.1)
+        later = rl.acquire_n()
+        assert later > early, (early, later)
+        assert later <= 1000
+    finally:
+        rl.shutdown()
+
+
+def test_dead_consumer_budget_reclaimed_via_stale_eviction(tmp_path):
+    path = str(tmp_path / "rl.json")
+    a = DistributedRateLimit(
+        FileStore(path, stale_after_s=0.4), max_tps=80,
+        processor_id="a", refresh_interval_s=0.05,
+    )
+    b = DistributedRateLimit(
+        FileStore(path, stale_after_s=0.4), max_tps=80,
+        processor_id="b", refresh_interval_s=0.05,
+    )
+    try:
+        assert _wait_for(lambda: a.pool_size == 2)
+        b._closed = True  # crash: stops heartbeating, never deregisters
+        assert _wait_for(lambda: a.pool_size == 1, timeout=5.0), (
+            "survivor never reclaimed the dead processor's share"
+        )
+        time.sleep(1.05)
+        assert a.acquire_n() == 80
+    finally:
+        a._closed = True
+        a.shutdown()
