@@ -81,9 +81,24 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     _arrow_warmup(spark)
 
+    # Optional exclusions (comma-separated names), applied SYMMETRICALLY to
+    # the Spark suite and the DuckDB twin so the ratio stays apples-to-
+    # apples. Exists for the ×10 (sf1) runs, which carry the same three
+    # documented exclusions as the sf1 correctness artifact: the
+    # quadratic-oracle queries (editdist brute-force cross join; the
+    # threshold-0.4 cosine graph whose derived-noise giant component makes
+    # both engines' transitive closure quadratic).
+    skip_names = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
+    if skip_names:
+        print(f"# skipped (both engines): {sorted(skip_names)}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
+        if name in skip_names:
+            continue
         # Protocol (r4): each query runs TWICE and reports the min. Run 1
         # pays whole-stage-codegen + JIT for the plan shape and absorbs any
         # host-level stall (measured: random multi-second pauses poisoning
@@ -160,15 +175,6 @@ def main() -> None:
         if len(line) <= 1900:
             break
 
-    # Side artifact with the COMPLETE per-query map: the stdout line is
-    # capped at ~1.9 KB for the driver's tail parser and drops the cheapest
-    # queries once the registry outgrows it (90 omitted in r6), which caps
-    # round-over-round regression analysis at the intersection. The full map
-    # always lands on disk as BENCH_r{N}_full.json (N = next round, inferred
-    # from the committed BENCH_r*.json artifacts; override via
-    # SPARK_GRAFT_BENCH_FULL=path, disable with =0).
-    _write_full_map(timings, total, sf, streaming_rps)
-
     # Full teardown BEFORE emitting the artifact: any straggler executor log
     # lines happen now, not after the JSON.
     spark.stop()
@@ -178,11 +184,24 @@ def main() -> None:
     # for cores) so bench_vs_baseline is a RECORDED number, not a judge
     # recomputation. Known caveat carried in the artifact: the two
     # recursive-CTE dedup oracles dominate DuckDB's wall at sf0.1.
-    duck_wall = _duckdb_suite_wall(sf_dir)
+    duck_wall, duck_timings = _duckdb_suite_wall(sf_dir, skip_names)
     if duck_wall is not None:
         result = json.loads(line)
         result["duckdb_suite_wall_sec"] = round(duck_wall, 1)
         line = json.dumps(result, separators=(",", ":"))
+
+    # Side artifact with the COMPLETE per-query map (Spark AND DuckDB): the
+    # stdout line is capped at ~1.9 KB for the driver's tail parser and
+    # drops the cheapest queries once the registry outgrows it (90 omitted
+    # in r6), which caps round-over-round regression analysis at the
+    # intersection. The full map always lands on disk as
+    # BENCH_r{N}_full.json (N = next round, inferred from the committed
+    # BENCH_r*.json artifacts; override via SPARK_GRAFT_BENCH_FULL=path,
+    # disable with =0).
+    _write_full_map(
+        timings, total, sf, streaming_rps, duck_wall, duck_timings,
+        sorted(skip_names),
+    )
 
     sys.stderr.flush()
     sys.stdout.flush()
@@ -190,7 +209,13 @@ def main() -> None:
 
 
 def _write_full_map(
-    timings: dict[str, float], total: float, sf: float, streaming_rps: float
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    streaming_rps: float,
+    duck_wall: float | None = None,
+    duck_timings: dict[str, float] | None = None,
+    skipped: list[str] | None = None,
 ) -> None:
     """Persist every per-query steady-state wall (no truncation) next to the
     driver's BENCH artifacts. Best-effort: a bench run must never fail on a
@@ -209,32 +234,40 @@ def _write_full_map(
             dest = os.path.join(
                 here, f"BENCH_r{max(rounds, default=0) + 1:02d}_full.json"
             )
+        payload = {
+            "metric": "declared_query_suite_wall",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": dict(sorted(timings.items())),
+            "sf": sf,
+            "streaming_events_per_sec": streaming_rps,
+        }
+        if duck_wall is not None:
+            payload["duckdb_suite_wall_sec"] = round(duck_wall, 1)
+        if duck_timings:
+            payload["duckdb_queries"] = {
+                k: round(v, 3) for k, v in sorted(duck_timings.items())
+            }
+        if skipped:
+            payload["skipped_both_engines"] = skipped
         with open(dest, "w") as f:
-            json.dump(
-                {
-                    "metric": "declared_query_suite_wall",
-                    "value": round(total, 2),
-                    "unit": "sec",
-                    "queries": dict(sorted(timings.items())),
-                    "sf": sf,
-                    "streaming_events_per_sec": streaming_rps,
-                },
-                f,
-                indent=1,
-            )
+            json.dump(payload, f, indent=1)
         print(f"# full per-query map: {dest} ({len(timings)} queries)", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001 — artifact is best-effort
         print(f"# full bench map skipped: {type(ex).__name__}: {ex}", file=sys.stderr)
 
 
-def _duckdb_suite_wall(sf_dir: str) -> float | None:
+def _duckdb_suite_wall(
+    sf_dir: str, skip_names: set[str] | None = None
+) -> tuple[float | None, dict[str, float]]:
     """Wall-clock of every registered DuckDB oracle at sf_dir (the single-
     node analytical-engine baseline the suite is graded against). Results
-    are fetched but discarded; per-oracle times go to stderr. Returns None
-    if DuckDB is unavailable or any oracle errors (a broken baseline is
-    worse than no number). Skippable via SPARK_GRAFT_NO_DUCKDB=1."""
+    are fetched but discarded; per-oracle times go to stderr and come back
+    as a map for the full-map artifact. Returns (None, {}) if DuckDB is
+    unavailable or any oracle errors (a broken baseline is worse than no
+    number). Skippable via SPARK_GRAFT_NO_DUCKDB=1."""
     if os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
-        return None
+        return None, {}
     try:
         import duckdb
 
@@ -249,18 +282,19 @@ def _duckdb_suite_wall(sf_dir: str) -> float | None:
                 f"CREATE OR REPLACE VIEW {t} AS "
                 f"SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
+        per_query: dict[str, float] = {}
         t0 = time.perf_counter()
         for name, sql in ORACLES.items():
+            if skip_names and name in skip_names:
+                continue
             tq = time.perf_counter()
             con.execute(sql).fetchall()
-            print(
-                f"# duckdb {name}: {time.perf_counter() - tq:.3f}s",
-                file=sys.stderr,
-            )
-        return time.perf_counter() - t0
+            per_query[name] = time.perf_counter() - tq
+            print(f"# duckdb {name}: {per_query[name]:.3f}s", file=sys.stderr)
+        return time.perf_counter() - t0, per_query
     except Exception as ex:  # noqa: BLE001 — baseline is best-effort
         print(f"# duckdb baseline skipped: {type(ex).__name__}: {ex}", file=sys.stderr)
-        return None
+        return None, {}
 
 
 def _arrow_warmup(spark) -> None:

@@ -21,6 +21,8 @@ storage to also bound recovery).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "cut_lineage", "dedup_survivors", "fuzzy_dedup"]
@@ -211,20 +213,32 @@ def cooccurrence_pairs(
 ) -> DataFrame:
     """Per-group distinct item pairs ``(group, u, v)`` with ``u < v`` — the
     co-occurrence/edge-build primitive under market-basket and co-purchase
-    graphs. One ``collect_set`` per group (set dedup rides the aggregation),
-    then the pair expansion runs ROW-LOCALLY over the sorted item array
-    inside codegen: the input shuffles ONCE on the group key, versus twice
-    (both join sides) plus a sort-merge for the equivalent self-join, and
-    no (group, item) pre-distinct exchange is needed. Pair blowup is
-    |group|² exactly like the self-join formulation — bounded by basket
-    size, never corpus size — and a pathologically large group surfaces as
-    one big aggregation value rather than a skewed join key (salt upstream
-    if a group can exceed executor memory; TPC-H-shape baskets are ≤7).
-    NULL group keys are dropped to match the self-join formulation this
-    replaced (``a.g == b.g`` never matches NULL; groupBy would otherwise
-    keep a NULL-key group and emit pairs within it — ADVICE r7)."""
+    graphs. Two formulations, A/B-measured per scale (tools/ab_cooc.py,
+    min-of-2 on local[32]):
+
+    * self-join (DEFAULT): distinct ``(group, item)`` then an equi-join on
+      the group key with a ``u < v`` residual — two exchanges but both
+      sides stay narrow and whole-stage codegen streams the join.
+    * set-expansion (``SPARK_GRAFT_COOC_IMPL=set``): one ``collect_set``
+      per group, pair expansion row-locally over the sorted array — one
+      exchange, but the aggregation buffers whole baskets and the
+      flatten/transform explode materializes pair structs outside codegen.
+
+    The r7 rewrite made set-expansion the default on plan shape (fewer
+    Exchanges); measurement reversed it: at sf0.1 the two are within noise
+    (basket_pairs 3.37/3.34, triangle edge build 9.1/10.7s either way),
+    while at sf1 the self-join wins ALL four consumers by 25-30%
+    (basket_pairs 23.0 -> 16.3s, triangle_count 53.6 -> 40.7s,
+    copurchase_lift 22.1 -> 15.8s, degree_distribution 27.7 -> 19.4s) —
+    the aggregation-buffer cost grows faster than the extra exchange. Pair
+    blowup is |group|² in BOTH forms — bounded by basket size, never
+    corpus size. NULL group keys are dropped in both (``a.g == b.g``
+    never matches NULL; groupBy would otherwise keep a NULL-key group —
+    ADVICE r7)."""
     from pyspark.sql import functions as F
 
+    if os.environ.get("SPARK_GRAFT_COOC_IMPL", "join") != "set":
+        return _cooccurrence_pairs_selfjoin(df, group_col, item_col)
     sets = df.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )
@@ -238,6 +252,30 @@ def cooccurrence_pairs(
             )
         ).alias("_e"),
     ).select(group_col, F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+
+
+def _cooccurrence_pairs_selfjoin(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """The self-join formulation (default — see cooccurrence_pairs for the
+    A/B measurement that picked it): distinct ``(group, item)`` then an
+    equi-join on the group key with ``u < v``. Two shuffles (distinct +
+    join), but each side stays narrow and codegen handles the inequality
+    residual."""
+    from pyspark.sql import functions as F
+
+    gi = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(group_col, item_col)
+        .distinct()
+    )
+    a = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("u"))
+    b = gi.select(F.col(group_col).alias("_g2"), F.col(item_col).alias("v"))
+    return a.join(
+        b, (F.col("_g") == F.col("_g2")) & (F.col("u") < F.col("v"))
+    ).select(F.col("_g").alias(group_col), "u", "v")
 
 
 def triangle_count(

@@ -1,0 +1,70 @@
+"""A/B the two cooccurrence_pairs formulations (VERDICT r7 #5).
+
+Runs the four consumer queries (basket_pairs, triangle_count,
+copurchase_lift, degree_distribution) under the set-expansion default and
+the r6 self-join (SPARK_GRAFT_COOC_IMPL=join) at a given sf dir, min-of-2
+per (query, impl), alternating impls inside one JVM so codegen/JIT warmup
+cancels out. Prints a JSON line per sf with both walls and the winner.
+
+Usage: python tools/ab_cooc.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONSUMERS = [
+    "basket_pairs",
+    "triangle_count",
+    "copurchase_lift",
+    "degree_distribution",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
+    from numaflow_spark.queries import QUERIES, load_table
+    from numaflow_spark.session import get_spark
+
+    spark = get_spark(
+        "ab_cooc", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("lineitem", "orders", "part"):
+        load_table(spark, sf_dir, t).count()
+
+    results: dict[str, dict] = {}
+    for name in CONSUMERS:
+        fn = QUERIES[name]
+        walls: dict[str, float] = {}
+        for impl in ("set", "join"):
+            runs = []
+            for _ in range(2):
+                os.environ["SPARK_GRAFT_COOC_IMPL"] = impl
+                t0 = time.perf_counter()
+                n = len(fn(spark, sf_dir).toPandas())
+                runs.append(time.perf_counter() - t0)
+                gc.collect()
+            walls[impl] = round(min(runs), 3)
+            print(
+                f"# {name}/{impl}: {walls[impl]}s (runs {[round(r, 3) for r in runs]},"
+                f" {n} rows)",
+                file=sys.stderr,
+            )
+        winner = min(walls, key=walls.get)  # ties -> 'set' (dict order)
+        results[name] = {**walls, "winner": winner}
+    os.environ.pop("SPARK_GRAFT_COOC_IMPL", None)
+    spark.stop()
+    print(json.dumps({"sf_dir": sf_dir, "ab": results}, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
