@@ -603,3 +603,47 @@ def test_ivfpq_candidate_generation_with_pruning(spark):
     rec_full = len(exact & full) / len(exact)
     assert rec_full >= rec_pruned
     assert rec_pruned >= 0.8, f"pruned IVFPQ 5-in-50 recall: {rec_pruned}"
+
+
+def test_jaccard_pairs_prefix_filter_matches_naive(spark):
+    """The prefix-filtered AllPairs plan must be BIT-identical to the
+    naive every-shingle self-join it replaced — exactness is the whole
+    point of the ground-truth path. Randomized corpus with planted
+    near-dups, several thresholds (prefix length depends on t)."""
+    import random as rnd
+
+    from numaflow_spark.operators.dedup import (
+        _pair_intersections,
+        _verify_jaccard,
+        jaccard_pairs,
+        shingle_hashes,
+    )
+
+    r = rnd.Random(1234)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(40):
+        base = [r.choice(vocab) for _ in range(r.randint(8, 30))]
+        docs.append((i, " ".join(base)))
+        if i % 3 == 0:  # planted near-dup: small edit of base
+            mut = list(base)
+            mut[r.randrange(len(mut))] = r.choice(vocab)
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.8, 0.95):
+        got = {
+            tuple(x)
+            for x in jaccard_pairs(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        sh = shingle_hashes(df, "doc_id", "text", 3)
+        want = {
+            tuple(x)
+            for x in _verify_jaccard(
+                _pair_intersections(sh), sh, t, broadcast_pairs=False
+            ).collect()
+        }
+        assert got == want, f"threshold {t}: prefix plan diverged from naive"
+        if t == 0.5:
+            assert want, "test corpus produced no pairs — not exercising anything"
