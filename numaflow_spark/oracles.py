@@ -2597,3 +2597,137 @@ STAGED_ORACLES["customer_order_gap_median"] = """
 # Promotion event 11 twin (see queries.py — r8 window rotation).
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+
+# ---------------------------------------------------------------------------
+# r9 staged oracle twins (see queries.py r9 staged queue). All arithmetic is
+# integer (counts, cent-scaled revenue, basis-point shares with
+# positive-operand // division) so value hashes replay engine-exactly;
+# every SUM over BIGINT is cast back from HUGEINT.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["nation_yoy_order_growth"] = """
+    WITH yearly AS (
+        SELECT n.n_name, year(o.o_orderdate) AS yr,
+               count(*) AS orders_cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, yr
+    )
+    SELECT n_name, CAST(yr AS INT) AS yr, orders_cnt,
+           (orders_cnt * 10000) // lag(orders_cnt) OVER (
+               PARTITION BY n_name ORDER BY yr
+           ) - 10000 AS growth_bp
+    FROM yearly
+"""
+
+STAGED_ORACLES["order_concurrency_peak"] = """
+    WITH closed AS (
+        SELECT l_orderkey,
+               max(epoch_us(l_shipdate) // 86400000000) AS close_day
+        FROM lineitem GROUP BY l_orderkey
+    ), spans AS (
+        SELECT c.c_mktsegment,
+               epoch_us(o.o_orderdate) // 86400000000 AS open_day,
+               cl.close_day
+        FROM orders o
+        JOIN closed cl ON o.o_orderkey = cl.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ev AS (
+        SELECT c_mktsegment, open_day AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT c_mktsegment, close_day + 1 AS day, -1 AS delta FROM spans
+    ), daily AS (
+        SELECT c_mktsegment, day, CAST(sum(delta) AS BIGINT) AS net
+        FROM ev GROUP BY c_mktsegment, day
+    ), run AS (
+        SELECT c_mktsegment, day,
+               CAST(sum(net) OVER (
+                   PARTITION BY c_mktsegment ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_orders
+        FROM daily
+    ), peaked AS (
+        SELECT c_mktsegment, day, open_orders,
+               max(open_orders) OVER (PARTITION BY c_mktsegment) AS peak
+        FROM run
+    )
+    SELECT c_mktsegment, min(day) AS first_peak_day, max(peak) AS peak_open
+    FROM peaked WHERE open_orders = peak GROUP BY c_mktsegment
+"""
+
+STAGED_ORACLES["nation_seat_apportionment"] = """
+    WITH cnt AS (
+        SELECT n.n_name, count(*) AS orders_cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), quotas AS (
+        SELECT n_name, orders_cnt,
+               (orders_cnt * 10000)
+                   // CAST(sum(orders_cnt) OVER () AS BIGINT) AS floor_seats,
+               (orders_cnt * 10000)
+                   % CAST(sum(orders_cnt) OVER () AS BIGINT) AS rem
+        FROM cnt
+    ), ranked AS (
+        SELECT n_name, orders_cnt, floor_seats,
+               CAST(sum(floor_seats) OVER () AS BIGINT) AS base_total,
+               row_number() OVER (ORDER BY rem DESC, n_name) AS rk
+        FROM quotas
+    )
+    SELECT n_name, orders_cnt,
+           floor_seats + CASE WHEN rk <= 10000 - base_total
+                              THEN 1 ELSE 0 END AS seats
+    FROM ranked
+"""
+
+STAGED_ORACLES["event_type_daily_share"] = """
+    WITH per AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        FROM events GROUP BY day, event_type
+    )
+    SELECT day, event_type, cnt,
+           (cnt * 10000) // CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT)
+               AS share_bp
+    FROM per
+"""
+
+STAGED_ORACLES["repeat_purchase_rate"] = """
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ), by_nation AS (
+        SELECT n.n_name, count(*) AS n_buyers,
+               CAST(sum(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeat
+        FROM per_cust p
+        JOIN customer c ON p.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, n_buyers, n_repeat,
+           (n_repeat * 10000) // n_buyers AS repeat_bp
+    FROM by_nation
+"""
+
+STAGED_ORACLES["brand_weighted_median_price"] = """
+    WITH per_price AS (
+        SELECT p.p_brand,
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, price_c
+    ), cum AS (
+        SELECT p_brand, price_c,
+               CAST(sum(qty) OVER (
+                   PARTITION BY p_brand ORDER BY price_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_qty,
+               CAST(sum(qty) OVER (PARTITION BY p_brand) AS BIGINT) AS tot_qty
+        FROM per_price
+    )
+    SELECT p_brand, min(price_c) AS wmedian_price_c,
+           max(tot_qty) AS total_qty
+    FROM cum WHERE 2 * cum_qty >= tot_qty GROUP BY p_brand
+"""

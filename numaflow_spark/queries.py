@@ -4137,3 +4137,264 @@ RECERT_PENDING = [
     "degree_distribution",
 ]
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+
+# ---------------------------------------------------------------------------
+# r9 staged queue (NOT promoted this round). Standing criteria: hash-green
+# at sf0.001 + sf0.01 via `tools/check_queries.py --staged` before any
+# window slot. Breadth targets: analytic SHAPES no registered query
+# exercises yet — interval-overlap concurrency (sweep line), exact
+# integer apportionment (largest remainder), weighted-median selection
+# (cumulative threshold), growth-in-integer-bp and mix-share division —
+# all in integer-deterministic arithmetic (counts, cent-scaled revenue,
+# basis-point ratios with positive-operand integer division) so the
+# driver's type-sensitive value hash replays on any engine.
+# ---------------------------------------------------------------------------
+
+
+def q_nation_yoy_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year order-count growth per nation, in basis points via
+    positive-operand integer division ((cnt*10000) div prev - 10000 —
+    trunc == floor when both operands are positive, so Spark's `div` and
+    DuckDB's `//` agree). customer->nation is a broadcast dim join; the
+    (nation, year) rollup is tiny, and the lag window runs on it, never on
+    the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("orders_cnt"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return yearly.select(
+        "n_name", "yr", "orders_cnt",
+        (
+            (F.col("orders_cnt") * F.lit(10000))
+            .cast("bigint")
+            .alias("_num")
+        ),
+        F.lag("orders_cnt").over(w).alias("_prev"),
+    ).select(
+        "n_name", "yr", "orders_cnt",
+        F.expr("_num div _prev - 10000").alias("growth_bp"),
+    )
+
+
+def q_order_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open orders per market segment, via a
+    sweep line: each order contributes +1 at its open day and -1 the day
+    after its last ship date, per-day net deltas cumulate into a running
+    open-order count, and the peak plus its FIRST attainment day come off
+    the tiny per-segment day series. The interval-overlap shape no other
+    registered query exercises — counting concurrency without expanding
+    order×day rows (an order open 80 days costs 2 events, not 80). Fact
+    tables shuffle once each (orderkey close rollup, segment/day census);
+    the running-sum window sees ~|segments|×|days| rows only. All integer
+    (day numbers via unix_micros div 86400000000 on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.expr("unix_micros(l_shipdate) div 86400000000"))
+        .alias("close_day")
+    )
+    spans = (
+        o.select(
+            "o_orderkey", "o_custkey",
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("open_day"),
+        )
+        .join(close, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "open_day", "close_day")
+    )
+    events = spans.select(
+        "c_mktsegment", F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            "c_mktsegment",
+            (F.col("close_day") + 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = events.groupBy("c_mktsegment", "day").agg(
+        F.sum("delta").alias("net")
+    )
+    w_run = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = daily.select(
+        "c_mktsegment", "day", F.sum("net").over(w_run).alias("open_orders")
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    return (
+        run.withColumn("peak", F.max("open_orders").over(w_seg))
+        .filter(F.col("open_orders") == F.col("peak"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("day").alias("first_peak_day"),
+            F.max("peak").alias("peak_open"),
+        )
+    )
+
+
+def q_nation_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: 10000 'seats' allocated
+    to nations proportionally to order count — floor quotas by
+    positive-operand integer division, then the leftover seats go to the
+    largest remainders (ties broken by name, a total order both engines
+    replay). Exercises exact integer proration — an allocation algorithm,
+    not another rollup: sum(seats) is EXACTLY 10000 by construction, which
+    no rounding-based share query guarantees. The fact table collapses to
+    25 rows before any window; both whole-table windows run on that."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cnt = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("orders_cnt"))
+    )
+    w_all = Window.partitionBy()
+    quotas = cnt.select(
+        "n_name",
+        "orders_cnt",
+        F.expr("orders_cnt * 10000").alias("num"),
+        F.sum("orders_cnt").over(w_all).alias("total"),
+    ).select(
+        "n_name",
+        "orders_cnt",
+        F.expr("num div total").alias("floor_seats"),
+        F.expr("num % total").alias("rem"),
+    )
+    ranked = quotas.select(
+        "n_name",
+        "orders_cnt",
+        "floor_seats",
+        F.sum("floor_seats").over(w_all).alias("base_total"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "n_name"))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "n_name",
+        "orders_cnt",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rk") <= F.lit(10000) - F.col("base_total"), 1)
+            .otherwise(0)
+        ).alias("seats"),
+    )
+
+
+def q_event_type_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-type mix in basis points: share_bp = cnt*10000 div
+    day_total (positive integer division — engine-exact). One (day, type)
+    rollup; the day total rides a window over that tiny rollup, not a
+    second pass over events."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("day")
+    return per.select(
+        "day", "event_type", "cnt",
+        F.expr("cnt * 10000 div sum(cnt) over (partition by day)")
+        .alias("share_bp"),
+    )
+
+
+def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-buyer rate per nation: customers with >=2 orders over all
+    customers WITH orders, in basis points (integer division, positive
+    operands). Orders collapse to per-customer counts first (one custkey
+    shuffle); nation is a broadcast dim."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        per_cust.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_buyers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .alias("n_repeat"),
+        )
+        .select(
+            "n_name", "n_buyers", "n_repeat",
+            F.expr("n_repeat * 10000 div n_buyers").alias("repeat_bp"),
+        )
+    )
+
+
+def q_brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted LOWER median line price per brand: the smallest
+    price (in cents, floor(double*100) — a verified engine-exact
+    primitive) whose cumulative quantity reaches half the brand's total.
+    The weighted-median shape — cumulative-threshold selection over an
+    ordered distribution — is not covered by the quantile/ntile queries
+    (they weight rows equally). Rows collapse to (brand, price) with
+    summed quantity first, so the cumulative window is over the collapsed
+    distribution and needs no row-level tiebreak: cum_qty(p) = total
+    quantity at prices <= p is well-defined on both engines. One fact
+    shuffle (brand+price rollup); part is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_price = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_brand = Window.partitionBy("p_brand")
+    cum = per_price.select(
+        "p_brand",
+        "price_c",
+        F.sum("qty").over(w_cum).alias("cum_qty"),
+        F.sum("qty").over(w_brand).alias("tot_qty"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cum_qty") >= F.col("tot_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("price_c").alias("wmedian_price_c"),
+            F.max("tot_qty").alias("total_qty"),
+        )
+    )
+
+
+STAGED_QUERIES["nation_yoy_order_growth"] = q_nation_yoy_order_growth
+STAGED_QUERIES["order_concurrency_peak"] = q_order_concurrency_peak
+STAGED_QUERIES["nation_seat_apportionment"] = q_nation_seat_apportionment
+STAGED_QUERIES["event_type_daily_share"] = q_event_type_daily_share
+STAGED_QUERIES["repeat_purchase_rate"] = q_repeat_purchase_rate
+STAGED_QUERIES["brand_weighted_median_price"] = q_brand_weighted_median_price

@@ -492,23 +492,23 @@ def test_session_islands_single_exchange(spark):
 
 
 def test_triangle_count_no_cartesian_no_python(spark):
-    """r7: the co-purchase edge build is cooccurrence_pairs (one orderkey
-    shuffle + row-local expansion) — no lineitem self-join, so no
-    sort-merge join anywhere in the pipeline."""
+    """r8: the co-purchase edge build is back to the self-join formulation
+    (the sf1 A/B in tools/ab_cooc.py measured it 25-30% faster at x10 than
+    the r7 set-expansion, wash at sf0.1) — sort-merge joins are expected;
+    what must NEVER appear is a cartesian product or a Python stage."""
     plan = staged_plan_of(spark, "triangle_count")
     assert nodes(plan, "CartesianProduct") == 0
-    assert nodes(plan, "SortMergeJoin") == 0
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
-def test_basket_pairs_single_scan_edge_build(spark):
-    """The market-basket pair table reads lineitem ONCE (set-agg + local
-    expansion); the old self-join formulation scanned and shuffled it
-    twice."""
+def test_basket_pairs_edge_build_bounded(spark):
+    """r8: the self-join edge build scans lineitem twice (both join sides)
+    — the measured price of the formulation that wins at x10 (see
+    cooccurrence_pairs docstring). Pin what scale depends on: bounded
+    scans, no cartesian product, no Python stage."""
     plan = staged_plan_of(spark, "basket_pairs")
-    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
-    assert nodes(plan, "SortMergeJoin") == 0
-    assert nodes(plan, "Exchange") == 2
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) <= 2
+    assert nodes(plan, "CartesianProduct") == 0
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
