@@ -340,8 +340,6 @@ class Client:
         self._producers: dict[int, Producer] = {}
         self._consumers: dict[int, Consumer] = {}
         self._closed = False
-        self._reader = threading.Thread(target=self._read_loop, daemon=True)
-        self._reader.start()
         # CommandConnect: client_version=1, auth_data=3, protocol_version=4,
         # auth_method_name=5 (proto nums). Auth parity with the reference's
         # pulsar `auth` block: method "basic" carries "user:password" bytes
@@ -353,14 +351,39 @@ class Client:
         if auth_method_name is not None:
             connect_body[5] = auth_method_name
             connect_body[3] = auth_data or b""
-        self._write(encode_frame(CONNECT, connect_body))
-        with self._cv:
-            if not self._cv.wait_for(lambda: self._connected or self._closed, self._timeout):
-                raise TimeoutError("CONNECTED not received")
-            if self._closed:
-                raise ConnectionError(
-                    self._handshake_error or "connection closed during handshake"
-                )
+        # The CONNECT handshake runs SYNCHRONOUSLY, before the reader
+        # thread exists: with a reader already blocked in SSL_read, the
+        # main thread's CONNECT write races OpenSSL's connection state
+        # exactly when TLS 1.3 post-handshake session tickets arrive
+        # (concurrent SSL_read/SSL_write on one connection is not safe),
+        # observed as a silently-lost CONNECT frame and a hung handshake
+        # (~60% repro on loopback TLS). One thread, no race; the reader
+        # starts only once CONNECTED is in hand.
+        self._sock.settimeout(self._timeout)
+        try:
+            self._write(encode_frame(CONNECT, connect_body))
+            while not self._connected:
+                cmd_type, sub, _meta, _payload, _ok = read_frame(self._sock)
+                if cmd_type == CONNECTED:
+                    self._connected = True
+                elif cmd_type == PING:
+                    self._write(encode_frame(PONG, {}))
+                elif cmd_type == ERROR:
+                    raise ConnectionError(
+                        _one(sub, 3, b"").decode(errors="replace")
+                        or "handshake rejected"
+                    )
+        except TimeoutError:
+            raise TimeoutError("CONNECTED not received") from None
+        except (ConnectionError, OSError, ValueError) as ex:
+            if isinstance(ex, ConnectionError) and str(ex):
+                raise
+            raise ConnectionError(
+                self._handshake_error or "connection closed during handshake"
+            ) from ex
+        self._sock.settimeout(None)
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
 
     # -- plumbing ---------------------------------------------------------
 
