@@ -44,12 +44,23 @@ built with ``basic_users`` and rejects with
 CommandError(AuthenticationError) + close, pre-auth data commands drop
 the link).
 
+Also implemented (r8 depth): topic lookup (CommandLookupTopic 23/24 —
+single-broker Connect answers; Redirect surfaces as an error, no
+redirect-following), partitioned-topic metadata
+(CommandPartitionedTopicMetadata 21/22) with transparent client-side
+expansion — ``create_producer``/``subscribe`` on an N-partition topic
+return a :class:`PartitionedProducer` (key-hash / round-robin routing)
+and a :class:`MultiConsumer` (merged receive, acks routed to the source
+partition) over ``{topic}-partition-{i}`` — and batched messages
+(MessageMetadata num_messages_in_batch=11; payload = repeated
+[u32 size][SingleMessageMetadata][bytes]): ``Producer.send_batch`` packs,
+the consumer path unpacks transparently, acks are batch-granular.
+
 Not implemented (documented divergences, same scoping as the Kafka v0
 codec): mutual-TLS client certs, token/OAuth2 auth providers beyond
-basic, topic lookup & partitioned-topic metadata (the
-client connects straight to the given address; real brokers accept this
-for locally-owned topics), batched messages (num_messages_in_batch > 1),
-compression, schema registry, key-shared dispatch ordering.
+basic, lookup-redirect following (single-broker scope), partition-key
+routing via JavaStringHash (CRC32C here), compression, schema registry,
+key-shared dispatch ordering.
 
 Reference parity: numaflow's Pulsar source/sink live in
 rust/extns/numaflow-pulsar/src/lib.rs + rust/numaflow-core/src/source/
@@ -64,6 +75,7 @@ import socket
 import struct
 import threading
 import time
+from collections.abc import Sequence
 
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli) — reflected polynomial 0x82F63B78, init/xorout
@@ -192,6 +204,10 @@ PRODUCER_SUCCESS = 17
 PING = 18
 PONG = 19
 REDELIVER_UNACKNOWLEDGED_MESSAGES = 20
+PARTITIONED_METADATA = 21
+PARTITIONED_METADATA_RESPONSE = 22
+LOOKUP = 23
+LOOKUP_RESPONSE = 24
 
 PROTOCOL_VERSION = 6  # pre-batch-index-ack baseline; fields used are v1
 
@@ -215,6 +231,39 @@ def encode_payload_frame(
     rest = cmd + _MAGIC + chk + tail
     # totalSize counts everything after itself: the commandSize u32 + rest
     return struct.pack(">II", 4 + len(rest), len(cmd)) + rest
+
+
+def _unpack_batch(payload: bytes) -> list[tuple[dict[int, list], bytes]]:
+    """Decode a batched-message payload (published framing: repeated
+    [u32 metadataSize][SingleMessageMetadata][payload bytes], where
+    SingleMessageMetadata carries properties=1, partition_key=2 and the
+    required payload_size=3). Returns [(single_meta_fields, payload)]."""
+    out: list[tuple[dict[int, list], bytes]] = []
+    pos = 0
+    while pos < len(payload):
+        (msize,) = struct.unpack(">I", payload[pos : pos + 4])
+        pos += 4
+        smeta = pb_decode(payload[pos : pos + msize])
+        pos += msize
+        psize = _one(smeta, 3, 0)
+        out.append((smeta, payload[pos : pos + psize]))
+        pos += psize
+    return out
+
+
+def _pack_batch(
+    payloads: Sequence[bytes], partition_key: str | None = None
+) -> bytes:
+    """Encode payloads into the batched framing above (partition_key, when
+    given, rides each SingleMessageMetadata — real batches group by key)."""
+    out = bytearray()
+    for p in payloads:
+        fields: dict[int, object] = {3: len(p)}
+        if partition_key:
+            fields[2] = partition_key
+        sm = pb_encode(fields)
+        out += struct.pack(">I", len(sm)) + sm + bytes(p)
+    return bytes(out)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -415,6 +464,13 @@ class Client:
                         self._cv.notify_all()
                 elif cmd_type == PING:
                     self._write(encode_frame(PONG, {}))
+                elif cmd_type in (LOOKUP_RESPONSE, PARTITIONED_METADATA_RESPONSE):
+                    # request_id lives at field 4 (LookupTopicResponse) /
+                    # field 2 (PartitionedTopicMetadataResponse)
+                    rid = _one(sub, 4 if cmd_type == LOOKUP_RESPONSE else 2)
+                    with self._cv:
+                        self._responses[rid] = {"type": cmd_type, "fields": sub}
+                        self._cv.notify_all()
                 elif cmd_type in (SUCCESS, PRODUCER_SUCCESS, ERROR):
                     rid = _one(sub, 1)
                     if cmd_type == ERROR and not self._connected:
@@ -462,16 +518,31 @@ class Client:
                         for kv in meta.get(4, []):
                             kvf = pb_decode(kv)
                             props[_one(kvf, 1, b"").decode()] = _one(kvf, 2, b"").decode()
-                        cons._deliver(
-                            _WireMessage(
-                                MessageId(_one(mid, 1, 0), _one(mid, 2, 0)),
-                                payload,
-                                _one(meta, 6, b"").decode(),  # partition_key = 6
-                                _one(meta, 3, 0),  # publish_time = 3
-                                props,
-                                rdc,
-                            )
-                        )
+                        msg_id = MessageId(_one(mid, 1, 0), _one(mid, 2, 0))
+                        pkey = _one(meta, 6, b"").decode()  # partition_key = 6
+                        pub = _one(meta, 3, 0)  # publish_time = 3
+                        nbatch = _one(meta, 11, 0)  # num_messages_in_batch
+                        if nbatch and nbatch > 1:
+                            # Batched entry (published framing: repeated
+                            # [u32 size][SingleMessageMetadata][bytes]).
+                            # Every unpacked message shares the batch's
+                            # MessageId — acks are batch-granular, exactly
+                            # the broker-entry semantics of real batches.
+                            for smeta, spay in _unpack_batch(payload):
+                                spk = _one(smeta, 2, b"").decode() or pkey
+                                sprops = dict(props)
+                                for kv in smeta.get(1, []):
+                                    kvf = pb_decode(kv)
+                                    sprops[_one(kvf, 1, b"").decode()] = (
+                                        _one(kvf, 2, b"").decode()
+                                    )
+                                cons._deliver(_WireMessage(
+                                    msg_id, spay, spk, pub, sprops, rdc,
+                                ))
+                        else:
+                            cons._deliver(_WireMessage(
+                                msg_id, payload, pkey, pub, props, rdc,
+                            ))
         except (ConnectionError, OSError, ValueError):
             pass
         finally:
@@ -488,10 +559,69 @@ class Client:
 
     # -- pulsar-client surface -------------------------------------------
 
+    def lookup(self, topic: str) -> str:
+        """CommandLookupTopic (23) -> CommandLookupTopicResponse (24):
+        returns the broker service URL owning the topic. Our single-broker
+        server always answers itself with LookupType.Connect; a real
+        multi-broker cluster may Redirect, which this client surfaces as an
+        error (documented divergence: no redirect-following)."""
+        rid = self._request_id()
+        # CommandLookupTopic: topic=1 request_id=2
+        self._write(encode_frame(LOOKUP, {1: topic, 2: rid}))
+        resp = self._await_response(rid)
+        f = resp["fields"]
+        # CommandLookupTopicResponse: brokerServiceUrl=1 response=3
+        # (Redirect=0 Connect=1 Failed=2) request_id=4
+        kind = _one(f, 3, 2)
+        if kind == 1:
+            return _one(f, 1, b"").decode()
+        if kind == 0:
+            raise ConnectionError(
+                f"lookup({topic}): broker answered Redirect to "
+                f"{_one(f, 1, b'').decode()!r}; redirect-following is not "
+                "implemented"
+            )
+        raise ConnectionError(f"lookup({topic}) failed")
+
+    def partitioned_metadata(self, topic: str) -> int:
+        """CommandPartitionedTopicMetadata (21) -> response (22): the
+        partition count of a topic (0 = non-partitioned)."""
+        rid = self._request_id()
+        # CommandPartitionedTopicMetadata: topic=1 request_id=2
+        self._write(encode_frame(PARTITIONED_METADATA, {1: topic, 2: rid}))
+        resp = self._await_response(rid)
+        f = resp["fields"]
+        # response: partitions=1 request_id=2 response=3 (Success=0)
+        if _one(f, 3, 0) != 0:
+            raise ConnectionError(f"partitioned_metadata({topic}) failed")
+        return _one(f, 1, 0)
+
     def subscribe(self, topic: str, subscription_name: str,
                   consumer_type: int = ConsumerType.Shared,
                   consumer_name: str | None = None,
-                  receiver_queue_size: int = 1000) -> "Consumer":
+                  receiver_queue_size: int = 1000):
+        """Partitioned topics expand transparently (pulsar-client parity):
+        metadata says N>0 -> one consumer per ``{topic}-partition-{i}``
+        merged behind a single receive() surface."""
+        n = self.partitioned_metadata(topic)
+        if n > 0:
+            subs = [
+                self._subscribe_single(
+                    f"{topic}-partition-{i}", subscription_name,
+                    consumer_type, consumer_name, receiver_queue_size,
+                )
+                for i in range(n)
+            ]
+            return MultiConsumer(subs)
+        return self._subscribe_single(
+            topic, subscription_name, consumer_type, consumer_name,
+            receiver_queue_size,
+        )
+
+    def _subscribe_single(self, topic: str, subscription_name: str,
+                          consumer_type: int = ConsumerType.Shared,
+                          consumer_name: str | None = None,
+                          receiver_queue_size: int = 1000) -> "Consumer":
         cid = self._next_consumer
         self._next_consumer += 1
         cons = Consumer(self, cid, topic, subscription_name, receiver_queue_size)
@@ -510,7 +640,25 @@ class Client:
         cons._flow(receiver_queue_size)
         return cons
 
-    def create_producer(self, topic: str, producer_name: str | None = None) -> "Producer":
+    def create_producer(self, topic: str, producer_name: str | None = None):
+        """Partitioned topics expand transparently: metadata says N>0 ->
+        one wire producer per partition behind a routing facade
+        (key-hash when a partition_key is given, else round-robin)."""
+        n = self.partitioned_metadata(topic)
+        if n > 0:
+            parts = [
+                self._create_producer_single(
+                    f"{topic}-partition-{i}",
+                    f"{producer_name}-p{i}" if producer_name else None,
+                )
+                for i in range(n)
+            ]
+            return PartitionedProducer(topic, parts)
+        return self._create_producer_single(topic, producer_name)
+
+    def _create_producer_single(
+        self, topic: str, producer_name: str | None = None
+    ) -> "Producer":
         pid = self._next_producer
         self._next_producer += 1
         rid = self._request_id()
@@ -581,13 +729,16 @@ class Consumer:
                     raise TimeoutError("receive timed out")
                 self._cv.wait(remaining)
             msg = self._queue.pop(0)
+        self._replenish()
+        return msg
+
+    def _replenish(self) -> None:
         # replenish permits in half-queue chunks (the standard client's
         # behaviour) so delivery never stalls on an empty permit budget
         self._since_flow += 1
         if self._since_flow >= max(1, self._queue_size // 2):
             self._flow(self._since_flow)
             self._since_flow = 0
-        return msg
 
     def _ack(self, msg_id: MessageId, ack_type: int) -> None:
         # CommandAck: consumer_id=1 ack_type=2 message_id=3 (MessageIdData:
@@ -658,6 +809,40 @@ class Producer:
         self.send_async(content, **kw)
         self.flush()
 
+    def send_batch(
+        self,
+        payloads: Sequence[bytes],
+        partition_key: str | None = None,
+        properties: dict | None = None,
+    ) -> None:
+        """Batched publish (published framing: MessageMetadata
+        num_messages_in_batch=11 + repeated [u32 size]
+        [SingleMessageMetadata][bytes] in the payload): ONE sequence id,
+        one CRC frame, one receipt and one broker entry for the whole
+        batch — the amortization real producers get from batching.
+        Consumers unpack it transparently (client MESSAGE path); acks are
+        batch-granular, matching real broker-entry semantics."""
+        if not payloads:
+            return
+        with self._cv:
+            seq = self._next_seq
+            self._next_seq += 1
+            self._pending[seq] = None
+        meta: dict[int, object] = {
+            1: self._name, 2: seq, 3: int(time.time() * 1000),
+            11: len(payloads),
+        }
+        if properties:
+            meta[4] = [{1: k, 2: v} for k, v in properties.items()]
+        if partition_key:
+            meta[6] = partition_key
+        body = _pack_batch(payloads, partition_key)
+        frame = encode_payload_frame(
+            SEND, {1: self._id, 2: seq, 3: len(payloads)}, meta, body
+        )
+        self._client._write(frame)
+        self.flush()
+
     def flush(self, timeout_s: float = 10.0) -> None:
         with self._cv:
             # Fail fast on a dead connection instead of burning the full
@@ -684,6 +869,110 @@ class Producer:
         except (TimeoutError, ConnectionError):
             pass
         self._client._producers.pop(self._id, None)
+
+
+class PartitionedProducer:
+    """Routing facade over one wire :class:`Producer` per partition
+    (pulsar-client parity for partitioned topics): a partition_key routes
+    by hash so one key always lands on one partition (ordering per key);
+    keyless sends round-robin. Divergence: the hash is CRC32C of the key
+    bytes, not JavaStringHash — stable here, but cross-client key
+    placement will differ from the Java client's."""
+
+    def __init__(self, topic: str, parts: list[Producer]):
+        self.topic = topic
+        self._parts = parts
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    @property
+    def num_partitions(self) -> int:
+        return len(self._parts)
+
+    def _route(self, partition_key: str | None) -> Producer:
+        if partition_key:
+            return self._parts[crc32c(partition_key.encode()) % len(self._parts)]
+        with self._lock:
+            i = self._rr
+            self._rr = (self._rr + 1) % len(self._parts)
+        return self._parts[i]
+
+    def send_async(self, content: bytes, callback=None,
+                   partition_key: str | None = None, **kw) -> None:
+        self._route(partition_key).send_async(
+            content, callback, partition_key=partition_key, **kw
+        )
+
+    def send(self, content: bytes, partition_key: str | None = None, **kw) -> None:
+        p = self._route(partition_key)
+        p.send_async(content, partition_key=partition_key, **kw)
+        p.flush()
+
+    def flush(self, timeout_s: float = 10.0) -> None:
+        for p in self._parts:
+            p.flush(timeout_s)
+
+    def close(self) -> None:
+        for p in self._parts:
+            p.close()
+
+
+class MultiConsumer:
+    """One receive() surface over the per-partition consumers of a
+    partitioned topic: all partitions deliver into a shared queue (the
+    sub-consumers' queue/condition are pointed at shared objects, and
+    each message remembers its source partition so acks route back to the
+    right consumer_id). Permit replenishment stays per-partition."""
+
+    def __init__(self, consumers: list[Consumer]):
+        self._consumers = consumers
+        self._cv = threading.Condition()
+        self._queue: list[_WireMessage] = []
+        for c in consumers:
+            c._cv = self._cv
+            c._queue = self._queue
+            c._deliver = self._tagged_deliver(c)
+
+    def _tagged_deliver(self, src: Consumer):
+        def deliver(msg: _WireMessage) -> None:
+            msg._src = src
+            with self._cv:
+                self._queue.append(msg)
+                self._cv.notify_all()
+
+        return deliver
+
+    def receive(self, timeout_millis: int | None = None) -> _WireMessage:
+        deadline = (
+            None if timeout_millis is None
+            else time.time() + timeout_millis / 1000.0
+        )
+        with self._cv:
+            while not self._queue:
+                if not any(c._alive for c in self._consumers):
+                    raise ConnectionError("consumer closed")
+                remaining = None if deadline is None else deadline - time.time()
+                if remaining is not None and remaining <= 0:
+                    raise TimeoutError("receive timed out")
+                self._cv.wait(remaining)
+            msg = self._queue.pop(0)
+        msg._src._replenish()
+        return msg
+
+    def acknowledge(self, msg) -> None:
+        msg._src.acknowledge(msg)
+
+    def acknowledge_cumulative(self, msg) -> None:
+        # cumulative acks are per-partition orderings; route to the source
+        msg._src.acknowledge_cumulative(msg)
+
+    def redeliver_unacknowledged_messages(self) -> None:
+        for c in self._consumers:
+            c.redeliver_unacknowledged_messages()
+
+    def close(self) -> None:
+        for c in self._consumers:
+            c.close()
 
 
 # ---------------------------------------------------------------------------
@@ -719,9 +1008,14 @@ class MiniPulsarServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, ack_timeout_s: float | None = None,
                  tls_cert_file: str | None = None, tls_key_file: str | None = None,
-                 basic_users: dict[str, str] | None = None):
+                 basic_users: dict[str, str] | None = None,
+                 partitioned_topics: dict[str, int] | None = None):
         self._host, self._port = host, port
         self.ack_timeout_s = ack_timeout_s
+        # topic -> partition count served by CommandPartitionedTopicMetadata
+        # (a topic absent here answers 0 = non-partitioned; the per-
+        # partition topics themselves auto-create on first touch)
+        self._partitioned = dict(partitioned_topics or {})
         # Basic-auth credential store; when set, CONNECT must carry
         # auth_method_name="basic" + "user:password" auth_data or the
         # broker answers CommandError(AuthenticationError) and closes.
@@ -856,6 +1150,7 @@ class MiniPulsarServer:
                      SEND: "SEND", ACK: "ACK", FLOW: "FLOW", PING: "PING", PONG: "PONG",
                      CLOSE_PRODUCER: "CLOSE_PRODUCER", CLOSE_CONSUMER: "CLOSE_CONSUMER",
                      REDELIVER_UNACKNOWLEDGED_MESSAGES: "REDELIVER",
+                     LOOKUP: "LOOKUP", PARTITIONED_METADATA: "PARTITIONED_METADATA",
                      UNSUBSCRIBE: "UNSUBSCRIBE"}.get(cmd_type, str(cmd_type))
                 )
                 if cmd_type == CONNECT:
@@ -883,6 +1178,22 @@ class MiniPulsarServer:
                     self._send(conn, encode_frame(PONG, {}))
                 elif cmd_type == PONG:
                     pass
+                elif cmd_type == LOOKUP:
+                    # single-broker: always LookupType.Connect (1) to self.
+                    # CommandLookupTopicResponse: brokerServiceUrl=1
+                    # response=3 request_id=4
+                    rid = _one(sub, 2)
+                    self._send(conn, encode_frame(
+                        LOOKUP_RESPONSE, {1: self.url, 3: 1, 4: rid}))
+                elif cmd_type == PARTITIONED_METADATA:
+                    # CommandPartitionedTopicMetadataResponse: partitions=1
+                    # request_id=2 response=3 (Success=0)
+                    topic = _one(sub, 1, b"").decode()
+                    rid = _one(sub, 2)
+                    self._send(conn, encode_frame(
+                        PARTITIONED_METADATA_RESPONSE,
+                        {1: self._partitioned.get(topic, 0), 2: rid, 3: 0},
+                    ))
                 elif cmd_type == PRODUCER:
                     rid = _one(sub, 3)
                     name = _one(sub, 4, b"").decode() or f"mini-prod-{_one(sub, 2)}"
