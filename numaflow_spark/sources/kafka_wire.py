@@ -46,12 +46,21 @@ broker enforces it when built with ``sasl_users={user: password}``:
 pre-auth connections can reach only ApiVersions/SaslHandshake/
 SaslAuthenticate, anything else closes the link (real-broker behavior).
 
-Not implemented (documented divergences): record-batch v2 (so no per-
-record timestamps/headers on the wire — v0 MessageSets predate both),
-compression, mutual-TLS client certs, SASL mechanisms beyond PLAIN
-(SCRAM/GSSAPI/OAUTHBEARER), group membership/rebalance (offsets are
-committed per explicit group name; assignment is static), multi-broker
-metadata.
+Also implemented (r8 depth): RecordBatch v2 (magic 2, the published
+#recordbatch format — zigzag-varint records, CRC32C over attributes..end,
+per-record timestamps and headers) carried by Produce v3 / Fetch v4;
+``produce_records``/``fetch_records`` expose it, the broker stores
+timestamps+headers losslessly alongside v0 traffic (v0-produced entries
+surface the v2 null-timestamp sentinel as None), and the S3 source handle
+reads via Fetch v4 so real publish timestamps reach the envelope's
+event-time column.
+
+Not implemented (documented divergences): compression, transactional
+produce / read_committed isolation (fields parsed, always
+non-transactional), mutual-TLS client certs, SASL mechanisms beyond
+PLAIN (SCRAM/GSSAPI/OAUTHBEARER), group membership/rebalance (offsets
+are committed per explicit group name; assignment is static),
+multi-broker metadata.
 """
 
 from __future__ import annotations
@@ -195,6 +204,157 @@ def decode_message_set(
 
 
 # --------------------------------------------------------------------------
+# RecordBatch v2 (kafka.apache.org/documentation#recordbatch) — the magic-2
+# on-disk/wire format that carries per-record timestamps and headers.
+# Integers inside records are ZIGZAG VARINTS; the batch header is fixed-
+# width big-endian; crc is CRC32C (Castagnoli) over attributes..end.
+# --------------------------------------------------------------------------
+
+# CRC32C with the same published polynomial the Pulsar framing uses — one
+# table, shared.
+from numaflow_spark.sources.pulsar_wire import crc32c as _crc32c
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) if n >= 0 else ((-n) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _vint(n: int) -> bytes:
+    """Zigzag LEB128 varint (Kafka record framing)."""
+    u = _zigzag(n)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_vint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u), pos
+        shift += 7
+
+
+def _vbytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _vint(-1)
+    return _vint(len(b)) + b
+
+
+def encode_record_batch_v2(
+    base_offset: int,
+    records: list[tuple[bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]],
+) -> bytes:
+    """records: (key, value, timestamp_ms, headers). One batch, no
+    compression, no transactions (producerId/epoch/baseSequence = -1)."""
+    base_ts = records[0][2]
+    max_ts = max(r[2] for r in records)
+    recs = b""
+    for i, (key, value, ts, headers) in enumerate(records):
+        inner = (
+            _i8(0)  # record attributes (unused)
+            + _vint(ts - base_ts)  # timestampDelta
+            + _vint(i)  # offsetDelta
+            + _vbytes(key)
+            + _vbytes(value)
+            + _vint(len(headers))
+        )
+        for hk, hv in headers:
+            inner += _vbytes(hk.encode()) + _vbytes(hv)
+        recs += _vint(len(inner)) + inner
+    after_crc = (
+        _i16(0)  # attributes: no compression, CreateTime, non-txn
+        + _i32(len(records) - 1)  # lastOffsetDelta
+        + _i64(base_ts)
+        + _i64(max_ts)
+        + _i64(-1)  # producerId
+        + _i16(-1)  # producerEpoch
+        + _i32(-1)  # baseSequence
+        + _i32(len(records))
+        + recs
+    )
+    crc = _crc32c(after_crc)
+    body = _i32(-1) + _i8(2) + struct.pack(">I", crc) + after_crc  # epoch, magic
+    return _i64(base_offset) + _i32(len(body)) + body
+
+
+def decode_record_batches_v2(
+    buf: bytes,
+) -> list[tuple[int, bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]]:
+    """Concatenated RecordBatch v2 bytes -> flat (offset, key, value,
+    timestamp_ms, headers) entries, CRC32C-checked per batch; a partial
+    trailing batch (max_bytes cut) is dropped."""
+    out = []
+    pos = 0
+    while len(buf) - pos >= 12:
+        (base_offset,) = struct.unpack(">q", buf[pos : pos + 8])
+        (blen,) = struct.unpack(">i", buf[pos + 8 : pos + 12])
+        if len(buf) - pos - 12 < blen:
+            break  # partial trailing batch
+        body = buf[pos + 12 : pos + 12 + blen]
+        pos += 12 + blen
+        magic = body[4]
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        (crc,) = struct.unpack(">I", body[5:9])
+        after = body[9:]
+        if _crc32c(after) != crc:
+            raise ValueError(f"record batch CRC mismatch at offset {base_offset}")
+        r = _Reader(after)
+        r.i16()  # attributes
+        r.i32()  # lastOffsetDelta
+        base_ts = r.i64()
+        r.i64()  # maxTimestamp
+        r.i64()  # producerId
+        r.i16()  # producerEpoch
+        r.i32()  # baseSequence
+        count = r.i32()
+        rec_buf = after[r.pos :]
+        p = 0
+        for _ in range(count):
+            rlen, p = _read_vint(rec_buf, p)
+            end = p + rlen
+            p += 1  # record attributes
+            ts_delta, p = _read_vint(rec_buf, p)
+            off_delta, p = _read_vint(rec_buf, p)
+            klen, p = _read_vint(rec_buf, p)
+            key = None if klen < 0 else rec_buf[p : p + klen]
+            p += max(klen, 0)
+            vlen, p = _read_vint(rec_buf, p)
+            value = None if vlen < 0 else rec_buf[p : p + vlen]
+            p += max(vlen, 0)
+            nh, p = _read_vint(rec_buf, p)
+            headers: list[tuple[str, bytes | None]] = []
+            for _ in range(nh):
+                hklen, p = _read_vint(rec_buf, p)
+                hk = rec_buf[p : p + hklen].decode()
+                p += hklen
+                hvlen, p = _read_vint(rec_buf, p)
+                hv = None if hvlen < 0 else rec_buf[p : p + hvlen]
+                p += max(hvlen, 0)
+                headers.append((hk, hv))
+            if p != end:
+                raise ValueError("record length mismatch in batch")
+            out.append(
+                (base_offset + off_delta, key, value, base_ts + ts_delta, headers)
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
 # broker
 # --------------------------------------------------------------------------
 
@@ -251,6 +411,14 @@ class MiniKafkaBroker:
 
     # -- test/inspection helpers -------------------------------------------
     def log(self, topic: str, partition: int):
+        """(key, value) pairs — the v0 view of the stored log."""
+        with self._lock:
+            return [
+                (k, v) for k, v, _ts, _h in self._logs.get((topic, partition), [])
+            ]
+
+    def log_records(self, topic: str, partition: int):
+        """Full stored tuples: (key, value, timestamp_ms|None, headers)."""
         with self._lock:
             return list(self._logs.get((topic, partition), []))
 
@@ -331,10 +499,12 @@ class MiniKafkaBroker:
             body = self._sasl_handshake(r, state)
         elif api_key == API_SASL_AUTHENTICATE:
             body = self._sasl_authenticate(r, state)
+        elif api_key == API_PRODUCE:
+            body = self._produce(r, _api_version)
+        elif api_key == API_FETCH:
+            body = self._fetch(r, _api_version)
         else:
             body = {
-                API_PRODUCE: self._produce,
-                API_FETCH: self._fetch,
                 API_METADATA: self._metadata,
                 API_OFFSET_COMMIT: self._offset_commit,
                 API_OFFSET_FETCH: self._offset_fetch,
@@ -376,12 +546,15 @@ class MiniKafkaBroker:
         )
 
     def _api_versions(self, r: _Reader) -> bytes:
-        keys = [API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT,
-                API_OFFSET_FETCH, API_SASL_HANDSHAKE, API_VERSIONS,
-                API_SASL_AUTHENTICATE]
+        # (api_key, max_version): Produce v3 / Fetch v4 are the first
+        # versions that carry RecordBatch v2 on the wire.
+        keys = [(API_PRODUCE, 3), (API_FETCH, 4), (API_METADATA, 0),
+                (API_OFFSET_COMMIT, 0), (API_OFFSET_FETCH, 0),
+                (API_SASL_HANDSHAKE, 1), (API_VERSIONS, 0),
+                (API_SASL_AUTHENTICATE, 0)]
         out = _i16(ERR_NONE) + _i32(len(keys))
-        for k in keys:
-            out += _i16(k) + _i16(0) + _i16(0)
+        for k, vmax in keys:
+            out += _i16(k) + _i16(0) + _i16(vmax)
         return out
 
     def _metadata(self, r: _Reader) -> bytes:
@@ -405,7 +578,9 @@ class MiniKafkaBroker:
                     )
         return out
 
-    def _produce(self, r: _Reader) -> bytes | None:
+    def _produce(self, r: _Reader, version: int = 0) -> bytes | None:
+        if version >= 3:
+            r.string()  # transactional_id (v3+; always null here)
         acks = r.i16()  # 0 = fire-and-forget: append but send NO response
         r.i32()  # timeout
         n_topics = r.i32()
@@ -425,20 +600,33 @@ class MiniKafkaBroker:
                         continue
                     base = len(log)
                     try:
-                        for _off, key, value in decode_message_set(ms):
-                            log.append((key, value))
+                        if version >= 3:  # record batches v2 (magic 2)
+                            for _off, key, value, ts, hdrs in (
+                                decode_record_batches_v2(ms)
+                            ):
+                                log.append((key, value, ts, hdrs))
+                        else:  # MessageSet v0: no timestamps/headers
+                            for _off, key, value in decode_message_set(ms):
+                                log.append((key, value, None, []))
                         parts_out += _i32(pid) + _i16(ERR_NONE) + _i64(base)
                     except ValueError:
                         parts_out += _i32(pid) + _i16(ERR_CORRUPT) + _i64(-1)
                 out_topics += _string(topic) + _i32(n_parts) + parts_out
         if acks == 0:
             return None  # protocol: acks=0 producers get no Produce response
-        return _i32(n_topics) + out_topics
+        body = _i32(n_topics) + out_topics
+        if version >= 1:
+            body += _i32(0)  # throttle_time_ms (tail position through v3)
+        return body
 
-    def _fetch(self, r: _Reader) -> bytes:
+    def _fetch(self, r: _Reader, version: int = 0) -> bytes:
         r.i32()  # replica_id
         r.i32()  # max_wait
         r.i32()  # min_bytes
+        if version >= 3:
+            r.i32()  # top-level max_bytes
+        if version >= 4:
+            r.i8()  # isolation_level
         n_topics = r.i32()
         out_topics = b""
         with self._lock:
@@ -450,25 +638,50 @@ class MiniKafkaBroker:
                     pid, off, max_bytes = r.i32(), r.i64(), r.i32()
                     log = self._logs.get((topic, pid))
                     if log is None:
-                        parts_out += (
-                            _i32(pid) + _i16(ERR_UNKNOWN_TOPIC) + _i64(-1) + _i32(0)
-                        )
+                        parts_out += _i32(pid) + _i16(ERR_UNKNOWN_TOPIC) + _i64(-1)
+                        if version >= 4:
+                            parts_out += _i64(-1) + _i32(0)  # lso, no txns
+                        parts_out += _i32(0)
                         continue
                     hw = len(log)
                     entries, size = [], 0
                     for o in range(max(off, 0), hw):
-                        key, value = log[o]
+                        key, value, ts, hdrs = log[o]
                         sz = 26 + (len(key) if key else 0) + (len(value) if value else 0)
                         if entries and size + sz > max_bytes:
                             break
-                        entries.append((o, key, value))
+                        entries.append((o, key, value, ts, hdrs))
                         size += sz
-                    ms = encode_message_set(entries)
-                    parts_out += (
-                        _i32(pid) + _i16(ERR_NONE) + _i64(hw) + _i32(len(ms)) + ms
-                    )
+                    if version >= 4:
+                        # one RecordBatch v2 per contiguous run; v0-produced
+                        # entries carry timestamp -1 (the v2 null sentinel)
+                        ms = b""
+                        if entries:
+                            ms = encode_record_batch_v2(
+                                entries[0][0],
+                                [
+                                    (k, v, ts if ts is not None else -1, h)
+                                    for _o, k, v, ts, h in entries
+                                ],
+                            )
+                        parts_out += (
+                            _i32(pid) + _i16(ERR_NONE) + _i64(hw)
+                            + _i64(hw) + _i32(0)  # last_stable_offset, no txns
+                            + _i32(len(ms)) + ms
+                        )
+                    else:
+                        ms = encode_message_set(
+                            [(o, k, v) for o, k, v, _ts, _h in entries]
+                        )
+                        parts_out += (
+                            _i32(pid) + _i16(ERR_NONE) + _i64(hw)
+                            + _i32(len(ms)) + ms
+                        )
                 out_topics += _string(topic) + _i32(n_parts) + parts_out
-        return _i32(n_topics) + out_topics
+        body = _i32(n_topics) + out_topics
+        if version >= 1:
+            body = _i32(0) + body  # throttle_time_ms leads the v1+ response
+        return body
 
     def _offset_commit(self, r: _Reader) -> bytes:
         group = r.string() or ""
@@ -619,23 +832,24 @@ class KafkaWireClient:
                 pass
             self._sock = None
 
-    def _send_only(self, api_key: int, body: bytes) -> None:
+    def _send_only(self, api_key: int, body: bytes, version: int = 0) -> None:
         with self._lock:
             self._sock = self._ensure_sock()
             self._corr += 1
             frame = (
-                _i16(api_key) + _i16(0) + _i32(self._corr)
+                _i16(api_key) + _i16(version) + _i32(self._corr)
                 + _string(self._client_id) + body
             )
             self._sock.sendall(_i32(len(frame)) + frame)
 
-    def _request(self, api_key: int, body: bytes) -> _Reader:
+    def _request(self, api_key: int, body: bytes, version: int = 0) -> _Reader:
         with self._lock:
             self._sock = self._ensure_sock()
             self._corr += 1
             corr = self._corr
             frame = (
-                _i16(api_key) + _i16(0) + _i32(corr) + _string(self._client_id) + body
+                _i16(api_key) + _i16(version) + _i32(corr)
+                + _string(self._client_id) + body
             )
             self._sock.sendall(_i32(len(frame)) + frame)
             head = _recv_exact(self._sock, 4)
@@ -725,6 +939,75 @@ class KafkaWireClient:
             raise IOError(f"fetch error {err} on {topic}/{partition}")
         return decode_message_set(ms), hw
 
+    def produce_records(
+        self,
+        topic: str,
+        partition: int,
+        records: list[
+            tuple[bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]
+        ],
+        acks: int = 1,
+    ) -> int:
+        """Produce v3 carrying a RecordBatch v2: per-record timestamps
+        (ms) and headers reach the wire. records: (key, value,
+        timestamp_ms, headers)."""
+        rb = encode_record_batch_v2(0, records)
+        body = (
+            _string(None)  # transactional_id (v3+)
+            + _i16(acks) + _i32(5000) + _i32(1)
+            + _string(topic) + _i32(1) + _i32(partition) + _i32(len(rb)) + rb
+        )
+        if acks == 0:
+            self._send_only(API_PRODUCE, body, version=3)
+            return -1
+        r = self._request(API_PRODUCE, body, version=3)
+        r.i32()  # topic count
+        r.string()
+        r.i32()  # partition count
+        r.i32()  # partition id
+        err = r.i16()
+        base = r.i64()
+        if err != ERR_NONE:
+            raise IOError(f"produce error {err} on {topic}/{partition}")
+        return base
+
+    def fetch_records(
+        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20
+    ) -> tuple[
+        list[tuple[int, bytes | None, bytes | None, int | None,
+                   list[tuple[str, bytes | None]]]],
+        int,
+    ]:
+        """Fetch v4 returning RecordBatch v2 entries: (offset, key, value,
+        timestamp_ms | None, headers); CRC32C-validated. Entries produced
+        through the v0 path carry the v2 null-timestamp sentinel (-1),
+        surfaced as None."""
+        body = (
+            _i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes) + _i8(0)
+            + _i32(1) + _string(topic) + _i32(1)
+            + _i32(partition) + _i64(offset) + _i32(max_bytes)
+        )
+        r = self._request(API_FETCH, body, version=4)
+        r.i32()  # throttle_time_ms (leads the v1+ Fetch response)
+        r.i32()  # topic count
+        r.string()
+        r.i32()  # partition count
+        r.i32()  # partition id
+        err = r.i16()
+        hw = r.i64()
+        r.i64()  # last_stable_offset
+        r.i32()  # aborted_transactions (empty)
+        ms = r.take(r.i32())
+        if err != ERR_NONE:
+            raise IOError(f"fetch error {err} on {topic}/{partition}")
+        return (
+            [
+                (o, k, v, (None if ts == -1 else ts), h)
+                for o, k, v, ts, h in decode_record_batches_v2(ms)
+            ],
+            hw,
+        )
+
     def offset_commit(self, group: str, topic: str, offsets: dict[int, int]) -> None:
         body = _string(group) + _i32(1) + _string(topic) + _i32(len(offsets))
         for pid, off in offsets.items():
@@ -801,6 +1084,14 @@ class KafkaLiteSourceHandle:
         committed = self._client.offset_fetch(self.group, self.topic, self._parts)
         return {str(p): max(committed.get(p, -1), 0) for p in self._parts}
 
+    @staticmethod
+    def _ts(ts_ms: int | None):
+        if ts_ms is None:
+            return None
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
+
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         rows: list[tuple] = []
         end = dict(start)
@@ -809,10 +1100,13 @@ class KafkaLiteSourceHandle:
             if budget <= 0:
                 break
             off = int(start.get(str(p), 0))
-            entries, _hw = self._client.fetch(self.topic, p, off)
+            # Fetch v4 (RecordBatch v2): real per-record publish timestamps
+            # reach the envelope's event-time column, the reference's
+            # kafka source behavior (v0-produced entries stay NULL).
+            entries, _hw = self._client.fetch_records(self.topic, p, off)
             taken = entries[:budget]
-            for o, key, value in taken:
-                rows.append((key, value, self.topic, p, o, None))
+            for o, key, value, ts, _hdrs in taken:
+                rows.append((key, value, self.topic, p, o, self._ts(ts)))
             if taken:
                 end[str(p)] = taken[-1][0] + 1
                 budget -= len(taken)
@@ -826,13 +1120,13 @@ class KafkaLiteSourceHandle:
                 continue
             off = lo
             while off < hi:
-                entries, _hw = self._client.fetch(self.topic, p, off)
+                entries, _hw = self._client.fetch_records(self.topic, p, off)
                 if not entries:
                     break
-                for o, key, value in entries:
+                for o, key, value, ts, _hdrs in entries:
                     if o >= hi:
                         break
-                    rows.append((key, value, self.topic, p, o, None))
+                    rows.append((key, value, self.topic, p, o, self._ts(ts)))
                 off = entries[-1][0] + 1
         return rows
 
