@@ -55,7 +55,8 @@ surface the v2 null-timestamp sentinel as None), and the S3 source handle
 reads via Fetch v4 so real publish timestamps reach the envelope's
 event-time column.
 
-Not implemented (documented divergences): compression, transactional
+Not implemented (documented divergences): compression codecs beyond
+gzip (snappy/lz4/zstd wheels absent here), transactional
 produce / read_committed isolation (fields parsed, always
 non-transactional), mutual-TLS client certs, SASL mechanisms beyond
 PLAIN (SCRAM/GSSAPI/OAUTHBEARER), group membership/rebalance (offsets
@@ -254,12 +255,18 @@ def _vbytes(b: bytes | None) -> bytes:
     return _vint(len(b)) + b
 
 
+GZIP = 1  # RecordBatch attributes bits 0-2: compression codec
+
+
 def encode_record_batch_v2(
     base_offset: int,
     records: list[tuple[bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]],
+    compression: int = 0,
 ) -> bytes:
-    """records: (key, value, timestamp_ms, headers). One batch, no
-    compression, no transactions (producerId/epoch/baseSequence = -1)."""
+    """records: (key, value, timestamp_ms, headers). One batch, optional
+    gzip codec (``compression=GZIP`` — attributes bits 0-2 per the spec;
+    only the records section compresses, the batch header never does), no
+    transactions (producerId/epoch/baseSequence = -1)."""
     base_ts = records[0][2]
     max_ts = max(r[2] for r in records)
     recs = b""
@@ -275,8 +282,14 @@ def encode_record_batch_v2(
         for hk, hv in headers:
             inner += _vbytes(hk.encode()) + _vbytes(hv)
         recs += _vint(len(inner)) + inner
+    if compression == GZIP:
+        import gzip as _gzip
+
+        recs = _gzip.compress(recs)
+    elif compression:
+        raise ValueError(f"unsupported compression codec {compression}")
     after_crc = (
-        _i16(0)  # attributes: no compression, CreateTime, non-txn
+        _i16(compression)  # attributes: codec bits, CreateTime, non-txn
         + _i32(len(records) - 1)  # lastOffsetDelta
         + _i64(base_ts)
         + _i64(max_ts)
@@ -314,7 +327,7 @@ def decode_record_batches_v2(
         if _crc32c(after) != crc:
             raise ValueError(f"record batch CRC mismatch at offset {base_offset}")
         r = _Reader(after)
-        r.i16()  # attributes
+        attrs = r.i16()
         r.i32()  # lastOffsetDelta
         base_ts = r.i64()
         r.i64()  # maxTimestamp
@@ -323,6 +336,13 @@ def decode_record_batches_v2(
         r.i32()  # baseSequence
         count = r.i32()
         rec_buf = after[r.pos :]
+        codec = attrs & 0x07
+        if codec == GZIP:
+            import gzip as _gzip
+
+            rec_buf = _gzip.decompress(rec_buf)
+        elif codec:
+            raise ValueError(f"unsupported compression codec {codec}")
         p = 0
         for _ in range(count):
             rlen, p = _read_vint(rec_buf, p)
@@ -947,11 +967,13 @@ class KafkaWireClient:
             tuple[bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]
         ],
         acks: int = 1,
+        compression: int = 0,
     ) -> int:
         """Produce v3 carrying a RecordBatch v2: per-record timestamps
-        (ms) and headers reach the wire. records: (key, value,
-        timestamp_ms, headers)."""
-        rb = encode_record_batch_v2(0, records)
+        (ms) and headers reach the wire; ``compression=GZIP`` compresses
+        the records section per the published attributes bits. records:
+        (key, value, timestamp_ms, headers)."""
+        rb = encode_record_batch_v2(0, records, compression)
         body = (
             _string(None)  # transactional_id (v3+)
             + _i16(acks) + _i32(5000) + _i32(1)

@@ -59,8 +59,9 @@ the consumer path unpacks transparently, acks are batch-granular.
 Not implemented (documented divergences, same scoping as the Kafka v0
 codec): mutual-TLS client certs, token/OAuth2 auth providers beyond
 basic, lookup-redirect following (single-broker scope), partition-key
-routing via JavaStringHash (CRC32C here), compression, schema registry,
-key-shared dispatch ordering.
+routing via JavaStringHash (CRC32C here), compression codecs beyond
+ZLIB (lz4/zstd/snappy wheels absent here — unsupported codecs fail
+loudly), schema registry, key-shared dispatch ordering.
 
 Reference parity: numaflow's Pulsar source/sink live in
 rust/extns/numaflow-pulsar/src/lib.rs + rust/numaflow-core/src/source/
@@ -521,6 +522,18 @@ class Client:
                         msg_id = MessageId(_one(mid, 1, 0), _one(mid, 2, 0))
                         pkey = _one(meta, 6, b"").decode()  # partition_key = 6
                         pub = _one(meta, 3, 0)  # publish_time = 3
+                        codec = _one(meta, 19, 0)  # CompressionType
+                        if codec == 2:  # ZLIB
+                            import zlib as _zlib
+
+                            payload = _zlib.decompress(payload)
+                        elif codec:
+                            # LZ4/ZSTD/SNAPPY codecs aren't in this
+                            # environment: fail loudly (closes the link)
+                            # rather than deliver undecodable bytes.
+                            raise ValueError(
+                                f"unsupported compression codec {codec}"
+                            )
                         nbatch = _one(meta, 11, 0)  # num_messages_in_batch
                         if nbatch and nbatch > 1:
                             # Batched entry (published framing: repeated
@@ -787,13 +800,16 @@ class Producer:
             cb("Ok" if error is None else error, MessageId(0, seq))
 
     def send_async(self, content: bytes, callback=None, partition_key: str | None = None,
-                   event_timestamp: int | None = None, properties: dict | None = None) -> None:
+                   event_timestamp: int | None = None, properties: dict | None = None,
+                   compression: str | None = None) -> None:
         with self._cv:
             seq = self._next_seq
             self._next_seq += 1
             self._pending[seq] = callback
         # MessageMetadata: producer_name=1 sequence_id=2 publish_time=3
         # properties=4 (KeyValue key=1 value=2) partition_key=6 event_time=12
+        # compression=19 (CompressionType: NONE=0 LZ4=1 ZLIB=2 ZSTD=3)
+        # uncompressed_size=20
         meta: dict[int, object] = {1: self._name, 2: seq, 3: int(time.time() * 1000)}
         if properties:
             meta[4] = [{1: k, 2: v} for k, v in properties.items()]
@@ -801,8 +817,20 @@ class Producer:
             meta[6] = partition_key
         if event_timestamp:
             meta[12] = int(event_timestamp)
+        payload = bytes(content)
+        if compression == "zlib":
+            import zlib as _zlib
+
+            meta[19] = 2
+            meta[20] = len(payload)
+            payload = _zlib.compress(payload)
+        elif compression is not None:
+            raise ValueError(
+                f"unsupported compression {compression!r} (zlib only — "
+                "lz4/zstd/snappy codecs are not in this environment)"
+            )
         # CommandSend: producer_id=1 sequence_id=2 num_messages=3
-        frame = encode_payload_frame(SEND, {1: self._id, 2: seq, 3: 1}, meta, bytes(content))
+        frame = encode_payload_frame(SEND, {1: self._id, 2: seq, 3: 1}, meta, payload)
         self._client._write(frame)
 
     def send(self, content: bytes, **kw) -> None:
