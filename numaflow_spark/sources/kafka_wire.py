@@ -55,13 +55,22 @@ surface the v2 null-timestamp sentinel as None), and the S3 source handle
 reads via Fetch v4 so real publish timestamps reach the envelope's
 event-time column.
 
+Also implemented (r8 depth): dynamic consumer-group membership —
+JoinGroup (11) / SyncGroup (14) / Heartbeat (12) / LeaveGroup (13) v0
+with the published range ConsumerProtocol, a broker-side group
+coordinator (delayed-join barrier, generation bumps, session-timeout
+eviction, REBALANCE_IN_PROGRESS heartbeats) and
+:class:`KafkaGroupConsumer`, whose fleet splits a topic's partitions
+disjointly and rebalances on join/leave/death with committed offsets
+intact (the reference's scaled-out consumer-group read).
+
 Not implemented (documented divergences): compression codecs beyond
 gzip (snappy/lz4/zstd wheels absent here), transactional
 produce / read_committed isolation (fields parsed, always
 non-transactional), mutual-TLS client certs, SASL mechanisms beyond
-PLAIN (SCRAM/GSSAPI/OAUTHBEARER), group membership/rebalance (offsets
-are committed per explicit group name; assignment is static),
-multi-broker metadata.
+PLAIN (SCRAM/GSSAPI/OAUTHBEARER), assignors beyond range
+(roundrobin/sticky/cooperative), FindCoordinator (the single broker is
+always the coordinator), multi-broker metadata.
 """
 
 from __future__ import annotations
@@ -69,6 +78,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 import zlib
 
 from pyspark.sql import types as T
@@ -78,6 +88,10 @@ API_FETCH = 1
 API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_SASL_AUTHENTICATE = 36
@@ -85,6 +99,9 @@ API_SASL_AUTHENTICATE = 36
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC = 3
 ERR_CORRUPT = 2
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_SASL_AUTH_FAILED = 58
@@ -375,6 +392,69 @@ def decode_record_batches_v2(
 
 
 # --------------------------------------------------------------------------
+# ConsumerProtocol (the published consumer-embedded protocol carried as
+# opaque bytes through JoinGroup/SyncGroup): Subscription = version(i16) +
+# topics([string]) + user_data(bytes); Assignment = version(i16) +
+# [topic, partitions([i32])] + user_data(bytes).
+# --------------------------------------------------------------------------
+
+def encode_subscription(topics: list[str]) -> bytes:
+    out = _i16(0) + _i32(len(topics))
+    for t in topics:
+        out += _string(t)
+    return out + _bytes(b"")
+
+
+def decode_subscription(buf: bytes) -> list[str]:
+    r = _Reader(buf)
+    r.i16()  # version
+    return [r.string() or "" for _ in range(r.i32())]
+
+
+def encode_assignment(assignment: dict[str, list[int]]) -> bytes:
+    out = _i16(0) + _i32(len(assignment))
+    for t, parts in sorted(assignment.items()):
+        out += _string(t) + _i32(len(parts))
+        for p in parts:
+            out += _i32(p)
+    return out + _bytes(b"")
+
+
+def decode_assignment(buf: bytes) -> dict[str, list[int]]:
+    if not buf:
+        return {}
+    r = _Reader(buf)
+    r.i16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        t = r.string() or ""
+        out[t] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assign(
+    members: dict[str, list[str]], parts_by_topic: dict[str, list[int]]
+) -> dict[str, dict[str, list[int]]]:
+    """The published range assignor: per topic, sorted partitions are cut
+    into contiguous chunks across the sorted subscribing members, the
+    first ``n_parts % n_members`` members taking one extra."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    for topic, parts in parts_by_topic.items():
+        subs = sorted(m for m, topics in members.items() if topic in topics)
+        if not subs:
+            continue
+        parts = sorted(parts)
+        base, extra = divmod(len(parts), len(subs))
+        pos = 0
+        for i, m in enumerate(subs):
+            take = base + (1 if i < extra else 0)
+            if take:
+                out[m][topic] = parts[pos : pos + take]
+            pos += take
+    return out
+
+
+# --------------------------------------------------------------------------
 # broker
 # --------------------------------------------------------------------------
 
@@ -382,6 +462,23 @@ class _CloseConn(Exception):
     """Raised by the broker's dispatcher to drop a connection that sends a
     data request before SASL authentication completes (real-broker
     behavior: no error frame, just a closed socket)."""
+
+
+class _Group:
+    """Group-coordinator state for one consumer group (the single broker
+    is always the coordinator). States follow the published lifecycle:
+    Empty -> Rebalancing (a join window is open) -> AwaitingSync (the
+    leader computes assignments) -> Stable."""
+
+    def __init__(self):
+        self.generation = 0
+        self.state = "Empty"
+        self.members: dict[str, dict] = {}  # id -> {meta, hb, session_s, rejoined}
+        self.leader: str | None = None
+        self.assignments: dict[str, bytes] = {}
+        self.next_member = 0
+        self.join_deadline: float | None = None
+        self.cv: threading.Condition | None = None  # bound to the glock
 
 
 class MiniKafkaBroker:
@@ -409,6 +506,11 @@ class MiniKafkaBroker:
         self._topics: dict[str, int] = {}
         self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
+        # group coordinator: its own lock so a blocking join barrier never
+        # stalls produce/fetch traffic on other connections
+        self._glock = threading.Lock()
+        self._groups: dict[str, _Group] = {}
+        self.join_window_s = 0.2  # delayed-join window (group.initial.rebalance.delay)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -523,6 +625,14 @@ class MiniKafkaBroker:
             body = self._produce(r, _api_version)
         elif api_key == API_FETCH:
             body = self._fetch(r, _api_version)
+        elif api_key == API_JOIN_GROUP:
+            body = self._join_group(r)
+        elif api_key == API_SYNC_GROUP:
+            body = self._sync_group(r)
+        elif api_key == API_HEARTBEAT:
+            body = self._heartbeat(r)
+        elif api_key == API_LEAVE_GROUP:
+            body = self._leave_group(r)
         else:
             body = {
                 API_METADATA: self._metadata,
@@ -531,6 +641,163 @@ class MiniKafkaBroker:
                 API_VERSIONS: self._api_versions,
             }[api_key](r)
         return None if body is None else _i32(corr_id) + body
+
+    # -- group coordinator (JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0) ---
+
+    def _group(self, group_id: str) -> _Group:
+        g = self._groups.get(group_id)
+        if g is None:
+            g = self._groups[group_id] = _Group()
+            g.cv = threading.Condition(self._glock)
+        return g
+
+    @staticmethod
+    def _evict_expired(g: _Group, now: float) -> bool:
+        dead = [
+            m for m, info in g.members.items()
+            if now - info["hb"] > info["session_s"]
+        ]
+        for m in dead:
+            del g.members[m]
+            g.assignments.pop(m, None)
+        return bool(dead)
+
+    def _join_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        session_ms = r.i32()
+        member_id = r.string() or ""
+        r.string()  # protocol_type ("consumer")
+        n_protocols = r.i32()
+        proto_name, proto_meta = "range", b""
+        for i in range(n_protocols):
+            name = r.string() or ""
+            meta = r.bytes() or b""
+            if i == 0:
+                proto_name, proto_meta = name, meta
+        with self._glock:
+            g = self._group(group_id)
+            now = time.monotonic()
+            self._evict_expired(g, now)
+            if member_id and member_id not in g.members:
+                # stale id from a previous generation: caller must rejoin
+                # with an empty id (the published UNKNOWN_MEMBER_ID dance)
+                return (
+                    _i16(ERR_UNKNOWN_MEMBER_ID) + _i32(-1) + _string("")
+                    + _string("") + _string(member_id) + _i32(0)
+                )
+            if not member_id:
+                member_id = f"{group_id}-member-{g.next_member}"
+                g.next_member += 1
+            g.members[member_id] = {
+                "meta": proto_meta, "hb": now,
+                "session_s": max(session_ms, 1000) / 1000.0, "rejoined": True,
+            }
+            # any join (re)opens the barrier: known members get a window to
+            # rejoin (delayed-join), then the roster is frozen
+            if g.state != "Rebalancing":
+                g.state = "Rebalancing"
+                g.join_deadline = now + self.join_window_s
+            else:
+                # a straggler rejoining extends the window (the published
+                # delayed-join behavior, bounded by the rebalance timeout)
+                g.join_deadline = max(
+                    g.join_deadline or 0, now + self.join_window_s
+                )
+            g.cv.notify_all()
+            while (
+                g.state == "Rebalancing"
+                and time.monotonic() < (g.join_deadline or 0)
+            ):
+                g.cv.wait(timeout=0.05)
+            if g.state == "Rebalancing":
+                # first thread past the deadline finalizes the roster:
+                # members that did not rejoin this round are dropped (their
+                # next heartbeat/sync answers UNKNOWN_MEMBER_ID)
+                for m in [m for m, i_ in g.members.items() if not i_["rejoined"]]:
+                    del g.members[m]
+                for info in g.members.values():
+                    info["rejoined"] = False
+                g.generation += 1
+                g.leader = min(g.members) if g.members else None
+                g.assignments = {}
+                g.state = "AwaitingSync"
+                g.cv.notify_all()
+            gen, leader = g.generation, g.leader or ""
+            members_out = (
+                list(g.members.items()) if member_id == leader else []
+            )
+        body = (
+            _i16(ERR_NONE) + _i32(gen) + _string(proto_name)
+            + _string(leader) + _string(member_id) + _i32(len(members_out))
+        )
+        for m, info in members_out:
+            body += _string(m) + _bytes(info["meta"])
+        return body
+
+    def _sync_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        gen = r.i32()
+        member_id = r.string() or ""
+        n = r.i32()
+        proposed = {}
+        for _ in range(n):
+            # read order matters: assignment-target subscripts evaluate
+            # AFTER the right-hand side in Python
+            m = r.string() or ""
+            proposed[m] = r.bytes() or b""
+        with self._glock:
+            g = self._group(group_id)
+            if member_id not in g.members:
+                return _i16(ERR_UNKNOWN_MEMBER_ID) + _bytes(b"")
+            if gen != g.generation:
+                return _i16(ERR_ILLEGAL_GENERATION) + _bytes(b"")
+            if member_id == g.leader and proposed:
+                g.assignments = proposed
+                g.state = "Stable"
+                g.cv.notify_all()
+            deadline = time.monotonic() + 5.0
+            while g.state != "Stable" and g.generation == gen:
+                if not g.cv.wait(timeout=max(deadline - time.monotonic(), 0.01)):
+                    if time.monotonic() >= deadline:
+                        return _i16(ERR_REBALANCE_IN_PROGRESS) + _bytes(b"")
+            if g.generation != gen:
+                return _i16(ERR_ILLEGAL_GENERATION) + _bytes(b"")
+            return _i16(ERR_NONE) + _bytes(g.assignments.get(member_id, b""))
+
+    def _heartbeat(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        gen = r.i32()
+        member_id = r.string() or ""
+        with self._glock:
+            g = self._group(group_id)
+            if self._evict_expired(g, time.monotonic()) and g.members:
+                g.state = "Rebalancing"
+                g.join_deadline = time.monotonic() + self.join_window_s
+                g.cv.notify_all()
+            if member_id not in g.members:
+                return _i16(ERR_UNKNOWN_MEMBER_ID)
+            g.members[member_id]["hb"] = time.monotonic()
+            if gen != g.generation:
+                return _i16(ERR_ILLEGAL_GENERATION)
+            if g.state != "Stable":
+                return _i16(ERR_REBALANCE_IN_PROGRESS)
+            return _i16(ERR_NONE)
+
+    def _leave_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        member_id = r.string() or ""
+        with self._glock:
+            g = self._group(group_id)
+            g.members.pop(member_id, None)
+            g.assignments.pop(member_id, None)
+            if g.members:
+                # survivors rediscover via REBALANCE_IN_PROGRESS heartbeats
+                g.state = "Rebalancing"
+                g.join_deadline = time.monotonic() + self.join_window_s
+            else:
+                g.state = "Empty"
+            g.cv.notify_all()
+        return _i16(ERR_NONE)
 
     def _sasl_handshake(self, r: _Reader, state: dict) -> bytes:
         """SaslHandshake v0/v1 (api_key 17): mechanism -> error_code +
@@ -570,6 +837,8 @@ class MiniKafkaBroker:
         # versions that carry RecordBatch v2 on the wire.
         keys = [(API_PRODUCE, 3), (API_FETCH, 4), (API_METADATA, 0),
                 (API_OFFSET_COMMIT, 0), (API_OFFSET_FETCH, 0),
+                (API_JOIN_GROUP, 0), (API_HEARTBEAT, 0),
+                (API_LEAVE_GROUP, 0), (API_SYNC_GROUP, 0),
                 (API_SASL_HANDSHAKE, 1), (API_VERSIONS, 0),
                 (API_SASL_AUTHENTICATE, 0)]
         out = _i16(ERR_NONE) + _i32(len(keys))
@@ -1030,6 +1299,56 @@ class KafkaWireClient:
             hw,
         )
 
+    # -- group membership (JoinGroup 11 / SyncGroup 14 / Heartbeat 12 /
+    # LeaveGroup 13, all v0) -----------------------------------------------
+
+    def join_group(
+        self, group: str, member_id: str, topics: list[str],
+        session_timeout_ms: int = 10000,
+    ) -> tuple[int, int, str, str, str, dict[str, list[str]]]:
+        """Returns (error, generation, protocol, leader_id, member_id,
+        members) — members maps member_id -> subscribed topics and is
+        non-empty only for the leader."""
+        body = (
+            _string(group) + _i32(session_timeout_ms) + _string(member_id)
+            + _string("consumer") + _i32(1)
+            + _string("range") + _bytes(encode_subscription(topics))
+        )
+        r = self._request(API_JOIN_GROUP, body)
+        err = r.i16()
+        gen = r.i32()
+        proto = r.string() or ""
+        leader = r.string() or ""
+        me = r.string() or ""
+        members = {}
+        for _ in range(r.i32()):
+            m = r.string() or ""
+            members[m] = decode_subscription(r.bytes() or b"")
+        return err, gen, proto, leader, me, members
+
+    def sync_group(
+        self, group: str, generation: int, member_id: str,
+        assignments: dict[str, dict[str, list[int]]] | None = None,
+    ) -> tuple[int, dict[str, list[int]]]:
+        """Leader passes the computed group assignment; followers pass
+        None. Returns (error, own assignment topic -> partitions)."""
+        body = _string(group) + _i32(generation) + _string(member_id)
+        items = list((assignments or {}).items())
+        body += _i32(len(items))
+        for m, a in items:
+            body += _string(m) + _bytes(encode_assignment(a))
+        r = self._request(API_SYNC_GROUP, body)
+        err = r.i16()
+        return err, decode_assignment(r.bytes() or b"")
+
+    def heartbeat(self, group: str, generation: int, member_id: str) -> int:
+        body = _string(group) + _i32(generation) + _string(member_id)
+        return self._request(API_HEARTBEAT, body).i16()
+
+    def leave_group(self, group: str, member_id: str) -> int:
+        body = _string(group) + _string(member_id)
+        return self._request(API_LEAVE_GROUP, body).i16()
+
     def offset_commit(self, group: str, topic: str, offsets: dict[int, int]) -> None:
         body = _string(group) + _i32(1) + _string(topic) + _i32(len(offsets))
         for pid, off in offsets.items():
@@ -1159,6 +1478,114 @@ class KafkaLiteSourceHandle:
 
     def schema(self) -> T.StructType:
         return KAFKA_RECORD_SCHEMA
+
+
+class KafkaGroupConsumer:
+    """Dynamic group membership over the wire client (the reference's
+    consumer-group read; rust/extns/numaflow-kafka subscribes through
+    librdkafka's group protocol): JoinGroup with the range ConsumerProtocol
+    subscription, leader-side :func:`range_assign`, SyncGroup for the
+    assignment, Heartbeat-driven rebalance (REBALANCE_IN_PROGRESS /
+    ILLEGAL_GENERATION / UNKNOWN_MEMBER_ID each trigger the published
+    rejoin dance), LeaveGroup on close. ``poll`` fetches from the member's
+    ASSIGNED partitions only, resuming from the group's committed offsets;
+    ``commit`` writes them back — so a fleet of these consumers splits the
+    topic exactly like the reference's scaled-out source vertices."""
+
+    def __init__(self, bootstrap: str, group: str, topics: list[str],
+                 session_timeout_ms: int = 10000, **client_kw):
+        self._client = KafkaWireClient(bootstrap, **client_kw)
+        self.group = group
+        self.topics = list(topics)
+        self._session_ms = session_timeout_ms
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        self._positions: dict[tuple[str, int], int] = {}
+        self._join()
+
+    # -- membership --------------------------------------------------------
+
+    def _join(self) -> None:
+        for _ in range(10):  # bounded rejoin dance
+            err, gen, _proto, leader, me, members = self._client.join_group(
+                self.group, self.member_id, self.topics, self._session_ms
+            )
+            if err == ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+                continue
+            if err != ERR_NONE:
+                raise IOError(f"JoinGroup error {err}")
+            self.member_id = me
+            proposed = None
+            if me == leader:
+                subscribed = sorted({t for ts in members.values() for t in ts})
+                parts = self._client.metadata(subscribed)
+                proposed = range_assign(members, parts)
+            serr, assignment = self._client.sync_group(
+                self.group, gen, me, proposed
+            )
+            if serr in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
+                continue
+            if serr == ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+                continue
+            if serr != ERR_NONE:
+                raise IOError(f"SyncGroup error {serr}")
+            self.generation = gen
+            self.assignment = assignment
+            self._reload_positions()
+            return
+        raise IOError("group join did not converge")
+
+    def _reload_positions(self) -> None:
+        self._positions = {}
+        for topic, parts in self.assignment.items():
+            committed = self._client.offset_fetch(self.group, topic, parts)
+            for p in parts:
+                self._positions[(topic, p)] = max(committed.get(p, 0), 0)
+
+    def poll_heartbeat(self) -> bool:
+        """One heartbeat; rejoins (returns False) when the coordinator
+        signals a rebalance or dropped membership."""
+        err = self._client.heartbeat(self.group, self.generation, self.member_id)
+        if err == ERR_NONE:
+            return True
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""
+        self._join()
+        return False
+
+    # -- data path ---------------------------------------------------------
+
+    def poll(self, max_records: int = 500) -> list[tuple]:
+        """(topic, partition, offset, key, value) from assigned partitions,
+        advancing in-memory positions (commit() persists them)."""
+        rows: list[tuple] = []
+        for (topic, p), off in sorted(self._positions.items()):
+            budget = max_records - len(rows)
+            if budget <= 0:
+                break
+            entries, _hw = self._client.fetch(topic, p, off)
+            taken = entries[:budget]
+            for o, k, v in taken:
+                rows.append((topic, p, o, k, v))
+            if taken:
+                self._positions[(topic, p)] = taken[-1][0] + 1
+        return rows
+
+    def commit(self) -> None:
+        by_topic: dict[str, dict[int, int]] = {}
+        for (topic, p), off in self._positions.items():
+            by_topic.setdefault(topic, {})[p] = off
+        for topic, offs in by_topic.items():
+            self._client.offset_commit(self.group, topic, offs)
+
+    def close(self) -> None:
+        try:
+            self._client.leave_group(self.group, self.member_id)
+        finally:
+            self._client.close()
 
 
 def kafka_wire_sink(

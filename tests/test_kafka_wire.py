@@ -7,6 +7,8 @@ is the reference's test/kafka-e2e/kafka_test.go."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 from numaflow_spark.sources.kafka import kafka_envelope
@@ -414,3 +416,98 @@ def test_record_batch_v2_gzip_roundtrip(broker):
     entries, _ = c.fetch_records("tgz", 0, 0)
     assert entries == [(0, b"k", b"payload" * 100, 1_700_000_000_000, [("h", b"v")])]
     c.close()
+
+
+def test_group_membership_range_assignment_and_rebalance(broker):
+    """Dynamic consumer groups over real frames (JoinGroup/SyncGroup/
+    Heartbeat/LeaveGroup v0 + the published range assignor): two members
+    split the topic's partitions disjointly and completely; when one
+    leaves, the survivor's heartbeat surfaces the rebalance and a rejoin
+    hands it ALL partitions with committed offsets intact."""
+    from numaflow_spark.sources.kafka_wire import KafkaGroupConsumer
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["tg"])  # auto-create with 2 partitions
+    for p in (0, 1):
+        c.produce("tg", p, [(b"k", f"m{p}-{i}".encode()) for i in range(4)])
+    c.close()
+
+    import threading
+
+    g1_holder = {}
+
+    def join_first():
+        g1_holder["c"] = KafkaGroupConsumer(broker.bootstrap, "grp", ["tg"])
+
+    # join concurrently so both land in one join window (the broker's
+    # delayed-join barrier otherwise serializes them into two generations)
+    t1 = threading.Thread(target=join_first)
+    t1.start()
+    time.sleep(0.05)
+    g2 = KafkaGroupConsumer(broker.bootstrap, "grp", ["tg"])
+    t1.join()
+    g1 = g1_holder["c"]
+    assert g1.generation == g2.generation
+    p1 = {(t, p) for t, ps in g1.assignment.items() for p in ps}
+    p2 = {(t, p) for t, ps in g2.assignment.items() for p in ps}
+    assert p1 | p2 == {("tg", 0), ("tg", 1)} and not (p1 & p2)
+    assert g1.poll_heartbeat() and g2.poll_heartbeat()
+
+    # each member reads only its own partition; commits are per-group
+    rows1, rows2 = g1.poll(), g2.poll()
+    assert {r[:2] for r in rows1} == p1 and {r[:2] for r in rows2} == p2
+    assert len(rows1) + len(rows2) == 8
+    g1.commit(); g2.commit()
+
+    # member 2 leaves -> survivor heartbeat sees the rebalance and rejoins
+    # with the full partition set, resuming from the committed offsets
+    g2.close()
+    assert g1.poll_heartbeat() is False  # rejoined
+    full = {(t, p) for t, ps in g1.assignment.items() for p in ps}
+    assert full == {("tg", 0), ("tg", 1)}
+    assert g1.poll() == []  # everything already consumed+committed
+    c2 = KafkaWireClient(broker.bootstrap)
+    c2.produce("tg", 0, [(b"k", b"late")])
+    c2.close()
+    late = g1.poll()
+    assert [(r[0], r[1], r[4]) for r in late] == [("tg", 0, b"late")]
+    g1.close()
+
+
+def test_group_stale_member_evicted_by_session_timeout(broker):
+    """A member that stops heartbeating past its session timeout is
+    evicted: the survivor rebalances to the full partition set, and the
+    dead member's next heartbeat gets UNKNOWN_MEMBER_ID."""
+    import threading
+
+    from numaflow_spark.sources.kafka_wire import (
+        ERR_UNKNOWN_MEMBER_ID,
+        KafkaGroupConsumer,
+    )
+
+    holder = {}
+    t = threading.Thread(target=lambda: holder.update(
+        a=KafkaGroupConsumer(broker.bootstrap, "g2", ["th"], session_timeout_ms=1000)
+    ))
+    t.start()
+    time.sleep(0.05)
+    b = KafkaGroupConsumer(broker.bootstrap, "g2", ["th"], session_timeout_ms=30000)
+    t.join()
+    a = holder["a"]
+    assert len({p for ps in a.assignment.values() for p in ps}
+               | {p for ps in b.assignment.values() for p in ps}) == 2
+    # a goes silent; b keeps heartbeating until the eviction surfaces
+    deadline = time.time() + 10
+    rebalanced = False
+    while time.time() < deadline:
+        if b.poll_heartbeat() is False:
+            rebalanced = True
+            break
+        time.sleep(0.2)
+    assert rebalanced, "survivor never saw the stale member evicted"
+    assert {p for ps in b.assignment.values() for p in ps} == {0, 1}
+    # the ghost's own heartbeat is refused with the published error
+    err = a._client.heartbeat("g2", a.generation, a.member_id)
+    assert err == ERR_UNKNOWN_MEMBER_ID
+    a._client.close()
+    b.close()
