@@ -469,10 +469,21 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders with no lineitems (EXCEPT distinct semantics)."""
+    """Orders with no lineitems (EXCEPT distinct semantics).
+
+    Plan note: EXCEPT DISTINCT == anti-join then distinct. The naive
+    ``exceptAll(items.distinct()).distinct()`` shuffles the FULL lineitem
+    side for a distinct, then runs the except machinery, then distincts
+    again — three wide exchanges (6.3 s at sf1 in the suite run, 38x
+    DuckDB). The anti-join form shuffles each side once on the join key
+    and the trailing distinct runs over the anti-join SURVIVORS
+    (near-empty here), so the only big exchange is the join itself — the
+    shape that holds at 100 TB where the right side never fits a
+    distinct-broadcast. A/B (tools/timeq.py, warm tables, best of 2):
+    x10 4.56 -> 3.57 s, sf0.1 0.95 -> 0.89 s."""
     ordered = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
     items = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
-    return ordered.exceptAll(items.distinct()).distinct()
+    return ordered.join(items, "orderkey", "left_anti").distinct()
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4114,7 +4125,9 @@ _R8_WINDOW = [
     "nation_market_share", "neardup_clusters", "neardup_survivors",
     "ngram_lm_score", "pq_adc_topk", "priority_pending_orders",
     "promo_revenue_monthly", "quality_quantile_filter", "scd2_history",
-    "sequence_packing",
+    # post-rewrite re-cert (r8 anti-join form; displaced sequence_packing,
+    # r5-green, to the tail):
+    "set_except",
 ]
 assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(QUERIES)
 QUERIES = {
@@ -4135,6 +4148,9 @@ RECERT_PENDING = [
     # the r6 certs; fresh driver rows expected in CORRECTNESS_r08.
     "basket_pairs", "triangle_count", "copurchase_lift",
     "degree_distribution",
+    # r8: set_except rewritten from exceptAll to left-anti + distinct
+    # (locally hash-green at sf0.01 and x10 before the swap).
+    "set_except",
 ]
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
