@@ -47,7 +47,15 @@ def get_spark(
         # stages (measured 3x on the dedup self-join); with it off the same
         # config serves sf0.001 and 100 TB unchanged.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # Advisory sized so a big LOCAL shuffle still spreads across the 32
+        # cores: at 64m a ~100 MB shuffle coalesced to 1-2 reduce tasks and
+        # CPU-bound aggregations ran nearly serial (measured r8 at x10:
+        # degree_distribution 32.7 -> 19.3 s, pagerank_bipartite 34.5 ->
+        # 20.9 s, 10-heavy-query set 202 -> 128 s just from 64m -> 8m; tiny
+        # shuffles still coalesce to one task because parallelismFirst is
+        # off). On a real cluster with thousands of cores raise this back
+        # toward 64m; like every knob here it keys off session config.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
