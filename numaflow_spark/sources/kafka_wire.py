@@ -64,17 +64,41 @@ eviction, REBALANCE_IN_PROGRESS heartbeats) and
 disjointly and rebalances on join/leave/death with committed offsets
 intact (the reference's scaled-out consumer-group read).
 
+Also implemented (r8 depth): SASL/SCRAM-SHA-256 and SCRAM-SHA-512
+(``KafkaWireClient(sasl_mechanism="SCRAM-SHA-256", ...)``) — the full
+RFC 5802/7677 four-message exchange carried over SaslAuthenticate
+rounds the way real brokers do it: client-first with a fresh nonce,
+server-first with per-user salt + iteration count, client-final proof
+(PBKDF2 -> ClientKey -> StoredKey -> XOR proof), and a server-final
+signature the CLIENT verifies (mutual auth — a broker that doesn't
+hold ServerKey cannot forge it, so credentials are never sent and the
+server is authenticated too). The broker stores only (salt, iterations,
+StoredKey, ServerKey) per user — the RFC's server-storage model; the
+cleartext password never persists past ``__init__``.
+
+Also implemented (r8 depth): mutual TLS — the client presents
+``tls_cert_file``/``tls_key_file`` (the reference's certSecret/
+keySecret) and a broker built with ``tls_client_ca_file`` requires a
+cert chained to that CA at the handshake (ssl.client.auth=required),
+rejecting cert-less peers before any Kafka frame.
+
 Not implemented (documented divergences): compression codecs beyond
 gzip (snappy/lz4/zstd wheels absent here), transactional
 produce / read_committed isolation (fields parsed, always
-non-transactional), mutual-TLS client certs, SASL mechanisms beyond
-PLAIN (SCRAM/GSSAPI/OAUTHBEARER), assignors beyond range
-(roundrobin/sticky/cooperative), FindCoordinator (the single broker is
-always the coordinator), multi-broker metadata.
+non-transactional), SASL mechanisms beyond PLAIN and
+SCRAM-SHA-256/512 (GSSAPI/OAUTHBEARER), SCRAM channel binding (gs2
+header ``n,,`` only — the -PLUS variants need TLS exporter data),
+assignors beyond range (roundrobin/sticky/cooperative),
+FindCoordinator (the single broker is always the coordinator),
+multi-broker metadata.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac as _hmac
+import secrets
 import socket
 import struct
 import threading
@@ -105,6 +129,49 @@ ERR_REBALANCE_IN_PROGRESS = 27
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_SASL_AUTH_FAILED = 58
+
+# --------------------------------------------------------------------------
+# SCRAM (RFC 5802, SHA-256/512 parameters per RFC 7677) — shared by client
+# and broker. Pure stdlib: PBKDF2 + HMAC + the two fixed key-derivation
+# literals from the RFC.
+# --------------------------------------------------------------------------
+
+_SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+_SCRAM_ITERATIONS = 4096  # RFC 7677 minimum announced by real brokers
+
+
+def _scram_derive(mech: str, password: str, salt: bytes,
+                  iterations: int) -> tuple[bytes, bytes, bytes]:
+    """(SaltedPassword, StoredKey, ServerKey) per RFC 5802 §3."""
+    algo = _SCRAM_HASHES[mech]
+    salted = hashlib.pbkdf2_hmac(algo, password.encode("utf-8"), salt, iterations)
+    client_key = _hmac.new(salted, b"Client Key", algo).digest()
+    stored_key = hashlib.new(algo, client_key).digest()
+    server_key = _hmac.new(salted, b"Server Key", algo).digest()
+    return salted, stored_key, server_key
+
+
+def _scram_attrs(msg: str) -> dict[str, str]:
+    """Parse ``k=v,k=v`` SCRAM attribute lists (values may contain '=',
+    e.g. base64 padding — split each item once)."""
+    out: dict[str, str] = {}
+    for item in msg.split(","):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _saslname_escape(name: str) -> str:
+    return name.replace("=", "=3D").replace(",", "=2C")
+
+
+def _saslname_unescape(name: str) -> str:
+    return name.replace("=2C", ",").replace("=3D", "=")
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    return bytes(x ^ y for x, y in zip(a, b))
 
 
 # --------------------------------------------------------------------------
@@ -489,19 +556,47 @@ class MiniKafkaBroker:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
                  tls_cert_file: str | None = None, tls_key_file: str | None = None,
-                 sasl_users: dict[str, str] | None = None):
+                 sasl_users: dict[str, str] | None = None,
+                 sasl_mechanisms: tuple[str, ...] = (
+                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"),
+                 tls_client_ca_file: str | None = None):
         self.host = host
         self.num_partitions = num_partitions
-        # SASL/PLAIN credential store; when set, every connection must
-        # complete SaslHandshake + SaslAuthenticate before any data API
-        # (real brokers close unauthenticated connections; so does this one).
+        # SASL credential store; when set, every connection must complete
+        # SaslHandshake + SaslAuthenticate before any data API (real brokers
+        # close unauthenticated connections; so does this one). PLAIN keeps
+        # the cleartext map; SCRAM derives and stores ONLY (salt, iterations,
+        # StoredKey, ServerKey) per (mechanism, user) — the RFC 5802 server
+        # storage model, so the exchange below never touches a password.
         self._sasl_users = sasl_users
+        self._sasl_mechanisms = tuple(sasl_mechanisms)
+        self._scram_creds: dict[tuple[str, str], tuple[bytes, int, bytes, bytes]] = {}
+        # Unknown-user requests get deterministic fake credentials (keyed
+        # HMAC of the username) so the first SCRAM round is indistinguishable
+        # from a real user and enumeration via timing/shape is not possible;
+        # the proof then fails exactly like a wrong password.
+        self._scram_decoy_key = secrets.token_bytes(32)
+        for mech in self._sasl_mechanisms:
+            if mech not in _SCRAM_HASHES:
+                continue
+            for user, password in (sasl_users or {}).items():
+                salt = secrets.token_bytes(16)
+                _, stored, server = _scram_derive(
+                    mech, password, salt, _SCRAM_ITERATIONS)
+                self._scram_creds[(mech, user)] = (
+                    salt, _SCRAM_ITERATIONS, stored, server)
         self._ssl_ctx = None
         if tls_cert_file:
             import ssl
 
             self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             self._ssl_ctx.load_cert_chain(tls_cert_file, tls_key_file)
+            if tls_client_ca_file:
+                # Mutual TLS (ssl.client.auth=required parity): the
+                # handshake itself rejects a peer without a cert chained
+                # to this CA — no application frame is ever exchanged.
+                self._ssl_ctx.verify_mode = ssl.CERT_REQUIRED
+                self._ssl_ctx.load_verify_locations(cafile=tls_client_ca_file)
         self._logs: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
         self._topics: dict[str, int] = {}
         self._group_offsets: dict[tuple[str, str, int], int] = {}
@@ -801,16 +896,26 @@ class MiniKafkaBroker:
 
     def _sasl_handshake(self, r: _Reader, state: dict) -> bytes:
         """SaslHandshake v0/v1 (api_key 17): mechanism -> error_code +
-        enabled_mechanisms. Only PLAIN is served."""
+        enabled_mechanisms (the broker's configured list)."""
         mech = r.string()
-        state["handshake"] = mech == "PLAIN"
-        err = ERR_NONE if state["handshake"] else ERR_UNSUPPORTED_SASL_MECHANISM
-        return _i16(err) + _i32(1) + _string("PLAIN")
+        ok = mech in self._sasl_mechanisms and (
+            mech == "PLAIN" or mech in _SCRAM_HASHES
+        )
+        state["handshake"] = ok
+        state["mech"] = mech if ok else None
+        state["scram"] = None
+        err = ERR_NONE if ok else ERR_UNSUPPORTED_SASL_MECHANISM
+        out = _i16(err) + _i32(len(self._sasl_mechanisms))
+        for m in self._sasl_mechanisms:
+            out += _string(m)
+        return out
 
     def _sasl_authenticate(self, r: _Reader, state: dict) -> bytes:
         """SaslAuthenticate v0 (api_key 36): auth_bytes -> error_code +
-        error_message + auth_bytes. PLAIN token per RFC 4616:
-        [authzid] NUL authcid NUL passwd."""
+        error_message + auth_bytes. PLAIN is one round (RFC 4616 token:
+        [authzid] NUL authcid NUL passwd); SCRAM is two rounds
+        (client-first/server-first, client-final/server-final) carried in
+        auth_bytes — the same framing real brokers use."""
         if not state["handshake"]:
             return (
                 _i16(ERR_ILLEGAL_SASL_STATE)
@@ -818,6 +923,8 @@ class MiniKafkaBroker:
                 + _bytes(b"")
             )
         token = r.bytes() or b""
+        if state["mech"] in _SCRAM_HASHES:
+            return self._sasl_scram_round(token, state)
         parts = token.split(b"\x00")
         ok = False
         if len(parts) == 3:
@@ -831,6 +938,87 @@ class MiniKafkaBroker:
             + _string("authentication failed: invalid credentials")
             + _bytes(b"")
         )
+
+    def _sasl_scram_round(self, token: bytes, state: dict) -> bytes:
+        """One SCRAM message (RFC 5802 §5). Round 1 parses client-first and
+        answers server-first; round 2 verifies the proof against StoredKey
+        (recovered ClientKey must hash back to it — the password itself is
+        neither stored nor sent) and answers server-final with the
+        ServerKey signature the client verifies for mutual auth."""
+
+        def fail(msg: str) -> bytes:
+            state["scram"] = None
+            return _i16(ERR_SASL_AUTH_FAILED) + _string(msg) + _bytes(b"")
+
+        mech = state["mech"]
+        algo = _SCRAM_HASHES[mech]
+        try:
+            msg = token.decode("utf-8")
+        except UnicodeDecodeError:
+            return fail("SCRAM message is not UTF-8")
+        sc = state.get("scram")
+        if sc is None:
+            # client-first-message = gs2-header client-first-message-bare
+            if not msg.startswith(("n,,", "y,,")):
+                return fail("unsupported gs2 header (channel binding)")
+            gs2, bare = msg[:3], msg[3:]
+            attrs = _scram_attrs(bare)
+            if "m" in attrs or "n" not in attrs or "r" not in attrs:
+                return fail("malformed client-first-message")
+            user = _saslname_unescape(attrs["n"])
+            creds = self._scram_creds.get((mech, user))
+            if creds is None:
+                # deterministic decoy (see __init__) — same shape, proof
+                # cannot succeed because StoredKey is unguessable.
+                seed = _hmac.new(
+                    self._scram_decoy_key, f"{mech}:{user}".encode(), algo
+                ).digest()
+                creds = (seed[:16], _SCRAM_ITERATIONS,
+                         seed, seed[::-1] or seed)
+            salt, iterations, stored_key, server_key = creds
+            nonce = attrs["r"] + base64.b64encode(
+                secrets.token_bytes(18)).decode("ascii")
+            server_first = (
+                f"r={nonce},s={base64.b64encode(salt).decode('ascii')}"
+                f",i={iterations}"
+            )
+            state["scram"] = {
+                "gs2": gs2, "bare": bare, "nonce": nonce,
+                "server_first": server_first, "stored_key": stored_key,
+                "server_key": server_key,
+            }
+            return _i16(ERR_NONE) + _string(None) + _bytes(
+                server_first.encode("utf-8"))
+        # client-final-message
+        attrs = _scram_attrs(msg)
+        idx = msg.rfind(",p=")
+        if idx < 0 or "r" not in attrs or "c" not in attrs:
+            return fail("malformed client-final-message")
+        expect_c = base64.b64encode(sc["gs2"].encode("ascii")).decode("ascii")
+        if attrs["c"] != expect_c:
+            return fail("channel-binding mismatch")
+        if attrs["r"] != sc["nonce"]:
+            return fail("nonce mismatch")
+        try:
+            proof = base64.b64decode(attrs["p"], validate=True)
+        except Exception:
+            return fail("proof is not base64")
+        auth_message = (
+            sc["bare"] + "," + sc["server_first"] + "," + msg[:idx]
+        ).encode("utf-8")
+        client_sig = _hmac.new(sc["stored_key"], auth_message, algo).digest()
+        if len(proof) != len(client_sig):
+            return fail("authentication failed: invalid credentials")
+        client_key = _xor(proof, client_sig)
+        if not _hmac.compare_digest(
+            hashlib.new(algo, client_key).digest(), sc["stored_key"]
+        ):
+            return fail("authentication failed: invalid credentials")
+        server_sig = _hmac.new(sc["server_key"], auth_message, algo).digest()
+        state["authenticated"] = True
+        state["scram"] = None
+        final = b"v=" + base64.b64encode(server_sig)
+        return _i16(ERR_NONE) + _string(None) + _bytes(final)
 
     def _api_versions(self, r: _Reader) -> bytes:
         # (api_key, max_version): Produce v3 / Fetch v4 are the first
@@ -1027,19 +1215,31 @@ class KafkaWireClient:
     def __init__(self, bootstrap: str, client_id: str = "numaflow-spark",
                  tls: bool = False, tls_ca_file: str | None = None,
                  sasl_plain_username: str | None = None,
-                 sasl_plain_password: str | None = None):
+                 sasl_plain_password: str | None = None,
+                 sasl_mechanism: str = "PLAIN",
+                 tls_cert_file: str | None = None,
+                 tls_key_file: str | None = None):
         self._bootstrap = bootstrap
         self._client_id = client_id
         # security.protocol=SSL parity (reference kafka_source.go `tls`
         # block): full certificate verification; `tls_ca_file` points at a
         # private CA bundle (caCertSecret), else the system trust store.
+        # tls_cert_file/tls_key_file present a CLIENT certificate (the
+        # reference's certSecret/keySecret — mutual TLS).
         self._tls = tls
         self._tls_ca_file = tls_ca_file
-        # SASL/PLAIN parity (reference kafka_source.go `sasl` block,
-        # mechanism PLAIN): the handshake runs on every (re)connect, which
-        # makes it transparent to Spark's pickle/reconnect cycle.
+        self._tls_cert_file = tls_cert_file
+        self._tls_key_file = tls_key_file
+        # SASL parity (reference kafka_source.go `sasl` block, mechanisms
+        # plain / scram-sha-256 / scram-sha-512): the handshake runs on
+        # every (re)connect, which makes it transparent to Spark's
+        # pickle/reconnect cycle. The *_plain_* parameter names are kept
+        # for back-compat; they carry the credentials for SCRAM too.
+        if sasl_mechanism != "PLAIN" and sasl_mechanism not in _SCRAM_HASHES:
+            raise ValueError(f"unsupported SASL mechanism {sasl_mechanism!r}")
         self._sasl_user = sasl_plain_username
         self._sasl_pass = sasl_plain_password
+        self._sasl_mechanism = sasl_mechanism
         self._sock: socket.socket | None = None
         self._corr = 0
         self._lock = threading.Lock()
@@ -1051,12 +1251,17 @@ class KafkaWireClient:
     def __getstate__(self):
         return {"_bootstrap": self._bootstrap, "_client_id": self._client_id,
                 "_tls": self._tls, "_tls_ca_file": self._tls_ca_file,
-                "_sasl_user": self._sasl_user, "_sasl_pass": self._sasl_pass}
+                "_sasl_user": self._sasl_user, "_sasl_pass": self._sasl_pass,
+                "_sasl_mechanism": self._sasl_mechanism,
+                "_tls_cert_file": self._tls_cert_file,
+                "_tls_key_file": self._tls_key_file}
 
     def __setstate__(self, state):
         self.__init__(state["_bootstrap"], state["_client_id"],
                       state.get("_tls", False), state.get("_tls_ca_file"),
-                      state.get("_sasl_user"), state.get("_sasl_pass"))
+                      state.get("_sasl_user"), state.get("_sasl_pass"),
+                      state.get("_sasl_mechanism", "PLAIN"),
+                      state.get("_tls_cert_file"), state.get("_tls_key_file"))
 
     def _ensure_sock(self) -> socket.socket:
         if self._sock is None:
@@ -1066,6 +1271,8 @@ class KafkaWireClient:
                 import ssl
 
                 ctx = ssl.create_default_context(cafile=self._tls_ca_file)
+                if self._tls_cert_file:
+                    ctx.load_cert_chain(self._tls_cert_file, self._tls_key_file)
                 sock = ctx.wrap_socket(sock, server_hostname=host)
             if self._sasl_user is not None:
                 self._sasl_exchange(sock)
@@ -1097,21 +1304,66 @@ class KafkaWireClient:
                 raise ValueError("correlation id mismatch during SASL")
             return r
 
-        r = raw(API_SASL_HANDSHAKE, 1, _string("PLAIN"))
+        mech = self._sasl_mechanism
+        r = raw(API_SASL_HANDSHAKE, 1, _string(mech))
         err = r.i16()
         if err != ERR_NONE:
             mechs = [r.string() for _ in range(r.i32())]
             raise ConnectionError(
                 f"SASL handshake rejected (error {err}); broker offers {mechs}"
             )
-        token = b"\x00" + self._sasl_user.encode("utf-8") + b"\x00" + (
-            self._sasl_pass or ""
+
+        def auth_round(payload: bytes) -> bytes:
+            rr = raw(API_SASL_AUTHENTICATE, 0, _bytes(payload))
+            e = rr.i16()
+            m = rr.string()
+            if e != ERR_NONE:
+                raise ConnectionError(
+                    f"SASL authentication failed (error {e}): {m}")
+            return rr.bytes() or b""
+
+        if mech == "PLAIN":
+            token = b"\x00" + self._sasl_user.encode("utf-8") + b"\x00" + (
+                self._sasl_pass or ""
+            ).encode("utf-8")
+            auth_round(token)
+            return
+
+        # SCRAM (RFC 5802; SHA-256/512 per RFC 7677) over SaslAuthenticate
+        # rounds. The client proves knowledge of the password without
+        # sending it, and VERIFIES the server-final signature — a broker
+        # that doesn't hold ServerKey (i.e. anything but the real broker)
+        # cannot produce it, so auth is mutual.
+        algo = _SCRAM_HASHES[mech]
+        cnonce = base64.b64encode(secrets.token_bytes(18)).decode("ascii")
+        bare = f"n={_saslname_escape(self._sasl_user)},r={cnonce}"
+        server_first = auth_round(("n,," + bare).encode("utf-8")).decode("utf-8")
+        attrs = _scram_attrs(server_first)
+        nonce, salt_b64, iters = attrs.get("r", ""), attrs.get("s", ""), attrs.get("i", "")
+        if not nonce.startswith(cnonce) or nonce == cnonce:
+            raise ConnectionError("SCRAM server-first nonce mismatch")
+        salt = base64.b64decode(salt_b64)
+        iterations = int(iters)
+        salted = hashlib.pbkdf2_hmac(
+            algo, (self._sasl_pass or "").encode("utf-8"), salt, iterations)
+        client_key = _hmac.new(salted, b"Client Key", algo).digest()
+        stored_key = hashlib.new(algo, client_key).digest()
+        without_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        auth_message = (
+            bare + "," + server_first + "," + without_proof
         ).encode("utf-8")
-        r = raw(API_SASL_AUTHENTICATE, 0, _bytes(token))
-        err = r.i16()
-        msg = r.string()
-        if err != ERR_NONE:
-            raise ConnectionError(f"SASL authentication failed (error {err}): {msg}")
+        client_sig = _hmac.new(stored_key, auth_message, algo).digest()
+        proof = base64.b64encode(_xor(client_key, client_sig)).decode("ascii")
+        server_final = auth_round(
+            (without_proof + ",p=" + proof).encode("utf-8")).decode("utf-8")
+        server_key = _hmac.new(salted, b"Server Key", algo).digest()
+        expect_v = base64.b64encode(
+            _hmac.new(server_key, auth_message, algo).digest()).decode("ascii")
+        got_v = _scram_attrs(server_final).get("v", "")
+        if not _hmac.compare_digest(got_v, expect_v):
+            raise ConnectionError(
+                "SCRAM server signature mismatch — the peer does not hold "
+                "this user's ServerKey (not the real broker?)")
 
     def close(self) -> None:
         if self._sock is not None:

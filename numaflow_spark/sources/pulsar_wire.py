@@ -56,12 +56,18 @@ partition) over ``{topic}-partition-{i}`` — and batched messages
 [u32 size][SingleMessageMetadata][bytes]): ``Producer.send_batch`` packs,
 the consumer path unpacks transparently, acks are batch-granular.
 
+Also implemented (r8 depth): mutual TLS — the client presents
+``tls_certificate_file_path``/``tls_key_file_path`` (AuthenticationTls)
+and a broker built with ``tls_client_ca_file`` requires a cert chained
+to that CA at the handshake (tlsRequireTrustedClientCertOnConnect),
+rejecting cert-less peers before CONNECT.
+
 Not implemented (documented divergences, same scoping as the Kafka v0
-codec): mutual-TLS client certs, token/OAuth2 auth providers beyond
-basic, lookup-redirect following (single-broker scope), partition-key
-routing via JavaStringHash (CRC32C here), compression codecs beyond
-ZLIB (lz4/zstd/snappy wheels absent here — unsupported codecs fail
-loudly), schema registry, key-shared dispatch ordering.
+codec): token/OAuth2 auth providers beyond basic, lookup-redirect
+following (single-broker scope), partition-key routing via
+JavaStringHash (CRC32C here), compression codecs beyond ZLIB
+(lz4/zstd/snappy wheels absent here — unsupported codecs fail loudly),
+schema registry, key-shared dispatch ordering.
 
 Reference parity: numaflow's Pulsar source/sink live in
 rust/extns/numaflow-pulsar/src/lib.rs + rust/numaflow-core/src/source/
@@ -363,7 +369,9 @@ class Client:
     def __init__(self, service_url: str, operation_timeout_seconds: float = 10.0,
                  tls_trust_certs_file_path: str | None = None,
                  auth_method_name: str | None = None,
-                 auth_data: bytes | None = None):
+                 auth_data: bytes | None = None,
+                 tls_certificate_file_path: str | None = None,
+                 tls_key_file_path: str | None = None):
         self._timeout = operation_timeout_seconds
         self._handshake_error: str | None = None
         host, port, tls = _parse_service_url(service_url)
@@ -373,11 +381,17 @@ class Client:
             # reference's tls block (pulsar spec: tlsTrustCertsFilePath). A
             # custom CA file covers the self-signed/private-CA deployment;
             # with none given, the system trust store applies.
+            # tlsCertificateFilePath/tlsKeyFilePath present a CLIENT
+            # certificate (AuthenticationTls / mutual TLS).
             import ssl
 
             ctx = ssl.create_default_context(
                 cafile=tls_trust_certs_file_path
             )
+            if tls_certificate_file_path:
+                ctx.load_cert_chain(
+                    tls_certificate_file_path, tls_key_file_path
+                )
             self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
         self._sock.settimeout(None)
         self._wlock = threading.Lock()
@@ -1037,7 +1051,8 @@ class MiniPulsarServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0, ack_timeout_s: float | None = None,
                  tls_cert_file: str | None = None, tls_key_file: str | None = None,
                  basic_users: dict[str, str] | None = None,
-                 partitioned_topics: dict[str, int] | None = None):
+                 partitioned_topics: dict[str, int] | None = None,
+                 tls_client_ca_file: str | None = None):
         self._host, self._port = host, port
         self.ack_timeout_s = ack_timeout_s
         # topic -> partition count served by CommandPartitionedTopicMetadata
@@ -1054,6 +1069,12 @@ class MiniPulsarServer:
 
             self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             self._ssl_ctx.load_cert_chain(tls_cert_file, tls_key_file)
+            if tls_client_ca_file:
+                # Mutual TLS (tlsRequireTrustedClientCertOnConnect parity):
+                # the handshake rejects any peer whose cert doesn't chain
+                # to this CA before a single Pulsar frame is read.
+                self._ssl_ctx.verify_mode = ssl.CERT_REQUIRED
+                self._ssl_ctx.load_verify_locations(cafile=tls_client_ca_file)
         self._lock = threading.RLock()
         self._topics: dict[str, list[_Stored]] = {}
         self._producer_topics: dict[tuple, str] = {}

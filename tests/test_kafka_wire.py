@@ -247,6 +247,39 @@ def test_tls_produce_fetch_roundtrip(tmp_path):
         b.close()
 
 
+def test_mutual_tls_requires_client_cert(tmp_path):
+    """Mutual TLS (ssl.client.auth=required): a client presenting a cert
+    signed by the broker's trusted CA completes the data path; a client
+    with NO cert — even one that trusts the broker — is rejected during
+    the TLS handshake, before any Kafka frame."""
+    pytest.importorskip("cryptography")
+    import ssl
+
+    from tests.tls_helper import make_client_cert, make_self_signed_cert
+
+    ca_cert, ca_key = make_self_signed_cert(str(tmp_path))
+    cli_cert, cli_key = make_client_cert(str(tmp_path), ca_cert, ca_key)
+    b = MiniKafkaBroker(
+        tls_cert_file=ca_cert, tls_key_file=ca_key,
+        tls_client_ca_file=ca_cert,
+    )
+    try:
+        c = KafkaWireClient(
+            b.bootstrap, tls=True, tls_ca_file=ca_cert,
+            tls_cert_file=cli_cert, tls_key_file=cli_key,
+        )
+        assert c.produce("tm", 0, [(b"k", b"v")]) == 0
+        assert c.fetch("tm", 0, 0)[0] == [(0, b"k", b"v")]
+        c.close()
+
+        anon = KafkaWireClient(b.bootstrap, tls=True, tls_ca_file=ca_cert)
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            anon.metadata(["tm"])
+        anon.close()
+    finally:
+        b.close()
+
+
 def test_sasl_plain_produce_fetch_roundtrip():
     """SASL/PLAIN e2e (SaslHandshake 17 + SaslAuthenticate 36, RFC 4616
     token): an authenticated client runs the full produce/fetch/commit
@@ -318,6 +351,116 @@ def test_sasl_over_tls(tmp_path):
         )
         assert c.produce("tt", 0, [(b"k", b"v")]) == 0
         assert c.fetch("tt", 0, 0)[0] == [(0, b"k", b"v")]
+        c.close()
+    finally:
+        b.close()
+
+
+def test_sasl_scram_sha256_roundtrip_and_rejects():
+    """SCRAM-SHA-256 (RFC 5802/7677 over SaslAuthenticate rounds): a
+    correct password authenticates and runs the data path without the
+    password ever crossing the wire; a wrong password and an unknown user
+    both fail with the same invalid-credentials error (no user
+    enumeration); PLAIN still works on the same broker (mechanism
+    negotiation)."""
+    b = MiniKafkaBroker(sasl_users={"svc": "s3cret"})
+    try:
+        c = KafkaWireClient(
+            b.bootstrap, sasl_plain_username="svc",
+            sasl_plain_password="s3cret", sasl_mechanism="SCRAM-SHA-256",
+        )
+        assert c.produce("ts256", 0, [(b"k", b"v")]) == 0
+        assert c.fetch("ts256", 0, 0)[0] == [(0, b"k", b"v")]
+        c.close()
+
+        for user, pw in (("svc", "wrong"), ("ghost", "s3cret")):
+            bad = KafkaWireClient(
+                b.bootstrap, sasl_plain_username=user,
+                sasl_plain_password=pw, sasl_mechanism="SCRAM-SHA-256",
+            )
+            with pytest.raises(ConnectionError, match="invalid credentials"):
+                bad.metadata(["ts256"])
+            bad.close()
+
+        plain = KafkaWireClient(
+            b.bootstrap, sasl_plain_username="svc", sasl_plain_password="s3cret"
+        )
+        assert plain.metadata(["ts256"]) == {"ts256": [0, 1]}
+        plain.close()
+    finally:
+        b.close()
+
+
+def test_sasl_scram_sha512_and_mechanism_policy():
+    """SCRAM-SHA-512 works end-to-end; a broker configured for SCRAM only
+    rejects a PLAIN handshake (UNSUPPORTED_SASL_MECHANISM) while
+    advertising what it does serve; the client refuses unknown mechanism
+    names at construction."""
+    b = MiniKafkaBroker(
+        sasl_users={"svc": "pw512"}, sasl_mechanisms=("SCRAM-SHA-512",)
+    )
+    try:
+        c = KafkaWireClient(
+            b.bootstrap, sasl_plain_username="svc",
+            sasl_plain_password="pw512", sasl_mechanism="SCRAM-SHA-512",
+        )
+        assert c.produce("ts512", 0, [(None, b"x")]) == 0
+        assert c.fetch("ts512", 0, 0)[0] == [(0, None, b"x")]
+        c.close()
+
+        plain = KafkaWireClient(
+            b.bootstrap, sasl_plain_username="svc", sasl_plain_password="pw512"
+        )
+        with pytest.raises(ConnectionError, match="SCRAM-SHA-512"):
+            plain.metadata(["ts512"])
+        plain.close()
+
+        with pytest.raises(ValueError, match="unsupported SASL mechanism"):
+            KafkaWireClient(b.bootstrap, sasl_mechanism="SCRAM-SHA-1")
+    finally:
+        b.close()
+
+
+def test_sasl_scram_mutual_auth_catches_forged_server():
+    """The client verifies the server-final signature: a man-in-the-middle
+    that answers the SCRAM conversation without holding ServerKey (here: a
+    broker whose stored credentials were derived from a DIFFERENT
+    password, accepting any proof) is detected and the connection refused.
+    Simulated by patching the broker's stored ServerKey after derivation."""
+    b = MiniKafkaBroker(sasl_users={"svc": "pw"})
+    try:
+        # Corrupt ServerKey only: the proof check still passes (StoredKey
+        # intact), so a client that skipped the v= check would proceed.
+        for k, (salt, it, stored, server) in list(b._scram_creds.items()):
+            b._scram_creds[k] = (salt, it, stored, b"\x00" * len(server))
+        c = KafkaWireClient(
+            b.bootstrap, sasl_plain_username="svc",
+            sasl_plain_password="pw", sasl_mechanism="SCRAM-SHA-256",
+        )
+        with pytest.raises(ConnectionError, match="server signature mismatch"):
+            c.metadata(["tm"])
+        c.close()
+    finally:
+        b.close()
+
+
+def test_sasl_scram_username_escaping_and_pickle():
+    """saslname escaping (RFC 5802 §5.1: '=' -> =3D, ',' -> =2C) survives
+    the round trip, and the SCRAM exchange reruns across pickle like
+    PLAIN does."""
+    import pickle
+
+    user = "weird=user,inc"
+    b = MiniKafkaBroker(sasl_users={user: "pw"})
+    try:
+        c = KafkaWireClient(
+            b.bootstrap, sasl_plain_username=user,
+            sasl_plain_password="pw", sasl_mechanism="SCRAM-SHA-256",
+        )
+        assert c.produce("te", 0, [(b"k", b"v")]) == 0
+        c2 = pickle.loads(pickle.dumps(c))
+        assert c2.fetch("te", 0, 0)[0] == [(0, b"k", b"v")]
+        c2.close()
         c.close()
     finally:
         b.close()

@@ -303,6 +303,40 @@ def test_tls_produce_consume_roundtrip(tmp_path):
         s.stop()
 
 
+def test_mutual_tls_requires_client_cert(tmp_path):
+    """Mutual TLS (tlsRequireTrustedClientCertOnConnect parity): a client
+    presenting tlsCertificateFilePath/tlsKeyFilePath signed by the
+    broker's CA runs the produce/consume path; a cert-less client is
+    rejected at the TLS handshake, before CONNECT."""
+    pytest.importorskip("cryptography")
+    import ssl
+
+    from tests.tls_helper import make_client_cert, make_self_signed_cert
+
+    ca_cert, ca_key = make_self_signed_cert(str(tmp_path))
+    cli_cert, cli_key = make_client_cert(str(tmp_path), ca_cert, ca_key)
+    s = MiniPulsarServer(
+        tls_cert_file=ca_cert, tls_key_file=ca_key,
+        tls_client_ca_file=ca_cert,
+    ).start()
+    try:
+        c = Client(
+            s.url, tls_trust_certs_file_path=ca_cert,
+            tls_certificate_file_path=cli_cert, tls_key_file_path=cli_key,
+        )
+        prod = c.create_producer("mtls-t")
+        prod.send(b"mutual")
+        cons = c.subscribe("mtls-t", "s-mtls")
+        m = cons.receive(timeout_millis=3000)
+        assert m.data() == b"mutual"
+        cons.acknowledge(m)
+        c.close()
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError, TimeoutError)):
+            Client(s.url, tls_trust_certs_file_path=ca_cert)  # no client cert
+    finally:
+        s.stop()
+
+
 def test_basic_auth_produce_consume_roundtrip():
     """CONNECT-carried basic auth (CommandConnect.auth_method_name=5 /
     auth_data=3, public PulsarApi.proto): good credentials run the full
