@@ -2731,3 +2731,60 @@ STAGED_ORACLES["brand_weighted_median_price"] = """
            max(tot_qty) AS total_qty
     FROM cum WHERE 2 * cum_qty >= tot_qty GROUP BY p_brand
 """
+
+# Gaps-and-islands: month_no minus a per-customer row_number is constant
+# within a consecutive-month run. row_number ties are impossible (months
+# are distinct per customer), so the island ids are deterministic.
+STAGED_ORACLES["customer_streak_census"] = """
+    WITH m AS (
+        SELECT DISTINCT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS mno
+        FROM orders
+    ), isl AS (
+        SELECT o_custkey,
+               mno - row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY mno
+               ) AS grp
+        FROM m
+    ), runs AS (
+        SELECT o_custkey, count(*) AS run_len FROM isl
+        GROUP BY o_custkey, grp
+    ), longest AS (
+        SELECT o_custkey, max(run_len) AS streak FROM runs
+        GROUP BY o_custkey
+    )
+    SELECT CAST(streak AS BIGINT) AS streak_months,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM longest GROUP BY streak
+"""
+
+# MAD as a double order statistic (lower median at position (n+1)//2 both
+# times). The oracle uses the row-level row_number formulation — simplest
+# to trust; the engine's collapsed cumulative-threshold form selects the
+# same value because both are exact order statistics over one multiset.
+STAGED_ORACLES["brand_price_mad"] = """
+    WITH px AS (
+        SELECT p.p_brand,
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), ranked AS (
+        SELECT p_brand, price_c,
+               row_number() OVER (PARTITION BY p_brand ORDER BY price_c) AS rk,
+               count(*) OVER (PARTITION BY p_brand) AS n
+        FROM px
+    ), med AS (
+        SELECT p_brand, price_c AS median_price_c
+        FROM ranked WHERE rk = (n + 1) // 2
+    ), dev AS (
+        SELECT px.p_brand, abs(px.price_c - m.median_price_c) AS d
+        FROM px JOIN med m ON px.p_brand = m.p_brand
+    ), ranked2 AS (
+        SELECT p_brand, d,
+               row_number() OVER (PARTITION BY p_brand ORDER BY d) AS rk,
+               count(*) OVER (PARTITION BY p_brand) AS n
+        FROM dev
+    )
+    SELECT r2.p_brand, m.median_price_c, CAST(r2.d AS BIGINT) AS mad_c
+    FROM ranked2 r2 JOIN med m ON r2.p_brand = m.p_brand
+    WHERE r2.rk = (r2.n + 1) // 2
+"""

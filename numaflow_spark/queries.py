@@ -4408,9 +4408,100 @@ def q_brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_customer_streak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: census of each customer's LONGEST run of
+    consecutive calendar months with >= 1 order — the classic islands
+    trick (month_no minus a per-customer row_number is constant within a
+    consecutive run), a window shape none of the session/funnel queries
+    cover (they group by time gap, not calendar adjacency). Orders
+    collapse to distinct (customer, month) first, every later stage runs
+    on that collapsed table, and all three windows/aggregations hash on
+    o_custkey — one exchange, reused. Integer-exact throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mno"),
+    ).distinct()
+    w_rn = Window.partitionBy("o_custkey").orderBy("mno")
+    runs = (
+        months.select(
+            "o_custkey",
+            (F.col("mno") - F.row_number().over(w_rn)).alias("grp"),
+        )
+        .groupBy("o_custkey", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    longest = runs.groupBy("o_custkey").agg(F.max("run_len").alias("streak"))
+    return (
+        longest.groupBy(F.col("streak").cast("bigint").alias("streak_months"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+def q_brand_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of line price per brand — the robust
+    dispersion statistic (median of |x - median(x)|), exact in integer
+    cents as a DOUBLE order statistic: lower median at position
+    (n+1) div 2 both times. Scale shape: prices collapse to a
+    (brand, price_c, cnt) distribution FIRST, so both median selections
+    are cumulative-threshold scans over the collapsed table (the
+    brand_weighted_median trick applied twice) — never a row-level window
+    over the fact table, which would concentrate 6M rows into
+    |brands| = 25 window partitions. The medians table is 25 rows and
+    broadcasts back for the deviation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_price = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def lower_median(dist: DataFrame, val: str, out: str) -> DataFrame:
+        w_cum = (
+            Window.partitionBy("p_brand")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_tot = Window.partitionBy("p_brand")
+        cum = dist.select(
+            "p_brand",
+            F.col(val),
+            F.sum("cnt").over(w_cum).alias("cum_cnt"),
+            F.sum("cnt").over(w_tot).alias("tot"),
+        )
+        return (
+            cum.filter(F.col("cum_cnt") >= F.expr("(tot + 1) div 2"))
+            .groupBy("p_brand")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = lower_median(per_price, "price_c", "median_price_c")
+    devs = (
+        per_price.join(F.broadcast(med), "p_brand")
+        .groupBy(
+            "p_brand",
+            F.abs(F.col("price_c") - F.col("median_price_c")).alias("d"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = lower_median(devs, "d", "mad_c")
+    return med.join(mad, "p_brand").select("p_brand", "median_price_c", "mad_c")
+
+
 STAGED_QUERIES["nation_yoy_order_growth"] = q_nation_yoy_order_growth
 STAGED_QUERIES["order_concurrency_peak"] = q_order_concurrency_peak
 STAGED_QUERIES["nation_seat_apportionment"] = q_nation_seat_apportionment
 STAGED_QUERIES["event_type_daily_share"] = q_event_type_daily_share
 STAGED_QUERIES["repeat_purchase_rate"] = q_repeat_purchase_rate
 STAGED_QUERIES["brand_weighted_median_price"] = q_brand_weighted_median_price
+STAGED_QUERIES["customer_streak_census"] = q_customer_streak_census
+STAGED_QUERIES["brand_price_mad"] = q_brand_price_mad
