@@ -33,7 +33,21 @@ exactly what ``JetStreamSourceHandle`` needs — durable PULL consumers,
 batch MSG.NEXT fetch, explicit ack, ack-wait redelivery (at-least-once;
 the reference's jetstream.rs consumer shape).
 
-Not implemented (documented divergences): auth, TLS, INFO-driven cluster
+Also implemented (r8 depth): TLS in the "TLS-first handshake" mode
+(docs.nats.io → securing NATS → TLS, ``handshake_first``: the socket is
+TLS from byte 0, INFO follows inside the tunnel — the mode modern
+nats-server offers for exactly this client shape), with full
+certificate verification against ``tls_ca_file`` and optional mutual
+TLS (client cert/key; server built with ``tls_client_ca_file`` requires
+it at the handshake). And CONNECT-carried authentication (the published
+auth fields: ``user``/``pass`` and ``auth_token``): the server
+advertises ``auth_required`` in INFO and answers any frame from an
+unauthenticated connection with the real -ERR 'Authorization Violation'
+and a close; the client surfaces that as ConnectionError at connect
+time, not a hang.
+
+Not implemented (documented divergences): nkey/JWT auth, the
+INFO-then-upgrade STARTTLS mode (TLS-first only), INFO-driven cluster
 topology, max_payload enforcement; JetStream push consumers, flow
 control, replicas, and persistence across server restarts.
 """
@@ -92,18 +106,36 @@ class WireNatsConnection:
         self._pong_waiters: list[asyncio.Future] = []
         self.server_info: dict = {}
 
-    async def _start(self, host: str, port: int) -> None:
-        self._reader, self._writer = await asyncio.open_connection(host, port)
+    async def _start(self, host: str, port: int,
+                     tls_ca_file: str | None = None,
+                     tls_cert_file: str | None = None,
+                     tls_key_file: str | None = None,
+                     user: str | None = None,
+                     password: str | None = None,
+                     token: str | None = None,
+                     use_tls: bool = False) -> None:
+        ssl_ctx = None
+        if use_tls or tls_ca_file:
+            # TLS-first handshake mode (docs.nats.io handshake_first):
+            # encrypt from byte 0, INFO arrives inside the tunnel. Full
+            # verification; optional client cert for mutual TLS.
+            import ssl
+
+            ssl_ctx = ssl.create_default_context(cafile=tls_ca_file)
+            if tls_cert_file:
+                ssl_ctx.load_cert_chain(tls_cert_file, tls_key_file)
+        self._reader, self._writer = await asyncio.open_connection(
+            host, port, ssl=ssl_ctx, server_hostname=host if ssl_ctx else None
+        )
         line = await self._reader.readline()  # INFO {...}
         if line.startswith(b"INFO "):
             self.server_info = json.loads(line[5:].strip() or b"{}")
-        await self._send(
-            b"CONNECT "
-            + json.dumps(
-                {"verbose": False, "pedantic": False, "name": "numaflow-spark"}
-            ).encode()
-            + b"\r\n"
-        )
+        opts = {"verbose": False, "pedantic": False, "name": "numaflow-spark"}
+        if user is not None:
+            opts["user"], opts["pass"] = user, password or ""
+        if token is not None:
+            opts["auth_token"] = token
+        await self._send(b"CONNECT " + json.dumps(opts).encode() + b"\r\n")
         self._reader_task = asyncio.ensure_future(self._read_loop())
         await self.flush()  # PING/PONG round trip proves the CONNECT landed
 
@@ -136,10 +168,26 @@ class WireNatsConnection:
                             f.set_result(True)
                     self._pong_waiters.clear()
                 elif line.startswith(b"-ERR"):
-                    raise ConnectionError(line.decode(errors="replace").strip())
+                    # Surface server errors (e.g. 'Authorization Violation')
+                    # to whoever is awaiting a flush — a raise inside this
+                    # task would die silently and the waiter would hang to
+                    # its timeout instead of failing fast.
+                    err = ConnectionError(line.decode(errors="replace").strip())
+                    for f in self._pong_waiters:
+                        if not f.done():
+                            f.set_exception(err)
+                    self._pong_waiters.clear()
+                    break
                 # +OK / INFO updates: ignored (verbose off)
         except (asyncio.CancelledError, asyncio.IncompleteReadError):
             pass
+        finally:
+            # EOF/teardown: fail any remaining waiters instead of hanging
+            err = ConnectionError("connection closed by server")
+            for f in self._pong_waiters:
+                if not f.done():
+                    f.set_exception(err)
+            self._pong_waiters.clear()
 
     async def subscribe(self, subject: str, cb) -> int:
         sid = self._next_sid
@@ -199,14 +247,27 @@ class WireNatsConnection:
         return _JsContext(self)
 
 
-async def connect(servers: str) -> WireNatsConnection:
-    """nats-py-shaped entry point: ``await connect("nats://host:port")``.
-    Only the first server of a comma list is used (no cluster failover)."""
+async def connect(servers: str,
+                  tls_ca_file: str | None = None,
+                  tls_cert_file: str | None = None,
+                  tls_key_file: str | None = None,
+                  user: str | None = None,
+                  password: str | None = None,
+                  token: str | None = None) -> WireNatsConnection:
+    """nats-py-shaped entry point: ``await connect("nats://host:port")``
+    (or ``tls://host:port`` for the TLS-first listener). Only the first
+    server of a comma list is used (no cluster failover)."""
     url = servers.split(",")[0].strip()
+    scheme = url.split("://", 1)[0] if "://" in url else "nats"
     hostport = url.split("://", 1)[-1]
     host, _, port = hostport.rpartition(":")
     conn = WireNatsConnection()
-    await conn._start(host or "127.0.0.1", int(port or 4222))
+    await conn._start(
+        host or "127.0.0.1", int(port or 4222),
+        tls_ca_file=tls_ca_file, tls_cert_file=tls_cert_file,
+        tls_key_file=tls_key_file, user=user, password=password,
+        token=token, use_tls=scheme == "tls",
+    )
     return conn
 
 
@@ -218,10 +279,29 @@ async def connect(servers: str) -> WireNatsConnection:
 class MiniNatsServer:
     """Protocol-faithful in-process core-NATS server for wire-level tests:
     real TCP listener, real frames. Supports CONNECT/PING/PONG/SUB/UNSUB/
-    PUB/MSG and '*'/'>' wildcards; no auth/TLS/JetStream."""
+    PUB/MSG and '*'/'>' wildcards, TLS-first listeners (optionally
+    mutual), and user/pass + token auth with the real -ERR 'Authorization
+    Violation' close on bad or missing credentials."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 tls_cert_file: str | None = None,
+                 tls_key_file: str | None = None,
+                 tls_client_ca_file: str | None = None,
+                 auth_users: dict[str, str] | None = None,
+                 auth_token: str | None = None):
         self.host, self.port = host, port
+        self._auth_users = auth_users
+        self._auth_token = auth_token
+        self._ssl_ctx = None
+        self._tls = bool(tls_cert_file)
+        if tls_cert_file:
+            import ssl
+
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(tls_cert_file, tls_key_file)
+            if tls_client_ca_file:
+                self._ssl_ctx.verify_mode = ssl.CERT_REQUIRED
+                self._ssl_ctx.load_verify_locations(cafile=tls_client_ca_file)
         self._loop = asyncio.new_event_loop()
         self._thread = threading.Thread(target=self._loop.run_forever, daemon=True)
         self._server = None
@@ -238,7 +318,7 @@ class MiniNatsServer:
 
         async def _up():
             self._server = await asyncio.start_server(
-                self._handle, self.host, self.port
+                self._handle, self.host, self.port, ssl=self._ssl_ctx
             )
             self.port = self._server.sockets[0].getsockname()[1]
 
@@ -247,7 +327,7 @@ class MiniNatsServer:
 
     @property
     def url(self) -> str:
-        return f"nats://{self.host}:{self.port}"
+        return f"{'tls' if self._tls else 'nats'}://{self.host}:{self.port}"
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         # (pattern, sid, writer, wlock) per subscription on this connection
@@ -259,14 +339,15 @@ class MiniNatsServer:
                 writer.write(frame)
                 await writer.drain()
 
-        await send(
-            b"INFO "
-            + json.dumps(
-                {"server_name": "mini-nats", "proto": 1, "max_payload": 1 << 20}
-            ).encode()
-            + b"\r\n"
-        )
+        info = {"server_name": "mini-nats", "proto": 1, "max_payload": 1 << 20}
+        auth_on = bool(self._auth_users or self._auth_token)
+        if auth_on:
+            info["auth_required"] = True
+        if self._tls:
+            info["tls_required"] = True
+        await send(b"INFO " + json.dumps(info).encode() + b"\r\n")
         self._conns[id(writer)] = (send, subs)
+        authed = not auth_on
         try:
             while True:
                 line = await reader.readline()
@@ -275,7 +356,32 @@ class MiniNatsServer:
                 word = line.split(b" ", 1)[0].strip().decode()
                 self.frames_seen.append(word)
                 if line.startswith(b"CONNECT"):
+                    if auth_on:
+                        try:
+                            opts = json.loads(line[7:].strip() or b"{}")
+                        except ValueError:
+                            opts = {}
+                        ok_user = (
+                            self._auth_users is not None
+                            and opts.get("user") in self._auth_users
+                            and self._auth_users[opts["user"]]
+                            == opts.get("pass")
+                        )
+                        ok_token = (
+                            self._auth_token is not None
+                            and opts.get("auth_token") == self._auth_token
+                        )
+                        if not (ok_user or ok_token):
+                            await send(b"-ERR 'Authorization Violation'\r\n")
+                            break
+                        authed = True
                     continue
+                if not authed:
+                    # real nats-server behavior: any op (PING included)
+                    # before a successful CONNECT on an auth_required
+                    # listener is a violation
+                    await send(b"-ERR 'Authorization Violation'\r\n")
+                    break
                 if line.startswith(b"PING"):
                     await send(b"PONG\r\n")
                 elif line.startswith(b"PONG"):

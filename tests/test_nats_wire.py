@@ -148,3 +148,137 @@ def test_jetstream_unknown_stream_fails_loudly(server):
     )
     with pytest.raises(Exception, match="stream not found|consumer create"):
         h.read(h.initial_offset())
+
+
+def _run(coro, timeout: float = 15.0):
+    import asyncio
+
+    async def _with_timeout():
+        return await asyncio.wait_for(coro, timeout)
+
+    import asyncio as _a
+    return _a.run(_with_timeout())
+
+
+def test_tls_first_roundtrip_and_reject(tmp_path):
+    """TLS-first handshake mode (docs.nats.io handshake_first): the
+    listener is TLS from byte 0, INFO arrives inside the tunnel; a client
+    that does not trust the CA is rejected at the handshake."""
+    pytest.importorskip("cryptography")
+    import asyncio
+    import ssl
+
+    from tests.tls_helper import make_self_signed_cert
+
+    from numaflow_spark.sources.nats_wire import connect
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    s = MiniNatsServer(tls_cert_file=cert, tls_key_file=key).start()
+    try:
+        assert s.url.startswith("tls://")
+
+        async def go():
+            c = await connect(s.url, tls_ca_file=cert)
+            assert c.server_info.get("tls_required") is True
+            got, done = [], asyncio.Event()
+
+            async def cb(msg):
+                got.append(msg.data)
+                done.set()
+
+            await c.subscribe("t.sealed", cb)
+            await c.flush()
+            await c.publish("t.sealed", b"inside-the-tunnel")
+            await asyncio.wait_for(done.wait(), 5)
+            await c.close()
+            return got
+
+        assert _run(go()) == [b"inside-the-tunnel"]
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            _run(connect(s.url))  # system trust store: CA unknown
+    finally:
+        s.stop()
+
+
+def test_mutual_tls_requires_client_cert(tmp_path):
+    """Mutual TLS: a CA-signed client cert passes; a cert-less client —
+    even one trusting the server — fails during the handshake."""
+    pytest.importorskip("cryptography")
+    import ssl
+
+    from tests.tls_helper import make_client_cert, make_self_signed_cert
+
+    from numaflow_spark.sources.nats_wire import connect
+
+    ca_cert, ca_key = make_self_signed_cert(str(tmp_path))
+    cli_cert, cli_key = make_client_cert(str(tmp_path), ca_cert, ca_key)
+    s = MiniNatsServer(
+        tls_cert_file=ca_cert, tls_key_file=ca_key,
+        tls_client_ca_file=ca_cert,
+    ).start()
+    try:
+
+        async def go():
+            c = await connect(
+                s.url, tls_ca_file=ca_cert,
+                tls_cert_file=cli_cert, tls_key_file=cli_key,
+            )
+            await c.flush()
+            await c.close()
+
+        _run(go())
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            _run(connect(s.url, tls_ca_file=ca_cert))  # no client cert
+    finally:
+        s.stop()
+
+
+def test_connect_auth_user_pass_and_token():
+    """CONNECT-carried auth: INFO advertises auth_required; wrong or
+    missing credentials get the real -ERR 'Authorization Violation'
+    surfaced as ConnectionError at connect time (not a hang); good
+    user/pass and good token both complete a pub/sub round trip."""
+    import asyncio
+
+    from numaflow_spark.sources.nats_wire import connect
+
+    s = MiniNatsServer(auth_users={"svc": "hunter2"}).start()
+    try:
+
+        async def ok():
+            c = await connect(s.url, user="svc", password="hunter2")
+            assert c.server_info.get("auth_required") is True
+            got, done = [], asyncio.Event()
+
+            async def cb(msg):
+                got.append(msg.data)
+                done.set()
+
+            await c.subscribe("a.b", cb)
+            await c.flush()
+            await c.publish("a.b", b"authed")
+            await asyncio.wait_for(done.wait(), 5)
+            await c.close()
+            return got
+
+        assert _run(ok()) == [b"authed"]
+        with pytest.raises(ConnectionError, match="Authorization Violation"):
+            _run(connect(s.url, user="svc", password="wrong"))
+        with pytest.raises(ConnectionError, match="Authorization Violation"):
+            _run(connect(s.url))  # no credentials at all
+    finally:
+        s.stop()
+
+    t = MiniNatsServer(auth_token="tok123").start()
+    try:
+
+        async def tok():
+            c = await connect(t.url, token="tok123")
+            await c.flush()
+            await c.close()
+
+        _run(tok())
+        with pytest.raises(ConnectionError, match="Authorization Violation"):
+            _run(connect(t.url, token="nope"))
+    finally:
+        t.stop()
