@@ -15,6 +15,11 @@ semantics: received messages are hidden for the queue's
 VisibilityTimeout and REAPPEAR if not deleted — the redelivery path the
 source's ack contract depends on), DeleteMessage, DeleteMessageBatch.
 
+TLS: built with ``tls_cert_file``/``tls_key_file`` the server speaks
+HTTPS (production SQS is TLS-only) and the endpoint property returns an
+https:// URL; botocore verifies the chain against AWS_CA_BUNDLE, so the
+real client's certificate verification is exercised end to end.
+
 Not implemented: auth validation (requests are trusted), FIFO queues,
 long polling (WaitTimeSeconds is accepted, not honored), message
 attributes beyond SentTimestamp, DLQ redrive policies.
@@ -89,8 +94,11 @@ class MiniSqsServer:
         # point boto3 at it: endpoint_url=srv.endpoint (or AWS_ENDPOINT_URL)
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 tls_cert_file: str | None = None,
+                 tls_key_file: str | None = None):
         self.queues: dict[str, _Queue] = {}
+        self._tls = bool(tls_cert_file)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -119,6 +127,17 @@ class MiniSqsServer:
                 self.wfile.write(data)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if tls_cert_file:
+            # HTTPS endpoint — production SQS is TLS-only; botocore
+            # verifies against AWS_CA_BUNDLE (or the system store), so the
+            # real client exercises certificate verification end to end.
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert_file, tls_key_file)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True
+            )
         self.host = host
         self.port = self._httpd.server_address[1]
 
@@ -134,7 +153,7 @@ class MiniSqsServer:
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        return f"{'https' if self._tls else 'http'}://{self.host}:{self.port}"
 
     def queue_url(self, name: str) -> str:
         return f"{self.endpoint}/{_ACCOUNT}/{name}"

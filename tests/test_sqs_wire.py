@@ -88,3 +88,47 @@ def test_sink_failed_entries_fail_the_batch(server):
             sink.send_partition(iter([SimpleNamespace(value=b"v", headers=None)]))
     finally:
         MiniSqsServer._dispatch = orig
+
+
+def test_https_endpoint_with_ca_bundle(tmp_path, monkeypatch):
+    """HTTPS parity (production SQS is TLS-only): the real botocore client
+    verifies the loopback CA via AWS_CA_BUNDLE and runs the send/receive/
+    delete path over the encrypted socket; without the bundle the
+    handshake fails certificate verification — proof the check is on."""
+    pytest.importorskip("cryptography")
+    boto3 = pytest.importorskip("boto3")
+    from tests.tls_helper import make_self_signed_cert
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    srv = MiniSqsServer(tls_cert_file=cert, tls_key_file=key).start()
+    try:
+        assert srv.endpoint.startswith("https://")
+        monkeypatch.setenv("AWS_ENDPOINT_URL", srv.endpoint)
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test")
+        monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+        monkeypatch.setenv("AWS_CA_BUNDLE", cert)
+
+        url = srv.create_queue("tls-q", visibility_timeout=5.0)
+        h = SqsSourceHandle({"queue_url": url, "batch_size": 10})
+        srv.queues["tls-q"].send("sealed")
+        rows, off = h.read(h.initial_offset())
+        assert [bytes(r[3]) for r in rows] == [b"sealed"]
+        h.ack(off)
+        assert h.pending() == 0
+
+        # Untrusting client: fresh boto3 client with no CA bundle must
+        # fail verification (SSLError surfaces as botocore EndpointConnectionError).
+        monkeypatch.delenv("AWS_CA_BUNDLE")
+        import botocore.exceptions
+
+        c = boto3.client("sqs", endpoint_url=srv.endpoint)
+        with pytest.raises(
+            (botocore.exceptions.SSLError,
+             botocore.exceptions.EndpointConnectionError)
+        ):
+            c.get_queue_attributes(
+                QueueUrl=url, AttributeNames=["ApproximateNumberOfMessages"]
+            )
+    finally:
+        srv.stop()
