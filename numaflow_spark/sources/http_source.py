@@ -82,6 +82,13 @@ class HttpSourceHandle(SourceHandle):
         self.port = int(options["port"])
         self.vertex = options.get("vertex", "in")
         self.batch_size = int(options.get("batch_size", 500))
+        # HTTPS parity: the reference's HTTP source listens with TLS
+        # (rust/extns/numaflow-http generates a self-signed cert and
+        # clients post https with insecure-skip-verify). Here the cert is
+        # caller-provided so tests can verify the chain properly instead
+        # of skipping verification.
+        self.tls_cert_file = options.get("tls_cert_file")
+        self.tls_key_file = options.get("tls_key_file")
         self._buf: _Buffer | None = None
         self._server: ThreadingHTTPServer | None = None
 
@@ -133,6 +140,14 @@ class HttpSourceHandle(SourceHandle):
                 pass
 
         self._server = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        if self.tls_cert_file:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.tls_cert_file, self.tls_key_file)
+            self._server.socket = ctx.wrap_socket(
+                self._server.socket, server_side=True
+            )
         threading.Thread(target=self._server.serve_forever, daemon=True).start()
         self._buf = buf
         return buf

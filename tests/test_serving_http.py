@@ -159,6 +159,41 @@ def test_http_handle_headers_and_ack():
     assert h.read(end) == ([], end) and h.pending() == 2
 
 
+def test_http_source_https_ingestion(tmp_path):
+    """HTTPS parity with the reference HTTP source (which listens with
+    TLS): the handle serves https when given a cert/key, a client that
+    verifies the loopback CA ingests fine, and a verifying client WITHOUT
+    the CA fails the handshake."""
+    pytest.importorskip("cryptography")
+    import ssl
+
+    from tests.tls_helper import make_self_signed_cert
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    port = _free_port()
+    h = HttpSourceHandle(
+        {"port": str(port), "tls_cert_file": cert, "tls_key_file": key}
+    )
+    start = h.initial_offset()
+    ctx = ssl.create_default_context(cafile=cert)
+    req = urllib.request.Request(
+        f"https://127.0.0.1:{port}/vertices/in", data=b"sealed",
+        headers={"x-numaflow-id": "m-tls"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5, context=ctx) as resp:
+        assert resp.status == 200
+    rows, end = h.read(start)
+    assert len(rows) == 1 and rows[0][2] == "m-tls" and bytes(rows[0][4]) == b"sealed"
+
+    with pytest.raises(urllib.error.URLError):
+        urllib.request.urlopen(  # system trust store: CA unknown
+            urllib.request.Request(
+                f"https://127.0.0.1:{port}/vertices/in", data=b"x", method="POST"
+            ),
+            timeout=5,
+        )
+
+
 def test_http_streaming_ingestion(spark, tmp_path):
     port = _free_port()
     spark.dataSource.register(make_udsource(HttpSourceHandle, name="http_in"))
