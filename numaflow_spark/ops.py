@@ -287,11 +287,18 @@ class DaemonServer:
     """
 
     def __init__(self, monitor: PipelineMonitor, *, port: int = 0,
-                 pipeline: str = "pipeline"):
+                 pipeline: str = "pipeline",
+                 tls_cert_file: str | None = None,
+                 tls_key_file: str | None = None):
         self._monitor = monitor
         self._pipeline = pipeline
         self._server = None
         self._port = port
+        # The reference daemon serves its gRPC/HTTP API over TLS (the
+        # daemon deployment mounts a server cert); parity here is the same
+        # caller-provided cert pattern as the other listeners.
+        self._tls_cert_file = tls_cert_file
+        self._tls_key_file = tls_key_file
 
     @property
     def port(self) -> int:
@@ -348,6 +355,14 @@ class DaemonServer:
                 pass
 
         self._server = ThreadingHTTPServer(("127.0.0.1", self._port), Handler)
+        if self._tls_cert_file:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self._tls_cert_file, self._tls_key_file)
+            self._server.socket = ctx.wrap_socket(
+                self._server.socket, server_side=True
+            )
         threading.Thread(target=self._server.serve_forever, daemon=True).start()
         return self
 

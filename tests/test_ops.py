@@ -178,3 +178,39 @@ def test_daemon_server_serves_status_and_metrics():
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_daemon_server_https(tmp_path):
+    """The daemon API serves TLS when given a cert (the reference daemon's
+    API is TLS-fronted): a CA-verifying client reads /metrics over the
+    encrypted socket; an untrusting verifying client fails the handshake."""
+    import ssl
+    import urllib.error
+    import urllib.request
+
+    import pytest as _pytest
+
+    _pytest.importorskip("cryptography")
+    from tests.tls_helper import make_self_signed_cert
+
+    from numaflow_spark.ops import DaemonServer
+
+    cert, key = make_self_signed_cert(str(tmp_path))
+    mon = PipelineMonitor({"out": FakeQuery(_progress(rows=7, batch=1))})
+    mon.observe()
+    srv = DaemonServer(mon, pipeline="p1", tls_cert_file=cert,
+                       tls_key_file=key).start()
+    try:
+        base = f"https://127.0.0.1:{srv.port}"
+        ctx = ssl.create_default_context(cafile=cert)
+        with urllib.request.urlopen(base + "/metrics", timeout=5,
+                                    context=ctx) as r:
+            assert r.status == 200
+            assert b"forwarder_read_total" in r.read()
+        try:
+            urllib.request.urlopen(base + "/metrics", timeout=5)
+            raise AssertionError("expected certificate verification failure")
+        except urllib.error.URLError:
+            pass
+    finally:
+        srv.stop()
