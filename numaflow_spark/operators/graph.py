@@ -216,9 +216,11 @@ def cooccurrence_pairs(
     graphs. Two formulations, A/B-measured per scale (tools/ab_cooc.py,
     min-of-2 on local[32]):
 
-    * self-join (DEFAULT): distinct ``(group, item)`` then an equi-join on
-      the group key with a ``u < v`` residual — two exchanges but both
-      sides stay narrow and whole-stage codegen streams the join.
+    * self-join (DEFAULT): ``(group, item)`` dedupe inside a group-key
+      partitioning, then an equi-join on the group key with a ``u < v``
+      residual — ONE exchange per side (the dedupe aggregate and the join
+      share HashPartitioning(group); see _cooccurrence_pairs_selfjoin for
+      the r8 plan note and measurements), narrow rows, codegen join.
     * set-expansion (``SPARK_GRAFT_COOC_IMPL=set``): one ``collect_set``
       per group, pair expansion row-locally over the sorted array — one
       exchange, but the aggregation buffers whole baskets and the
@@ -260,16 +262,33 @@ def _cooccurrence_pairs_selfjoin(
     item_col: str,
 ) -> DataFrame:
     """The self-join formulation (default — see cooccurrence_pairs for the
-    A/B measurement that picked it): distinct ``(group, item)`` then an
-    equi-join on the group key with ``u < v``. Two shuffles (distinct +
-    join), but each side stays narrow and codegen handles the inequality
-    residual."""
+    A/B measurement that picked it): dedupe ``(group, item)`` INSIDE a
+    group-key partitioning, then an equi-join on the group key with a
+    ``u < v`` residual.
+
+    Plan shape (r8 rewrite): ``repartition(group)`` + ``dropDuplicates``
+    instead of a plain ``distinct()``. HashPartitioning(group) satisfies
+    the dedupe aggregate's ClusteredDistribution((group, item)) — a
+    partitioning on a SUBSET of the grouping keys is a valid clustering —
+    and the join keyed on ``group`` then needs NO further exchange, so
+    each side shuffles the narrow fact columns exactly once where the
+    ``distinct()`` form shuffled twice (once on (g, i) for the dedupe,
+    again on g for the join). Measured (tools A/B, min-of-2, idle host):
+    x10 pair build 6.2 -> 2.6 s, degree_dist 9.9 -> 6.5 s, basket
+    8.3 -> 3.3 s; sf0.1 wins ~25% across the same three. Tradeoff: the
+    dedupe's map-side partial aggregation now runs AFTER the exchange, so
+    a corpus where (group, item) repeats heavily shuffles the duplicates
+    it would previously have pre-collapsed — bounded by per-group row
+    count, and the win reverses only when the duplicate rate is extreme.
+    NULL group keys are filtered explicitly (join equality would drop
+    them anyway; ADVICE r7)."""
     from pyspark.sql import functions as F
 
     gi = (
         df.filter(F.col(group_col).isNotNull())
         .select(group_col, item_col)
-        .distinct()
+        .repartition(F.col(group_col))
+        .dropDuplicates([group_col, item_col])
     )
     a = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("u"))
     b = gi.select(F.col(group_col).alias("_g2"), F.col(item_col).alias("v"))

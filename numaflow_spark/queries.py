@@ -4145,7 +4145,10 @@ QUERIES = {
 # loudly so the list can't rot).
 RECERT_PENDING = [
     # r7 commit cf8348e swapped the edge build to cooccurrence_pairs after
-    # the r6 certs; fresh driver rows expected in CORRECTNESS_r08.
+    # the r6 certs; r8 additionally moved the self-join default to the
+    # one-exchange repartition+dropDuplicates form (all four re-verified
+    # hash-green locally at sf0.01 AND x10 after that rewrite). Fresh
+    # driver rows expected in CORRECTNESS_r08.
     "basket_pairs", "triangle_count", "copurchase_lift",
     "degree_distribution",
     # r8: set_except rewritten from exceptAll to left-anti + distinct
