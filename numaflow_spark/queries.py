@@ -4007,11 +4007,36 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     between every pair of ingest sources — the decontamination audit that
     tells you WHICH corpora leak into each other (the per-doc variant is
     `decontaminate`/`dup_ngram_frac`; this is the corpus-level rollup).
-    Scale shape: one distinct over (source, shingle) — linear — then a
-    shingle-keyed self-join whose blowup is bounded by sources-per-shingle
-    (≤ 20 here); stop-word-grade shingles are the documented skew point,
-    the same segmenting mitigation as the inverted index applies."""
+
+    Scale shape (r8 rewrite — bitmask rollup instead of a shingle
+    self-join): sources get dense ids (a window over the TINY distinct-
+    source table, broadcast back), every shingle occurrence ORs its
+    source bit into a per-shingle mask — one shuffle keyed on the
+    shingle, and because bit_or is idempotent the map-side combiner
+    absorbs duplicate (source, shingle) rows BEFORE the exchange, so no
+    distinct pass exists at all. The per-shingle masks then collapse to
+    (mask, count) — thousands of rows — and the ≤ C(|sources|, 2) pair
+    expansion runs row-locally over that collapsed table. Replaces the
+    old plan's three wide exchanges (distinct + two join sides) with one;
+    stop-word-grade shingle skew now hits only a commutative bit_or
+    (AQE-splittable), not a join fan-out. Honest measurement: x10 wall is
+    NEUTRAL (10.2 -> 10.5 s, host noise) — profiling shows the wall is
+    the shingle-string explode (3.5 s) plus the string-keyed aggregation
+    (+3.5 s), paid identically by both forms; the rewrite's win is the
+    removed self-join fan-out, which matters exactly when a shingle is
+    shared by MANY sources (the skew case the old plan's docstring
+    flagged), not on this uniform synthetic corpus. Bit width bounds
+    |sources| <= 64 — the audit's realistic regime; beyond that, batch
+    the source ids (documented)."""
     docs = load_table(spark, sf_dir, "documents")
+    src_ids = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias("sid"),
+        )
+    )
     toks = docs.select(
         "source", F.split("text", " ").alias("w")
     ).filter(F.size("w") >= 5)
@@ -4023,18 +4048,36 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> array_join(slice(w, i, 5), ' '))"
             )
         ).alias("sh"),
-    ).distinct()
-    a, b = sh.alias("a"), sh.alias("b")
+    )
+    masks = (
+        sh.join(F.broadcast(src_ids), "source")
+        .groupBy("sh")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), sid))").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pair_expr = (
+        "flatten(transform(bits, (x, i) -> "
+        "transform(slice(bits, i + 2, size(bits)), "
+        "y -> named_struct('i', x, 'j', y))))"
+    )
+    pairs = (
+        masks.select(
+            F.expr(
+                "filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)"
+            ).alias("bits"),
+            "n_sh",
+        )
+        .select(F.explode(F.expr(pair_expr)).alias("p"), "n_sh")
+        .groupBy(F.col("p.i").alias("sid_a"), F.col("p.j").alias("sid_b"))
+        .agg(F.sum("n_sh").alias("n_shared"))
+    )
+    na = src_ids.select(F.col("source").alias("src_a"), F.col("sid").alias("sid_a"))
+    nb = src_ids.select(F.col("source").alias("src_b"), F.col("sid").alias("sid_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
-        .agg(F.count("*").alias("n_shared"))
+        pairs.join(F.broadcast(na), "sid_a")
+        .join(F.broadcast(nb), "sid_b")
+        .select("src_a", "src_b", "n_shared")
     )
 
 
@@ -4154,6 +4197,11 @@ RECERT_PENDING = [
     # r8: set_except rewritten from exceptAll to left-anti + distinct
     # (locally hash-green at sf0.01 and x10 before the swap).
     "set_except",
+    # r8: source_overlap_matrix rewritten (shingle self-join -> bitmask
+    # rollup) BEFORE its first driver cert; staged-green was re-earned on
+    # the new code at sf0.01. Listed for transparency — its r8 window row
+    # certifies the rewritten form.
+    "source_overlap_matrix",
 ]
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
