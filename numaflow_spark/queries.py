@@ -480,10 +480,15 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-empty here), so the only big exchange is the join itself — the
     shape that holds at 100 TB where the right side never fits a
     distinct-broadcast. A/B (tools/timeq.py, warm tables, best of 2):
-    x10 4.56 -> 3.57 s, sf0.1 0.95 -> 0.89 s."""
+    x10 4.56 -> 3.57 s, sf0.1 0.95 -> 0.89 s. r8b refinement: the right
+    side pre-dedups with ``distinct()`` — its map-side partial aggregate
+    collapses the fact rows BEFORE the exchange (6M -> 1.5M keys at x10)
+    and the anti-join reuses the resulting hash partitioning, so the
+    extra aggregate costs no extra shuffle. A/B same harness: x10
+    5.15 -> 2.59 s."""
     ordered = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
     items = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
-    return ordered.join(items, "orderkey", "left_anti").distinct()
+    return ordered.join(items.distinct(), "orderkey", "left_anti").distinct()
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2135,7 +2140,12 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back on orderkey and keep n_supp > 1 AND n_late = 1. Output:
     numwait per supplier (all rows — no LIMIT/tie nondeterminism).
     Shuffles: per-order agg + orderkey join share partitioning; supplier
-    dim broadcast."""
+    dim broadcast. (r8 A/B note: a one-exchange repartition(orderkey)
+    rewrite — collapse to (orderkey, suppkey, any_late) then rollup, the
+    cooccurrence trick — measured SLOWER at x10, 2.65 -> 3.17 s:
+    repartition-before-aggregate forfeits the map-side combine that the
+    countDistinct form gets, and here the partial aggregates collapse
+    enough to pay for the Expand. Kept the measured winner.)"""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
