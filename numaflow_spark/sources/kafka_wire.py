@@ -88,9 +88,9 @@ produce / read_committed isolation (fields parsed, always
 non-transactional), SASL mechanisms beyond PLAIN and
 SCRAM-SHA-256/512 (GSSAPI/OAUTHBEARER), SCRAM channel binding (gs2
 header ``n,,`` only — the -PLUS variants need TLS exporter data),
-assignors beyond range (roundrobin/sticky/cooperative),
-FindCoordinator (the single broker is always the coordinator),
-multi-broker metadata.
+assignors beyond range/roundrobin (sticky/cooperative — these need
+incremental-rebalance protocol support), FindCoordinator (the single
+broker is always the coordinator), multi-broker metadata.
 """
 
 from __future__ import annotations
@@ -126,6 +126,7 @@ ERR_CORRUPT = 2
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_SASL_AUTH_FAILED = 58
@@ -521,6 +522,32 @@ def range_assign(
     return out
 
 
+def roundrobin_assign(
+    members: dict[str, list[str]], parts_by_topic: dict[str, list[int]]
+) -> dict[str, dict[str, list[int]]]:
+    """The published RoundRobinAssignor: all (topic, partition) pairs in
+    sorted order are dealt one at a time around the sorted member circle,
+    skipping members not subscribed to the partition's topic (the circle
+    pointer keeps advancing, so load stays balanced under uneven
+    subscriptions — kafka.apache.org javadoc's C0=[t0], C1=[t0, t1]
+    example is pinned in tests)."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    ms = sorted(members)
+    if not ms:
+        return out
+    n = len(ms)
+    i = 0
+    for topic in sorted(parts_by_topic):
+        for p in sorted(parts_by_topic[topic]):
+            for _ in range(n):
+                m = ms[i % n]
+                i += 1
+                if topic in members[m]:
+                    out[m].setdefault(topic, []).append(p)
+                    break
+    return out
+
+
 # --------------------------------------------------------------------------
 # broker
 # --------------------------------------------------------------------------
@@ -540,8 +567,9 @@ class _Group:
     def __init__(self):
         self.generation = 0
         self.state = "Empty"
-        self.members: dict[str, dict] = {}  # id -> {meta, hb, session_s, rejoined}
+        self.members: dict[str, dict] = {}  # id -> {meta, hb, session_s, rejoined, protos}
         self.leader: str | None = None
+        self.protocol: str | None = "range"
         self.assignments: dict[str, bytes] = {}
         self.next_member = 0
         self.join_deadline: float | None = None
@@ -763,12 +791,14 @@ class MiniKafkaBroker:
         member_id = r.string() or ""
         r.string()  # protocol_type ("consumer")
         n_protocols = r.i32()
-        proto_name, proto_meta = "range", b""
-        for i in range(n_protocols):
+        protos: list[tuple[str, bytes]] = []
+        for _ in range(n_protocols):
             name = r.string() or ""
             meta = r.bytes() or b""
-            if i == 0:
-                proto_name, proto_meta = name, meta
+            protos.append((name, meta))
+        if not protos:
+            protos = [("range", b"")]
+        proto_meta = protos[0][1]
         with self._glock:
             g = self._group(group_id)
             now = time.monotonic()
@@ -786,6 +816,7 @@ class MiniKafkaBroker:
             g.members[member_id] = {
                 "meta": proto_meta, "hb": now,
                 "session_s": max(session_ms, 1000) / 1000.0, "rejoined": True,
+                "protos": [p for p, _ in protos],
             }
             # any join (re)opens the barrier: known members get a window to
             # rejoin (delayed-join), then the roster is frozen
@@ -815,14 +846,33 @@ class MiniKafkaBroker:
                 g.generation += 1
                 g.leader = min(g.members) if g.members else None
                 g.assignments = {}
+                # Protocol selection (the published coordinator rule):
+                # the leader's most-preferred protocol that EVERY member
+                # supports; no common protocol is the
+                # INCONSISTENT_GROUP_PROTOCOL error every joiner sees.
+                g.protocol = None
+                if g.leader is not None:
+                    for p in g.members[g.leader].get("protos", ["range"]):
+                        if all(
+                            p in i_.get("protos", ["range"])
+                            for i_ in g.members.values()
+                        ):
+                            g.protocol = p
+                            break
                 g.state = "AwaitingSync"
                 g.cv.notify_all()
             gen, leader = g.generation, g.leader or ""
+            selected = g.protocol
             members_out = (
                 list(g.members.items()) if member_id == leader else []
             )
+        if selected is None:
+            return (
+                _i16(ERR_INCONSISTENT_GROUP_PROTOCOL) + _i32(-1)
+                + _string("") + _string("") + _string(member_id) + _i32(0)
+            )
         body = (
-            _i16(ERR_NONE) + _i32(gen) + _string(proto_name)
+            _i16(ERR_NONE) + _i32(gen) + _string(selected)
             + _string(leader) + _string(member_id) + _i32(len(members_out))
         )
         for m, info in members_out:
@@ -1557,15 +1607,20 @@ class KafkaWireClient:
     def join_group(
         self, group: str, member_id: str, topics: list[str],
         session_timeout_ms: int = 10000,
+        assignors: list[str] | None = None,
     ) -> tuple[int, int, str, str, str, dict[str, list[str]]]:
         """Returns (error, generation, protocol, leader_id, member_id,
         members) — members maps member_id -> subscribed topics and is
-        non-empty only for the leader."""
+        non-empty only for the leader. ``assignors`` is the preference-
+        ordered protocol list (default ["range"]); the coordinator picks
+        the leader's first choice every member supports."""
+        protos = assignors or ["range"]
         body = (
             _string(group) + _i32(session_timeout_ms) + _string(member_id)
-            + _string("consumer") + _i32(1)
-            + _string("range") + _bytes(encode_subscription(topics))
+            + _string("consumer") + _i32(len(protos))
         )
+        for p in protos:
+            body += _string(p) + _bytes(encode_subscription(topics))
         r = self._request(API_JOIN_GROUP, body)
         err = r.i16()
         gen = r.i32()
@@ -1732,11 +1787,17 @@ class KafkaLiteSourceHandle:
         return KAFKA_RECORD_SCHEMA
 
 
+_ASSIGNORS = {"range": range_assign, "roundrobin": roundrobin_assign}
+
+
 class KafkaGroupConsumer:
     """Dynamic group membership over the wire client (the reference's
     consumer-group read; rust/extns/numaflow-kafka subscribes through
-    librdkafka's group protocol): JoinGroup with the range ConsumerProtocol
-    subscription, leader-side :func:`range_assign`, SyncGroup for the
+    librdkafka's group protocol): JoinGroup with the ConsumerProtocol
+    subscription (``assignor="range"`` or ``"roundrobin"`` — the
+    coordinator selects the leader's first choice every member supports,
+    mixed groups fail with INCONSISTENT_GROUP_PROTOCOL), leader-side
+    :func:`range_assign`/:func:`roundrobin_assign`, SyncGroup for the
     assignment, Heartbeat-driven rebalance (REBALANCE_IN_PROGRESS /
     ILLEGAL_GENERATION / UNKNOWN_MEMBER_ID each trigger the published
     rejoin dance), LeaveGroup on close. ``poll`` fetches from the member's
@@ -1745,11 +1806,17 @@ class KafkaGroupConsumer:
     topic exactly like the reference's scaled-out source vertices."""
 
     def __init__(self, bootstrap: str, group: str, topics: list[str],
-                 session_timeout_ms: int = 10000, **client_kw):
+                 session_timeout_ms: int = 10000,
+                 assignor: str = "range", **client_kw):
+        if assignor not in _ASSIGNORS:
+            raise ValueError(
+                f"unknown assignor {assignor!r}; supported: {sorted(_ASSIGNORS)}"
+            )
         self._client = KafkaWireClient(bootstrap, **client_kw)
         self.group = group
         self.topics = list(topics)
         self._session_ms = session_timeout_ms
+        self._assignor = assignor
         self.member_id = ""
         self.generation = -1
         self.assignment: dict[str, list[int]] = {}
@@ -1760,20 +1827,28 @@ class KafkaGroupConsumer:
 
     def _join(self) -> None:
         for _ in range(10):  # bounded rejoin dance
-            err, gen, _proto, leader, me, members = self._client.join_group(
-                self.group, self.member_id, self.topics, self._session_ms
+            err, gen, proto, leader, me, members = self._client.join_group(
+                self.group, self.member_id, self.topics, self._session_ms,
+                assignors=[self._assignor],
             )
             if err == ERR_UNKNOWN_MEMBER_ID:
                 self.member_id = ""
                 continue
+            if err == ERR_INCONSISTENT_GROUP_PROTOCOL:
+                raise IOError(
+                    f"JoinGroup: no assignor common to the group "
+                    f"(this member offers {self._assignor!r})"
+                )
             if err != ERR_NONE:
                 raise IOError(f"JoinGroup error {err}")
             self.member_id = me
             proposed = None
             if me == leader:
+                # the coordinator-selected protocol decides the algorithm
+                assign_fn = _ASSIGNORS[proto]
                 subscribed = sorted({t for ts in members.values() for t in ts})
                 parts = self._client.metadata(subscribed)
-                proposed = range_assign(members, parts)
+                proposed = assign_fn(members, parts)
             serr, assignment = self._client.sync_group(
                 self.group, gen, me, proposed
             )

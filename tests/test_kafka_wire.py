@@ -654,3 +654,86 @@ def test_group_stale_member_evicted_by_session_timeout(broker):
     assert err == ERR_UNKNOWN_MEMBER_ID
     a._client.close()
     b.close()
+
+
+def test_roundrobin_assignor_javadoc_example():
+    """The published RoundRobinAssignor example: C0 subscribes [t0], C1
+    subscribes [t0, t1]; t0 has 3 partitions, t1 has 2. Dealing sorted
+    (topic, partition) pairs around the circle while skipping
+    non-subscribers gives C0: t0[0, 2]; C1: t0[1], t1[0, 1]."""
+    from numaflow_spark.sources.kafka_wire import roundrobin_assign
+
+    out = roundrobin_assign(
+        {"C0": ["t0"], "C1": ["t0", "t1"]},
+        {"t0": [0, 1, 2], "t1": [0, 1]},
+    )
+    assert out == {"C0": {"t0": [0, 2]}, "C1": {"t0": [1], "t1": [0, 1]}}
+
+
+def test_group_membership_roundrobin_and_mixed_protocol(broker):
+    """Protocol negotiation over real frames: a roundrobin group splits a
+    4-partition topic interleaved ({0, 2} / {1, 3}); a member offering a
+    DIFFERENT assignor than the rest of its group gets the published
+    INCONSISTENT_GROUP_PROTOCOL failure."""
+    import threading
+
+    from numaflow_spark.sources.kafka_wire import KafkaGroupConsumer
+
+    c = KafkaWireClient(broker.bootstrap)
+    b4 = MiniKafkaBroker(num_partitions=4)
+    c.close()
+    try:
+        c4 = KafkaWireClient(b4.bootstrap)
+        c4.metadata(["tr"])
+        for p in range(4):
+            c4.produce("tr", p, [(None, f"m{p}".encode())])
+        c4.close()
+
+        holder = {}
+
+        def join_first():
+            holder["c"] = KafkaGroupConsumer(
+                b4.bootstrap, "rr", ["tr"], assignor="roundrobin"
+            )
+
+        t = threading.Thread(target=join_first)
+        t.start()
+        time.sleep(0.05)
+        g2 = KafkaGroupConsumer(b4.bootstrap, "rr", ["tr"], assignor="roundrobin")
+        t.join()
+        g1 = holder["c"]
+        parts = sorted(
+            sorted(ps) for ps in
+            (g1.assignment.get("tr", []), g2.assignment.get("tr", []))
+        )
+        assert parts == [[0, 2], [1, 3]]  # interleaved, not contiguous
+        assert len(g1.poll()) + len(g2.poll()) == 4
+        g1.close()
+        g2.close()
+
+        # mixed assignors in one join window: no common protocol
+        holder2, errs = {}, []
+
+        def join_range():
+            try:
+                holder2["c"] = KafkaGroupConsumer(
+                    b4.bootstrap, "mix", ["tr"], assignor="range"
+                )
+            except IOError as e:
+                errs.append(e)
+
+        t2 = threading.Thread(target=join_range)
+        t2.start()
+        time.sleep(0.05)
+        try:
+            KafkaGroupConsumer(b4.bootstrap, "mix", ["tr"], assignor="roundrobin")
+        except IOError as e:
+            errs.append(e)
+        t2.join()
+        assert errs and any("assignor" in str(e) for e in errs)
+        holder2.get("c") and holder2["c"].close()
+
+        with pytest.raises(ValueError, match="unknown assignor"):
+            KafkaGroupConsumer(b4.bootstrap, "x", ["tr"], assignor="sticky")
+    finally:
+        b4.close()
