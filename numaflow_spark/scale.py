@@ -41,7 +41,15 @@ def cluster_conf(
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.sql.parquet.enableVectorizedReader": "true",
         # shuffles: start wide, let AQE coalesce by bytes (parallelismFirst
-        # off so tiny stages do not fan out to 8000 tasks)
+        # off so tiny stages do not fan out to 8000 tasks). Sizing rule
+        # measured in r8 on the local harness (session.py): with
+        # parallelismFirst off, a shuffle of S bytes runs on ~S/advisory
+        # tasks — if the fleet's TYPICAL intermediate shuffle is smaller
+        # than advisory x total_cores, CPU-bound reduce stages go
+        # underparallel (locally 64m serialized ~100 MB aggregations;
+        # 8m recovered a 28% suite wall cut at x10). 128m is right when
+        # the big shuffles are TBs; drop it if profiling shows mid-size
+        # shuffles coalescing below the core count.
         "spark.sql.shuffle.partitions": str(total_cores * 2),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
