@@ -980,26 +980,44 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicate-n-gram fraction per document (the Gopher/
     RefinedWeb repetition signal at corpus granularity): what share of a
-    doc's distinct 3-grams also occur in another document. Two shuffles on
-    the shingle key (count + join share the partitioning, so the second is
-    an exchange reuse), one doc-level agg."""
+    doc's distinct 3-grams also occur in another document.
+
+    Plan shape (r8 rewrite — join-free complement counting): a shingle is
+    "shared" iff its corpus count > 1, so instead of joining every
+    (doc, shingle) row back to the count table, count each doc's UNIQUE
+    shingles — a corpus-count-1 shingle belongs to exactly one document,
+    which min(doc) recovers for free inside the same aggregate — and
+    subtract: n_shared = n_shingles - n_unique. The shingle-keyed
+    aggregate and the doc-keyed total are both still paid, but the join
+    materialization and its doc-keyed re-aggregation of the full joined
+    stream disappear; the recovered-unique rollup is |unique shingles|
+    rows and the final join is per-doc-sized. A/B (min-of-2, x10,
+    bit-identical output verified): 8.2 -> 3.3 s."""
     from numaflow_spark.operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", 3)
-    cnt = sh.groupBy("sh").agg(F.count("*").alias("ndocs"))
-    per_doc = (
-        sh.join(cnt, "sh")
-        .groupBy("doc")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_shared"),
-        )
+    totals = sh.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    uniq = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("ndocs"), F.min("doc").alias("only_doc"))
+        .filter(F.col("ndocs") == 1)
+        .groupBy("only_doc")
+        .agg(F.count("*").cast("bigint").alias("n_unique"))
+    )
+    per_doc = totals.join(
+        uniq, totals.doc == uniq.only_doc, "left"
+    ).select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        (F.col("n_shingles") - F.coalesce(F.col("n_unique"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_shared"),
     )
     return per_doc.select(
-        F.col("doc").alias("doc_id"),
+        "doc_id",
         "n_shingles",
         "n_shared",
         F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("shared_frac"),
@@ -4212,6 +4230,10 @@ RECERT_PENDING = [
     # the new code at sf0.01. Listed for transparency — its r8 window row
     # certifies the rewritten form.
     "source_overlap_matrix",
+    # r8: dup_ngram_frac rewritten (count-join -> join-free complement
+    # counting via min(doc) on unique shingles); hash-green at sf0.01 and
+    # x10 post-rewrite, in the r8 window for its driver row.
+    "dup_ngram_frac",
 ]
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
