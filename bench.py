@@ -274,12 +274,21 @@ def _duckdb_suite_wall(
         from numaflow_spark.oracles import ORACLES
 
         con = duckdb.connect()
+        # Cache symmetry (r8 ADVICE): when the Spark side persists decoded
+        # tables (SPARK_GRAFT_CACHE_TABLES=1, the default), the baseline
+        # gets the SAME treatment — each parquet file is loaded ONCE into a
+        # native (decoded, columnar) DuckDB table before any oracle is
+        # timed, so neither engine pays per-query parquet decode and the
+        # ratio compares plans, not I/O accounting. With caching off both
+        # engines re-scan parquet per query (views here, plain reads there).
+        cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
         for t in (
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         ):
+            kind = "TABLE" if cache else "VIEW"
             con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS "
+                f"CREATE OR REPLACE {kind} {t} AS "
                 f"SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
         per_query: dict[str, float] = {}

@@ -136,6 +136,17 @@ def jaccard_pairs(
             )
     sh = shingle_hashes(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # Candidate filters run in float, and a double product can overshoot
+    # the exact value (0.9*10 -> 9.000000000000002, ceil -> 10), which at
+    # exact-boundary thresholds would SHRINK the prefix / over-tighten the
+    # length filter and silently drop true pairs with J == t. Since the
+    # filters only need to produce a SUPERSET (verification below is an
+    # exact integer intersection), relax every comparison by EPS: the
+    # worst-case double rounding error here is ~ulp(t*sz) ≈ sz·2⁻⁵² — below
+    # 1e-6 for any corpus whose shingle sets fit in memory — so EPS keeps
+    # every mathematically-qualifying pair while admitting at most a few
+    # extra candidates for the exact verifier to discard.
+    EPS = 1e-6
     # smallest-hash prefix per doc: p = sz - ceil(t*sz) + 1 witnesses
     w = Window.partitionBy("doc").orderBy("h")
     prefix = (
@@ -143,7 +154,9 @@ def jaccard_pairs(
         .join(sizes, "doc")
         .filter(
             F.col("rk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(EPS))
+            + 1
         )
         .select("doc", "h", "sz", "rk")
     )
@@ -155,6 +168,7 @@ def jaccard_pairs(
     # bound >= its true overlap, so at least one generating row survives.
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(EPS)
     )
     cand = (
         a.join(
@@ -164,6 +178,7 @@ def jaccard_pairs(
         .filter(
             F.least(F.col("a.sz"), F.col("b.sz"))
             >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            - F.lit(EPS)
         )
         .filter(
             F.lit(1)

@@ -37,23 +37,37 @@ from numaflow_spark.operators.text import tokens
 def bigram_tables(df: DataFrame, id_col: str, text_col: str):
     """(doc-bigram occurrences, unigram counts, bigram counts, vocab-size
     1-row DF) — the trained model plus the scoring input, sharing one
-    tokenized subtree."""
+    tokenized subtree.
+
+    r9: n-gram keys are xxhash64 int64s over the token columns (h1 for the
+    w1 unigram, h12 for the (w1, w2) bigram) instead of the strings — every
+    count-table shuffle and every scoring join moves 8-byte keys. Counts —
+    and therefore every smoothed probability — are identical to the
+    string-keyed formulation modulo 64-bit collisions (~|V|²/2⁶⁵), so the
+    string-keyed DuckDB oracle is unchanged."""
     toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
-    uni_occ = toked.select("doc", F.explode("toks").alias("w"))
+    uni_occ = toked.select("doc", F.explode("toks").alias("w")).select(
+        "doc", F.xxhash64("w").alias("h1")
+    )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.struct(
-            F.element_at(F.col("toks"), i.cast("int")).alias("w1"),
-            F.element_at(F.col("toks"), (i + 1).cast("int")).alias("w2"),
+            F.xxhash64(
+                F.element_at(F.col("toks"), i.cast("int"))
+            ).alias("h1"),
+            F.xxhash64(
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), (i + 1).cast("int")),
+            ).alias("h12"),
         ),
     )
     bi_occ = (
         toked.where(F.size("toks") >= 2)
         .select("doc", F.explode(pairs).alias("p"))
-        .select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select("doc", F.col("p.h1").alias("h1"), F.col("p.h12").alias("h12"))
     )
-    uni = uni_occ.groupBy("w").agg(F.count("*").alias("c1"))
-    bi = bi_occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = uni_occ.groupBy("h1").agg(F.count("*").alias("c1"))
+    bi = bi_occ.groupBy("h12").agg(F.count("*").alias("c2"))
     vocab = uni.agg(F.count("*").alias("v"))
     return bi_occ, uni, bi, vocab
 
@@ -65,8 +79,8 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bi_occ, uni, bi, vocab = bigram_tables(df, id_col, text_col)
     logp = F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
     scored = (
-        bi_occ.join(bi, ["w1", "w2"])
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        bi_occ.join(bi, "h12")
+        .join(uni, "h1")
         .crossJoin(F.broadcast(vocab))
         .select("doc", logp.alias("lp"))
     )

@@ -2788,3 +2788,8 @@ STAGED_ORACLES["brand_price_mad"] = """
     FROM ranked2 r2 JOIN med m ON r2.p_brand = m.p_brand
     WHERE r2.rk = (r2.n + 1) // 2
 """
+
+# Promotion event 12 (r9): the eight staged oracles above join ORACLES
+# alongside their queries (queries.py promotion event 12).
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -957,20 +957,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     'src0' source plays the benchmark). The benchmark's distinct shingle
     set is small by construction — broadcast it and stream the corpus
     shingles through, so at 100 TB this is one corpus pass + one doc-level
-    agg; no corpus-vs-corpus join ever happens."""
-    from numaflow_spark.operators.dedup import word_shingles
+    agg; no corpus-vs-corpus join ever happens.
+
+    r9: shingles are xxhash64 int64s over the 5 token columns directly
+    (shingle_hashes) — no concatenated string is ever built, the broadcast
+    side is 8 bytes/entry, and the probe is an int64 hash lookup. The
+    string-keyed oracle is unchanged: the output is doc-level hit COUNTS,
+    identical modulo 64-bit collisions."""
+    from numaflow_spark.operators.dedup import shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
     bench_sh = (
-        word_shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
-        .select("sh")
+        shingle_hashes(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
+        .select("h")
         .distinct()
     )
-    corpus_sh = word_shingles(
+    corpus_sh = shingle_hashes(
         docs.filter(F.col("source") != "src0"), "doc_id", "text", 5
     )
     return (
-        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        corpus_sh.join(F.broadcast(bench_sh), "h")
         .groupBy("doc")
         .agg(F.count("*").cast("bigint").alias("n_hits"))
         .select(F.col("doc").alias("doc_id"), "n_hits")
@@ -992,16 +998,22 @@ def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization and its doc-keyed re-aggregation of the full joined
     stream disappear; the recovered-unique rollup is |unique shingles|
     rows and the final join is per-doc-sized. A/B (min-of-2, x10,
-    bit-identical output verified): 8.2 -> 3.3 s."""
-    from numaflow_spark.operators.dedup import word_shingles
+    bit-identical output verified): 8.2 -> 3.3 s.
+
+    r9: shingle keys are xxhash64 int64s taken over the 3 token columns
+    directly (shingle_hashes) instead of concatenated strings — no string
+    is ever built and every shuffle in the plan is 16 bytes/row wide. The
+    oracle keeps its string keys: outputs are doc-level COUNTS, identical
+    across key representations modulo 64-bit collisions (~|S|²/2⁶⁵)."""
+    from numaflow_spark.operators.dedup import shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", 3)
+    sh = shingle_hashes(docs, "doc_id", "text", 3)
     totals = sh.groupBy("doc").agg(
         F.count("*").cast("bigint").alias("n_shingles")
     )
     uniq = (
-        sh.groupBy("sh")
+        sh.groupBy("h")
         .agg(F.count("*").alias("ndocs"), F.min("doc").alias("only_doc"))
         .filter(F.col("ndocs") == 1)
         .groupBy("only_doc")
@@ -1535,8 +1547,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct) benchmark shingle set, and the sample is a row-local hash
     filter — so the composition costs the sum of its shuffles, nothing
     extra. Stage semantics match the standalone queries (dedup_exact /
-    doc_quality_gopher / decontaminate / stratified_sample oracles)."""
-    from numaflow_spark.operators.dedup import fingerprint_md5, word_shingles
+    doc_quality_gopher / decontaminate / stratified_sample oracles).
+
+    r9: the decontamination stage keys on xxhash64 int64 shingles
+    (shingle_hashes, same as q_decontaminate) — the broadcast set and the
+    probe stream never build shingle strings."""
+    from numaflow_spark.operators.dedup import fingerprint_md5, shingle_hashes
     from numaflow_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1573,13 +1589,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3. decontaminate: drop any survivor sharing a 5-gram with the src0
     # benchmark (broadcast the benchmark's distinct shingles)
     bench_sh = (
-        word_shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
-        .select("sh")
+        shingle_hashes(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
+        .select("h")
         .distinct()
     )
     flagged = (
-        word_shingles(qual.select("doc_id", "text"), "doc_id", "text", 5)
-        .join(F.broadcast(bench_sh), "sh")
+        shingle_hashes(qual.select("doc_id", "text"), "doc_id", "text", 5)
+        .join(F.broadcast(bench_sh), "h")
         .select(F.col("doc").alias("doc_id"))
         .distinct()
     )
@@ -4214,27 +4230,12 @@ QUERIES = {
 # a later CORRECTNESS_r0N.json artifact carries its green row (the test
 # checks that too — stale entries that already got their fresh row fail
 # loudly so the list can't rot).
-RECERT_PENDING = [
-    # r7 commit cf8348e swapped the edge build to cooccurrence_pairs after
-    # the r6 certs; r8 additionally moved the self-join default to the
-    # one-exchange repartition+dropDuplicates form (all four re-verified
-    # hash-green locally at sf0.01 AND x10 after that rewrite). Fresh
-    # driver rows expected in CORRECTNESS_r08.
-    "basket_pairs", "triangle_count", "copurchase_lift",
-    "degree_distribution",
-    # r8: set_except rewritten from exceptAll to left-anti + distinct
-    # (locally hash-green at sf0.01 and x10 before the swap).
-    "set_except",
-    # r8: source_overlap_matrix rewritten (shingle self-join -> bitmask
-    # rollup) BEFORE its first driver cert; staged-green was re-earned on
-    # the new code at sf0.01. Listed for transparency — its r8 window row
-    # certifies the rewritten form.
-    "source_overlap_matrix",
-    # r8: dup_ngram_frac rewritten (count-join -> join-free complement
-    # counting via min(doc) on unique shingles); hash-green at sf0.01 and
-    # x10 post-rewrite, in the r8 window for its driver row.
-    "dup_ngram_frac",
-]
+# r9 drain: all 7 r8 entries (basket_pairs, triangle_count, copurchase_lift,
+# degree_distribution, set_except, source_overlap_matrix, dup_ngram_frac)
+# received green rows in CORRECTNESS_r08.json, so the queue empties here.
+# The canonical r9 list is rebuilt AFTER the r9 window rotation at the end
+# of this module (the window must exist before the ⊆-head assert can hold).
+RECERT_PENDING = []
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
 
@@ -4588,3 +4589,89 @@ STAGED_QUERIES["repeat_purchase_rate"] = q_repeat_purchase_rate
 STAGED_QUERIES["brand_weighted_median_price"] = q_brand_weighted_median_price
 STAGED_QUERIES["customer_streak_census"] = q_customer_streak_census
 STAGED_QUERIES["brand_price_mad"] = q_brand_price_mad
+
+
+# ---------------------------------------------------------------------------
+# Promotion event 12 + r9 window rotation. The eight staged queries above
+# are hash-green at sf0.001 AND sf0.01 (standing criteria, verified by the
+# r8 judge and re-run via tools/check_queries.py --staged at the top of r9),
+# so they enter the registry; the certification window (first 50 keys — the
+# slice the driver certifies each round) is rebuilt as:
+#   positions 1-8   the eight newly promoted queries (first driver cert).
+#   position  9     ngram_jaccard — its jaccard_pairs engine was rewritten
+#                   in r8 commit e83dc4e AFTER its last driver cert (r7) and
+#                   it was never queued (VERDICT r8 "What's wrong" #1); the
+#                   r9 driver row closes that gap.
+#   positions 10-15 the r9 hash-shingle / regime rewrites (dup_ngram_frac,
+#                   decontaminate, corpus_curation, ngram_lm_score,
+#                   winnow_dups, cms_heavy_bigrams — VERDICT r8 tasks #4/#6):
+#                   each enters RECERT_PENDING when its rewrite lands, and
+#                   sits in the window so the r9 driver certifies the final
+#                   form. winnow_dups is also r5-stale on its own merit.
+#   positions 16-50 the 35 least-recently-certified remaining queries:
+#                   the 11 whose freshest green row is r5, then 24 of the
+#                   r6-latest in registry order (computed from
+#                   CORRECTNESS_r01-r08).
+# Tail order (positions 51+) is untouched; no query leaves the registry.
+# ---------------------------------------------------------------------------
+QUERIES.update(STAGED_QUERIES)
+STAGED_QUERIES = {}
+
+_R9_WINDOW = [
+    "nation_yoy_order_growth", "order_concurrency_peak",
+    "nation_seat_apportionment", "event_type_daily_share",
+    "repeat_purchase_rate", "brand_weighted_median_price",
+    "customer_streak_census", "brand_price_mad",
+    # post-rewrite re-cert (r8 commit e83dc4e, jaccard_pairs engine):
+    "ngram_jaccard",
+    # r9 rewrite slots (hash-shingle family + cms regime, tasks #4/#6):
+    "dup_ngram_frac", "decontaminate", "corpus_curation", "ngram_lm_score",
+    "winnow_dups", "cms_heavy_bigrams",
+    # 11 queries last green in r5:
+    "sequence_packing", "vocab_topk", "stratified_sample",
+    "sql_shipping_priority", "train_shard_order", "span_dedup",
+    "top_revenue_supplier", "small_quantity_revenue", "volume_shipping",
+    "waiting_supplier", "uniform_k_sample",
+    # 24 of the queries last green in r6, registry order:
+    "json_props_agg", "product_type_profit", "important_part_value",
+    "late_shipment_modes", "pagerank_bipartite", "hourly_channel_matrix",
+    "revenue_rolling_30d", "clv_deciles", "cdc_orders_apply",
+    "grouped_hll_users", "editdist_part_names", "khop_trade_graph",
+    "bpe_merges", "yoy_nation_revenue", "part_return_ratio",
+    "repeat_customer_years", "supplier_concentration_hhi", "corpus_rollup",
+    "session_islands", "gap_fill_locf", "corpus_profile", "weighted_sample",
+    "chunk_documents", "sliding_distinct_users",
+]
+assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R9_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+}
+
+
+# Rewrite-certification contract (VERDICT r7 "Next round" #4): any commit
+# that changes a REGISTERED query's plan must append its name here; the
+# registry-contract test pins this list inside the first-50 certification
+# window, so the next driver round re-certifies it. Remove a name only when
+# a later CORRECTNESS_r0N.json artifact carries its green row (the test
+# checks that too — stale entries that already got their fresh row fail
+# loudly so the list can't rot).
+RECERT_PENDING = [
+    # r8 commit e83dc4e rewrote jaccard_pairs (prefix+positional filtering)
+    # after ngram_jaccard's last driver cert (r7) — the queue missed it
+    # (VERDICT r8 "What's wrong" #1). The r8 judge re-ran it vs the oracle
+    # at sf0.01 post-rewrite (green); the r9 driver row makes that durable.
+    "ngram_jaccard",
+    # r9 hash-shingle rewrites (VERDICT r8 task #4): string shingle /
+    # n-gram keys -> xxhash64 int64 keys (shingle_hashes / hashed bigram
+    # tables). Outputs are doc-level counts & scores, identical modulo
+    # 64-bit collisions; re-verified vs the unchanged string-keyed oracles
+    # at sf0.001 + sf0.01 before commit. Window slots 10-13.
+    "dup_ngram_frac", "decontaminate", "corpus_curation", "ngram_lm_score",
+]
+# The artifact round that satisfies this queue: entries drain only against
+# CORRECTNESS rows from this round or later. Without the watermark, a query
+# rewritten AFTER round N's artifact landed would look "already re-certified"
+# by its own pre-rewrite row (exactly the r8 ngram_jaccard gap).
+RECERT_SINCE_ROUND = 9
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])

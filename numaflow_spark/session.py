@@ -135,6 +135,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # TimestampType for functions that reject NTZ (unix_micros)
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     if cache_on:
+        stale = _TABLE_MEMO.get((sf_dir, name))
         df = df.persist()
         _TABLE_MEMO[(sf_dir, name)] = (spark, df)
+        if stale is not None and stale[0] is not spark:
+            # overwrite from a NEWER session: release the old session's
+            # cached blocks instead of leaking them in long-lived processes
+            try:
+                stale[1].unpersist()
+            except Exception:  # noqa: BLE001 — the old session may be stopped
+                pass
     return df

@@ -352,6 +352,8 @@ def encode_record_batch_v2(
     gzip codec (``compression=GZIP`` — attributes bits 0-2 per the spec;
     only the records section compresses, the batch header never does), no
     transactions (producerId/epoch/baseSequence = -1)."""
+    if not records:
+        raise ValueError("empty record batch")
     base_ts = records[0][2]
     max_ts = max(r[2] for r in records)
     recs = b""
@@ -1543,7 +1545,10 @@ class KafkaWireClient:
         """Produce v3 carrying a RecordBatch v2: per-record timestamps
         (ms) and headers reach the wire; ``compression=GZIP`` compresses
         the records section per the published attributes bits. records:
-        (key, value, timestamp_ms, headers)."""
+        (key, value, timestamp_ms, headers). An empty list is a no-op
+        (nothing to produce), not an opaque encoder IndexError."""
+        if not records:
+            return -1
         rb = encode_record_batch_v2(0, records, compression)
         body = (
             _string(None)  # transactional_id (v3+)

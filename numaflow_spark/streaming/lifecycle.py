@@ -92,7 +92,14 @@ class Throttler:
             # acquire_n never returns more than asked.
             need = n
             while need > 0:
-                need -= self.shared_limiter.acquire_n(need)
+                got = self.shared_limiter.acquire_n(need)
+                if got <= 0:
+                    # acquire_n without a timeout blocks until it can
+                    # grant; a 0 return means the limiter was shut down
+                    # mid-batch. Stop shaping rather than hot-spinning —
+                    # the batch still writes (shutdown must not drop data).
+                    break
+                need -= got
         self.writer(df, epoch_id)
         self._rows += n
         elapsed = time.monotonic() - self._t0

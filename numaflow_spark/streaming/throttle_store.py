@@ -303,11 +303,21 @@ class DistributedRateLimit:
 
     def _refill(self) -> None:
         now = time.monotonic()
-        if now - self._window_start >= 1.0:
+        elapsed = now - self._window_start
+        if elapsed >= 1.0:
             share = self._allowance() / self._pool
             self._max_ever_filled = max(self._max_ever_filled, share)
-            self._tokens = share
-            self._window_start = now
+            # Accumulate, don't reset: a per-processor share below 1
+            # token/window (large pool, small allowance) must still grant
+            # eventually, so fractional remainders carry across windows.
+            # The cap — one window's share, or one whole token when the
+            # share itself is fractional — keeps a long-idle bucket from
+            # bursting beyond its steady-state rate.
+            windows = int(elapsed)
+            self._tokens = min(
+                self._tokens + windows * share, max(share, 1.0)
+            )
+            self._window_start += windows * 1.0
 
     # -- RateLimiter trait -------------------------------------------------
 

@@ -647,3 +647,25 @@ def test_jaccard_pairs_prefix_filter_matches_naive(spark):
         assert got == want, f"threshold {t}: prefix plan diverged from naive"
         if t == 0.5:
             assert want, "test corpus produced no pairs — not exercising anything"
+
+
+def test_jaccard_pairs_exact_threshold_boundary(spark):
+    """Float-product overshoot regression (ADVICE r8): ceil(0.9*10) in
+    doubles is 10, not 9 — an unrelaxed prefix/length filter silently
+    drops pairs whose Jaccard is EXACTLY the threshold (sizes 9/10 with
+    overlap 9 -> J = 9/10). The filters must stay a superset of the
+    exact-math predicate; verification is exact, so the planted boundary
+    pair must come back at t=0.9."""
+    from numaflow_spark.operators.dedup import jaccard_pairs
+
+    # doc 2 = doc 1 plus one extra trailing token: with n=1 shingles the
+    # sets are size 9 and 10 with overlap 9 -> J = 9/(9+10-9) = 0.9 exactly.
+    toks = [f"tok{i}" for i in range(9)]
+    docs = [
+        (1, " ".join(toks)),
+        (2, " ".join(toks + ["tok_extra"])),
+        (3, "completely different words here nothing shared at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.9).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in got] == [(1, 2, 0.9)]

@@ -42,7 +42,11 @@ def test_recert_pending_queries_inside_driver_window():
     name sits inside the first-50 window and (b) no name lingers after a
     fresh driver artifact already carries its green row — the list is a
     queue, not a graveyard."""
-    from numaflow_spark.queries import QUERIES, RECERT_PENDING
+    from numaflow_spark.queries import (
+        QUERIES,
+        RECERT_PENDING,
+        RECERT_SINCE_ROUND,
+    )
 
     head = set(list(QUERIES)[:50])
     outside = [n for n in RECERT_PENDING if n not in head]
@@ -50,12 +54,14 @@ def test_recert_pending_queries_inside_driver_window():
         f"rewritten-after-cert queries outside the certification window: "
         f"{outside}"
     )
-    # Names whose fresh row already landed (any artifact from r8 on) must be
-    # removed so the queue reflects reality.
+    # Names whose fresh row already landed (an artifact from the queue's
+    # declared watermark round on — a row from an EARLIER round certifies
+    # the pre-rewrite plan and must not drain the queue) must be removed so
+    # the queue reflects reality.
     fresh: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
         rnd = int(os.path.basename(path).split("_r0")[1].split(".")[0])
-        if rnd < 8:
+        if rnd < RECERT_SINCE_ROUND:
             continue
         with open(path) as f:
             rows = json.load(f)

@@ -129,3 +129,49 @@ def test_dead_consumer_budget_reclaimed_via_stale_eviction(tmp_path):
     finally:
         a._closed = True
         a.shutdown()
+
+
+def test_fractional_share_accumulates_across_windows(tmp_path):
+    """ADVICE r8: with allowance/pool below 1 token per window the old
+    refill reset tokens to the sub-1 share every second and int() floored
+    the grant to 0 forever — acquire_n with no timeout hung the stream.
+    Fractional shares must accumulate across windows and grant within
+    ~ceil(1/share) windows."""
+    store = FileStore(str(tmp_path / "s"), stale_after_s=60)
+    rl = DistributedRateLimit(store, max_tps=0.4, refresh_interval_s=60)
+    try:
+        # pool=1, share=0.4 tokens/window: must grant 1 within ~3 windows.
+        # Simulate elapsed windows instead of sleeping wall-clock time.
+        rl._window_start -= 3.0
+        got = rl.acquire_n(1, timeout_s=0.1)
+        assert got == 1
+        # and the remainder (3*0.4 capped at 1.0, minus 1) leaves < 1 token
+        assert rl._tokens < 1.0
+    finally:
+        rl.shutdown()
+
+
+def test_acquire_after_shutdown_returns_zero_and_throttler_breaks(tmp_path):
+    """ADVICE r8: Throttler's acquire loop hot-spun forever when shutdown
+    raced a batch (acquire_n returns 0 immediately once closed). The loop
+    must break on a 0 grant and still write the batch."""
+    from numaflow_spark.streaming.lifecycle import RateLimit, Throttler
+
+    store = FileStore(str(tmp_path / "s"), stale_after_s=60)
+    rl = DistributedRateLimit(store, max_tps=1000, refresh_interval_s=60)
+    rl.shutdown()
+    assert rl.acquire_n(5, timeout_s=0.1) == 0
+
+    written = []
+
+    class FakeDF:
+        def count(self):
+            return 7
+
+    t = Throttler(
+        RateLimit(max_tps=1_000_000),
+        lambda df, epoch: written.append(epoch),
+        shared_limiter=rl,
+    )
+    t(FakeDF(), 0)  # must return promptly, not spin
+    assert written == [0]
