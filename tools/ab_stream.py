@@ -1,0 +1,96 @@
+"""VERDICT r8 task #5: attribute the r7->r8 streaming-throughput delta
+(BENCH_r07 144,891 -> BENCH_r08 109,077 ev/s).
+
+Hypothesis A: the r8 session-level AQE advisory change (64m -> 8m,
+session.py) interacting with the streaming stage. Test: run bench.py's
+exact _streaming_throughput stage (warmup + measured protocol) in fresh
+sessions configured each way, interleaved A/B/A/B on the same host state.
+
+Usage: python tools/ab_stream.py [reps_per_arm]   (default 3)
+Writes tools/ab_stream_result.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from numaflow_spark.session import get_spark
+from bench import _streaming_throughput
+spark = get_spark("abstream", extra_conf={
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": sys.argv[1],
+    "spark.ui.showConsoleProgress": "false",
+})
+spark.sparkContext.setLogLevel("ERROR")
+runs = [_streaming_throughput(spark, n_batches=6), _streaming_throughput(spark)]
+print("RESULT", runs[0], runs[1])
+spark.stop()
+"""
+
+
+def run_arm(adv: str) -> tuple[float, float]:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD % {"repo": REPO}, adv],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout
+    line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+    _, warm, meas = line.split()
+    return float(warm), float(meas)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    res = {"8m": [], "64m": []}
+    for _ in range(reps):
+        for adv in ("8m", "64m"):
+            warm, meas = run_arm(adv)
+            res[adv].append({"warmup": warm, "measured": meas})
+            print(f"advisory={adv}: warmup={warm}, measured={meas}", flush=True)
+    summary = {
+        adv: {
+            "measured_runs": [r["measured"] for r in rows],
+            "mean": round(sum(r["measured"] for r in rows) / len(rows), 1),
+            "min": min(r["measured"] for r in rows),
+            "max": max(r["measured"] for r in rows),
+        }
+        for adv, rows in res.items()
+    }
+    out = {
+        "question": "did the r8 advisory 64m->8m change cause the r7->r8 "
+                    "streaming drop (144.9K -> 109.1K ev/s)?",
+        "protocol": "bench._streaming_throughput, fresh session per run, "
+                    "interleaved arms on one host state, measured = "
+                    "post-warmup full run",
+        "arms": summary,
+    }
+    spread = max(
+        max(s["measured_runs"]) / min(s["measured_runs"])
+        for s in summary.values()
+    )
+    delta = abs(summary["8m"]["mean"] - summary["64m"]["mean"]) / max(
+        summary["8m"]["mean"], summary["64m"]["mean"]
+    )
+    out["within_arm_spread"] = round(spread, 3)
+    out["between_arm_delta"] = round(delta, 3)
+    out["verdict"] = (
+        "config-attributed" if delta > (spread - 1.0) else
+        "host-variance: the between-arm delta is inside the within-arm "
+        "run-to-run spread; the advisory setting does not explain the "
+        "driver-artifact drop"
+    )
+    path = os.path.join(REPO, "tools", "ab_stream_result.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["arms"], indent=1))
+    print("verdict:", out["verdict"])
+
+
+if __name__ == "__main__":
+    main()
