@@ -830,3 +830,97 @@ def test_gap_median_single_custkey_exchange(spark):
     assert nodes(plan, "Exchange") == 1
     assert nodes(plan, "Window") == 3
     assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_bucketed_join_then_agg_no_reshuffle_at_read(spark, tmp_path):
+    """100 TB layout claim (VERDICT r8 task #7): the write-once-shuffle-
+    never contract must hold through a whole read-side PIPELINE, not just
+    the join node — same-bucketed tables joined on the bucket key and then
+    aggregated on that key plan ZERO Exchanges: the bucket spec satisfies
+    the join's distribution AND the downstream aggregate's, so the one
+    shuffle paid at write time is reused across both stages."""
+    from pyspark.sql import functions as F
+
+    from numaflow_spark.scale import bucketed_join, write_bucketed
+    from numaflow_spark.session import load_table
+
+    orders = load_table(spark, SF, "orders").withColumnRenamed(
+        "o_orderkey", "okey"
+    )
+    li = load_table(spark, SF, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    write_bucketed(orders, "p_orders", buckets=4, by="okey",
+                   sort_by="okey", path=str(tmp_path / "o"))
+    write_bucketed(li, "p_lineitem", buckets=4, by="okey",
+                   sort_by="okey", path=str(tmp_path / "l"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "p_orders", "p_lineitem", on="okey")
+        agg = j.groupBy("okey").agg(
+            F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        # and the read is real: row counts match the plain-join aggregate
+        expected = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey")
+            .count()
+            .count()
+        )
+        assert agg.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS p_orders")
+        spark.sql("DROP TABLE IF EXISTS p_lineitem")
+
+
+def test_aqe_skew_split_fires_on_skewed_join(spark):
+    """Skew-handling claim (VERDICT r8 task #7): beyond the query-level
+    manual salting (salted_skew_join), the session must let AQE split a
+    runtime-detected skewed partition. Pin: a 300k-rows-on-one-key join
+    forced to sort-merge executes with SortMergeJoin(skew=true) in the
+    final adaptive plan under production-shaped (threshold-scaled)
+    settings. If a conf change ever disables skewJoin, this fails."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        # scaled-down thresholds: the fixture's skewed partition is ~5 MB,
+        # a real cluster's is ~GB — factor semantics are identical
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        skewed = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(100_000).select(
+                (F.col("id") % 999 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = skewed.join(dim, "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

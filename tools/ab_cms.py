@@ -1,0 +1,107 @@
+"""VERDICT r8 task #6 (carried from r7): where does the Count-Min-sketch
+prefilter actually beat the exact groupBy for heavy-hitter queries?
+
+Two streams at the given sf dir, both with threshold 1/700:
+
+  * bigrams  — the real cms_heavy_bigrams stream (Zipf head, ~1M distinct
+    keys at x10): the exact plan's map-side combine collapses most of the
+    volume before the exchange.
+  * 5-grams  — the adversarial regime: key cardinality ~ stream length
+    (nearly every 5-gram is unique at x10), so the exact plan's combine
+    collapses nothing and the exchange carries the whole key stream; the
+    CMS plan's shuffle stays d x w counters no matter what.
+
+Each arm is min-of-2 on fresh plans in one session (bench protocol).
+Writes tools/ab_cms_result.json.
+
+Usage: python tools/ab_cms.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.sketch import cms_heavy_hitters
+from numaflow_spark.session import get_spark, load_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ngram_stream(docs, n: int):
+    expr = (
+        f"transform(sequence(1, size(a)-{n - 1}), i -> "
+        + ("concat(" if n > 1 else "")
+        + ", ' ', ".join(f"element_at(a, i+{j})" for j in range(n))
+        + (")" if n > 1 else "")
+        + ")"
+    )
+    return (
+        docs.select(F.split(F.col("text"), " ").alias("a"))
+        .filter(F.size("a") >= n)
+        .select(F.explode(F.expr(expr)).alias("k"))
+    )
+
+
+def exact_heavy(items, inv_frac: int):
+    tot = items.agg(F.count("*").alias("_t"))
+    return (
+        items.groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * inv_frac >= F.col("_t"))
+        .drop("_t")
+    )
+
+
+def timed(build) -> tuple[float, int]:
+    best, n = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = len(build().toPandas())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3), n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    spark = get_spark("abcms", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.count()
+
+    result: dict = {"sf_dir": sf_dir, "inv_frac": 700, "streams": {}}
+    for label, n in (("bigrams", 2), ("5grams", 5)):
+        stream = lambda: ngram_stream(docs, n)  # noqa: E731
+        card = stream().agg(
+            F.count("*").alias("rows"),
+            F.approx_count_distinct("k").alias("approx_distinct"),
+        ).collect()[0]
+        t_exact, n_exact = timed(lambda: exact_heavy(stream(), 700))
+        t_cms, n_cms = timed(lambda: cms_heavy_hitters(stream(), "k", 700))
+        assert n_exact == n_cms, (label, n_exact, n_cms)
+        result["streams"][label] = {
+            "rows": int(card["rows"]),
+            "approx_distinct_keys": int(card["approx_distinct"]),
+            "exact_groupby_sec": t_exact,
+            "cms_prefilter_sec": t_cms,
+            "heavy_hitters_found": n_exact,
+            "winner": "exact" if t_exact <= t_cms else "cms",
+        }
+        print(label, result["streams"][label], flush=True)
+
+    with open(os.path.join(REPO, "tools", "ab_cms_result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

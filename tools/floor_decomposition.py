@@ -1,0 +1,102 @@
+"""VERDICT r8 task #9: make the sf0.1 harness-floor narrative
+machine-checkable. For every registered query: count the Spark JOBS it
+launches (status tracker before/after), time a steady-state run, and
+decompose wall = jobs x measured-per-job floor + residual. The floor
+itself is measured in-session (N trivial one-task jobs), not assumed.
+
+Writes FLOOR_sf01.json:
+  {"per_job_floor_sec": f, "queries": {name: {"jobs": j, "wall_sec": w,
+   "floor_sec": j*f, "residual_sec": w - j*f}}, "totals": {...}}
+
+Usage: python tools/floor_decomposition.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "FLOOR_sf01.json"
+    )
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    spark = get_spark("floor", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, sf_dir, t).count()
+
+    # measure the per-job floor: trivial 1-task jobs, steady state
+    for _ in range(5):
+        spark.range(1).count()  # JIT/codegen warmup for the trivial shape
+    t0 = time.perf_counter()
+    n_floor = 40
+    for _ in range(n_floor):
+        spark.range(1).count()
+    per_job_floor = (time.perf_counter() - t0) / n_floor
+
+    queries: dict[str, dict] = {}
+    skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        fn(spark, sf_dir).toPandas()  # warm run: codegen + JIT for the plan
+        # job counting via max-job-id delta (ids are monotone per context)
+        before = max(tracker.getJobIdsForGroup() or [0])
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        wall = time.perf_counter() - t0
+        after = max(tracker.getJobIdsForGroup() or [0])
+        jobs = max(after - before, 1)
+        queries[name] = {
+            "jobs": jobs,
+            "wall_sec": round(wall, 3),
+            "floor_sec": round(jobs * per_job_floor, 3),
+            "residual_sec": round(wall - jobs * per_job_floor, 3),
+        }
+        print(f"{name}: jobs={jobs} wall={wall:.3f} "
+              f"floor={jobs*per_job_floor:.3f}", flush=True)
+
+    total_wall = sum(q["wall_sec"] for q in queries.values())
+    total_floor = sum(q["floor_sec"] for q in queries.values())
+    out = {
+        "sf_dir": sf_dir,
+        "per_job_floor_sec": round(per_job_floor, 4),
+        "floor_protocol": f"mean of {n_floor} spark.range(1).count() jobs "
+                          "after 5 warmups, same session, cached tables",
+        "wall_protocol": "single steady-state run per query after one warm "
+                         "run (job count and wall from the same execution)",
+        "queries": queries,
+        "totals": {
+            "queries": len(queries),
+            "jobs": sum(q["jobs"] for q in queries.values()),
+            "wall_sec": round(total_wall, 1),
+            "floor_sec": round(total_floor, 1),
+            "residual_sec": round(total_wall - total_floor, 1),
+            "floor_share": round(total_floor / total_wall, 3) if total_wall else 0,
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["totals"], indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
