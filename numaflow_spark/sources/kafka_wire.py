@@ -88,8 +88,10 @@ produce / read_committed isolation (fields parsed, always
 non-transactional), SASL mechanisms beyond PLAIN and
 SCRAM-SHA-256/512 (GSSAPI/OAUTHBEARER), SCRAM channel binding (gs2
 header ``n,,`` only — the -PLUS variants need TLS exporter data),
-assignors beyond range/roundrobin (sticky/cooperative — these need
-incremental-rebalance protocol support), FindCoordinator (the single
+the eager StickyAssignor (its cooperative successor per KIP-429 IS
+implemented — ``cooperative-sticky`` with Subscription v1
+ownedPartitions, withheld-moving-partition assignment, and the
+revoke-then-rejoin client dance), FindCoordinator (the single
 broker is always the coordinator), multi-broker metadata.
 """
 
@@ -468,17 +470,48 @@ def decode_record_batches_v2(
 # [topic, partitions([i32])] + user_data(bytes).
 # --------------------------------------------------------------------------
 
-def encode_subscription(topics: list[str]) -> bytes:
-    out = _i16(0) + _i32(len(topics))
+def encode_subscription(
+    topics: list[str], owned: dict[str, list[int]] | None = None
+) -> bytes:
+    """Subscription v0, or — when ``owned`` is given — the published v1
+    layout (ConsumerProtocolSubscription.json) whose ownedPartitions field
+    carries the member's currently-owned (topic, partitions) into the
+    JoinGroup metadata; the cooperative assignor's stickiness input."""
+    if owned is None:
+        out = _i16(0) + _i32(len(topics))
+        for t in topics:
+            out += _string(t)
+        return out + _bytes(b"")
+    out = _i16(1) + _i32(len(topics))
     for t in topics:
         out += _string(t)
-    return out + _bytes(b"")
+    out += _bytes(b"")
+    out += _i32(len(owned))
+    for t, parts in sorted(owned.items()):
+        out += _string(t) + _i32(len(parts))
+        for p in sorted(parts):
+            out += _i32(p)
+    return out
 
 
 def decode_subscription(buf: bytes) -> list[str]:
+    return decode_subscription_owned(buf)[0]
+
+
+def decode_subscription_owned(
+    buf: bytes,
+) -> tuple[list[str], dict[str, list[int]]]:
+    """(topics, owned_partitions) — owned is empty for v0 metadata."""
     r = _Reader(buf)
-    r.i16()  # version
-    return [r.string() or "" for _ in range(r.i32())]
+    version = r.i16()
+    topics = [r.string() or "" for _ in range(r.i32())]
+    owned: dict[str, list[int]] = {}
+    if version >= 1:
+        r.bytes()  # user_data
+        for _ in range(r.i32()):
+            t = r.string() or ""
+            owned[t] = [r.i32() for _ in range(r.i32())]
+    return topics, owned
 
 
 def encode_assignment(assignment: dict[str, list[int]]) -> bytes:
@@ -550,6 +583,66 @@ def roundrobin_assign(
     return out
 
 
+def cooperative_sticky_assign(
+    members: dict[str, list[str]],
+    parts_by_topic: dict[str, list[int]],
+    owned: dict[str, dict[str, list[int]]],
+) -> dict[str, dict[str, list[int]]]:
+    """The published CooperativeStickyAssignor (KIP-429, incremental
+    cooperative rebalancing): compute a balanced STICKY target — each
+    member keeps as many of its currently-owned partitions as its balanced
+    quota allows — then apply the cooperative rule: any partition whose
+    target owner differs from its CURRENT owner (a live group member) is
+    withheld from this generation entirely. The current owner observes the
+    revocation (the partition is absent from its new assignment) and
+    rejoins; the follow-up rebalance finds the partition unowned and
+    grants it to the target. Members therefore never release partitions
+    they retain — no stop-the-world revocation, the property KIP-429
+    exists for.
+
+    Determinism: members, topics, and partitions are processed sorted, so
+    the leader computes the same assignment on any engine/run."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    for topic in sorted(parts_by_topic):
+        parts = sorted(parts_by_topic[topic])
+        subs = sorted(m for m, ts in members.items() if topic in ts)
+        if not subs:
+            continue
+        # current ownership among live subscribers (duplicate claims keep
+        # the sorted-first member, mirroring the released assignor's
+        # highest-generation tiebreak collapsed to one generation)
+        owner: dict[int, str] = {}
+        for m in subs:
+            for p in owned.get(m, {}).get(topic, ()):
+                owner.setdefault(p, m)
+        base, extra = divmod(len(parts), len(subs))
+        quota = {m: base + (1 if i < extra else 0) for i, m in enumerate(subs)}
+        target: dict[int, str] = {}
+        # sticky retention: owners keep their partitions up to quota
+        for m in subs:
+            kept = [p for p in parts if owner.get(p) == m][: quota[m]]
+            for p in kept:
+                target[p] = m
+        # remaining partitions fill members still below quota
+        assigned = {m: sum(1 for p, o in target.items() if o == m) for m in subs}
+        for p in parts:
+            if p in target:
+                continue
+            for m in subs:
+                if assigned[m] < quota[m]:
+                    target[p] = m
+                    assigned[m] += 1
+                    break
+        # cooperative rule: moving partitions are withheld this round
+        for p in parts:
+            m = target[p]
+            cur = owner.get(p)
+            if cur is not None and cur != m:
+                continue  # revoked from cur, granted to m NEXT round
+            out[m].setdefault(topic, []).append(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # broker
 # --------------------------------------------------------------------------
@@ -573,6 +666,11 @@ class _Group:
         self.leader: str | None = None
         self.protocol: str | None = "range"
         self.assignments: dict[str, bytes] = {}
+        # generation the current assignments belong to: a sync waiter whose
+        # generation's assignment landed gets it even if a cooperative
+        # member's immediate rejoin has already flipped the state back to
+        # Rebalancing (real brokers answer from the in-flight response)
+        self.assign_gen = -1
         self.next_member = 0
         self.join_deadline: float | None = None
         self.cv: threading.Condition | None = None  # bound to the glock
@@ -900,14 +998,15 @@ class MiniKafkaBroker:
                 return _i16(ERR_ILLEGAL_GENERATION) + _bytes(b"")
             if member_id == g.leader and proposed:
                 g.assignments = proposed
+                g.assign_gen = gen
                 g.state = "Stable"
                 g.cv.notify_all()
             deadline = time.monotonic() + 5.0
-            while g.state != "Stable" and g.generation == gen:
+            while g.assign_gen != gen and g.generation == gen:
                 if not g.cv.wait(timeout=max(deadline - time.monotonic(), 0.01)):
                     if time.monotonic() >= deadline:
                         return _i16(ERR_REBALANCE_IN_PROGRESS) + _bytes(b"")
-            if g.generation != gen:
+            if g.assign_gen != gen:
                 return _i16(ERR_ILLEGAL_GENERATION) + _bytes(b"")
             return _i16(ERR_NONE) + _bytes(g.assignments.get(member_id, b""))
 
@@ -1613,19 +1712,22 @@ class KafkaWireClient:
         self, group: str, member_id: str, topics: list[str],
         session_timeout_ms: int = 10000,
         assignors: list[str] | None = None,
-    ) -> tuple[int, int, str, str, str, dict[str, list[str]]]:
+        owned: dict[str, list[int]] | None = None,
+    ) -> tuple[int, int, str, str, str, dict]:
         """Returns (error, generation, protocol, leader_id, member_id,
-        members) — members maps member_id -> subscribed topics and is
-        non-empty only for the leader. ``assignors`` is the preference-
-        ordered protocol list (default ["range"]); the coordinator picks
-        the leader's first choice every member supports."""
+        members) — members maps member_id -> (subscribed topics, owned
+        partitions) and is non-empty only for the leader. ``assignors`` is
+        the preference-ordered protocol list (default ["range"]); the
+        coordinator picks the leader's first choice every member supports.
+        ``owned`` rides the Subscription v1 ownedPartitions field — the
+        cooperative-sticky stickiness input."""
         protos = assignors or ["range"]
         body = (
             _string(group) + _i32(session_timeout_ms) + _string(member_id)
             + _string("consumer") + _i32(len(protos))
         )
         for p in protos:
-            body += _string(p) + _bytes(encode_subscription(topics))
+            body += _string(p) + _bytes(encode_subscription(topics, owned))
         r = self._request(API_JOIN_GROUP, body)
         err = r.i16()
         gen = r.i32()
@@ -1635,7 +1737,7 @@ class KafkaWireClient:
         members = {}
         for _ in range(r.i32()):
             m = r.string() or ""
-            members[m] = decode_subscription(r.bytes() or b"")
+            members[m] = decode_subscription_owned(r.bytes() or b"")
         return err, gen, proto, leader, me, members
 
     def sync_group(
@@ -1792,7 +1894,15 @@ class KafkaLiteSourceHandle:
         return KAFKA_RECORD_SCHEMA
 
 
-_ASSIGNORS = {"range": range_assign, "roundrobin": roundrobin_assign}
+# Every registry entry takes (member -> topics, partitions-by-topic,
+# member -> owned partitions); the eager assignors ignore ownership.
+_ASSIGNORS = {
+    "range": lambda members, parts, owned: range_assign(members, parts),
+    "roundrobin": lambda members, parts, owned: roundrobin_assign(
+        members, parts
+    ),
+    "cooperative-sticky": cooperative_sticky_assign,
+}
 
 
 class KafkaGroupConsumer:
@@ -1831,10 +1941,12 @@ class KafkaGroupConsumer:
     # -- membership --------------------------------------------------------
 
     def _join(self) -> None:
+        cooperative = self._assignor == "cooperative-sticky"
         for _ in range(10):  # bounded rejoin dance
             err, gen, proto, leader, me, members = self._client.join_group(
                 self.group, self.member_id, self.topics, self._session_ms,
                 assignors=[self._assignor],
+                owned=self.assignment if cooperative else None,
             )
             if err == ERR_UNKNOWN_MEMBER_ID:
                 self.member_id = ""
@@ -1851,9 +1963,13 @@ class KafkaGroupConsumer:
             if me == leader:
                 # the coordinator-selected protocol decides the algorithm
                 assign_fn = _ASSIGNORS[proto]
-                subscribed = sorted({t for ts in members.values() for t in ts})
+                topics_by_m = {m: ts for m, (ts, _own) in members.items()}
+                owned_by_m = {m: own for m, (_ts, own) in members.items()}
+                subscribed = sorted(
+                    {t for ts in topics_by_m.values() for t in ts}
+                )
                 parts = self._client.metadata(subscribed)
-                proposed = assign_fn(members, parts)
+                proposed = assign_fn(topics_by_m, parts, owned_by_m)
             serr, assignment = self._client.sync_group(
                 self.group, gen, me, proposed
             )
@@ -1865,17 +1981,46 @@ class KafkaGroupConsumer:
             if serr != ERR_NONE:
                 raise IOError(f"SyncGroup error {serr}")
             self.generation = gen
+            prev = {
+                (t, p) for t, ps in self.assignment.items() for p in ps
+            }
             self.assignment = assignment
-            self._reload_positions()
+            self._reload_positions(keep=prev if cooperative else None)
+            if cooperative:
+                now = {(t, p) for t, ps in assignment.items() for p in ps}
+                if prev - now:
+                    # KIP-429: a member that had partitions revoked rejoins
+                    # immediately so the next generation can grant them to
+                    # their target; partitions it RETAINS were never given
+                    # up (positions above survive untouched).
+                    continue
             return
         raise IOError("group join did not converge")
 
-    def _reload_positions(self) -> None:
+    def _reload_positions(
+        self, keep: set[tuple[str, int]] | None = None
+    ) -> None:
+        """Rebuild fetch positions from committed offsets. ``keep`` (the
+        cooperative path) preserves in-memory positions for partitions the
+        member retained across the rebalance — it never stopped owning
+        them, so consumption continues mid-stream without a commit."""
+        old = self._positions
         self._positions = {}
         for topic, parts in self.assignment.items():
-            committed = self._client.offset_fetch(self.group, topic, parts)
+            fetch = [
+                p for p in parts
+                if keep is None or (topic, p) not in keep
+                or (topic, p) not in old
+            ]
+            committed = (
+                self._client.offset_fetch(self.group, topic, fetch)
+                if fetch else {}
+            )
             for p in parts:
-                self._positions[(topic, p)] = max(committed.get(p, 0), 0)
+                if keep is not None and (topic, p) in keep and (topic, p) in old:
+                    self._positions[(topic, p)] = old[(topic, p)]
+                else:
+                    self._positions[(topic, p)] = max(committed.get(p, 0), 0)
 
     def poll_heartbeat(self) -> bool:
         """One heartbeat; rejoins (returns False) when the coordinator

@@ -737,3 +737,106 @@ def test_group_membership_roundrobin_and_mixed_protocol(broker):
             KafkaGroupConsumer(b4.bootstrap, "x", ["tr"], assignor="sticky")
     finally:
         b4.close()
+
+
+def test_cooperative_sticky_assignor_unit():
+    """KIP-429 assignor semantics, pure function: (a) balanced fresh
+    assignment when nothing is owned; (b) a joining member takes only the
+    owner's over-quota partitions, and those MOVING partitions are
+    withheld for one generation (assigned to nobody); (c) the follow-up
+    round — owner rejoined without the revoked partitions — grants them
+    to the new member; retained partitions never changed hands."""
+    from numaflow_spark.sources.kafka_wire import cooperative_sticky_assign
+
+    parts = {"t": [0, 1, 2, 3]}
+    # (a) empty ownership: plain balanced fill
+    fresh = cooperative_sticky_assign({"A": ["t"]}, parts, {"A": {}})
+    assert fresh == {"A": {"t": [0, 1, 2, 3]}}
+    # (b) B joins while A owns everything: A retains its quota (2), the
+    # two moving partitions are withheld this generation
+    round1 = cooperative_sticky_assign(
+        {"A": ["t"], "B": ["t"]}, parts,
+        {"A": {"t": [0, 1, 2, 3]}, "B": {}},
+    )
+    assert round1["A"] == {"t": [0, 1]}
+    assert round1["B"] == {}  # moving partitions withheld, not transferred
+    # (c) A rejoined owning only the retained pair: the freed partitions
+    # now land on B; A's retained pair is untouched
+    round2 = cooperative_sticky_assign(
+        {"A": ["t"], "B": ["t"]}, parts,
+        {"A": {"t": [0, 1]}, "B": {}},
+    )
+    assert round2 == {"A": {"t": [0, 1]}, "B": {"t": [2, 3]}}
+
+
+def test_cooperative_sticky_no_stop_the_world(broker):
+    """KIP-429 over real frames: a second member joining must NOT force
+    the incumbent to give up the partitions it keeps. Observable: the
+    incumbent consumes its retained partition MID-STREAM across the whole
+    two-generation dance WITHOUT committing — under an eager protocol the
+    rebalance would reset its position to the committed offset (0 here)
+    and re-deliver everything; under the cooperative protocol the in-memory
+    position survives because ownership of the retained partition never
+    lapsed."""
+    import threading
+
+    from numaflow_spark.sources.kafka_wire import KafkaGroupConsumer
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["tcs"])  # auto-create with 2 partitions
+    for p in (0, 1):
+        c.produce("tcs", p, [(b"k", f"p{p}-{i}".encode()) for i in range(4)])
+
+    a = KafkaGroupConsumer(
+        broker.bootstrap, "gc", ["tcs"], assignor="cooperative-sticky"
+    )
+    assert {p for ps in a.assignment.values() for p in ps} == {0, 1}
+    first = a.poll()
+    assert len(first) == 8  # consumed everything, NO commit
+    retained_before = {(t, p) for t, ps in a.assignment.items() for p in ps}
+
+    # B joins concurrently; A discovers via heartbeat and runs the
+    # cooperative dance (retain -> revoke-only round -> grant round)
+    holder: dict = {}
+    tb = threading.Thread(target=lambda: holder.update(
+        b=KafkaGroupConsumer(
+            broker.bootstrap, "gc", ["tcs"], assignor="cooperative-sticky"
+        )
+    ))
+    tb.start()
+    time.sleep(0.05)
+    ta = threading.Thread(target=a.poll_heartbeat)
+    ta.start()
+    tb.join()
+    b = holder["b"]
+    # drive B through the follow-up generation until the group settles
+    deadline = time.time() + 10
+    while time.time() < deadline and not (
+        {p for ps in b.assignment.values() for p in ps}
+    ):
+        b.poll_heartbeat()
+        time.sleep(0.05)
+    ta.join()
+    while time.time() < deadline and a.generation != b.generation:
+        a.poll_heartbeat(); b.poll_heartbeat()
+        time.sleep(0.05)
+
+    pa = {(t, p) for t, ps in a.assignment.items() for p in ps}
+    pb = {(t, p) for t, ps in b.assignment.items() for p in ps}
+    assert pa | pb == {("tcs", 0), ("tcs", 1)} and not (pa & pb)
+    # stickiness: A kept a subset of what it owned — nothing bounced back
+    assert pa and pa < retained_before
+    # THE cooperative property: A's retained partition resumes mid-stream
+    # (position 4 survived in memory despite zero commits); eager semantics
+    # would re-deliver the 4 old records from the committed offset 0
+    assert a.poll() == []
+    (rt, rp) = next(iter(pa))
+    c.produce(rt, rp, [(b"k", b"fresh")])
+    after = a.poll()
+    assert [(r[0], r[1], r[4]) for r in after] == [(rt, rp, b"fresh")]
+    # B starts its newly granted partition from the committed offset (0)
+    # and re-reads the 4 records A never committed — per the protocol
+    brows = b.poll()
+    (bt, bp) = next(iter(pb))
+    assert {r[:2] for r in brows} == {(bt, bp)} and len(brows) == 4
+    a.close(); b.close(); c.close()
