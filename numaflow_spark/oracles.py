@@ -2793,3 +2793,131 @@ STAGED_ORACLES["brand_price_mad"] = """
 # alongside their queries (queries.py promotion event 12).
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+# ---------------------------------------------------------------------------
+# r10 staged queue oracles (queries.py r10 staged block). Type discipline:
+# every count stays BIGINT, SUM(BIGINT) casts back from HUGEINT, ntile/
+# dense_rank/year-derived keys cast to INT to match Spark's column types
+# (the driver's value hash is type-sensitive).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["clv_decile_migration"] = """
+    WITH per AS (
+        SELECT o_custkey, year(o_orderdate) AS yr,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey, yr
+    ),
+    y0 AS (SELECT min(yr) AS y0 FROM per),
+    dec AS (
+        SELECT o_custkey, yr,
+               CAST(ntile(10) OVER (
+                   PARTITION BY yr ORDER BY rev_c DESC, o_custkey
+               ) AS INT) AS d
+        FROM per, y0
+        WHERE yr = y0 OR yr = y0 + 1
+    )
+    SELECT a.d AS decile_from, b.d AS decile_to,
+           count(*) AS n_customers
+    FROM dec a JOIN dec b ON a.o_custkey = b.o_custkey
+    JOIN y0 ON TRUE
+    WHERE a.yr = y0.y0 AND b.yr = y0.y0 + 1
+    GROUP BY a.d, b.d
+"""
+
+STAGED_ORACLES["new_parts_monthly_cumulative"] = """
+    WITH firsts AS (
+        SELECT l_partkey,
+               min(CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT))
+                   AS first_mk
+        FROM lineitem GROUP BY l_partkey
+    ),
+    census AS (
+        SELECT first_mk AS month_key, count(*) AS n_new_parts
+        FROM firsts GROUP BY first_mk
+    )
+    SELECT month_key, n_new_parts,
+           CAST(sum(n_new_parts) OVER (
+               ORDER BY month_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_parts
+    FROM census
+"""
+
+STAGED_ORACLES["nation_order_gaps"] = """
+    WITH ok AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT)
+                   AS k
+        FROM orders
+    ),
+    observed AS (
+        SELECT DISTINCT c.c_nationkey, ok.k
+        FROM ok JOIN customer c ON ok.o_custkey = c.c_custkey
+    ),
+    bounds AS (SELECT min(k) AS k0, max(k) AS k1 FROM ok),
+    months AS (
+        SELECT CAST(unnest(generate_series(k0, k1)) AS INT) AS k FROM bounds
+    ),
+    spine AS (
+        SELECT n.c_nationkey, m.k
+        FROM (SELECT DISTINCT c_nationkey FROM observed) n, months m
+    ),
+    gaps AS (
+        SELECT s.c_nationkey, s.k
+        FROM spine s ANTI JOIN observed o
+            ON s.c_nationkey = o.c_nationkey AND s.k = o.k
+    )
+    SELECT n.n_name, count(*) AS n_gap_months,
+           CAST((min(g.k) // 12) * 100 + (min(g.k) % 12 + 1) AS INT)
+               AS first_gap_month
+    FROM gaps g JOIN nation n ON g.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+STAGED_ORACLES["gap_trend_census"] = """
+    WITH gaps AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               epoch(o_orderdate) - lag(epoch(o_orderdate)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS gap_s
+        FROM orders
+    ),
+    deltas AS (
+        SELECT o_custkey,
+               gap_s - lag(gap_s) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS d
+        FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT CAST(sign(d) AS INT) AS trend,
+           count(*) AS n_transitions,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM deltas WHERE d IS NOT NULL
+    GROUP BY trend
+"""
+
+STAGED_ORACLES["nation_top_supplier_rank"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS rev_c4
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    champs AS (
+        SELECT s.s_nationkey, s.s_name, r.rev_c4,
+               row_number() OVER (
+                   PARTITION BY s.s_nationkey
+                   ORDER BY r.rev_c4 DESC, s.s_suppkey
+               ) AS rn
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    )
+    SELECT n.n_name, c.s_name AS top_supplier, c.rev_c4,
+           CAST(dense_rank() OVER (
+               ORDER BY c.rev_c4 DESC, n.n_name
+           ) AS INT) AS nation_rank
+    FROM champs c JOIN nation n ON c.s_nationkey = n.n_nationkey
+    WHERE c.rn = 1
+"""

@@ -4694,3 +4694,208 @@ RECERT_PENDING = [
 # by its own pre-rewrite row (exactly the r8 ngram_jaccard gap).
 RECERT_SINCE_ROUND = 9
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+
+# ---------------------------------------------------------------------------
+# r10 staged queue (NOT promoted this round). Standing criteria: hash-green
+# at sf0.001 + sf0.01 via `tools/check_queries.py --staged` before any
+# window slot. Breadth targets: analytic SHAPES no registered query
+# exercises yet — rank-transition matrices (decile migration across
+# periods), first-occurrence census with running cumulative, generated
+# calendar-spine anti-joins (zero-activity gap detection), second-order
+# lag census (trend of interarrival deltas), and nested argmax (per-group
+# champion then global ranking of champions) — all integer-deterministic
+# (counts, cent-scaled revenue, epoch-second gaps, ntile/row_number/
+# dense_rank over unique total orders) so the driver's type-sensitive
+# value hash replays on any engine.
+# ---------------------------------------------------------------------------
+
+
+def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-decile TRANSITION MATRIX between the corpus's first two
+    order years: each customer's ntile(10) decile within year y0 and
+    within y0+1 (both over the unique (revenue desc, custkey) total
+    order), then the (from, to) census — the churn/upsell migration table
+    a CRM rollup runs. The yearly rollup is |customers|-sized, so both
+    ntile sorts and the self-join run on collapsed data; the only
+    fact-table pass is the first aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            _cents(F.col("o_totalprice").cast(DEC)).alias("p_c"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("p_c").alias("rev_c"))
+    )
+    y0 = per.agg(F.min("yr").alias("y0"))
+    per = per.crossJoin(F.broadcast(y0)).filter(
+        (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y0") + 1)
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("rev_c").desc(), "o_custkey")
+    dec = per.withColumn("d", F.ntile(10).over(w))
+    a = dec.filter(F.col("yr") == F.col("y0")).select(
+        "o_custkey", F.col("d").alias("decile_from")
+    )
+    b = dec.filter(F.col("yr") == F.col("y0") + 1).select(
+        "o_custkey", F.col("d").alias("decile_to")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_new_parts_monthly_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-growth census: for every ship month, how many parts shipped
+    for the FIRST time, and the running cumulative distinct-part count —
+    the first-occurrence + running-total shape (new-vocabulary curves on
+    a training corpus are this exact query). One fact-table aggregate
+    (min month per part), then all windowing runs on the month-sized
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    firsts = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("mk"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("mk").alias("first_mk"))
+    )
+    census = firsts.groupBy(F.col("first_mk").alias("month_key")).agg(
+        F.count("*").alias("n_new_parts")
+    )
+    w = Window.orderBy("month_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return census.withColumn(
+        "cum_parts", F.sum("n_new_parts").over(w)
+    ).select("month_key", "n_new_parts", "cum_parts")
+
+
+def q_nation_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-activity gap detection against a GENERATED calendar spine:
+    months (global min..max order month) with no order from any customer
+    of a nation, for nations that ordered at least once. The spine is
+    nations x months built from one broadcast min/max row + sequence() —
+    no calendar table exists anywhere in the data. Anti-join against the
+    observed (nation, month) pairs; output nations WITH gaps, their gap
+    count and first gap month. Spine cardinality is |nations| x |months|
+    (tiny at any corpus scale); the fact table is touched once."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    # month serial k = year*12 + (month-1): sequence arithmetic stays exact
+    ok = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("k"),
+    )
+    observed = (
+        ok.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                ok.o_custkey == cust.c_custkey)
+        .select("c_nationkey", "k")
+        .distinct()
+    )
+    bounds = ok.agg(F.min("k").alias("k0"), F.max("k").alias("k1"))
+    nations = observed.select("c_nationkey").distinct()
+    spine = (
+        nations.crossJoin(F.broadcast(bounds))
+        .select(
+            "c_nationkey",
+            F.explode(F.sequence(F.col("k0"), F.col("k1"))).alias("k"),
+        )
+    )
+    gaps = spine.join(observed, ["c_nationkey", "k"], "left_anti")
+    return (
+        gaps.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_gap_months"),
+            F.min("k").alias("first_gap_k"),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_gap_months",
+            ((F.col("first_gap_k") / 12).cast("int") * 100
+             + (F.col("first_gap_k") % 12 + 1)).alias("first_gap_month"),
+        )
+    )
+
+
+def q_gap_trend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order interarrival analysis: per customer, consecutive
+    order gaps (epoch seconds, exact integers) and the census of whether
+    each gap GREW, SHRANK, or held vs the previous gap — the
+    accelerating/decelerating-customer signal. Shape: a lag over a
+    lag-derived column, both on ONE (customer) partitioning/sort — the
+    second window adds no exchange. Global output: 3 rows (trend in
+    {-1, 0, 1}, customers-distinct count, transition count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ts = F.unix_timestamp("o_orderdate")
+    gaps = orders.select(
+        "o_custkey",
+        (ts - F.lag(ts).over(w)).alias("gap_s"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+    ).filter(F.col("gap_s").isNotNull())
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    deltas = gaps.select(
+        "o_custkey",
+        (F.col("gap_s") - F.lag("gap_s").over(w2)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    return (
+        deltas.select(
+            "o_custkey", F.signum("d").cast("int").alias("trend")
+        )
+        .groupBy("trend")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def q_nation_top_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested argmax: each nation's top supplier by line-item revenue
+    (row_number over (rev desc, suppkey) — deterministic champion), then
+    a dense_rank of NATIONS by their champion's revenue — the
+    champion-of-champions leaderboard shape. The per-supplier aggregate
+    is the only fact-table pass; both windows run on supplier/nation-
+    sized rollups; dims ride broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _cents(F.sum(revenue), 10000).alias("rev_c4")
+    )
+    enriched = rev.join(
+        F.broadcast(sup.select("s_suppkey", "s_name", "s_nationkey")),
+        rev.l_suppkey == sup.s_suppkey,
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("rev_c4").desc(), "s_suppkey"
+    )
+    champs = enriched.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    wr = Window.orderBy(F.col("rev_c4").desc(), F.col("n_name"))
+    return (
+        champs.join(
+            F.broadcast(nat), champs.s_nationkey == nat.n_nationkey
+        )
+        .select("n_name", F.col("s_name").alias("top_supplier"), "rev_c4")
+        .withColumn("nation_rank", F.dense_rank().over(wr).cast("int"))
+    )
+
+
+STAGED_QUERIES["clv_decile_migration"] = q_clv_decile_migration
+STAGED_QUERIES["new_parts_monthly_cumulative"] = q_new_parts_monthly_cumulative
+STAGED_QUERIES["nation_order_gaps"] = q_nation_order_gaps
+STAGED_QUERIES["gap_trend_census"] = q_gap_trend_census
+STAGED_QUERIES["nation_top_supplier_rank"] = q_nation_top_supplier_rank
