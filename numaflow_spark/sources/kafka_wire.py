@@ -85,8 +85,11 @@ rejecting cert-less peers before any Kafka frame.
 Not implemented (documented divergences): compression codecs beyond
 gzip (snappy/lz4/zstd wheels absent here), transactional
 produce / read_committed isolation (fields parsed, always
-non-transactional), SASL mechanisms beyond PLAIN and
-SCRAM-SHA-256/512 (GSSAPI/OAUTHBEARER), SCRAM channel binding (gs2
+non-transactional), SASL GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
+with KIP-255 unsecured-JWS validation, principal allow-listing, and
+the published challenge-then-dummy-response failure dance; swap the
+token for a signed JWT against a real issuer — the framing is
+identical), SCRAM channel binding (gs2
 header ``n,,`` only — the -PLUS variants need TLS exporter data),
 the eager StickyAssignor (its cooperative successor per KIP-429 IS
 implemented — ``cooperative-sticky`` with Subscription v1
@@ -175,6 +178,59 @@ def _saslname_unescape(name: str) -> str:
 
 def _xor(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b))
+
+
+# --------------------------------------------------------------------------
+# OAUTHBEARER (RFC 7628 SASL mechanism; KIP-255's default unsecured JWS
+# token — header {"alg":"none"}, unpadded base64url, empty signature).
+# --------------------------------------------------------------------------
+
+def _b64url(raw: bytes) -> str:
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode("ascii")
+
+
+def _b64url_decode(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+def make_unsecured_jwt(
+    principal: str, lifetime_s: int = 300, *, now: float | None = None
+) -> str:
+    """KIP-255 unsecured bearer token: alg=none JWS with sub/iat/exp
+    claims and an empty signature part. This is the token shape real
+    brokers accept when configured with the default unsecured validator;
+    production deployments swap in a signed JWT from their OAuth issuer —
+    the SASL framing below is identical either way."""
+    import json as _json
+
+    t = time.time() if now is None else now
+    header = _b64url(_json.dumps({"alg": "none"}).encode())
+    payload = _b64url(_json.dumps(
+        {"sub": principal, "iat": int(t), "exp": int(t) + int(lifetime_s)}
+    ).encode())
+    return f"{header}.{payload}."
+
+
+def _parse_unsecured_jwt(token: str) -> dict:
+    """Validate shape + alg=none + exp and return the claims. Raises
+    ValueError with an RFC 6750-style reason on any defect."""
+    import json as _json
+
+    parts = token.split(".")
+    if len(parts) != 3 or parts[2] != "":
+        raise ValueError("invalid_token: not an unsecured JWS")
+    try:
+        header = _json.loads(_b64url_decode(parts[0]))
+        claims = _json.loads(_b64url_decode(parts[1]))
+    except Exception as ex:  # noqa: BLE001 — any decode defect is the same error
+        raise ValueError(f"invalid_token: undecodable ({type(ex).__name__})")
+    if header.get("alg") != "none":
+        raise ValueError("invalid_token: unsupported alg")
+    if "sub" not in claims:
+        raise ValueError("invalid_token: missing sub claim")
+    if float(claims.get("exp", 0)) <= time.time():
+        raise ValueError("invalid_token: expired")
+    return claims
 
 
 # --------------------------------------------------------------------------
@@ -686,8 +742,10 @@ class MiniKafkaBroker:
                  tls_cert_file: str | None = None, tls_key_file: str | None = None,
                  sasl_users: dict[str, str] | None = None,
                  sasl_mechanisms: tuple[str, ...] = (
-                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"),
-                 tls_client_ca_file: str | None = None):
+                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512",
+                     "OAUTHBEARER"),
+                 tls_client_ca_file: str | None = None,
+                 oauth_allowed_subs: set[str] | None = None):
         self.host = host
         self.num_partitions = num_partitions
         # SASL credential store; when set, every connection must complete
@@ -704,6 +762,9 @@ class MiniKafkaBroker:
         # from a real user and enumeration via timing/shape is not possible;
         # the proof then fails exactly like a wrong password.
         self._scram_decoy_key = secrets.token_bytes(32)
+        # OAUTHBEARER principal allowlist; None accepts any valid token
+        # (the KIP-255 unsecured-validator default)
+        self._oauth_allowed_subs = oauth_allowed_subs
         for mech in self._sasl_mechanisms:
             if mech not in _SCRAM_HASHES:
                 continue
@@ -1050,11 +1111,12 @@ class MiniKafkaBroker:
         enabled_mechanisms (the broker's configured list)."""
         mech = r.string()
         ok = mech in self._sasl_mechanisms and (
-            mech == "PLAIN" or mech in _SCRAM_HASHES
+            mech == "PLAIN" or mech in _SCRAM_HASHES or mech == "OAUTHBEARER"
         )
         state["handshake"] = ok
         state["mech"] = mech if ok else None
         state["scram"] = None
+        state["oauth_failed"] = False
         err = ERR_NONE if ok else ERR_UNSUPPORTED_SASL_MECHANISM
         out = _i16(err) + _i32(len(self._sasl_mechanisms))
         for m in self._sasl_mechanisms:
@@ -1076,6 +1138,8 @@ class MiniKafkaBroker:
         token = r.bytes() or b""
         if state["mech"] in _SCRAM_HASHES:
             return self._sasl_scram_round(token, state)
+        if state["mech"] == "OAUTHBEARER":
+            return self._sasl_oauth_round(token, state)
         parts = token.split(b"\x00")
         ok = False
         if len(parts) == 3:
@@ -1089,6 +1153,56 @@ class MiniKafkaBroker:
             + _string("authentication failed: invalid credentials")
             + _bytes(b"")
         )
+
+    def _sasl_oauth_round(self, token: bytes, state: dict) -> bytes:
+        """OAUTHBEARER (RFC 7628 §3): client-first is
+        ``gs2-header \\x01 auth=Bearer <token> \\x01 \\x01``. On a bad
+        token the server answers with the RFC's JSON error document AS A
+        CHALLENGE (error_code 0), the client must reply with the \\x01
+        dummy response, and only THEN does the server fail the
+        authentication — the published two-step failure dance, pinned in
+        tests. Token validation is the KIP-255 unsecured-JWS rule set
+        (alg none, unexpired, sub present, optionally allow-listed)."""
+        if state.get("oauth_failed"):
+            # the dummy \x01 client response after the error challenge
+            state["oauth_failed"] = False
+            return (
+                _i16(ERR_SASL_AUTH_FAILED)
+                + _string("authentication failed: invalid OAuth token")
+                + _bytes(b"")
+            )
+
+        def fail_challenge(reason: str) -> bytes:
+            import json as _json
+
+            state["oauth_failed"] = True
+            doc = _json.dumps({"status": reason})
+            return _i16(ERR_NONE) + _string(None) + _bytes(doc.encode())
+
+        try:
+            msg = token.decode("utf-8")
+        except UnicodeDecodeError:
+            return fail_challenge("invalid_request")
+        # gs2-header "n,," (optionally with authzid) then \x01-separated
+        # key=value pairs ending with \x01\x01
+        if "\x01" not in msg or not msg.startswith(("n,", "y,")):
+            return fail_challenge("invalid_request")
+        kvs = msg.split("\x01")
+        bearer = None
+        for kv in kvs[1:]:
+            if kv.startswith("auth="):
+                bearer = kv[len("auth="):]
+        if not bearer or not bearer.startswith("Bearer "):
+            return fail_challenge("invalid_request")
+        try:
+            claims = _parse_unsecured_jwt(bearer[len("Bearer "):])
+        except ValueError as ex:
+            return fail_challenge(str(ex).split(":")[0])
+        allowed = self._oauth_allowed_subs
+        if allowed is not None and claims["sub"] not in allowed:
+            return fail_challenge("invalid_token")
+        state["authenticated"] = True
+        return _i16(ERR_NONE) + _string(None) + _bytes(b"")
 
     def _sasl_scram_round(self, token: bytes, state: dict) -> bytes:
         """One SCRAM message (RFC 5802 §5). Round 1 parses client-first and
@@ -1369,7 +1483,8 @@ class KafkaWireClient:
                  sasl_plain_password: str | None = None,
                  sasl_mechanism: str = "PLAIN",
                  tls_cert_file: str | None = None,
-                 tls_key_file: str | None = None):
+                 tls_key_file: str | None = None,
+                 sasl_oauth_token: "str | None" = None):
         self._bootstrap = bootstrap
         self._client_id = client_id
         # security.protocol=SSL parity (reference kafka_source.go `tls`
@@ -1386,11 +1501,15 @@ class KafkaWireClient:
         # every (re)connect, which makes it transparent to Spark's
         # pickle/reconnect cycle. The *_plain_* parameter names are kept
         # for back-compat; they carry the credentials for SCRAM too.
-        if sasl_mechanism != "PLAIN" and sasl_mechanism not in _SCRAM_HASHES:
+        if (sasl_mechanism != "PLAIN" and sasl_mechanism not in _SCRAM_HASHES
+                and sasl_mechanism != "OAUTHBEARER"):
             raise ValueError(f"unsupported SASL mechanism {sasl_mechanism!r}")
         self._sasl_user = sasl_plain_username
         self._sasl_pass = sasl_plain_password
         self._sasl_mechanism = sasl_mechanism
+        # OAUTHBEARER: a ready bearer token (KIP-255 unsecured JWS via
+        # make_unsecured_jwt, or any signed JWT a real issuer minted).
+        self._sasl_oauth_token = sasl_oauth_token
         self._sock: socket.socket | None = None
         self._corr = 0
         self._lock = threading.Lock()
@@ -1405,14 +1524,16 @@ class KafkaWireClient:
                 "_sasl_user": self._sasl_user, "_sasl_pass": self._sasl_pass,
                 "_sasl_mechanism": self._sasl_mechanism,
                 "_tls_cert_file": self._tls_cert_file,
-                "_tls_key_file": self._tls_key_file}
+                "_tls_key_file": self._tls_key_file,
+                "_sasl_oauth_token": self._sasl_oauth_token}
 
     def __setstate__(self, state):
         self.__init__(state["_bootstrap"], state["_client_id"],
                       state.get("_tls", False), state.get("_tls_ca_file"),
                       state.get("_sasl_user"), state.get("_sasl_pass"),
                       state.get("_sasl_mechanism", "PLAIN"),
-                      state.get("_tls_cert_file"), state.get("_tls_key_file"))
+                      state.get("_tls_cert_file"), state.get("_tls_key_file"),
+                      state.get("_sasl_oauth_token"))
 
     def _ensure_sock(self) -> socket.socket:
         if self._sock is None:
@@ -1425,7 +1546,7 @@ class KafkaWireClient:
                 if self._tls_cert_file:
                     ctx.load_cert_chain(self._tls_cert_file, self._tls_key_file)
                 sock = ctx.wrap_socket(sock, server_hostname=host)
-            if self._sasl_user is not None:
+            if self._sasl_user is not None or self._sasl_oauth_token is not None:
                 self._sasl_exchange(sock)
             self._sock = sock
         return self._sock
@@ -1478,6 +1599,29 @@ class KafkaWireClient:
                 self._sasl_pass or ""
             ).encode("utf-8")
             auth_round(token)
+            return
+
+        if mech == "OAUTHBEARER":
+            # RFC 7628 client-first; on a bad token the server answers with
+            # a JSON error document as a CHALLENGE, the client must send the
+            # \x01 dummy response, and the failure lands on the next round.
+            first = (
+                "n,,\x01auth=Bearer " + (self._sasl_oauth_token or "")
+                + "\x01\x01"
+            ).encode("utf-8")
+            challenge = auth_round(first)
+            if challenge:
+                try:
+                    auth_round(b"\x01")
+                except ConnectionError as ex:
+                    raise ConnectionError(
+                        f"OAUTHBEARER rejected: "
+                        f"{challenge.decode('utf-8', 'replace')} ({ex})"
+                    ) from None
+                raise ConnectionError(
+                    f"OAUTHBEARER rejected: "
+                    f"{challenge.decode('utf-8', 'replace')}"
+                )
             return
 
         # SCRAM (RFC 5802; SHA-256/512 per RFC 7677) over SaslAuthenticate

@@ -840,3 +840,64 @@ def test_cooperative_sticky_no_stop_the_world(broker):
     (bt, bp) = next(iter(pb))
     assert {r[:2] for r in brows} == {(bt, bp)} and len(brows) == 4
     a.close(); b.close(); c.close()
+
+
+def test_oauthbearer_produce_fetch_and_failure_dance():
+    """OAUTHBEARER over real frames (RFC 7628 framing, KIP-255 unsecured
+    JWS): a valid token authenticates and the data path works end-to-end;
+    an expired token triggers the published two-step failure — the broker
+    answers with the JSON error document as a CHALLENGE, the client sends
+    the \\x01 dummy response, and only then does authentication fail. An
+    allow-listed broker rejects a valid token whose sub is not listed."""
+    from numaflow_spark.sources.kafka_wire import (
+        MiniKafkaBroker,
+        make_unsecured_jwt,
+    )
+
+    b = MiniKafkaBroker(sasl_users={})  # auth required; OAUTHBEARER enabled
+    try:
+        tok = make_unsecured_jwt("pipeline-svc")
+        c = KafkaWireClient(
+            b.bootstrap, sasl_mechanism="OAUTHBEARER", sasl_oauth_token=tok
+        )
+        c.metadata(["to"])
+        base = c.produce("to", 0, [(b"k", b"v")])
+        rows, _hw = c.fetch("to", 0, base)
+        assert rows == [(base, b"k", b"v")]
+        c.close()
+
+        expired = make_unsecured_jwt("pipeline-svc", lifetime_s=-10)
+        bad = KafkaWireClient(
+            b.bootstrap, sasl_mechanism="OAUTHBEARER", sasl_oauth_token=expired
+        )
+        with pytest.raises(ConnectionError, match="invalid_token"):
+            bad.metadata(["to"])
+        bad.close()
+
+        garbled = KafkaWireClient(
+            b.bootstrap, sasl_mechanism="OAUTHBEARER",
+            sasl_oauth_token="not-a-jwt",
+        )
+        with pytest.raises(ConnectionError, match="invalid_token"):
+            garbled.metadata(["to"])
+        garbled.close()
+    finally:
+        b.close()
+
+    allow = MiniKafkaBroker(sasl_users={}, oauth_allowed_subs={"alice"})
+    try:
+        ok = KafkaWireClient(
+            allow.bootstrap, sasl_mechanism="OAUTHBEARER",
+            sasl_oauth_token=make_unsecured_jwt("alice"),
+        )
+        ok.metadata(["ta"])
+        ok.close()
+        stranger = KafkaWireClient(
+            allow.bootstrap, sasl_mechanism="OAUTHBEARER",
+            sasl_oauth_token=make_unsecured_jwt("mallory"),
+        )
+        with pytest.raises(ConnectionError, match="invalid_token"):
+            stranger.metadata(["ta"])
+        stranger.close()
+    finally:
+        allow.close()
