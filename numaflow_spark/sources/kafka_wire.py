@@ -82,10 +82,14 @@ keySecret) and a broker built with ``tls_client_ca_file`` requires a
 cert chained to that CA at the handshake (ssl.client.auth=required),
 rejecting cert-less peers before any Kafka frame.
 
-Not implemented (documented divergences): compression codecs beyond
-gzip (snappy/lz4/zstd wheels absent here), transactional
-produce / read_committed isolation (fields parsed, always
-non-transactional), SASL GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
+Transactions ARE implemented (InitProducerId with epoch fencing,
+AddPartitionsToTxn, EndTxn writing commit/abort control-marker
+batches, last-stable-offset semantics, Fetch v4 aborted_transactions
+index, and the published read_committed client filter — abort ranges
+closed by their markers so later commits from the same producer
+deliver). Not implemented (documented divergences): compression
+codecs beyond gzip (snappy/lz4/zstd wheels absent here), SASL
+GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
 with KIP-255 unsecured-JWS validation, principal allow-listing, and
 the published challenge-then-dummy-response failure dance; swap the
 token for a signed JWT against a real issuer — the framing is
@@ -123,6 +127,9 @@ API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
 API_SASL_AUTHENTICATE = 36
 
 ERR_NONE = 0
@@ -135,6 +142,8 @@ ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_SASL_AUTH_FAILED = 58
+ERR_INVALID_PRODUCER_ID_MAPPING = 49  # txn APIs: wrong/unknown pid for txn_id
+ERR_INVALID_TXN_STATE = 48
 
 # --------------------------------------------------------------------------
 # SCRAM (RFC 5802, SHA-256/512 parameters per RFC 7677) — shared by client
@@ -405,11 +414,19 @@ def encode_record_batch_v2(
     base_offset: int,
     records: list[tuple[bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]],
     compression: int = 0,
+    *,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
+    transactional: bool = False,
+    control: bool = False,
 ) -> bytes:
     """records: (key, value, timestamp_ms, headers). One batch, optional
     gzip codec (``compression=GZIP`` — attributes bits 0-2 per the spec;
-    only the records section compresses, the batch header never does), no
-    transactions (producerId/epoch/baseSequence = -1)."""
+    only the records section compresses, the batch header never does).
+    Transactional batches carry producerId/epoch/baseSequence plus the
+    published attributes bits: bit 4 = isTransactional, bit 5 =
+    isControlBatch (commit/abort markers)."""
     if not records:
         raise ValueError("empty record batch")
     base_ts = records[0][2]
@@ -433,14 +450,19 @@ def encode_record_batch_v2(
         recs = _gzip.compress(recs)
     elif compression:
         raise ValueError(f"unsupported compression codec {compression}")
+    attrs = compression
+    if transactional:
+        attrs |= 0x10
+    if control:
+        attrs |= 0x20
     after_crc = (
-        _i16(compression)  # attributes: codec bits, CreateTime, non-txn
+        _i16(attrs)  # attributes: codec bits, CreateTime, txn/control bits
         + _i32(len(records) - 1)  # lastOffsetDelta
         + _i64(base_ts)
         + _i64(max_ts)
-        + _i64(-1)  # producerId
-        + _i16(-1)  # producerEpoch
-        + _i32(-1)  # baseSequence
+        + _i64(producer_id)
+        + _i16(producer_epoch)
+        + _i32(base_sequence)
         + _i32(len(records))
         + recs
     )
@@ -449,13 +471,48 @@ def encode_record_batch_v2(
     return _i64(base_offset) + _i32(len(body)) + body
 
 
+# Control-record codec (the published ControlRecordType layout): key =
+# version(i16) + type(i16, 0=abort 1=commit); value = version(i16) +
+# coordinator_epoch(i32). Control records ride control batches, occupy
+# offsets, and are never delivered to applications.
+CTRL_ABORT, CTRL_COMMIT = 0, 1
+
+
+def encode_control_record(commit: bool) -> tuple[bytes, bytes]:
+    return (
+        _i16(0) + _i16(CTRL_COMMIT if commit else CTRL_ABORT),
+        _i16(0) + _i32(0),
+    )
+
+
+def decode_control_type(key: bytes | None) -> int | None:
+    if key is None or len(key) < 4:
+        return None
+    r = _Reader(key)
+    r.i16()  # version
+    return r.i16()
+
+
 def decode_record_batches_v2(
     buf: bytes,
 ) -> list[tuple[int, bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]]:
     """Concatenated RecordBatch v2 bytes -> flat (offset, key, value,
     timestamp_ms, headers) entries, CRC32C-checked per batch; a partial
-    trailing batch (max_bytes cut) is dropped."""
-    out = []
+    trailing batch (max_bytes cut) is dropped. Control batches are NOT
+    filtered here — callers that can see transactional logs use
+    :func:`decode_record_batches_v2_ex` and filter by batch metadata."""
+    return [e for _pid, _txn, _ctrl, entries in
+            decode_record_batches_v2_ex(buf) for e in entries]
+
+
+def decode_record_batches_v2_ex(
+    buf: bytes,
+) -> list[tuple[int, bool, bool, list]]:
+    """Per-batch decode: (producer_id, is_transactional, is_control,
+    entries) with entries = (offset, key, value, timestamp_ms, headers) —
+    the metadata a read_committed consumer needs to honor aborted
+    transactions and skip control markers."""
+    out: list[tuple[int, bool, bool, list]] = []
     pos = 0
     while len(buf) - pos >= 12:
         (base_offset,) = struct.unpack(">q", buf[pos : pos + 8])
@@ -476,10 +533,11 @@ def decode_record_batches_v2(
         r.i32()  # lastOffsetDelta
         base_ts = r.i64()
         r.i64()  # maxTimestamp
-        r.i64()  # producerId
+        producer_id = r.i64()
         r.i16()  # producerEpoch
         r.i32()  # baseSequence
         count = r.i32()
+        entries: list = []
         rec_buf = after[r.pos :]
         codec = attrs & 0x07
         if codec == GZIP:
@@ -513,9 +571,12 @@ def decode_record_batches_v2(
                 headers.append((hk, hv))
             if p != end:
                 raise ValueError("record length mismatch in batch")
-            out.append(
+            entries.append(
                 (base_offset + off_delta, key, value, base_ts + ts_delta, headers)
             )
+        out.append(
+            (producer_id, bool(attrs & 0x10), bool(attrs & 0x20), entries)
+        )
     return out
 
 
@@ -786,10 +847,20 @@ class MiniKafkaBroker:
                 # to this CA — no application frame is ever exchanged.
                 self._ssl_ctx.verify_mode = ssl.CERT_REQUIRED
                 self._ssl_ctx.load_verify_locations(cafile=tls_client_ca_file)
-        self._logs: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
+        # log entry: (key, value, ts, headers, txn_pid | None, ctrl | None)
+        # — txn_pid marks records produced inside a transaction, ctrl marks
+        # commit/abort control markers (they occupy offsets, never deliver)
+        self._logs: dict[tuple[str, int], list[tuple]] = {}
         self._topics: dict[str, int] = {}
         self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
+        # transaction coordinator state (InitProducerId/AddPartitionsToTxn/
+        # EndTxn): txn_id -> pid/epoch + the open txn's partitions and
+        # per-partition first offsets; aborted txns index per partition
+        self._txn_ids: dict[str, tuple[int, int]] = {}
+        self._open_txns: dict[int, dict] = {}  # pid -> {parts, first}
+        self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        self._next_pid = 1000
         # group coordinator: its own lock so a blocking join barrier never
         # stalls produce/fetch traffic on other connections
         self._glock = threading.Lock()
@@ -820,7 +891,7 @@ class MiniKafkaBroker:
         """(key, value) pairs — the v0 view of the stored log."""
         with self._lock:
             return [
-                (k, v) for k, v, _ts, _h in self._logs.get((topic, partition), [])
+                (e[0], e[1]) for e in self._logs.get((topic, partition), [])
             ]
 
     def log_records(self, topic: str, partition: int):
@@ -917,6 +988,12 @@ class MiniKafkaBroker:
             body = self._heartbeat(r)
         elif api_key == API_LEAVE_GROUP:
             body = self._leave_group(r)
+        elif api_key == API_INIT_PRODUCER_ID:
+            body = self._init_producer_id(r)
+        elif api_key == API_ADD_PARTITIONS_TO_TXN:
+            body = self._add_partitions_to_txn(r)
+        elif api_key == API_END_TXN:
+            body = self._end_txn(r)
         else:
             body = {
                 API_METADATA: self._metadata,
@@ -1089,6 +1166,125 @@ class MiniKafkaBroker:
             if g.state != "Stable":
                 return _i16(ERR_REBALANCE_IN_PROGRESS)
             return _i16(ERR_NONE)
+
+    # -- transaction coordinator (InitProducerId 22 / AddPartitionsToTxn
+    # 24 / EndTxn 26, all v0; the single broker is always the txn
+    # coordinator, like the group side) -------------------------------------
+
+    def _init_producer_id(self, r: _Reader) -> bytes:
+        """InitProducerId v0: (transactional_id?, txn_timeout_ms) ->
+        throttle + error + producer_id + producer_epoch. Re-initializing a
+        known transactional_id bumps the epoch and ABORTS any transaction
+        the previous incarnation left open (the published zombie-fencing
+        semantics)."""
+        txn_id = r.string()
+        r.i32()  # transaction_timeout_ms
+        with self._lock:
+            if txn_id is None:
+                pid = self._next_pid
+                self._next_pid += 1
+                return _i32(0) + _i16(ERR_NONE) + _i64(pid) + _i16(0)
+            prev = self._txn_ids.get(txn_id)
+            if prev is None:
+                pid, epoch = self._next_pid, 0
+                self._next_pid += 1
+            else:
+                pid, epoch = prev[0], prev[1] + 1
+                self._abort_open_txn_locked(pid)
+            self._txn_ids[txn_id] = (pid, epoch)
+            return _i32(0) + _i16(ERR_NONE) + _i64(pid) + _i16(epoch)
+
+    def _check_txn_locked(self, txn_id: str | None, pid: int, epoch: int) -> int:
+        known = self._txn_ids.get(txn_id or "")
+        if known is None or known[0] != pid:
+            return ERR_INVALID_PRODUCER_ID_MAPPING
+        if known[1] != epoch:
+            return ERR_INVALID_TXN_STATE  # fenced by a newer incarnation
+        return ERR_NONE
+
+    def _add_partitions_to_txn(self, r: _Reader) -> bytes:
+        txn_id = r.string()
+        pid, epoch = r.i64(), r.i16()
+        n_topics = r.i32()
+        wanted: list[tuple[str, int]] = []
+        for _ in range(n_topics):
+            t = r.string() or ""
+            for _ in range(r.i32()):
+                wanted.append((t, r.i32()))
+        with self._lock:
+            err = self._check_txn_locked(txn_id, pid, epoch)
+            if err == ERR_NONE:
+                txn = self._open_txns.setdefault(
+                    pid, {"parts": set(), "first": {}}
+                )
+                for t, p in wanted:
+                    self._ensure_topic(t)
+                    txn["parts"].add((t, p))
+        by_topic: dict[str, list[int]] = {}
+        for t, p in wanted:
+            by_topic.setdefault(t, []).append(p)
+        body = _i32(0) + _i32(len(by_topic))
+        for t, ps in by_topic.items():
+            body += _string(t) + _i32(len(ps))
+            for p in ps:
+                body += _i32(p) + _i16(err)
+        return body
+
+    def _abort_open_txn_locked(self, pid: int) -> None:
+        txn = self._open_txns.pop(pid, None)
+        if txn is None:
+            return
+        for (t, p) in sorted(txn["parts"]):
+            log = self._logs.get((t, p))
+            if log is None:
+                continue
+            first = txn["first"].get((t, p))
+            if first is not None:
+                self._aborted.setdefault((t, p), []).append((pid, first))
+            k, v = encode_control_record(False)
+            log.append((k, v, -1, [], pid, CTRL_ABORT))
+
+    def _end_txn(self, r: _Reader) -> bytes:
+        """EndTxn v0: writes a commit/abort CONTROL marker batch to every
+        partition the transaction touched (occupying one offset each),
+        records aborted ranges for the Fetch v4 aborted_transactions
+        index, and closes the transaction (advancing the LSO)."""
+        txn_id = r.string()
+        pid, epoch = r.i64(), r.i16()
+        committed = r.i8() != 0
+        with self._lock:
+            err = self._check_txn_locked(txn_id, pid, epoch)
+            if err != ERR_NONE:
+                return _i32(0) + _i16(err)
+            txn = self._open_txns.pop(pid, None)
+            if txn is not None:
+                for (t, p) in sorted(txn["parts"]):
+                    log = self._logs.get((t, p))
+                    if log is None:
+                        continue
+                    first = txn["first"].get((t, p))
+                    if not committed and first is not None:
+                        self._aborted.setdefault((t, p), []).append(
+                            (pid, first)
+                        )
+                    k, v = encode_control_record(committed)
+                    log.append(
+                        (k, v, -1, [], pid,
+                         CTRL_COMMIT if committed else CTRL_ABORT)
+                    )
+            return _i32(0) + _i16(ERR_NONE)
+
+    def _lso_locked(self, topic: str, pid: int) -> int:
+        """Last stable offset: the first offset of any OPEN transaction on
+        the partition, else the high watermark — read_committed consumers
+        never see past it."""
+        hw = len(self._logs.get((topic, pid), ()))
+        firsts = [
+            txn["first"][(topic, pid)]
+            for txn in self._open_txns.values()
+            if (topic, pid) in txn["first"]
+        ]
+        return min(firsts) if firsts else hw
 
     def _leave_group(self, r: _Reader) -> bytes:
         group_id = r.string() or ""
@@ -1289,6 +1485,8 @@ class MiniKafkaBroker:
         # (api_key, max_version): Produce v3 / Fetch v4 are the first
         # versions that carry RecordBatch v2 on the wire.
         keys = [(API_PRODUCE, 3), (API_FETCH, 4), (API_METADATA, 0),
+                (API_INIT_PRODUCER_ID, 0), (API_ADD_PARTITIONS_TO_TXN, 0),
+                (API_END_TXN, 0),
                 (API_OFFSET_COMMIT, 0), (API_OFFSET_FETCH, 0),
                 (API_JOIN_GROUP, 0), (API_HEARTBEAT, 0),
                 (API_LEAVE_GROUP, 0), (API_SYNC_GROUP, 0),
@@ -1321,8 +1519,9 @@ class MiniKafkaBroker:
         return out
 
     def _produce(self, r: _Reader, version: int = 0) -> bytes | None:
+        txn_id = None
         if version >= 3:
-            r.string()  # transactional_id (v3+; always null here)
+            txn_id = r.string()  # transactional_id (v3+)
         acks = r.i16()  # 0 = fire-and-forget: append but send NO response
         r.i32()  # timeout
         n_topics = r.i32()
@@ -1343,13 +1542,34 @@ class MiniKafkaBroker:
                     base = len(log)
                     try:
                         if version >= 3:  # record batches v2 (magic 2)
-                            for _off, key, value, ts, hdrs in (
-                                decode_record_batches_v2(ms)
-                            ):
-                                log.append((key, value, ts, hdrs))
+                            batches = decode_record_batches_v2_ex(ms)
+                            err = ERR_NONE
+                            for b_pid, b_txn, _ctrl, entries in batches:
+                                if b_txn:
+                                    txn = self._open_txns.get(b_pid)
+                                    if txn is None or (topic, pid) not in txn[
+                                        "parts"
+                                    ]:
+                                        # partition never added to the txn
+                                        err = ERR_INVALID_TXN_STATE
+                                        break
+                            if err != ERR_NONE:
+                                parts_out += _i32(pid) + _i16(err) + _i64(-1)
+                                continue
+                            for b_pid, b_txn, _ctrl, entries in batches:
+                                if b_txn:
+                                    txn = self._open_txns[b_pid]
+                                    txn["first"].setdefault(
+                                        (topic, pid), len(log)
+                                    )
+                                for _off, key, value, ts, hdrs in entries:
+                                    log.append((
+                                        key, value, ts, hdrs,
+                                        b_pid if b_txn else None, None,
+                                    ))
                         else:  # MessageSet v0: no timestamps/headers
                             for _off, key, value in decode_message_set(ms):
-                                log.append((key, value, None, []))
+                                log.append((key, value, None, [], None, None))
                         parts_out += _i32(pid) + _i16(ERR_NONE) + _i64(base)
                     except ValueError:
                         parts_out += _i32(pid) + _i16(ERR_CORRUPT) + _i64(-1)
@@ -1367,8 +1587,9 @@ class MiniKafkaBroker:
         r.i32()  # min_bytes
         if version >= 3:
             r.i32()  # top-level max_bytes
+        isolation = 0
         if version >= 4:
-            r.i8()  # isolation_level
+            isolation = r.i8()  # 0=read_uncommitted, 1=read_committed
         n_topics = r.i32()
         out_topics = b""
         with self._lock:
@@ -1386,34 +1607,70 @@ class MiniKafkaBroker:
                         parts_out += _i32(0)
                         continue
                     hw = len(log)
+                    lso = self._lso_locked(topic, pid)
+                    # read_committed: the broker serves nothing past the
+                    # LSO; aborted data BELOW it still ships — the client
+                    # filters with the aborted_transactions index, exactly
+                    # like a real consumer
+                    upper = lso if isolation == 1 else hw
                     entries, size = [], 0
-                    for o in range(max(off, 0), hw):
-                        key, value, ts, hdrs = log[o]
+                    for o in range(max(off, 0), upper):
+                        key, value, ts, hdrs, tpid, ctrl = log[o]
                         sz = 26 + (len(key) if key else 0) + (len(value) if value else 0)
                         if entries and size + sz > max_bytes:
                             break
-                        entries.append((o, key, value, ts, hdrs))
+                        entries.append((o, key, value, ts, hdrs, tpid, ctrl))
                         size += sz
                     if version >= 4:
-                        # one RecordBatch v2 per contiguous run; v0-produced
-                        # entries carry timestamp -1 (the v2 null sentinel)
+                        # one RecordBatch v2 per contiguous (producer, ctrl)
+                        # run so txn/control metadata survives re-encoding;
+                        # v0-produced entries carry the -1 null-ts sentinel
                         ms = b""
-                        if entries:
-                            ms = encode_record_batch_v2(
-                                entries[0][0],
+                        run: list = []
+
+                        def _flush_run():
+                            nonlocal ms, run
+                            if not run:
+                                return
+                            _o0, *_rest = run[0]
+                            tpid0, ctrl0 = run[0][5], run[0][6]
+                            ms += encode_record_batch_v2(
+                                run[0][0],
                                 [
                                     (k, v, ts if ts is not None else -1, h)
-                                    for _o, k, v, ts, h in entries
+                                    for _o, k, v, ts, h, _tp, _ct in run
                                 ],
+                                producer_id=tpid0 if tpid0 is not None else -1,
+                                transactional=tpid0 is not None,
+                                control=ctrl0 is not None,
                             )
+                            run = []
+
+                        for e in entries:
+                            if run and (e[5], e[6] is not None) != (
+                                run[-1][5], run[-1][6] is not None
+                            ):
+                                _flush_run()
+                            run.append(e)
+                        _flush_run()
+                        aborted = [
+                            (apid, first)
+                            for apid, first in self._aborted.get(
+                                (topic, pid), ()
+                            )
+                        ] if isolation == 1 else []
+                        ab = _i32(len(aborted))
+                        for apid, first in aborted:
+                            ab += _i64(apid) + _i64(first)
                         parts_out += (
                             _i32(pid) + _i16(ERR_NONE) + _i64(hw)
-                            + _i64(hw) + _i32(0)  # last_stable_offset, no txns
+                            + _i64(lso) + ab
                             + _i32(len(ms)) + ms
                         )
                     else:
                         ms = encode_message_set(
-                            [(o, k, v) for o, k, v, _ts, _h in entries]
+                            [(o, k, v) for o, k, v, _ts, _h, _tp, ct in entries
+                             if ct is None]  # v0 never ships control markers
                         )
                         parts_out += (
                             _i32(pid) + _i16(ERR_NONE) + _i64(hw)
@@ -1784,6 +2041,11 @@ class KafkaWireClient:
         ],
         acks: int = 1,
         compression: int = 0,
+        *,
+        transactional_id: str | None = None,
+        producer_id: int = -1,
+        producer_epoch: int = -1,
+        base_sequence: int = -1,
     ) -> int:
         """Produce v3 carrying a RecordBatch v2: per-record timestamps
         (ms) and headers reach the wire; ``compression=GZIP`` compresses
@@ -1792,9 +2054,14 @@ class KafkaWireClient:
         (nothing to produce), not an opaque encoder IndexError."""
         if not records:
             return -1
-        rb = encode_record_batch_v2(0, records, compression)
+        rb = encode_record_batch_v2(
+            0, records, compression,
+            producer_id=producer_id, producer_epoch=producer_epoch,
+            base_sequence=base_sequence,
+            transactional=transactional_id is not None,
+        )
         body = (
-            _string(None)  # transactional_id (v3+)
+            _string(transactional_id)  # transactional_id (v3+)
             + _i16(acks) + _i32(5000) + _i32(1)
             + _string(topic) + _i32(1) + _i32(partition) + _i32(len(rb)) + rb
         )
@@ -1813,7 +2080,8 @@ class KafkaWireClient:
         return base
 
     def fetch_records(
-        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20
+        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20,
+        isolation: str = "read_uncommitted",
     ) -> tuple[
         list[tuple[int, bytes | None, bytes | None, int | None,
                    list[tuple[str, bytes | None]]]],
@@ -1823,8 +2091,9 @@ class KafkaWireClient:
         timestamp_ms | None, headers); CRC32C-validated. Entries produced
         through the v0 path carry the v2 null-timestamp sentinel (-1),
         surfaced as None."""
+        iso = 1 if isolation == "read_committed" else 0
         body = (
-            _i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes) + _i8(0)
+            _i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes) + _i8(iso)
             + _i32(1) + _string(topic) + _i32(1)
             + _i32(partition) + _i64(offset) + _i32(max_bytes)
         )
@@ -1836,18 +2105,93 @@ class KafkaWireClient:
         r.i32()  # partition id
         err = r.i16()
         hw = r.i64()
-        r.i64()  # last_stable_offset
-        r.i32()  # aborted_transactions (empty)
+        lso = r.i64()  # last_stable_offset
+        aborted: list[tuple[int, int]] = []
+        for _ in range(r.i32()):  # aborted_transactions index
+            aborted.append((r.i64(), r.i64()))
         ms = r.take(r.i32())
         if err != ERR_NONE:
             raise IOError(f"fetch error {err} on {topic}/{partition}")
-        return (
-            [
-                (o, k, v, (None if ts == -1 else ts), h)
-                for o, k, v, ts, h in decode_record_batches_v2(ms)
-            ],
-            hw,
+        # Client-side filtering — the published consumer algorithm:
+        # control batches never reach the application; under
+        # read_committed, a transactional batch is dropped when its
+        # producer has an OPEN aborted range (first_offset from the
+        # broker's aborted_transactions index, closed by that producer's
+        # abort marker in the stream) covering it — so a LATER committed
+        # transaction from the same producer still delivers.
+        active: dict[int, list[int]] = {}
+        for apid, afirst in aborted:
+            active.setdefault(apid, []).append(afirst)
+        out = []
+        for b_pid, b_txn, b_ctrl, entries in decode_record_batches_v2_ex(ms):
+            o = entries[0][0] if entries else -1
+            if b_ctrl:
+                if (
+                    iso and b_pid in active and entries
+                    and decode_control_type(entries[0][1]) == CTRL_ABORT
+                ):
+                    # the abort marker closes ranges that began before it
+                    active[b_pid] = [f for f in active[b_pid] if f > o]
+                continue
+            if iso and b_txn and any(f <= o for f in active.get(b_pid, ())):
+                continue
+            out.extend(
+                (eo, k, v, (None if ts == -1 else ts), h)
+                for eo, k, v, ts, h in entries
+            )
+        return out, (lso if iso else hw)
+
+    # -- transactions (InitProducerId 22 / AddPartitionsToTxn 24 /
+    # EndTxn 26, all v0) ----------------------------------------------------
+
+    def init_producer_id(
+        self, transactional_id: str | None, timeout_ms: int = 60000
+    ) -> tuple[int, int]:
+        """(producer_id, producer_epoch); re-init of a known
+        transactional_id bumps the epoch (zombie fencing) and aborts the
+        previous incarnation's open transaction."""
+        body = _string(transactional_id) + _i32(timeout_ms)
+        r = self._request(API_INIT_PRODUCER_ID, body)
+        r.i32()  # throttle
+        err = r.i16()
+        if err != ERR_NONE:
+            raise IOError(f"InitProducerId error {err}")
+        return r.i64(), r.i16()
+
+    def add_partitions_to_txn(
+        self, transactional_id: str, producer_id: int, producer_epoch: int,
+        topic: str, partitions: list[int],
+    ) -> None:
+        body = (
+            _string(transactional_id) + _i64(producer_id)
+            + _i16(producer_epoch) + _i32(1) + _string(topic)
+            + _i32(len(partitions))
         )
+        for p in partitions:
+            body += _i32(p)
+        r = self._request(API_ADD_PARTITIONS_TO_TXN, body)
+        r.i32()  # throttle
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err != ERR_NONE:
+                    raise IOError(f"AddPartitionsToTxn error {err}")
+
+    def end_txn(
+        self, transactional_id: str, producer_id: int, producer_epoch: int,
+        committed: bool,
+    ) -> None:
+        body = (
+            _string(transactional_id) + _i64(producer_id)
+            + _i16(producer_epoch) + _i8(1 if committed else 0)
+        )
+        r = self._request(API_END_TXN, body)
+        r.i32()  # throttle
+        err = r.i16()
+        if err != ERR_NONE:
+            raise IOError(f"EndTxn error {err}")
 
     # -- group membership (JoinGroup 11 / SyncGroup 14 / Heartbeat 12 /
     # LeaveGroup 13, all v0) -----------------------------------------------
@@ -2047,6 +2391,84 @@ _ASSIGNORS = {
     ),
     "cooperative-sticky": cooperative_sticky_assign,
 }
+
+
+class KafkaTransactionalProducer:
+    """Transactional produce over the wire client (the reference's
+    rdkafka-backed exactly-once sink mode): InitProducerId fences zombie
+    incarnations by epoch, every touched partition registers through
+    AddPartitionsToTxn before its first write, batches carry producerId/
+    epoch/sequence with the transactional attributes bit, and EndTxn
+    writes the commit/abort control markers that advance the partition's
+    last stable offset. Pair with ``fetch_records(...,
+    isolation="read_committed")`` for end-to-end exactly-once."""
+
+    def __init__(self, bootstrap: str, transactional_id: str, **client_kw):
+        self._client = KafkaWireClient(bootstrap, **client_kw)
+        self.transactional_id = transactional_id
+        self.producer_id, self.producer_epoch = self._client.init_producer_id(
+            transactional_id
+        )
+        self._in_txn = False
+        self._parts: set[tuple[str, int]] = set()
+        self._seq: dict[tuple[str, int], int] = {}
+
+    def begin(self) -> None:
+        if self._in_txn:
+            raise RuntimeError("transaction already open")
+        self._in_txn = True
+        self._parts = set()
+
+    def send(
+        self,
+        topic: str,
+        partition: int,
+        records: list[
+            tuple[bytes | None, bytes | None, int, list[tuple[str, bytes | None]]]
+        ],
+    ) -> int:
+        if not self._in_txn:
+            raise RuntimeError("send outside a transaction; call begin()")
+        if (topic, partition) not in self._parts:
+            self._client.add_partitions_to_txn(
+                self.transactional_id, self.producer_id, self.producer_epoch,
+                topic, [partition],
+            )
+            self._parts.add((topic, partition))
+        seq = self._seq.get((topic, partition), 0)
+        base = self._client.produce_records(
+            topic, partition, records,
+            transactional_id=self.transactional_id,
+            producer_id=self.producer_id,
+            producer_epoch=self.producer_epoch,
+            base_sequence=seq,
+        )
+        self._seq[(topic, partition)] = seq + len(records)
+        return base
+
+    def commit(self) -> None:
+        self._end(True)
+
+    def abort(self) -> None:
+        self._end(False)
+
+    def _end(self, committed: bool) -> None:
+        if not self._in_txn:
+            raise RuntimeError("no open transaction")
+        self._client.end_txn(
+            self.transactional_id, self.producer_id, self.producer_epoch,
+            committed,
+        )
+        self._in_txn = False
+        self._parts = set()
+
+    def close(self) -> None:
+        if self._in_txn:
+            try:
+                self.abort()
+            except Exception:  # noqa: BLE001 — best-effort on teardown
+                pass
+        self._client.close()
 
 
 class KafkaGroupConsumer:

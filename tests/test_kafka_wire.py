@@ -901,3 +901,92 @@ def test_oauthbearer_produce_fetch_and_failure_dance():
         stranger.close()
     finally:
         allow.close()
+
+
+def test_transactions_read_committed_isolation(broker):
+    """Transactional produce + read_committed over real frames: records
+    inside an OPEN transaction are invisible to a read_committed consumer
+    (the LSO holds at the txn's first offset — even blocking LATER
+    non-transactional data) while read_uncommitted sees them immediately;
+    commit writes the control marker, advances the LSO, and the records
+    (never the marker) deliver."""
+    from numaflow_spark.sources.kafka_wire import KafkaTransactionalProducer
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["tt"])
+    p = KafkaTransactionalProducer(broker.bootstrap, "txp")
+    p.begin()
+    p.send("tt", 0, [(b"k1", b"open", 100, [])])
+    # later non-transactional record: also held back by the LSO
+    c.produce_records("tt", 0, [(b"k2", b"plain", 101, [])])
+
+    rc, lso = c.fetch_records("tt", 0, 0, isolation="read_committed")
+    assert rc == [] and lso == 0
+    ru, hw = c.fetch_records("tt", 0, 0)  # read_uncommitted default
+    assert [(r[1], r[2]) for r in ru] == [(b"k1", b"open"), (b"k2", b"plain")]
+    assert hw == 2
+
+    p.commit()
+    rc, lso = c.fetch_records("tt", 0, 0, isolation="read_committed")
+    # marker occupies offset 2 but never delivers; lso passes it
+    assert [(r[0], r[1], r[2]) for r in rc] == [
+        (0, b"k1", b"open"), (1, b"k2", b"plain")
+    ]
+    assert lso == 3
+    p.close()
+    c.close()
+
+
+def test_transactions_abort_hides_records_and_later_commit_delivers(broker):
+    """Aborted transactions NEVER deliver under read_committed — and a
+    LATER committed transaction from the SAME producer does (the aborted
+    range is closed by its abort marker, the published consumer
+    algorithm). read_uncommitted still surfaces the aborted data, as the
+    protocol specifies."""
+    from numaflow_spark.sources.kafka_wire import KafkaTransactionalProducer
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["ta2"])
+    p = KafkaTransactionalProducer(broker.bootstrap, "txa")
+    p.begin()
+    p.send("ta2", 0, [(b"a", b"doomed1", 1, []), (b"a", b"doomed2", 2, [])])
+    p.abort()
+    p.begin()
+    p.send("ta2", 0, [(b"b", b"kept", 3, [])])
+    p.commit()
+
+    rc, _lso = c.fetch_records("ta2", 0, 0, isolation="read_committed")
+    assert [(r[1], r[2]) for r in rc] == [(b"b", b"kept")]
+    ru, _hw = c.fetch_records("ta2", 0, 0)
+    assert [(r[2]) for r in ru] == [b"doomed1", b"doomed2", b"kept"]
+    p.close()
+    c.close()
+
+
+def test_transactions_zombie_fencing_and_reinit_abort(broker):
+    """InitProducerId with a known transactional_id bumps the epoch and
+    aborts the previous incarnation's open transaction: the zombie's
+    further writes and its EndTxn are rejected (fencing), and its
+    half-written records never deliver under read_committed."""
+    from numaflow_spark.sources.kafka_wire import KafkaTransactionalProducer
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["tz"])
+    zombie = KafkaTransactionalProducer(broker.bootstrap, "tid")
+    zombie.begin()
+    zombie.send("tz", 0, [(b"z", b"halfdone", 1, [])])
+    # a new incarnation takes over the transactional id
+    fresh = KafkaTransactionalProducer(broker.bootstrap, "tid")
+    assert fresh.producer_epoch == zombie.producer_epoch + 1
+    # zombie's commit is fenced
+    with pytest.raises(IOError):
+        zombie.commit()
+    # the zombie's open txn was aborted at re-init: invisible committed-read
+    fresh.begin()
+    fresh.send("tz", 0, [(b"f", b"fresh", 2, [])])
+    fresh.commit()
+    rc, _ = c.fetch_records("tz", 0, 0, isolation="read_committed")
+    assert [(r[1], r[2]) for r in rc] == [(b"f", b"fresh")]
+    zombie._client.close()
+    fresh.close()
+    c.close()
