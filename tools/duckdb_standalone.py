@@ -1,0 +1,61 @@
+"""Standalone DuckDB baseline run: every registered oracle at the given
+sf dir in a FRESH idle process (r8 finding: the in-bench twin measures up
+to 2x slow while co-resident with a 48g JVM; this is the honest wall).
+Mirrors bench.py's symmetric decoded-cache protocol: parquet loads into
+native tables before timing when SPARK_GRAFT_CACHE_TABLES != 0.
+
+Usage: python tools/duckdb_standalone.py [sf_dir] [out.json]
+Respects SPARK_GRAFT_SKIP (comma-separated query names).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from numaflow_spark.oracles import ORACLES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
+    cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+    con = duckdb.connect()
+    kind = "TABLE" if cache else "VIEW"
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE {kind} {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    per: dict[str, float] = {}
+    t0 = time.perf_counter()
+    for name, sql in ORACLES.items():
+        if name in skip:
+            continue
+        tq = time.perf_counter()
+        con.execute(sql).fetchall()
+        per[name] = round(time.perf_counter() - tq, 3)
+        print(f"{name}: {per[name]:.3f}s", flush=True)
+    wall = round(time.perf_counter() - t0, 1)
+    out = {"wall": wall, "sf_dir": sf_dir, "skipped": sorted(skip),
+           "cache_tables": cache, "queries": per}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps({"wall": wall, "n": len(per)}))
+
+
+if __name__ == "__main__":
+    main()
