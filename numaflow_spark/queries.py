@@ -4084,7 +4084,13 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by MANY sources (the skew case the old plan's docstring
     flagged), not on this uniform synthetic corpus. Bit width bounds
     |sources| <= 64 — the audit's realistic regime; beyond that, batch
-    the source ids (documented)."""
+    the source ids (documented).
+
+    r9: the shingle key is xxhash64 over the 5 token columns (same move
+    as dup_ngram_frac/decontaminate) — the explode emits int64s, never a
+    concatenated string, and the one exchange carries 8-byte keys. The
+    string-keyed oracle is unchanged: outputs are per-source-pair COUNTS,
+    identical modulo 64-bit collisions."""
     docs = load_table(spark, sf_dir, "documents")
     src_ids = (
         docs.select("source")
@@ -4102,13 +4108,15 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "transform(sequence(1, size(w) - 4),"
-                " i -> array_join(slice(w, i, 5), ' '))"
+                " i -> xxhash64(element_at(w, i), element_at(w, i + 1),"
+                " element_at(w, i + 2), element_at(w, i + 3),"
+                " element_at(w, i + 4)))"
             )
-        ).alias("sh"),
+        ).alias("h"),
     )
     masks = (
         sh.join(F.broadcast(src_ids), "source")
-        .groupBy("sh")
+        .groupBy("h")
         .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), sid))").alias("mask"))
         .groupBy("mask")
         .agg(F.count("*").alias("n_sh"))
@@ -4653,7 +4661,11 @@ _R9_WINDOW = [
     "bpe_merges", "yoy_nation_revenue", "part_return_ratio",
     "repeat_customer_years", "supplier_concentration_hhi", "corpus_rollup",
     "session_islands", "gap_fill_locf", "corpus_profile", "weighted_sample",
-    "chunk_documents", "sliding_distinct_users",
+    "chunk_documents",
+    # r9 late rewrite slot: source_overlap_matrix re-keyed to xxhash64
+    # shingles after its r8 cert (displaces sliding_distinct_users,
+    # r6-green, to the tail for a later rotation):
+    "source_overlap_matrix",
 ]
 assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(QUERIES)
 QUERIES = {
@@ -4687,6 +4699,10 @@ RECERT_PENDING = [
     # both the real and the adversarial high-cardinality regime locally;
     # same exact semantics, same oracle. Window slot 15.
     "cms_heavy_bigrams",
+    # r9: source_overlap_matrix re-keyed from shingle strings to xxhash64
+    # int64s (same outputs modulo 64-bit collisions; re-verified at
+    # sf0.001 + sf0.01 + x10 before commit). Window slot 50.
+    "source_overlap_matrix",
 ]
 # The artifact round that satisfies this queue: entries drain only against
 # CORRECTNESS rows from this round or later. Without the watermark, a query
