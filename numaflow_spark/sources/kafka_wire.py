@@ -87,9 +87,11 @@ AddPartitionsToTxn, EndTxn writing commit/abort control-marker
 batches, last-stable-offset semantics, Fetch v4 aborted_transactions
 index, and the published read_committed client filter — abort ranges
 closed by their markers so later commits from the same producer
-deliver). Not implemented (documented divergences): compression
-codecs beyond gzip (snappy/lz4/zstd wheels absent here), SASL
-GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
+deliver). Not implemented (documented divergences): lz4 batch compression
+(pyarrow's lz4 frames omit Frame_Content_Size, so exact-size
+decompression is impossible without a streaming decoder — gzip,
+snappy with xerial framing, and zstd ARE implemented via the
+pyarrow-bundled codecs), SASL GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
 with KIP-255 unsecured-JWS validation, principal allow-listing, and
 the published challenge-then-dummy-response failure dance; swap the
 token for a signed JWT against a real issuer — the framing is
@@ -408,6 +410,88 @@ def _vbytes(b: bytes | None) -> bytes:
 
 
 GZIP = 1  # RecordBatch attributes bits 0-2: compression codec
+SNAPPY = 2  # xerial block framing around raw snappy blocks (the published
+#             snappy-java stream format Kafka producers emit)
+ZSTD = 4  # standard zstd frames (RFC 8878)
+
+_XERIAL_HEADER = bytes([0x82]) + b"SNAPPY" + bytes([0]) + _i32(1) + _i32(1)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Protocol-buffers-style unsigned varint (the snappy block format's
+    uncompressed-length preamble)."""
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _snappy_xerial_compress(raw: bytes) -> bytes:
+    import pyarrow as pa
+
+    block = pa.Codec("snappy").compress(raw, asbytes=True)
+    return _XERIAL_HEADER + _i32(len(block)) + block
+
+
+def _snappy_xerial_decompress(buf: bytes) -> bytes:
+    import pyarrow as pa
+
+    out = b""
+    if buf[:8] == _XERIAL_HEADER[:8]:
+        pos = 16  # header + version + compat
+        while pos + 4 <= len(buf):
+            (clen,) = struct.unpack(">i", buf[pos : pos + 4])
+            block = buf[pos + 4 : pos + 4 + clen]
+            pos += 4 + clen
+            size, _ = _read_uvarint(block, 0)
+            out += pa.Codec("snappy").decompress(
+                block, decompressed_size=size, asbytes=True
+            )
+        return out
+    # bare snappy block (some producers skip the xerial stream header)
+    size, _ = _read_uvarint(buf, 0)
+    return pa.Codec("snappy").decompress(
+        buf, decompressed_size=size, asbytes=True
+    )
+
+
+def _zstd_content_size(buf: bytes) -> int:
+    """Frame_Content_Size from the zstd frame header (RFC 8878 §3.1.1) —
+    pyarrow needs the exact decompressed size up front."""
+    if len(buf) < 5 or buf[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = buf[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    pos = 5 + (0 if single_segment else 1) + did_size
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame carries no content size")
+        return buf[pos]
+    if fcs_flag == 1:
+        return struct.unpack("<H", buf[pos : pos + 2])[0] + 256
+    if fcs_flag == 2:
+        return struct.unpack("<I", buf[pos : pos + 4])[0]
+    return struct.unpack("<Q", buf[pos : pos + 8])[0]
+
+
+def _zstd_compress(raw: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.Codec("zstd").compress(raw, asbytes=True)
+
+
+def _zstd_decompress(buf: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.Codec("zstd").decompress(
+        buf, decompressed_size=_zstd_content_size(buf), asbytes=True
+    )
 
 
 def encode_record_batch_v2(
@@ -448,6 +532,10 @@ def encode_record_batch_v2(
         import gzip as _gzip
 
         recs = _gzip.compress(recs)
+    elif compression == SNAPPY:
+        recs = _snappy_xerial_compress(recs)
+    elif compression == ZSTD:
+        recs = _zstd_compress(recs)
     elif compression:
         raise ValueError(f"unsupported compression codec {compression}")
     attrs = compression
@@ -544,6 +632,10 @@ def decode_record_batches_v2_ex(
             import gzip as _gzip
 
             rec_buf = _gzip.decompress(rec_buf)
+        elif codec == SNAPPY:
+            rec_buf = _snappy_xerial_decompress(rec_buf)
+        elif codec == ZSTD:
+            rec_buf = _zstd_decompress(rec_buf)
         elif codec:
             raise ValueError(f"unsupported compression codec {codec}")
         p = 0
