@@ -188,6 +188,14 @@ def main() -> None:
     if duck_wall is not None:
         result = json.loads(line)
         result["duckdb_suite_wall_sec"] = round(duck_wall, 1)
+        # the ratio's basis, machine-readable (r8 ADVICE): with table
+        # caching on, BOTH engines pre-decode parquet into columnar memory
+        # before any timed run; with it off, both re-scan parquet per query
+        result["cache_basis"] = (
+            "both-cached"
+            if os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+            else "both-rescan"
+        )
         line = json.dumps(result, separators=(",", ":"))
 
     # Side artifact with the COMPLETE per-query map (Spark AND DuckDB): the
@@ -244,6 +252,11 @@ def _write_full_map(
         }
         if duck_wall is not None:
             payload["duckdb_suite_wall_sec"] = round(duck_wall, 1)
+            payload["cache_basis"] = (
+                "both-cached"
+                if os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+                else "both-rescan"
+            )
         if duck_timings:
             payload["duckdb_queries"] = {
                 k: round(v, 3) for k, v in sorted(duck_timings.items())

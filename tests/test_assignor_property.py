@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the cooperative-sticky assignor:
+the KIP-429 invariants must hold on ANY membership/ownership state, not
+just the staged examples — disjointness, quota balance, stickiness (a
+member never receives a partition someone else still owns), and
+convergence (repeated rebalances reach a stable balanced fixpoint in at
+most |members|+1 rounds)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from numaflow_spark.sources.kafka_wire import cooperative_sticky_assign
+
+
+def _members(draw_members, n_parts):
+    parts = {"t": list(range(n_parts))}
+    members = {m: ["t"] for m in draw_members}
+    return members, parts
+
+
+@st.composite
+def _state(draw):
+    n_members = draw(st.integers(1, 6))
+    n_parts = draw(st.integers(0, 16))
+    members = {f"m{i}": ["t"] for i in range(n_members)}
+    parts = {"t": list(range(n_parts))}
+    # arbitrary (possibly stale/overlapping) claimed ownership
+    owned = {
+        m: {"t": sorted(draw(st.sets(st.integers(0, max(n_parts - 1, 0)),
+                                     max_size=n_parts)))}
+        for m in members
+    }
+    return members, parts, owned
+
+
+@given(_state())
+@settings(max_examples=200, deadline=None)
+def test_assignment_disjoint_and_subset(state):
+    members, parts, owned = state
+    out = cooperative_sticky_assign(members, parts, owned)
+    seen: set[int] = set()
+    for m, a in out.items():
+        ps = set(a.get("t", ()))
+        assert not (ps & seen), "partition assigned twice"
+        seen |= ps
+    assert seen <= set(parts["t"])
+
+
+@given(_state())
+@settings(max_examples=200, deadline=None)
+def test_no_partition_moves_without_revocation(state):
+    """Cooperative core: a partition appears in a member's assignment only
+    if no OTHER member currently claims it (moving partitions are withheld
+    for a generation)."""
+    members, parts, owned = state
+    out = cooperative_sticky_assign(members, parts, owned)
+    claimants: dict[int, set[str]] = {}
+    for m in members:
+        for p in owned.get(m, {}).get("t", ()):
+            claimants.setdefault(p, set()).add(m)
+    for m, a in out.items():
+        for p in a.get("t", ()):
+            others = claimants.get(p, set()) - {m}
+            # sorted-first claimant wins duplicate claims; anyone else
+            # holding it means the partition may not land elsewhere yet
+            if others and (p not in claimants or min(claimants[p]) != m):
+                raise AssertionError(
+                    f"partition {p} assigned to {m} while claimed by {others}"
+                )
+
+
+@given(_state())
+@settings(max_examples=100, deadline=None)
+def test_convergence_to_balanced_fixpoint(state):
+    """Replaying rebalances with each round's output as the next round's
+    ownership reaches, within |members|+1 rounds, a stable assignment that
+    covers every partition exactly once with per-member counts within the
+    base/base+1 quota."""
+    members, parts, owned = state
+    n_parts, n_members = len(parts["t"]), len(members)
+    for _ in range(n_members + 1):
+        out = cooperative_sticky_assign(members, parts, owned)
+        if out == cooperative_sticky_assign(members, parts, out):
+            owned = out
+            break
+        owned = out
+    final = cooperative_sticky_assign(members, parts, owned)
+    assert final == owned, "did not reach a fixpoint"
+    all_ps = [p for a in final.values() for p in a.get("t", ())]
+    assert sorted(all_ps) == parts["t"], "coverage gap at fixpoint"
+    base, extra = divmod(n_parts, n_members)
+    allowed = {base, base + 1} if extra else {base}
+    for m, a in final.items():
+        assert len(a.get("t", ())) in allowed, (m, a, base, extra)
