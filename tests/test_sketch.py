@@ -269,3 +269,54 @@ def test_grouped_hll_streaming_update_mode(spark, tmp_path):
         for r in hll_registers_by(df, ["k"], "v").collect()
     }
     assert streamed == batch
+
+
+def test_cms_state_is_bounded_where_exact_state_grows(spark, tmp_path):
+    """THE sketch regime, pinned as a measured state-store property (the
+    batch A/B in tools/ab_cms_result.json showed exact wins every local
+    batch wall — this is the dimension where the sketch wins): streaming
+    frequency over a high-cardinality key space keeps d*w = 192 state
+    rows in the CMS query regardless of cardinality, while the exact
+    per-key count's state grows with every distinct key seen. At 100 TB
+    the exact state evicts/spills; the sketch never does."""
+    from numaflow_spark.operators.sketch import cms_sketch
+    from numaflow_spark.sources.file_source import (
+        replay_stream,
+        write_replay_batches,
+    )
+    from pyspark.sql import functions as F
+
+    n, distinct = 6_000, 6_000  # every key unique: worst case for exact
+    df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(n)], "key string"
+    )
+    data_dir = write_replay_batches(
+        df, str(tmp_path / "in"), batches=3, order_col="key"
+    )
+
+    def state_rows(make_agg, name):
+        stream = replay_stream(
+            spark, data_dir, schema=df.schema, max_files_per_trigger=1
+        )
+        q = (
+            make_agg(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+
+    exact_rows = state_rows(
+        lambda s: s.groupBy("key").agg(F.count("*").alias("cnt")), "ex_state"
+    )
+    cms_rows = state_rows(
+        lambda s: cms_sketch(s, "key", depth=3, width=64), "cms_state"
+    )
+    assert exact_rows == distinct  # state == key cardinality, unbounded
+    assert cms_rows <= 3 * 64  # state == d*w, constant
