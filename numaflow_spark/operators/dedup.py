@@ -43,7 +43,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     The token array is materialized in its own projection and shingles are
     built with slice() — inlining split() into the per-element lambda makes
     Catalyst re-split the text per shingle, an O(words²)-per-doc trap
-    measured at 7× slower."""
+    measured at 7× slower. Distinctness is per-document and therefore
+    runs row-locally (array_distinct), never as a shuffle — same move as
+    shingle_hashes, same bit-identical-output guarantee."""
     toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
     sh = F.transform(
         F.sequence(F.lit(0), F.size(F.col("toks")) - n),
@@ -51,8 +53,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
     return (
         toked.where(F.size(F.col("toks")) >= n)
-        .select("doc", F.explode(sh).alias("sh"))
-        .distinct()
+        .select("doc", F.explode(F.array_distinct(sh)).alias("sh"))
     )
 
 
@@ -62,9 +63,13 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     The hash is taken over the n token columns directly (tokens cannot
     contain the separator, so the tuple<->string mapping is bijective and
     the distinct-set semantics match word_shingles exactly, modulo 64-bit
-    collisions at ~|S|²/2⁶⁵). Hashing *before* the distinct keeps every
-    shuffle in this subtree 16 bytes wide — this subtree is evaluated up to
-    4× inside the jaccard self-join plan, so its cost dominates."""
+    collisions at ~|S|²/2⁶⁵). Distinctness is per-document, so it runs
+    ROW-LOCALLY — ``array_distinct`` on the hash array inside codegen —
+    and the subtree carries NO shuffle at all; the old global
+    ``.distinct()`` shuffled the whole (doc, h) stream to deduplicate
+    sets that never span rows. Measured at ×10 (dup_ngram_frac, min-of-2,
+    bit-identical output): 5.6 → 3.0 s. This subtree is evaluated up to
+    4× inside the jaccard self-join plan, so its cost multiplies."""
     toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
     hashes = F.transform(
         F.sequence(F.lit(0), F.size(F.col("toks")) - n),
@@ -72,8 +77,7 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     )
     return (
         toked.where(F.size(F.col("toks")) >= n)
-        .select("doc", F.explode(hashes).alias("h"))
-        .distinct()
+        .select("doc", F.explode(F.array_distinct(hashes)).alias("h"))
     )
 
 
@@ -134,7 +138,10 @@ def jaccard_pairs(
                 f"jaccard_pairs is the exact ground-truth path, gated to "
                 f"{max_docs} docs; use minhash_lsh_pairs at scale"
             )
-    sh = shingle_hashes(df, id_col, text_col, n)
+    # repartition(doc) = the reuse point for the 4 consumers of the
+    # shingle subtree (prefix window, size agg, both verification sides) —
+    # same rationale as minhash_lsh_pairs below, all consumers doc-keyed
+    sh = shingle_hashes(df, id_col, text_col, n).repartition(F.col("doc"))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # Candidate filters run in float, and a double product can overshoot
     # the exact value (0.9*10 -> 9.000000000000002, ceil -> 10), which at
@@ -310,7 +317,13 @@ def minhash_lsh_pairs(
     # docs measured recompute+ReusedExchange at 33s vs 78s localCheckpoint
     # / 85s persist — the hash-narrow shingle subtree is cheaper to
     # re-derive inside whole-stage codegen than to serialize and re-read.
-    sh = shingle_hashes(df, id_col, text_col, n)
+    # The repartition(doc) below IS that ReusedExchange: shingle_hashes
+    # itself is exchange-free (r9 array_distinct), so without an explicit
+    # exchange the tokenize+hash subtree would re-run once PER CONSUMER
+    # (measured 8.7 -> 34.6 s at x10 when the old distinct()'s implicit
+    # exchange disappeared); every consumer groups/windows by doc, so the
+    # one exchange also satisfies all their distributions.
+    sh = shingle_hashes(df, id_col, text_col, n).repartition(F.col("doc"))
     sig = minhash_signatures(df, id_col, text_col, n=n, k=k, shingles=sh)
     # one row per (doc, band): posexplode of the band hashes keeps this a
     # single pass over the signature table instead of `bands` unions

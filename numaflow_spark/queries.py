@@ -4660,12 +4660,14 @@ _R9_WINDOW = [
     "grouped_hll_users", "editdist_part_names", "khop_trade_graph",
     "bpe_merges", "yoy_nation_revenue", "part_return_ratio",
     "repeat_customer_years", "supplier_concentration_hhi", "corpus_rollup",
-    "session_islands", "gap_fill_locf", "corpus_profile", "weighted_sample",
-    "chunk_documents",
-    # r9 late rewrite slot: source_overlap_matrix re-keyed to xxhash64
-    # shingles after its r8 cert (displaces sliding_distinct_users,
-    # r6-green, to the tail for a later rotation):
+    "session_islands", "gap_fill_locf",
+    # r9 late rewrite slots (displacing r6-green corpus_profile /
+    # weighted_sample / chunk_documents / sliding_distinct_users to the
+    # tail for a later rotation): source_overlap_matrix re-keyed to
+    # xxhash64 shingles after its r8 cert, and the minhash family whose
+    # shared shingle subtree went shuffle-free (array_distinct):
     "source_overlap_matrix",
+    "minhash_neardup", "neardup_clusters", "neardup_survivors",
 ]
 assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(QUERIES)
 QUERIES = {
@@ -4701,8 +4703,14 @@ RECERT_PENDING = [
     "cms_heavy_bigrams",
     # r9: source_overlap_matrix re-keyed from shingle strings to xxhash64
     # int64s (same outputs modulo 64-bit collisions; re-verified at
-    # sf0.001 + sf0.01 + x10 before commit). Window slot 50.
+    # sf0.001 + sf0.01 + x10 before commit). Window slot 47.
     "source_overlap_matrix",
+    # r9: shingle_hashes/word_shingles distinctness moved from a global
+    # .distinct() shuffle to row-local array_distinct (per-doc sets never
+    # span rows — bit-identical, measured 5.6 -> 3.0 s at x10 on
+    # dup_ngram_frac). Re-certifies every consumer the queue didn't
+    # already carry: the minhash_lsh_pairs family. Window slots 48-50.
+    "minhash_neardup", "neardup_clusters", "neardup_survivors",
 ]
 # The artifact round that satisfies this queue: entries drain only against
 # CORRECTNESS rows from this round or later. Without the watermark, a query
