@@ -2921,3 +2921,73 @@ STAGED_ORACLES["nation_top_supplier_rank"] = """
     FROM champs c JOIN nation n ON c.s_nationkey = n.n_nationkey
     WHERE c.rn = 1
 """
+
+STAGED_ORACLES["unresolved_errors"] = """
+    WITH err AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et
+        FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+        SELECT user_id AS p_user, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    unresolved AS (
+        SELECT e.user_id, e.et
+        FROM err e ANTI JOIN pur p
+            ON e.user_id = p.p_user AND p.pt > e.et AND p.pt <= e.et + 3600
+    )
+    SELECT user_id, count(*) AS n_unresolved,
+           min(et) AS first_unresolved_s
+    FROM unresolved GROUP BY user_id
+"""
+
+STAGED_ORACLES["lang_topk_with_other"] = """
+    WITH counts AS (
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+        SELECT source, lang, n_docs,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_docs DESC, lang
+               ) AS rk
+        FROM counts
+    )
+    SELECT source, lang AS lang_or_other, n_docs, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 2
+    UNION ALL
+    SELECT source, 'OTHER', CAST(sum(n_docs) AS BIGINT), CAST(3 AS INT)
+    FROM ranked WHERE rk > 2 GROUP BY source
+"""
+
+STAGED_ORACLES["winsorized_order_stats"] = """
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, price_c,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM base
+    ),
+    bounds AS (
+        SELECT o_orderpriority,
+               min(CASE WHEN rn = greatest(1, (n * 10) // 100)
+                   THEN price_c END) AS p10_c,
+               min(CASE WHEN rn = greatest(1, (n * 90) // 100)
+                   THEN price_c END) AS p90_c
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority, count(*) AS n_orders,
+           CAST(sum(r.price_c) AS BIGINT) AS sum_raw_c,
+           CAST(sum(greatest(b.p10_c, least(b.p90_c, r.price_c))) AS BIGINT)
+               AS sum_winsorized_c
+    FROM ranked r JOIN bounds b ON r.o_orderpriority = b.o_orderpriority
+    GROUP BY r.o_orderpriority
+"""

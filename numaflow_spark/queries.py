@@ -4923,3 +4923,107 @@ STAGED_QUERIES["new_parts_monthly_cumulative"] = q_new_parts_monthly_cumulative
 STAGED_QUERIES["nation_order_gaps"] = q_nation_order_gaps
 STAGED_QUERIES["gap_trend_census"] = q_gap_trend_census
 STAGED_QUERIES["nation_top_supplier_rank"] = q_nation_top_supplier_rank
+
+
+def q_unresolved_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range ANTI join: error events with NO purchase by the same user
+    within the following hour — the unresolved-incident / abandoned-
+    recovery shape. The join is an equi anti join on user_id with the
+    time band riding the join condition (never a cartesian: the equi key
+    drives the physical strategy, the range is a residual predicate);
+    output is per-user unresolved counts + first unresolved instant in
+    exact epoch seconds."""
+    events = load_table(spark, sf_dir, "events")
+    err = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.unix_timestamp("ts").alias("et")
+    )
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_timestamp("ts").alias("pt")
+    )
+    unresolved = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pt") > F.col("et"))
+        & (F.col("pt") <= F.col("et") + 3600),
+        "left_anti",
+    )
+    return unresolved.groupBy("user_id").agg(
+        F.count("*").alias("n_unresolved"),
+        F.min("et").alias("first_unresolved_s"),
+    )
+
+
+def q_lang_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-head-plus-OTHER rollup: per ingest source, the top-2
+    languages by document count (deterministic (count desc, lang) order)
+    as ranked rows, and every remaining language collapsed into one
+    'OTHER' row per source — the report shape that keeps dashboards
+    bounded no matter the tail cardinality. One fact aggregate; the rank
+    and the head/tail split run on the (source, lang)-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("lang")
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    head = ranked.filter(F.col("rk") <= 2).select(
+        "source", F.col("lang").alias("lang_or_other"), "n_docs",
+        F.col("rk").cast("int").alias("rank"),
+    )
+    other = (
+        ranked.filter(F.col("rk") > 2)
+        .groupBy("source")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+        .select(
+            "source", F.lit("OTHER").alias("lang_or_other"), "n_docs",
+            F.lit(3).cast("int").alias("rank"),
+        )
+    )
+    return head.unionByName(other)
+
+
+def q_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue per order priority: clamp each order's price to
+    the group's [p10, p90] order statistics (lower-kth by rank — exact,
+    interpolation-free) and report the clamped SUM alongside the raw sum
+    — the outlier-robust aggregate shape, all in integer cents with no
+    division anywhere. Both rank windows and the clamp share ONE
+    priority partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        _cents(F.col("o_totalprice").cast(DEC)).alias("price_c"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wc)
+    )
+    # lower-kth thresholds: k10 = max(1, (n*10) div 100), k90 = (n*90) div 100
+    lo_rank = F.greatest(F.lit(1), F.expr("(n * 10) div 100"))
+    hi_rank = F.greatest(F.lit(1), F.expr("(n * 90) div 100"))
+    marks = ranked.select(
+        "o_orderpriority", "price_c", "rn",
+        F.when(F.col("rn") == lo_rank, F.col("price_c")).alias("lo_v"),
+        F.when(F.col("rn") == hi_rank, F.col("price_c")).alias("hi_v"),
+    )
+    bounds = marks.groupBy("o_orderpriority").agg(
+        F.min("lo_v").alias("p10_c"), F.min("hi_v").alias("p90_c")
+    )
+    clamped = ranked.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority", "price_c",
+        F.greatest(F.col("p10_c"), F.least(F.col("p90_c"), F.col("price_c"))).alias("w_c"),
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("sum_raw_c"),
+        F.sum("w_c").cast("bigint").alias("sum_winsorized_c"),
+    )
+
+
+STAGED_QUERIES["unresolved_errors"] = q_unresolved_errors
+STAGED_QUERIES["lang_topk_with_other"] = q_lang_topk_with_other
+STAGED_QUERIES["winsorized_order_stats"] = q_winsorized_order_stats
