@@ -191,10 +191,10 @@ def main() -> None:
         # the ratio's basis, machine-readable (r8 ADVICE): with table
         # caching on, BOTH engines pre-decode parquet into columnar memory
         # before any timed run; with it off, both re-scan parquet per query
+        from numaflow_spark.session import cache_tables_enabled
+
         result["cache_basis"] = (
-            "both-cached"
-            if os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
-            else "both-rescan"
+            "both-cached" if cache_tables_enabled() else "both-rescan"
         )
         line = json.dumps(result, separators=(",", ":"))
 

@@ -4692,45 +4692,17 @@ QUERIES = {
 # a later CORRECTNESS_r0N.json artifact carries its green row (the test
 # checks that too — stale entries that already got their fresh row fail
 # loudly so the list can't rot).
-RECERT_PENDING = [
-    # r8 commit e83dc4e rewrote jaccard_pairs (prefix+positional filtering)
-    # after ngram_jaccard's last driver cert (r7) — the queue missed it
-    # (VERDICT r8 "What's wrong" #1). The r8 judge re-ran it vs the oracle
-    # at sf0.01 post-rewrite (green); the r9 driver row makes that durable.
-    "ngram_jaccard",
-    # r9 hash-shingle rewrites (VERDICT r8 task #4): string shingle /
-    # n-gram keys -> xxhash64 int64 keys (shingle_hashes / hashed bigram
-    # tables). Outputs are doc-level counts & scores, identical modulo
-    # 64-bit collisions; re-verified vs the unchanged string-keyed oracles
-    # at sf0.001 + sf0.01 before commit. Window slots 10-13.
-    "dup_ngram_frac", "decontaminate", "corpus_curation", "ngram_lm_score",
-    # r9 regime rescope (VERDICT r8 task #6): cms_heavy_bigrams' engine
-    # path flipped from the CMS prefilter to the exact one-scan groupBy
-    # after the committed A/B (tools/ab_cms_result.json) showed exact wins
-    # both the real and the adversarial high-cardinality regime locally;
-    # same exact semantics, same oracle. Window slot 15.
-    "cms_heavy_bigrams",
-    # r9: source_overlap_matrix re-keyed from shingle strings to xxhash64
-    # int64s (same outputs modulo 64-bit collisions; re-verified at
-    # sf0.001 + sf0.01 + x10 before commit). Window slot 47.
-    "source_overlap_matrix",
-    # r9: customer_streak_census dedup switched to the one-exchange
-    # repartition+dropDuplicates form BEFORE its first driver cert (it is
-    # window slot 7; listed for transparency, the r9 driver row certifies
-    # the final form — the r8 source_overlap_matrix precedent).
-    "customer_streak_census",
-    # r9: shingle_hashes/word_shingles distinctness moved from a global
-    # .distinct() shuffle to row-local array_distinct (per-doc sets never
-    # span rows — bit-identical, measured 5.6 -> 3.0 s at x10 on
-    # dup_ngram_frac). Re-certifies every consumer the queue didn't
-    # already carry: the minhash_lsh_pairs family. Window slots 48-50.
-    "minhash_neardup", "neardup_clusters", "neardup_survivors",
-]
+# r10 drain: all 11 r9 entries (ngram_jaccard, the hash-shingle family,
+# cms_heavy_bigrams, source_overlap_matrix, customer_streak_census, and the
+# minhash/array_distinct family) received green rows in CORRECTNESS_r09.json
+# (round >= watermark 9), so the queue empties. New r10 rewrites append
+# below with the watermark bumped to 10.
+RECERT_PENDING = []
 # The artifact round that satisfies this queue: entries drain only against
 # CORRECTNESS rows from this round or later. Without the watermark, a query
 # rewritten AFTER round N's artifact landed would look "already re-certified"
 # by its own pre-rewrite row (exactly the r8 ngram_jaccard gap).
-RECERT_SINCE_ROUND = 9
+RECERT_SINCE_ROUND = 10
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
 

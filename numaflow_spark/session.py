@@ -104,6 +104,19 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 _TABLE_MEMO: dict[tuple[str, str], tuple[SparkSession, "object"]] = {}
 
 
+def cache_tables_enabled() -> bool:
+    """ONE shared truthiness for SPARK_GRAFT_CACHE_TABLES (ADVICE r9 #3:
+    session.py parsed == "1" while bench.py/duckdb_standalone.py parsed
+    != "0", so a value like "true" cached the DuckDB baseline but not
+    Spark — a silently asymmetric ratio). On iff set to anything but
+    0/false/empty; unset stays OFF so tests and the driver's correctness
+    pass keep plain scans with observable pushdown. bench.py and
+    tools/duckdb_standalone.py setdefault it to "1" at entry, so both
+    engines always share one basis inside a benchmark run."""
+    return os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0").strip().lower() \
+        not in ("0", "", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Parquet scan for one synthetic table (TESTDATA.md). Column pruning and
     predicate pushdown are handled by Catalyst on top of this scan; nano
@@ -116,7 +129,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    cache_on = cache_tables_enabled()
     if cache_on:
         hit = _TABLE_MEMO.get((sf_dir, name))
         if hit is not None and hit[0] is spark:

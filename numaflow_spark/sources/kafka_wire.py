@@ -422,6 +422,11 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
     uncompressed-length preamble)."""
     result = shift = 0
     while True:
+        if pos >= len(buf):
+            # Truncated/malformed input must surface as a protocol error
+            # (the produce path answers ERR_CORRUPT on ValueError), not an
+            # IndexError that kills the broker connection thread.
+            raise ValueError("truncated uvarint in snappy block framing")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -895,8 +900,7 @@ class MiniKafkaBroker:
                  tls_cert_file: str | None = None, tls_key_file: str | None = None,
                  sasl_users: dict[str, str] | None = None,
                  sasl_mechanisms: tuple[str, ...] = (
-                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512",
-                     "OAUTHBEARER"),
+                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"),
                  tls_client_ca_file: str | None = None,
                  oauth_allowed_subs: set[str] | None = None):
         self.host = host
@@ -908,7 +912,15 @@ class MiniKafkaBroker:
         # StoredKey, ServerKey) per (mechanism, user) — the RFC 5802 server
         # storage model, so the exchange below never touches a password.
         self._sasl_users = sasl_users
-        self._sasl_mechanisms = tuple(sasl_mechanisms)
+        # OAUTHBEARER with the KIP-255 unsecured validator accepts any
+        # self-minted alg=none JWT, so enabling it by default would give
+        # every credential-enforcing PLAIN/SCRAM broker a bypass (ADVICE r9
+        # #2). It is an opt-in: listed explicitly, or implied by supplying
+        # an oauth_allowed_subs principal allowlist.
+        mechs = tuple(sasl_mechanisms)
+        if oauth_allowed_subs is not None and "OAUTHBEARER" not in mechs:
+            mechs += ("OAUTHBEARER",)
+        self._sasl_mechanisms = mechs
         self._scram_creds: dict[tuple[str, str], tuple[bytes, int, bytes, bytes]] = {}
         # Unknown-user requests get deterministic fake credentials (keyed
         # HMAC of the username) so the first SCRAM round is indistinguishable
@@ -951,7 +963,7 @@ class MiniKafkaBroker:
         # per-partition first offsets; aborted txns index per partition
         self._txn_ids: dict[str, tuple[int, int]] = {}
         self._open_txns: dict[int, dict] = {}  # pid -> {parts, first}
-        self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        self._aborted: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
         self._next_pid = 1000
         # group coordinator: its own lock so a blocking join barrier never
         # stalls produce/fetch traffic on other connections
@@ -1332,7 +1344,14 @@ class MiniKafkaBroker:
                 continue
             first = txn["first"].get((t, p))
             if first is not None:
-                self._aborted.setdefault((t, p), []).append((pid, first))
+                # (pid, first, marker_off): marker_off is the offset the
+                # abort control marker lands on (len(log) pre-append) — the
+                # fetch handler overlap-filters the index with it so a
+                # consumer resuming PAST the marker never sees a stale open
+                # range (real brokers return only entries overlapping the
+                # fetched range; see ADVICE r9 #1).
+                self._aborted.setdefault((t, p), []).append(
+                    (pid, first, len(log)))
             k, v = encode_control_record(False)
             log.append((k, v, -1, [], pid, CTRL_ABORT))
 
@@ -1357,7 +1376,7 @@ class MiniKafkaBroker:
                     first = txn["first"].get((t, p))
                     if not committed and first is not None:
                         self._aborted.setdefault((t, p), []).append(
-                            (pid, first)
+                            (pid, first, len(log))
                         )
                     k, v = encode_control_record(committed)
                     log.append(
@@ -1663,7 +1682,10 @@ class MiniKafkaBroker:
                             for _off, key, value in decode_message_set(ms):
                                 log.append((key, value, None, [], None, None))
                         parts_out += _i32(pid) + _i16(ERR_NONE) + _i64(base)
-                    except ValueError:
+                    except (ValueError, struct.error):
+                        # struct.error: a truncated batch can underflow any
+                        # fixed-width unpack in the decode path — same
+                        # protocol answer as a framing ValueError.
                         parts_out += _i32(pid) + _i16(ERR_CORRUPT) + _i64(-1)
                 out_topics += _string(topic) + _i32(n_parts) + parts_out
         if acks == 0:
@@ -1745,11 +1767,18 @@ class MiniKafkaBroker:
                                 _flush_run()
                             run.append(e)
                         _flush_run()
+                        # Overlap-filter like a real broker: only aborted
+                        # ranges that intersect [fetch_off, upper) ship —
+                        # the marker must be at/after the fetch start (else
+                        # the client already consumed the close) and the
+                        # range must begin below the served upper bound.
+                        fetch_off = max(off, 0)
                         aborted = [
                             (apid, first)
-                            for apid, first in self._aborted.get(
+                            for apid, first, marker_off in self._aborted.get(
                                 (topic, pid), ()
                             )
+                            if marker_off >= fetch_off and first < upper
                         ] if isolation == 1 else []
                         ab = _i32(len(aborted))
                         for apid, first in aborted:

@@ -854,7 +854,26 @@ def test_oauthbearer_produce_fetch_and_failure_dance():
         make_unsecured_jwt,
     )
 
-    b = MiniKafkaBroker(sasl_users={})  # auth required; OAUTHBEARER enabled
+    # OAUTHBEARER is opt-in (the unsecured validator accepts self-minted
+    # tokens, so a default-enabled mechanism would bypass PLAIN/SCRAM
+    # credential enforcement): a default broker must REFUSE the handshake.
+    locked = MiniKafkaBroker(sasl_users={"u": "pw"})
+    try:
+        sneaky = KafkaWireClient(
+            locked.bootstrap, sasl_mechanism="OAUTHBEARER",
+            sasl_oauth_token=make_unsecured_jwt("anyone"),
+        )
+        with pytest.raises(ConnectionError):
+            sneaky.metadata(["to"])
+        sneaky.close()
+    finally:
+        locked.close()
+
+    b = MiniKafkaBroker(
+        sasl_users={},
+        sasl_mechanisms=("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512",
+                         "OAUTHBEARER"),
+    )  # auth required; OAUTHBEARER explicitly enabled
     try:
         tok = make_unsecured_jwt("pipeline-svc")
         c = KafkaWireClient(
@@ -959,6 +978,40 @@ def test_transactions_abort_hides_records_and_later_commit_delivers(broker):
     assert [(r[1], r[2]) for r in rc] == [(b"b", b"kept")]
     ru, _hw = c.fetch_records("ta2", 0, 0)
     assert [(r[2]) for r in ru] == [b"doomed1", b"doomed2", b"kept"]
+    p.close()
+    c.close()
+
+
+def test_transactions_resume_after_abort_marker_delivers_later_commits(broker):
+    """ADVICE r9 #1 regression: a read_committed consumer whose fetch
+    STARTS AFTER an abort control marker (resume from a committed offset)
+    must still see later COMMITTED records from the same producer. The
+    broker's aborted_transactions index is overlap-filtered to the fetched
+    range — a stale entry whose marker precedes the fetch start must not
+    ship, or the client re-opens a closed aborted range and drops
+    committed data."""
+    from numaflow_spark.sources.kafka_wire import KafkaTransactionalProducer
+
+    c = KafkaWireClient(broker.bootstrap)
+    c.metadata(["tr"])
+    p = KafkaTransactionalProducer(broker.bootstrap, "txr")
+    p.begin()
+    p.send("tr", 0, [(b"a", b"doomed", 1, [])])
+    p.abort()  # offsets: 0 = doomed, 1 = abort marker
+    p.begin()
+    p.send("tr", 0, [(b"b", b"kept1", 2, []), (b"b", b"kept2", 3, [])])
+    p.commit()  # offsets: 2-3 = committed data, 4 = commit marker
+
+    # Full-log fetch sanity: aborted range filtered as before.
+    rc, _lso = c.fetch_records("tr", 0, 0, isolation="read_committed")
+    assert [r[2] for r in rc] == [b"kept1", b"kept2"]
+
+    # Resume PAST the abort marker (offset 2, as a consumer restarting
+    # from its committed position does): before the overlap filter the
+    # broker returned the stale (pid, first=0) range with no closing
+    # marker in view, and the client dropped kept1/kept2.
+    rc, _lso = c.fetch_records("tr", 0, 2, isolation="read_committed")
+    assert [r[2] for r in rc] == [b"kept1", b"kept2"]
     p.close()
     c.close()
 

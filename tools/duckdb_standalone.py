@@ -31,7 +31,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
-    cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    from numaflow_spark.session import cache_tables_enabled
+
+    cache = cache_tables_enabled()
     con = duckdb.connect()
     kind = "TABLE" if cache else "VIEW"
     for t in TABLES:
