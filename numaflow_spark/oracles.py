@@ -2991,3 +2991,9 @@ STAGED_ORACLES["winsorized_order_stats"] = """
     FROM ranked r JOIN bounds b ON r.o_orderpriority = b.o_orderpriority
     GROUP BY r.o_orderpriority
 """
+
+
+# r10 promotion: the 8 staged oracles join the registry (their queries take
+# window slots 1-8; staged-green at sf0.001 + sf0.01 re-verified this round).
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

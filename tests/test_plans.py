@@ -924,3 +924,40 @@ def test_aqe_skew_split_fires_on_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
+    """VERDICT r9 #5 pin: a Window fed by an Exchange SinglePartition is a
+    single-partition global sort — the one plan shape that inverts at 100x
+    (the windowed table is entity-scale: customers/parts/vocabulary). The
+    six offenders (clv_deciles, customer_rfm, gini_orders,
+    revenue_pareto_customers, pareto_parts, vocab_coverage) were rewritten
+    onto the two-phase ranking module (operators/ranking.py) in r10; this
+    sweep keeps the whole registry clean. Allowlist: queries whose
+    single-partition window provably runs on a constant-bounded input
+    (post-limit tables, per-nation/month rollups) — currently EMPTY, every
+    registered plan is clean; add a name here only with a written bound."""
+    from tools.window_audit import unpartitioned_windows
+
+    ALLOWLIST: set[str] = {
+        # cumulative over the ship-MONTH census: <= 12 x corpus-years rows
+        # (a century of data = 1200), calendar-bounded by construction
+        "new_parts_monthly_cumulative",
+        # global ranking of per-nation champions: exactly |nations| = 25
+        # rows reach the window (constant-bounded dimension table)
+        "nation_top_supplier_rank",
+    }
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    flagged = {}
+    for name, fn in QUERIES.items():
+        if name in ALLOWLIST:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        n = unpartitioned_windows(plan)
+        if n:
+            flagged[name] = n
+    assert not flagged, (
+        f"single-partition global-sort windows (scale inverters): {flagged}"
+    )

@@ -1,0 +1,104 @@
+"""Sweep every registered query's physical plan for WindowExec nodes fed
+by an Exchange SinglePartition — the unpartitioned global sort that
+inverts at 100x (VERDICT r9 "What's wrong" #5). Prints one line per query
+with the offending window count; the pytest pin in tests/test_plans.py
+uses the same detector with an explicit allowlist.
+
+Usage: python tools/window_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(indent_depth, op_name, node_id) per tree line of a formatted
+    explain, in tree order (parent before child, child indented deeper)."""
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"([A-Za-z][A-Za-z0-9]*) \((\d+)\)\s*$", line)
+        if not m:
+            # non-tree lines (details, subquery headers) don't match; a
+            # following subquery tree restarts at depth 0, which the
+            # child-walk treats as a sibling boundary — safe across blocks
+            continue
+        # indent = chars before the op marker; WholeStageCodegen's '* ' and
+        # branch glyphs all count, which is enough for parent/child nesting
+        depth = len(line) - len(line.lstrip(" :+-*"))
+        out.append((depth, m.group(1), int(m.group(2))))
+    return out
+
+
+def single_partition_ids(plan: str) -> set[int]:
+    """Node ids of Exchange nodes whose Arguments are SinglePartition."""
+    ids = set()
+    # the Arguments line must belong to THIS node's details block — stop
+    # the scan at the next "(N) Op" header so a later node's
+    # SinglePartition can't be attributed to an earlier hash exchange
+    for m in re.finditer(
+        r"\((\d+)\) Exchange\n(?:(?!\(\d+\) ).*\n)*?Arguments: SinglePartition",
+        plan,
+    ):
+        ids.add(int(m.group(1)))
+    return ids
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes whose nearest downstream Exchange (walking the
+    unary child chain through Sort/AQEShuffleRead/ShuffleQueryStage) is a
+    SinglePartition exchange."""
+    tree = parse_tree(plan)
+    sp = single_partition_ids(plan)
+    bad = 0
+    passthrough = {"Sort", "AQEShuffleRead", "ShuffleQueryStage",
+                   "InputAdapter", "WholeStageCodegen"}
+    for i, (depth, op, _nid) in enumerate(tree):
+        if op != "Window":
+            continue
+        d = depth
+        for j in range(i + 1, len(tree)):
+            cdepth, cop, cid = tree[j]
+            if cdepth <= d and cop not in passthrough:
+                break
+            if cop == "Exchange":
+                if cid in sp:
+                    bad += 1
+                break
+            if cop not in passthrough:
+                break
+    return bad
+
+
+def main() -> None:
+    from pyspark.sql.session import SparkSession
+
+    from numaflow_spark.queries import QUERIES
+    from numaflow_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    flagged = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().explainString(mode)
+            n = unpartitioned_windows(plan)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            print(f"ERR {name}: {ex}")
+            continue
+        if n:
+            flagged[name] = n
+            print(f"FLAG {name}: {n} single-partition window(s)")
+    print(f"\n{len(flagged)} queries flagged of {len(QUERIES)}")
+    print(sorted(flagged))
+
+
+if __name__ == "__main__":
+    main()
