@@ -68,7 +68,7 @@ def train_bpe(
     ``checkpoint_dir`` (or set
     ``spark.numaflow_spark.checkpoint.dir``) to make the cut
     durable at cluster scale (operators/graph.py::cut_lineage)."""
-    from numaflow_spark.operators.graph import cut_lineage
+    from numaflow_spark.operators.graph import aqe_off, cut_lineage
 
     syms = cut_lineage(
         vocab.select(
@@ -78,38 +78,42 @@ def train_bpe(
             # the lookahead keeps Spark's trailing-empty split artifact out
         ),
         checkpoint_dir,
-        eager=False,
+        eager=True,
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = (
-            syms.filter(F.size("syms") >= 2)  # sequence(1,0) would be [1,0]
-            .select(
-                F.col(freq_col).alias("freq"),
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(element_at(syms, i) AS a, element_at(syms, i+1) AS b))"
-                    )
-                ).alias("p"),
+    # The merge rounds are the iterative-loop AQE regime (graph.py::aqe_off
+    # rationale): per-round inputs are materialized RDDs, adaptive re-plans
+    # are pure job floor (18 -> 9 jobs, 2.10 -> 1.89 s at sf0.1).
+    with aqe_off(vocab.sparkSession):
+        for _ in range(n_merges):
+            pairs = (
+                syms.filter(F.size("syms") >= 2)  # sequence(1,0) = [1,0]
+                .select(
+                    F.col(freq_col).alias("freq"),
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1), "
+                            "i -> struct(element_at(syms, i) AS a, element_at(syms, i+1) AS b))"
+                        )
+                    ).alias("p"),
+                )
             )
-        )
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] <= 0:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        syms = cut_lineage(
-            syms.withColumn("syms", F.expr(_merge_expr("syms", a, b))),
-            checkpoint_dir,
-            eager=False,
-        )
+            best = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] <= 0:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            syms = cut_lineage(
+                syms.withColumn("syms", F.expr(_merge_expr("syms", a, b))),
+                checkpoint_dir,
+                eager=True,
+            )
     return merges, syms
 
 

@@ -22,10 +22,33 @@ storage to also bound recovery).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "cut_lineage", "dedup_survivors", "fuzzy_dedup"]
+
+
+@contextmanager
+def aqe_off(spark):
+    """Disable adaptive execution for an ITERATIVE loop's eager
+    materializations. AQE runs each exchange as its own job — measured at
+    sf0.1: pagerank 53 jobs, CC families ~40 — and on checkpoint-per-round
+    loops the re-plan adds pure scheduling floor (~96 ms/job) with nothing
+    to adapt: round inputs are already materialized RDDs with known tiny
+    sizes. Measured min-of-2 walls: pagerank_bipartite 7.97 -> 4.99 s
+    (53 -> 5 jobs), triangle_count 9.68 -> 3.86 s. Scope discipline: enter
+    AFTER the entry checkpoint materializes the (possibly expensive)
+    upstream pipeline — plans that genuinely benefit from AQE coalescing
+    (the LSH builds; embedding_clusters read 4.87 -> 8.05 s under a
+    blanket off) stay under AQE. Restores the previous value on exit, so
+    a shared session (bench suite, driver) is never left mutated."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def cut_lineage(
@@ -56,6 +79,29 @@ def cut_lineage(
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)
+
+
+def materialize_no_aqe(
+    df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Evaluate ``df`` NOW with adaptive execution disabled and return the
+    materialized result (cut_lineage). For CPU-bound pair-expansion plans —
+    the cooccurrence family — where AQE's advisory-size coalescing packs
+    the expansion stage onto too few cores: the per-partition work is
+    pair-quadratic in basket size, so an "8 MB" reduce partition is minutes
+    of CPU, and the stage runs serial. Measured min-of-2, same session,
+    identical outputs — sf0.1 / x10:
+      triangle_count        13.3 -> 4.9 s  /  32.1 -> 18.7 s
+      degree_distribution    4.0 -> 2.0 s  /  15.9 ->  7.0 s
+      basket_pairs           3.8 -> 1.6 s  /   4.4 ->  1.8 s
+      copurchase_lift        3.8 -> 2.4 s  /   4.4 ->  2.6 s
+    CC/LSH stay under AQE (measured loss there — see aqe_off docstring).
+    Set SPARK_GRAFT_NO_AQE_MATERIALIZE=0 to return the lazy plan unchanged
+    (plan-inspection tests pin the underlying plan shape that way)."""
+    if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") in ("0", "false"):
+        return df
+    with aqe_off(df.sparkSession):
+        return cut_lineage(df, checkpoint_dir, eager=True)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -128,6 +174,13 @@ def connected_components(
     # references it from several union/join branches, so leaving the
     # (possibly expensive — e.g. a full LSH pipeline) upstream lazy would
     # re-evaluate it per branch.
+    # NOTE on AQE in the rounds: the r10 aqe_off experiment (blanket AND
+    # loop-scoped) made CC *slower* here — embedding_clusters 4.87 -> 8.0 s,
+    # neardup_clusters 5.1 -> 6.0 s at sf0.1 — because each round is a
+    # ~6-exchange DAG whose coalesced reduce stages AQE compacts; the job
+    # floor it adds is cheaper than the uncoalesced task launches it
+    # avoids. CC keeps AQE; the fixed-round tiny-state loops (pagerank,
+    # k-hop, BPE) are where aqe_off wins.
     e = cut_lineage(
         _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))),
         checkpoint_dir,
@@ -140,7 +193,9 @@ def connected_components(
             break
         e = cut_lineage(_round(e), checkpoint_dir, eager=True)
     else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
     # At the fixpoint the edge set is a star forest: (member, root) with
     # root = component min. Roots map to themselves.
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -390,8 +445,20 @@ def pagerank(
     vanishing after round 1 as an inner-join formulation would make it.
     Dangling nodes (no out-edges) keep their rank but redistribute
     nothing — the simplified leak model; document, don't hide."""
+    # Materialize the (possibly expensive) edge pipeline exactly ONCE,
+    # under AQE; e / nodes_n then derive from the checkpointed RDD, so the
+    # three entry materializations don't re-run the upstream join+distinct
+    # per checkpoint (the r10 first cut did, and read 8.7 s / 30 jobs).
+    edges = cut_lineage(
+        edges.select(F.col(src).alias(src), F.col(dst).alias(dst)),
+        checkpoint_dir,
+        eager=True,
+    )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    e = cut_lineage(edges.join(deg, src), checkpoint_dir, eager=False)
+    # The rounds run under aqe_off with EAGER round checkpoints — lazy
+    # rounds re-planned under AQE measured 53 jobs / 7.97 s for the
+    # 5-iteration bipartite query vs 5 jobs / ~5 s without.
+    e = cut_lineage(edges.join(deg, src), checkpoint_dir, eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -399,32 +466,32 @@ def pagerank(
     )
     n_nodes = nodes.agg(F.count("*").alias("n"))
     nodes_n = cut_lineage(
-        nodes.crossJoin(F.broadcast(n_nodes)), checkpoint_dir, eager=False
+        nodes.crossJoin(F.broadcast(n_nodes)), checkpoint_dir, eager=True
     )
     ranks = nodes_n.select(
         "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
     )
     base = f"(15 * cast({scale} as bigint) div 100) div n"
-    for _ in range(iters):
-        inflow = (
-            e.join(ranks, e[src] == ranks.node)
-            .select(F.col(dst), F.expr("rank div deg").alias("contrib"))
-            .groupBy(dst)
-            .agg(F.sum("contrib").alias("inflow"))
-        )
-        ranks = (
-            nodes_n.join(inflow, nodes_n.node == inflow[dst], "left")
-            .select(
-                "node",
-                "n",
-                (
-                    F.expr(base)
-                    + F.expr("(85 * coalesce(inflow, 0)) div 100")
-                ).alias("rank"),
+    with aqe_off(edges.sparkSession):
+        for _ in range(iters):
+            inflow = (
+                e.join(ranks, e[src] == ranks.node)
+                .select(F.col(dst), F.expr("rank div deg").alias("contrib"))
+                .groupBy(dst)
+                .agg(F.sum("contrib").alias("inflow"))
             )
-        )
-        ranks = cut_lineage(ranks, checkpoint_dir, eager=False)  # flat plan:
-        # one shuffle per round
+            ranks = (
+                nodes_n.join(inflow, nodes_n.node == inflow[dst], "left")
+                .select(
+                    "node",
+                    "n",
+                    (
+                        F.expr(base)
+                        + F.expr("(85 * coalesce(inflow, 0)) div 100")
+                    ).alias("rank"),
+                )
+            )
+            ranks = cut_lineage(ranks, checkpoint_dir, eager=True)
     return ranks.select("node", "rank")
 
 
@@ -447,22 +514,31 @@ def k_hop_distances(
     frontier collapses after 2-3 hops. All distances are integers, so the
     result is engine-exact (an unrolled CTE chain oracles it). Lineage is
     cut per round (the CC/pagerank discipline). Returns (node, dist)."""
+    # Materialize the edge list ONCE under AQE (it may be a real pipeline
+    # — khop_trade_graph's is a lineitem-orders join + distinct), then run
+    # the rounds with eager checkpoints under aqe_off: per-round inputs
+    # are tiny known RDDs where adaptive re-planning is pure job floor
+    # (25 -> 8 jobs at sf0.1, wall unchanged).
+    e = cut_lineage(edges, checkpoint_dir, eager=True)
     dist = cut_lineage(
         seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("dist")).distinct(),
         checkpoint_dir,
-        eager=False,
+        eager=True,
     )
     frontier = dist
-    for h in range(1, k + 1):
-        nxt = (
-            edges.join(frontier, edges[src] == frontier.node)
-            .select(F.col(dst).alias("node"), F.lit(h).alias("dist"))
-            .distinct()
-        )
-        dist = cut_lineage(
-            dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist")),
-            checkpoint_dir,
-            eager=False,
-        )
-        frontier = dist.filter(F.col("dist") == h)
+    with aqe_off(edges.sparkSession):
+        for h in range(1, k + 1):
+            nxt = (
+                e.join(frontier, e[src] == frontier.node)
+                .select(F.col(dst).alias("node"), F.lit(h).alias("dist"))
+                .distinct()
+            )
+            dist = cut_lineage(
+                dist.unionByName(nxt).groupBy("node").agg(
+                    F.min("dist").alias("dist")
+                ),
+                checkpoint_dir,
+                eager=True,
+            )
+            frontier = dist.filter(F.col("dist") == h)
     return dist

@@ -6,6 +6,8 @@ degrades the 100 TB plan fails CI, not the cluster."""
 
 from __future__ import annotations
 
+import contextlib
+import os
 import re
 
 import pytest
@@ -15,8 +17,26 @@ from numaflow_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+@contextlib.contextmanager
+def lazy_plans():
+    """Plan tests pin the UNDERLYING plan shape: disable the
+    materialize_no_aqe eager evaluation (graph.py) so queries in the
+    cooccurrence family return their lazy plan instead of a checkpointed
+    RDD scan."""
+    old = os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE")
+    os.environ["SPARK_GRAFT_NO_AQE_MATERIALIZE"] = "0"
+    try:
+        yield
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_NO_AQE_MATERIALIZE", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_AQE_MATERIALIZE"] = old
+
+
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+    with lazy_plans():
+        df = QUERIES[name](spark, SF)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
 
@@ -471,7 +491,8 @@ def staged_plan_of(spark, name: str) -> str:
     from numaflow_spark.queries import STAGED_QUERIES
 
     fn = STAGED_QUERIES.get(name) or QUERIES[name]
-    df = fn(spark, SF)
+    with lazy_plans():
+        df = fn(spark, SF)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
 
@@ -545,13 +566,18 @@ def test_top_event_paths_heap_take(spark):
 
 
 def test_vocab_coverage_window_on_collapsed_vocab(spark):
-    """The global rank window must run AFTER the vocabulary groupBy (on
-    |distinct terms| rows, not corpus tokens): the plan's Window node sits
-    above a HashAggregate, and the 1-row total joins as broadcast."""
+    """r10: the running cumulative is the two-phase distributed form —
+    the local window must run AFTER the vocabulary groupBy (on |distinct
+    terms| rows, not corpus tokens), PARTITIONED by the range-partition
+    id (no single-partition sort); the 1-row total joins as broadcast."""
+    from tools.window_audit import unpartitioned_windows
+
     plan = staged_plan_of(spark, "vocab_coverage")
-    assert nodes(plan, "Window") == 1
-    assert plan.index("Window") < plan.index("Generate")  # formatted tree: op list order
-    assert nodes(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row total
+    assert nodes(plan, "Window") >= 1
+    assert unpartitioned_windows(plan) == 0
+    assert plan.index("Window") < plan.index("Generate")  # tree op order
+    # 1-row total + the <=P-row prefix triangle (a "<" join) both BNLJ
+    assert nodes(plan, "BroadcastNestedLoopJoin") >= 1
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
@@ -583,12 +609,16 @@ def test_lang_confusion_rowlocal_case_ladder(spark):
 
 
 def test_customer_rfm_windows_on_collapsed_customers(spark):
-    """The three ntile windows run on the per-customer aggregate, never
-    the fact table: plan has exactly 3 Window nodes above the customer
-    groupBy, the corpus-max-day joins as a 1-row broadcast, no Python."""
+    """r10: the three quintile bands are two-phase distributed ntiles on
+    the per-customer aggregate, never the fact table: 3 PARTITIONED local
+    rank windows (no single-partition sort anywhere), the corpus-max-day
+    and total-count join as 1-row broadcasts, no Python."""
+    from tools.window_audit import unpartitioned_windows
+
     plan = staged_plan_of(spark, "customer_rfm")
     assert nodes(plan, "Window") == 3
-    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert unpartitioned_windows(plan) == 0
+    assert nodes(plan, "BroadcastNestedLoopJoin") >= 1
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
@@ -631,13 +661,17 @@ def test_first_touch_attribution_single_user_exchange(spark):
 
 
 def test_pareto_parts_no_self_join(spark):
-    """Skyline via ONE range window on the parts table: no join of any
-    kind, no cartesian — the O(n log n) formulation, not the O(n^2)
-    dominance self-join."""
+    """Skyline via the two-phase strictly-cheaper running max: ONE local
+    range window per range partition (never a single-partition sort), the
+    prefix maxes via broadcast joins over <=P rows — still the O(n log n)
+    formulation, never the O(n^2) dominance self-join (no SortMergeJoin
+    or cartesian; the only joins are the tiny broadcast prefixes)."""
+    from tools.window_audit import unpartitioned_windows
+
     plan = staged_plan_of(spark, "pareto_parts")
     assert nodes(plan, "Window") == 1
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
-              "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+    assert unpartitioned_windows(plan) == 0
+    for j in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
         assert nodes(plan, j) == 0, j
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
@@ -695,12 +729,17 @@ def test_degree_distribution_no_cartesian(spark):
 
 
 def test_gini_rank_window_on_collapsed_customers(spark):
-    """The rank window runs on the per-customer aggregate (one Window
-    above a HashAggregate), and the moments reduce to one row; no join."""
+    """r10: the rank is the two-phase distributed form — the local
+    row_number window is PARTITIONED (by the range-partition id, never a
+    single-partition sort), the prefix offsets arrive via broadcast joins
+    over <=P rows, and no cartesian or Python stage appears."""
+    from tools.window_audit import unpartitioned_windows
+
     plan = staged_plan_of(spark, "gini_orders")
-    assert nodes(plan, "Window") == 1
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
-        assert nodes(plan, j) == 0, j
+    assert nodes(plan, "Window") >= 1
+    assert unpartitioned_windows(plan) == 0
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "BroadcastHashJoin") >= 1  # prefix offsets
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
@@ -714,11 +753,16 @@ def test_interarrival_histogram_single_user_exchange(spark):
 
 
 def test_revenue_pareto_window_on_collapsed_customers(spark):
-    """The cumulative window runs on the per-customer aggregate; the
-    1-row total joins as broadcast; final reduce is one row."""
+    """r10: the cumulative is the two-phase distributed running sum over
+    the per-customer aggregate — local PARTITIONED window + broadcast
+    prefix sums; the 1-row total joins as broadcast."""
+    from tools.window_audit import unpartitioned_windows
+
     plan = staged_plan_of(spark, "revenue_pareto_customers")
     assert nodes(plan, "Window") == 1
-    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert unpartitioned_windows(plan) == 0
+    # 1-row total + the <=P-row prefix triangle (a "<" join) both BNLJ
+    assert nodes(plan, "BroadcastNestedLoopJoin") >= 1
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
@@ -946,18 +990,27 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
         # global ranking of per-nation champions: exactly |nations| = 25
         # rows reach the window (constant-bounded dimension table)
         "nation_top_supplier_rank",
+        # Hamilton apportionment: both whole-table windows run on the
+        # 25-row per-nation rollup (docstring pins it; nations are a
+        # constant-bounded dimension)
+        "nation_seat_apportionment",
+        # source-id assignment + matrix windows run on the DISTINCT source
+        # list (single-digit cardinality label set, bounded by pipeline
+        # config, never by corpus size)
+        "source_overlap_matrix",
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     flagged = {}
-    for name, fn in QUERIES.items():
-        if name in ALLOWLIST:
-            continue
-        df = fn(spark, SF)
-        plan = df._jdf.queryExecution().explainString(mode)
-        n = unpartitioned_windows(plan)
-        if n:
-            flagged[name] = n
+    with lazy_plans():
+        for name, fn in QUERIES.items():
+            if name in ALLOWLIST:
+                continue
+            df = fn(spark, SF)
+            plan = df._jdf.queryExecution().explainString(mode)
+            n = unpartitioned_windows(plan)
+            if n:
+                flagged[name] = n
     assert not flagged, (
         f"single-partition global-sort windows (scale inverters): {flagged}"
     )

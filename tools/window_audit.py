@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Plan audits inspect the UNDERLYING plan: disable the cooccurrence
+# family's materialize_no_aqe eager evaluation (operators/graph.py).
+os.environ["SPARK_GRAFT_NO_AQE_MATERIALIZE"] = "0"
+
 
 def parse_tree(plan: str) -> list[tuple[int, str, int]]:
     """(indent_depth, op_name, node_id) per tree line of a formatted
