@@ -87,11 +87,15 @@ AddPartitionsToTxn, EndTxn writing commit/abort control-marker
 batches, last-stable-offset semantics, Fetch v4 aborted_transactions
 index, and the published read_committed client filter — abort ranges
 closed by their markers so later commits from the same producer
-deliver). Not implemented (documented divergences): lz4 batch compression
-(pyarrow's lz4 frames omit Frame_Content_Size, so exact-size
-decompression is impossible without a streaming decoder — gzip,
-snappy with xerial framing, and zstd ARE implemented via the
-pyarrow-bundled codecs), SASL GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
+deliver). ALL FOUR batch codecs are implemented: gzip, snappy with
+xerial framing, zstd (pyarrow-bundled codecs), and lz4 (r10: the LZ4
+frame + block formats implemented from the published specs directly —
+pure-Python xxHash32 header/content checksums, an overlap-safe block
+decoder that needs no content-size hint, and a greedy hash-table block
+compressor honoring the spec's end-of-block rules; pyarrow's bundled
+lz4 codec could not decode size-less frames, which kept this codec out
+through r9). Not implemented (documented divergence): SASL
+GSSAPI/Kerberos (OAUTHBEARER per RFC 7628 IS implemented,
 with KIP-255 unsecured-JWS validation, principal allow-listing, and
 the published challenge-then-dummy-response failure dance; swap the
 token for a signed JWT against a real issuer — the framing is
@@ -485,6 +489,268 @@ def _zstd_content_size(buf: bytes) -> int:
     return struct.unpack("<Q", buf[pos : pos + 8])[0]
 
 
+# ---------------------------------------------------------------------------
+# LZ4 (attributes codec 3): record batches carry a standard LZ4 FRAME
+# (github.com/lz4/lz4 Frame format spec v1.6.x) around LZ4 BLOCKS. pyarrow's
+# bundled lz4 frame codec cannot decode without a Frame_Content_Size (which
+# Kafka producers legitimately omit), so both directions are implemented
+# from the PUBLISHED specs directly: a pure-Python xxHash32 (header/content
+# checksums), a pure-Python block decoder (token / literals / offset+match
+# copy, overlap-safe), and a greedy hash-chain block compressor honoring the
+# end-of-block rules (last 5 bytes literal, last match starts >= 12 bytes
+# from the end; blocks < 13 bytes never compress). Message-format v2 uses
+# the UNMODIFIED frame spec (the v0/v1 legacy HC quirk does not apply).
+# ---------------------------------------------------------------------------
+
+LZ4 = 3
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"  # 0x184D2204 LE
+_XXH32_P1, _XXH32_P2, _XXH32_P3, _XXH32_P4, _XXH32_P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (the published algorithm; required by the LZ4 frame spec
+    for the descriptor HC byte and the optional content checksum)."""
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        v1 = (seed + _XXH32_P1 + _XXH32_P2) & _M32
+        v2 = (seed + _XXH32_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH32_P1) & _M32
+        while pos + 16 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                (lane,) = struct.unpack_from("<I", data, pos + 4 * i)
+                v = (v + lane * _XXH32_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH32_P1) & _M32
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            pos += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
+             + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXH32_P5) & _M32
+    h = (h + n) & _M32
+    while pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        h = (h + lane * _XXH32_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH32_P4) & _M32
+        pos += 4
+    while pos < n:
+        h = (h + data[pos] * _XXH32_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH32_P1) & _M32
+        pos += 1
+    h ^= h >> 15
+    h = (h * _XXH32_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH32_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _lz4_block_decompress(src: bytes) -> bytes:
+    """LZ4 block format decode (lz4_Block_format.md): token high nibble =
+    literal run (15 extends byte-wise), low nibble = match length - 4;
+    2-byte LE offset; overlap-safe byte-range match copy."""
+    out = bytearray()
+    pos, n = 0, len(src)
+    while pos < n:
+        token = src[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated lz4 literal length")
+                b = src[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("truncated lz4 literals")
+        out += src[pos:pos + lit]
+        pos += lit
+        if pos == n:
+            break  # last sequence carries literals only
+        if pos + 2 > n:
+            raise ValueError("truncated lz4 offset")
+        offset = src[pos] | (src[pos + 1] << 8)
+        pos += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("corrupt lz4 offset")
+        mlen = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated lz4 match length")
+                b = src[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if offset >= mlen:  # disjoint: one slice copy
+            out += out[start:start + mlen]
+        else:
+            for i in range(mlen):  # overlap: byte-wise replication
+                out.append(out[start + i])
+    return bytes(out)
+
+
+def _lz4_block_compress(src: bytes) -> bytes | None:
+    """Greedy LZ4 block encoder (hash table over 4-byte windows). Honors
+    the spec's end rules: the last 5 bytes are literals and no match may
+    start within 12 bytes of the end. Returns None when the block doesn't
+    shrink (caller stores it uncompressed — also valid LZ4F)."""
+    n = len(src)
+    if n < 13:
+        return None
+    out = bytearray()
+    table: dict[int, int] = {}
+    anchor = 0
+    pos = 0
+    limit = n - 12  # last match must start before here (mflimit)
+    while pos < limit:
+        key = src[pos:pos + 4]
+        cand = table.get(hash(key))
+        table[hash(key)] = pos
+        if (cand is not None and pos - cand <= 65535
+                and src[cand:cand + 4] == key):
+            # extend the match forward (stop 5 literals before the end)
+            mend = pos + 4
+            cend = cand + 4
+            stop = n - 5
+            while mend < stop and src[mend] == src[cend]:
+                mend += 1
+                cend += 1
+            lit = src[anchor:pos]
+            mlen = mend - pos
+            token_lit = 15 if len(lit) >= 15 else len(lit)
+            token_m = 15 if mlen - 4 >= 15 else mlen - 4
+            out.append((token_lit << 4) | token_m)
+            rem = len(lit) - 15
+            while token_lit == 15 and rem >= 0:
+                out.append(255 if rem >= 255 else rem)
+                if rem < 255:
+                    break
+                rem -= 255
+            out += lit
+            out += struct.pack("<H", pos - cand)
+            rem = mlen - 4 - 15
+            while token_m == 15 and rem >= 0:
+                out.append(255 if rem >= 255 else rem)
+                if rem < 255:
+                    break
+                rem -= 255
+            anchor = mend
+            pos = mend
+        else:
+            pos += 1
+    # final literal run (everything from anchor to end)
+    lit = src[anchor:]
+    token_lit = 15 if len(lit) >= 15 else len(lit)
+    out.append(token_lit << 4)
+    rem = len(lit) - 15
+    while token_lit == 15 and rem >= 0:
+        out.append(255 if rem >= 255 else rem)
+        if rem < 255:
+            break
+        rem -= 255
+    out += lit
+    return bytes(out) if len(out) < n else None
+
+
+_LZ4_BLOCK_MAX = 4 * 1024 * 1024  # BD block-max code 7 (4 MB)
+
+
+def _lz4_frame_compress(raw: bytes) -> bytes:
+    """Standard LZ4 frame: FLG(version 01, block-independent), BD(4 MB),
+    HC = (xxh32(descriptor) >> 8) & 0xFF, independent data blocks (high
+    bit of the size word = stored uncompressed), empty EndMark."""
+    flg = (1 << 6) | (1 << 5)  # version 01, B.Indep, no checksums/size
+    bd = 7 << 4
+    desc = bytes([flg, bd])
+    hc = (_xxh32(desc) >> 8) & 0xFF
+    out = bytearray(_LZ4_MAGIC + desc + bytes([hc]))
+    for i in range(0, len(raw), _LZ4_BLOCK_MAX):
+        chunk = raw[i:i + _LZ4_BLOCK_MAX]
+        comp = _lz4_block_compress(chunk)
+        if comp is None:
+            out += struct.pack("<I", len(chunk) | 0x80000000)
+            out += chunk
+        else:
+            out += struct.pack("<I", len(comp))
+            out += comp
+    out += struct.pack("<I", 0)  # EndMark
+    return bytes(out)
+
+
+def _lz4_frame_decompress(buf: bytes) -> bytes:
+    """Decode a standard LZ4 frame (any compliant producer's output):
+    validates magic + descriptor HC, honors B.Checksum / C.Size / DictID
+    descriptor layout, decodes blocks until EndMark, verifies the content
+    checksum when present. No content-size hint needed — this is the
+    divergence pyarrow's bundled codec could not close."""
+    if len(buf) < 7 or buf[:4] != _LZ4_MAGIC:
+        raise ValueError("not an lz4 frame")
+    flg = buf[4]
+    if (flg >> 6) != 1:
+        raise ValueError("unsupported lz4 frame version")
+    has_bchk = bool(flg & (1 << 4))
+    has_csize = bool(flg & (1 << 3))
+    has_cchk = bool(flg & (1 << 2))
+    has_dict = bool(flg & 1)
+    desc_len = 2 + (8 if has_csize else 0) + (4 if has_dict else 0)
+    desc = buf[4:4 + desc_len]
+    hc_pos = 4 + desc_len
+    if hc_pos >= len(buf):
+        raise ValueError("truncated lz4 frame descriptor")
+    if buf[hc_pos] != (_xxh32(desc) >> 8) & 0xFF:
+        raise ValueError("lz4 frame header checksum mismatch")
+    pos = hc_pos + 1
+    out = bytearray()
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated lz4 frame (no EndMark)")
+        (word,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if word == 0:
+            break  # EndMark
+        stored = bool(word & 0x80000000)
+        size = word & 0x7FFFFFFF
+        if pos + size > len(buf):
+            raise ValueError("truncated lz4 block")
+        block = buf[pos:pos + size]
+        pos += size
+        if has_bchk:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated lz4 block checksum")
+            (bchk,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            if bchk != _xxh32(block):
+                raise ValueError("lz4 block checksum mismatch")
+        out += block if stored else _lz4_block_decompress(block)
+    if has_cchk:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated lz4 content checksum")
+        (cchk,) = struct.unpack_from("<I", buf, pos)
+        if cchk != _xxh32(bytes(out)):
+            raise ValueError("lz4 content checksum mismatch")
+    return bytes(out)
+
+
 def _zstd_compress(raw: bytes) -> bytes:
     import pyarrow as pa
 
@@ -541,6 +807,8 @@ def encode_record_batch_v2(
         recs = _snappy_xerial_compress(recs)
     elif compression == ZSTD:
         recs = _zstd_compress(recs)
+    elif compression == LZ4:
+        recs = _lz4_frame_compress(recs)
     elif compression:
         raise ValueError(f"unsupported compression codec {compression}")
     attrs = compression
@@ -641,6 +909,8 @@ def decode_record_batches_v2_ex(
             rec_buf = _snappy_xerial_decompress(rec_buf)
         elif codec == ZSTD:
             rec_buf = _zstd_decompress(rec_buf)
+        elif codec == LZ4:
+            rec_buf = _lz4_frame_decompress(rec_buf)
         elif codec:
             raise ValueError(f"unsupported compression codec {codec}")
         p = 0

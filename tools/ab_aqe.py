@@ -1,0 +1,80 @@
+"""Per-query AQE regime A/B over the full registry: min-of-2 wall + job
+count under adaptive on vs off, one session, interleaved per query so host
+drift hits both arms equally. Writes JSON for the regime-registry decision
+(queries.py::NO_AQE_QUERIES): a query is a candidate when OFF wins by
+>15% AND >0.15s at this scale.
+
+Usage: python tools/ab_aqe.py [sf_dir] [out.json] [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A/B the RAW plans: the regime registry must not pre-wrap its own arms.
+os.environ["SPARK_GRAFT_NO_AQE_MATERIALIZE"] = "0"
+
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    out_path = args[1] if len(args) > 1 else "tools/ab_aqe_result.json"
+    names = args[2:] or list(QUERIES)
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    spark = get_spark("ab_aqe", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+    skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
+
+    def timed(name: str, aqe: bool) -> tuple[float, int]:
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        best, jobs = None, None
+        for _ in range(2):
+            j0 = max(sc.statusTracker().getJobIdsForGroup() or [0], default=0)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).toPandas()
+            dt = time.perf_counter() - t0
+            j1 = max(sc.statusTracker().getJobIdsForGroup() or [0], default=0)
+            if best is None or dt < best:
+                best, jobs = dt, j1 - j0
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        return best, jobs
+
+    rows = {}
+    for name in names:
+        if name in skip or name not in QUERIES:
+            continue
+        try:
+            on_s, on_j = timed(name, True)
+            off_s, off_j = timed(name, False)
+        except Exception as ex:  # noqa: BLE001 — record, keep sweeping
+            rows[name] = {"err": str(ex)[:200]}
+            continue
+        rows[name] = {
+            "on_sec": round(on_s, 3), "off_sec": round(off_s, 3),
+            "on_jobs": on_j, "off_jobs": off_j,
+            "off_wins": off_s < on_s * 0.85 and on_s - off_s > 0.15,
+        }
+        print(f"{name}: on={on_s:.2f}s/{on_j}j off={off_s:.2f}s/{off_j}j"
+              f"{'  << OFF WINS' if rows[name]['off_wins'] else ''}",
+              flush=True)
+    out = {"sf_dir": sf_dir, "queries": rows,
+           "winners": sorted(n for n, r in rows.items() if r.get("off_wins"))}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nOFF winners ({len(out['winners'])}): {out['winners']}")
+
+
+if __name__ == "__main__":
+    main()
