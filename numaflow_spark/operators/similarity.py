@@ -375,21 +375,38 @@ def lsh_pairs_cte_sql(
     band_selects = "\n            UNION ALL ".join(
         f"SELECT vid, {b} AS band, {code_expr(b)} AS code FROM v" for b in range(n_bands)
     )
+    # Shape note (r10): candidates dedup BEFORE the cosine verify, and the
+    # per-vector norm is precomputed once in `v` — at x10 the raw band
+    # stream is ~312M rows collapsing to 155M distinct id-pairs in ~11 s
+    # (ints only, no arrays on the wire); only then do the two small-build
+    # array joins + ONE dot product per surviving pair run. The r9 run
+    # additionally died on DuckDB's default max_temp_directory_size of 0
+    # ("No space left on device" with 44 GB free) — the sf1 harness now
+    # sets a real temp dir (tools/check_queries.py). The verify arithmetic
+    # (round(dot/na/nb, 6)) is byte-identical to the engine's — do not
+    # "simplify" to pre-normalized vectors, that changes the float path at
+    # the rounding boundary.
     return f"""
-        v AS (
-            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+        v AS MATERIALIZED (
+            SELECT vid, e, sqrt(list_dot_product(e, e)) AS nrm
+            FROM (
+                SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS e
+                FROM {table}
+            ) raw
         ), codes AS (
             {band_selects}
         ), cand AS (
             SELECT DISTINCT a.vid AS d1, b.vid AS d2
-            FROM codes a JOIN codes b
-              ON a.band = b.band AND a.code = b.code AND a.vid < b.vid
+            FROM codes a
+            JOIN codes b ON a.band = b.band AND a.code = b.code
+                        AND a.vid < b.vid
         ), pairs AS (
             SELECT d1, d2
-            FROM cand JOIN v va ON va.vid = d1 JOIN v vb ON vb.vid = d2
-            WHERE round(list_dot_product(va.e, vb.e)
-                        / sqrt(list_dot_product(va.e, va.e))
-                        / sqrt(list_dot_product(vb.e, vb.e)), 6) >= {threshold}
+            FROM cand
+            JOIN v va ON va.vid = d1
+            JOIN v vb ON vb.vid = d2
+            WHERE round(list_dot_product(va.e, vb.e) / va.nrm / vb.nrm, 6)
+                  >= {threshold}
         )
     """
 

@@ -709,26 +709,34 @@ _NEARDUP_PAIRS_CTES = """
     )
 """
 
-# Transitive closure over an undirected pair table `pairs(d1, d2)`:
-# component id = min reachable node. The recursive UNION deduplicates, so
-# the fixpoint is the closure — exact CC for oracle-scale graphs (the Spark
-# side uses large-star/small-star, which computes the same fixpoint).
+# Connected components over an undirected pair table `pairs(d1, d2)`:
+# component id = min reachable node, via MIN-LABEL PROPAGATION — each
+# recursion round keeps one improving (node, best-label-so-far) row per
+# reached node (GROUP BY + min over the recursive reference; the UNION
+# dedup bounds total work by #distinct improving labels per node,
+# ~O(V log V) on random graphs) instead of the r7 reachability closure
+# (node, reachable-node) whose working set is QUADRATIC in component size
+# — the exact pathology that made the sf1 embedding oracles unfinishable
+# on the derived corpus's noise giant-component (r10 fix: a 60k-node /
+# 130k-edge giant component resolves in 1.8 s; the closure form never
+# finished). Both forms compute the same fixpoint (exact CC; the Spark
+# side's large-star/small-star agrees).
 # `und` MUST be MATERIALIZED: DuckDB inlines plain CTEs into the recursive
 # loop, so every iteration re-ran the entire upstream candidate-pair chain
 # (the banded-LSH scan included) — measured 47.9s -> 2.5s at sf0.1 for
-# embedding_clusters from this one keyword. The recursion then iterates
-# over a few-hundred-row edge table, which is the shape that scales.
+# embedding_clusters from this one keyword.
 _CC_CTES = """
     und AS MATERIALIZED (
         SELECT d1 AS a, d2 AS b FROM pairs
         UNION ALL
         SELECT d2, d1 FROM pairs
-    ), reach(n, r) AS (
-        SELECT DISTINCT a, a FROM und
+    ), lbl(n, r) AS (
+        SELECT a, least(a, min(b)) FROM und GROUP BY a
         UNION
-        SELECT u.b, reach.r FROM reach JOIN und u ON reach.n = u.a
+        SELECT u.b, min(lbl.r) FROM lbl JOIN und u ON lbl.n = u.a
+        GROUP BY u.b
     ), comp AS (
-        SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+        SELECT n AS node, min(r) AS component FROM lbl GROUP BY n
     )
 """
 
@@ -1602,13 +1610,54 @@ STAGED_ORACLES["grouped_hll_users"] = _hll_by_sql(
 # cross join, but 64 distinct names at sf0.1 instead of 20k rows: the
 # brute-force form took DuckDB 75s at sf0.1 and dominated oracle-side
 # verification walls.
+# Candidate generation is PassJoin-style segment blocking (Li, Deng &
+# Feng, VLDB'11), not a cross join: split every name into 3 contiguous
+# segments; any pair within edit distance 2 must contain at least one of
+# the shorter side's segments EXACTLY, shifted by at most 2 positions
+# (pigeonhole: 2 edits touch <= 2 segments; indels shift later segments by
+# <= 2). The r9 brute-force formulation was quadratic in |distinct names|
+# — the one oracle that could not run at x10 (2e10 levenshtein calls);
+# this exact-and-exhaustive blocking is near-linear in names + candidates
+# and returns the identical pair set (re-verified at sf0.001/0.01/0.1).
 STAGED_ORACLES["editdist_part_names"] = """
-    WITH names AS MATERIALIZED (SELECT DISTINCT p_name FROM part),
+    WITH names AS MATERIALIZED (SELECT DISTINCT p_name AS nm FROM part),
+    lens AS (SELECT DISTINCT len(nm) AS L FROM names),
+    segdef AS MATERIALIZED (
+        SELECT L, k,
+               CASE k WHEN 1 THEN 1
+                      WHEN 2 THEN 1 + (L + 2) // 3
+                      ELSE 1 + (L + 2) // 3 + (L + 1) // 3 END AS pos,
+               CASE k WHEN 1 THEN (L + 2) // 3
+                      WHEN 2 THEN (L + 1) // 3
+                      ELSE L // 3 END AS slen
+        FROM lens, (SELECT unnest([1, 2, 3]) AS k) ks
+        WHERE (CASE k WHEN 1 THEN (L + 2) // 3
+                      WHEN 2 THEN (L + 1) // 3
+                      ELSE L // 3 END) > 0
+    ),
+    akeys AS (
+        SELECT n.nm, s.L, s.k, substr(n.nm, s.pos, s.slen) AS piece
+        FROM names n JOIN segdef s ON s.L = len(n.nm)
+    ),
+    bkeys AS (
+        SELECT n.nm, s.L, s.k,
+               substr(n.nm, s.pos + sh.sh, s.slen) AS piece
+        FROM names n
+        JOIN segdef s ON s.L BETWEEN len(n.nm) - 2 AND len(n.nm) + 2,
+             (SELECT unnest([-2, -1, 0, 1, 2]) AS sh) sh
+        WHERE s.pos + sh.sh >= 1
+          AND s.pos + sh.sh + s.slen - 1 <= len(n.nm)
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        FROM akeys a
+        JOIN bkeys b ON a.L = b.L AND a.k = b.k AND a.piece = b.piece
+        WHERE a.nm < b.nm
+    ),
     dpairs AS MATERIALIZED (
-        SELECT a.p_name AS name_a, b.p_name AS name_b,
-               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-        FROM names a JOIN names b ON a.p_name < b.p_name
-        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= 2
     )
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, 0 AS dist
     FROM part a JOIN part b

@@ -2374,10 +2374,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py::materialize_no_aqe — the cooccurrence family's
     CPU-bound pair expansion measured 3.8 -> 1.6 s (sf0.1) / 4.4 -> 1.8 s
     (x10) with AQE's advisory coalescing out of the expansion stage."""
-    from numaflow_spark.operators.graph import (
-        cooccurrence_pairs,
-        materialize_no_aqe,
-    )
+    from numaflow_spark.operators.graph import cooccurrence_pairs
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
@@ -2387,9 +2384,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
-    return materialize_no_aqe(
-        pairs.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(50)
-    )
+    return pairs.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(50)
 
 
 def q_revenue_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2909,7 +2904,6 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     32.1 -> 18.7 s (x10), same-session min-of-2, identical count."""
     from numaflow_spark.operators.graph import (
         cooccurrence_pairs,
-        materialize_no_aqe,
         triangle_count,
     )
 
@@ -2919,7 +2913,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    return materialize_no_aqe(triangle_count(edges))
+    return triangle_count(edges)
 
 
 STAGED_QUERIES["session_islands"] = q_session_islands
@@ -3325,10 +3319,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cooccurrence_pairs (one orderkey shuffle, row-local expansion — r7
     rewrite of the self-join). Materialized via materialize_no_aqe
     (cooccurrence-family regime): 3.8 -> 2.4 s sf0.1 / 4.4 -> 2.6 s x10."""
-    from numaflow_spark.operators.graph import (
-        cooccurrence_pairs,
-        materialize_no_aqe,
-    )
+    from numaflow_spark.operators.graph import cooccurrence_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -3353,7 +3344,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "part_b")
         .crossJoin(F.broadcast(n_orders))
     )
-    out = (
+    return (
         enriched.select(
             "part_a",
             "part_b",
@@ -3367,7 +3358,6 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
         .limit(50)
     )
-    return materialize_no_aqe(out)
 
 
 STAGED_QUERIES["customer_rfm"] = q_customer_rfm
@@ -3631,10 +3621,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition(u)+dropDuplicates orientation split read 5.61 s.
     Materialized via materialize_no_aqe (cooccurrence-family regime):
     4.0 -> 2.0 s at sf0.1 / 15.9 -> 7.0 s at x10, same session."""
-    from numaflow_spark.operators.graph import (
-        cooccurrence_pairs,
-        materialize_no_aqe,
-    )
+    from numaflow_spark.operators.graph import cooccurrence_pairs
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").select("u", "v")
@@ -3642,7 +3629,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = und.groupBy("u").agg(F.countDistinct("v").alias("degree"))
-    return materialize_no_aqe(
+    return (
         deg.groupBy(
             F.length(F.expr("bin(degree)")).cast("bigint").alias("degree_bucket")
         )
@@ -5163,18 +5150,20 @@ _R10_WINDOW = [
     "brand_price_mad", "degree_distribution", "triangle_count",
     "basket_pairs", "copurchase_lift", "pagerank_bipartite",
     "khop_trade_graph", "bpe_merges",
-    # 20 queries last green in r6, registry order:
+    # r10 AQE-regime recerts (NO_AQE_QUERIES members not already above;
+    # outputs identical, execution regime changed -> fresh driver rows):
+    "audio_pcm_energy", "brand_supplier_counts",
+    "brand_weighted_median_price", "customer_order_gap_median",
+    "customer_streak_census", "grouping_sets", "late_shipment_modes",
+    "median_order_value", "ngram_jaccard", "percentiles",
+    "session_funnel", "session_islands", "simhash_neardup",
+    "small_quantity_revenue", "window_running",
+    # 13 least-recently-certified (r6-latest), registry order:
     "corpus_profile", "weighted_sample", "chunk_documents",
     "sliding_distinct_users", "event_transitions", "top_event_paths",
     "ohlc_daily", "source_length_histogram", "lang_confusion",
     "user_streaks", "order_fill_latency", "first_touch_attribution",
-    "brand_mode_returnflag", "median_order_value", "label_source_matrix",
-    "seasonal_index", "error_rate_hours", "interarrival_histogram",
-    "segment_status_matrix", "negative_balance_exposure",
-    # 8 queries last green in r7, registry order:
-    "inverted_index", "dow_hour_heatmap", "first_event_census",
-    "wau_dau_stickiness", "dedup_rate_by_source",
-    "supplier_lead_time_stats", "fixed_window_keyed", "fixed_window_global",
+    "brand_mode_returnflag",
 ]
 assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(QUERIES)
 QUERIES = {
@@ -5202,4 +5191,70 @@ RECERT_PENDING += [
     "basket_pairs", "copurchase_lift", "pagerank_bipartite",
     "khop_trade_graph", "bpe_merges",
 ]
+# r10 AQE-regime registry members (NO_AQE_QUERIES below): identical
+# outputs re-verified at sf0.001 + sf0.01, but the execution regime (eager
+# materialize_no_aqe) is a plan change by the queue's rule.
+RECERT_PENDING += [
+    "audio_pcm_energy", "brand_supplier_counts",
+    "brand_weighted_median_price", "customer_order_gap_median",
+    "customer_streak_census", "grouping_sets", "late_shipment_modes",
+    "median_order_value", "ngram_jaccard", "percentiles",
+    "session_funnel", "session_islands", "simhash_neardup",
+    "small_quantity_revenue", "window_running",
+]
+# r10 oracle-side rewrites (same Spark plans, new oracle SQL — listed for
+# the paper trail, certified by the same fresh rows): the CC oracles moved
+# from reachability closure to min-label propagation and editdist's from a
+# brute-force cross join to PassJoin segment blocking, unlocking the x10
+# artifact's three documented skips. embedding_clusters /
+# embedding_dedup_survivors / neardup_clusters / neardup_survivors /
+# editdist_part_names keep their Spark plans (editdist + the neardup pair
+# are already certified; identical results re-verified at sf0.001-0.1).
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+
+# ---------------------------------------------------------------------------
+# r10 AQE regime registry. AQE's advisory-size coalescing (tuned in r8 for
+# the tiny-query floor) packs CPU-bound reduce stages onto too few cores
+# and adds a per-stage re-plan job; for these queries the measured A/B
+# (tools/ab_aqe_sf01.json + tools/ab_aqe_sf1.json, min-of-2, interleaved
+# arms, identical outputs) shows adaptive OFF winning >15% and >0.15 s at
+# sf0.1 AND confirming at x10 — e.g. ngram_jaccard 13.0 -> 5.7 s,
+# simhash_neardup 14.0 -> 7.6, winsorized_order_stats 14.1 -> 8.8,
+# triangle_count 43.1 -> 31.1 at x10. Each is materialized eagerly under
+# operators/graph.py::materialize_no_aqe (SPARK_GRAFT_NO_AQE_MATERIALIZE=0
+# restores the lazy plan for plan tests/audits). Queries that lost or tied
+# in either arm (the CC/LSH families, corpus_curation, quantity_quartiles,
+# winnow_dups) stay under AQE. At cluster scale with real data volumes the
+# crossover moves — re-run the A/B tool per deployment before copying this
+# list.
+# ---------------------------------------------------------------------------
+NO_AQE_QUERIES = {
+    "audio_pcm_energy", "basket_pairs", "brand_price_mad",
+    "brand_supplier_counts", "brand_weighted_median_price",
+    "copurchase_lift", "customer_order_gap_median",
+    "customer_streak_census", "degree_distribution", "gap_trend_census",
+    "grouping_sets", "late_shipment_modes", "median_order_value",
+    "ngram_jaccard", "percentiles", "session_funnel", "session_islands",
+    "simhash_neardup", "small_quantity_revenue", "triangle_count",
+    "window_running", "winsorized_order_stats",
+}
+assert NO_AQE_QUERIES <= set(QUERIES)
+
+
+def _wrap_no_aqe(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from numaflow_spark.operators.graph import materialize_no_aqe
+
+        return materialize_no_aqe(fn(spark, sf_dir))
+
+    return wrapped
+
+
+QUERIES = {
+    k: (_wrap_no_aqe(v) if k in NO_AQE_QUERIES else v)
+    for k, v in QUERIES.items()
+}

@@ -91,6 +91,15 @@ def main() -> int:
 
     spark = get_spark("check_queries")
     con = duckdb.connect()
+    # DuckDB's default max_temp_directory_size is 0 for in-memory
+    # connections — any spill then fails as a phantom "No space left on
+    # device" regardless of real free disk (bit the r9 sf1 embedding
+    # oracles). Give the big-oracle runs a real spill lane.
+    import os as _os
+
+    _os.makedirs("/tmp/ddb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/ddb_spill'")
+    con.execute("SET max_temp_directory_size='35GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -36,6 +36,9 @@ def main() -> None:
 
     cache = cache_tables_enabled()
     con = duckdb.connect()
+    os.makedirs("/tmp/ddb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/ddb_spill'")
+    con.execute("SET max_temp_directory_size='35GB'")
     kind = "TABLE" if cache else "VIEW"
     for t in TABLES:
         con.execute(
