@@ -6,25 +6,47 @@ data (VERDICT r9 "What's wrong" #5: at the 100 TB target the "collapsed"
 per-customer / per-part / per-vocabulary tables are billions of rows, and
 an unpartitioned window forces ALL of them through ONE task).
 
-The classic two-phase distributed ranking instead:
+The classic two-phase distributed ranking:
 
-1. ``repartitionByRange(P, *order)`` places every row in a range partition
-   that respects the total order (equal keys co-locate; the EXPLICIT
-   partition count opts the exchange out of AQE coalescing, so partition
-   ids are stable across the plan's multiple reads of the exchange).
+1. Every row gets an order-respecting bucket id computed as a
+   DETERMINISTIC PURE FUNCTION of its primary sort value:
+   ``bucket = ((v - min) * P) div (max - min + 1)`` against the broadcast
+   1-row (min, max) aggregate — monotone in v, so bucket boundaries
+   respect the total order and equal keys always co-locate.
 2. Local running aggregates (row_number / running sum / running max) run
-   inside each range partition — P parallel sorts of n/P rows each,
-   partitioned on the materialized ``spark_partition_id()`` column.
-3. Per-partition closing totals reduce to P rows, and each partition's
-   EXCLUSIVE prefix (what all strictly-earlier partitions contribute) is
-   computed with a broadcast triangle join over those P rows (P^2 <= 1024
+   inside each bucket — P parallel sorts of ~n/P rows each, partitioned
+   on the bucket column (one hash exchange).
+3. Per-bucket closing totals reduce to <=P rows, and each bucket's
+   EXCLUSIVE prefix (what all strictly-earlier buckets contribute) is
+   computed with a broadcast triangle join over those rows (P^2 <= 1024
    intermediate rows — deliberately NOT an unpartitioned window, so the
    rewritten plans contain zero single-partition sorts of any size), then
    broadcast-joined back:  global = exclusive_prefix (+) local.
 
-Ranks are EXACT regardless of how the range sampler draws its bounds:
-equal keys land together and every key in partition i precedes every key
-in partition j>i, so prefix-count + local row_number is the global rank.
+WHY a value-interpolated bucket and not ``repartitionByRange`` +
+``spark_partition_id()``: the r10 first cut used the physical partition
+id, and its correctness silently depended on Spark REUSING the range
+exchange between the plan's two reads (the local-window branch and the
+per-bucket-counts branch). When the optimizer does not reuse — measured
+on the chained customer_rfm plan at x10 — each branch re-evaluates the
+exchange, the range sampler draws DIFFERENT bounds per evaluation (its
+seed derives from the RDD id), and offsets from one bucketing get applied
+to local ranks from another: 145k of 150k ranks came out wrong while the
+same single-call plan passed via lucky reuse. A bucket id that is a pure
+function of the DATA is consistent across any number of independent
+evaluations by construction; no physical-plan property is load-bearing.
+The price is balance, not correctness: value-space interpolation can skew
+on pathological distributions (sampled range partitioning balances
+better), which degrades parallelism gracefully and never the result.
+
+Ranks are EXACT for any bucket boundaries because equal keys co-locate
+and every key in bucket i precedes every key in bucket j>i (ascending
+primary; descending flips the bucket index).
+
+The primary sort value must be an INTEGER column (bigint-castable) — true
+of every consumer in this repo (cents, days, counts); the interpolation
+arithmetic is exact 64-bit ((v-min)*P stays < 2^63 for P <= 2^13 on any
+realistic money/count domain).
 
 Reference parity: numaflow's reducers are keyed and never need a global
 total order (rust/numaflow-core reduce pipeline); this module serves the
@@ -46,22 +68,37 @@ DEFAULT_RANGE_PARTITIONS = 32
 _PID = "__rk_pid"
 _LOC = "__rk_loc"
 _PRE = "__rk_pre"
+_LO = "__rk_lo"
+_HI = "__rk_hi"
 
 
-def _range_partitioned(df: DataFrame, order_cols: list[Column],
-                       partitions: int) -> DataFrame:
-    """Range-partition on the total order and materialize the partition id
-    as a real column (a projected attribute — Window/groupBy/join on it is
-    fine even though the generating expression is non-deterministic; the
-    explicit count keeps AQE from re-coalescing between the plan's reads)."""
-    part = df.repartitionByRange(partitions, *order_cols)
-    return part.withColumn(_PID, F.spark_partition_id())
+def _bucketed(df: DataFrame, primary: str, descending: bool,
+              partitions: int) -> DataFrame:
+    """Attach the order-respecting deterministic bucket id (see module
+    docstring). The (min, max) aggregate broadcasts as one row; both are
+    order-insensitive, so every independent evaluation of this subtree
+    yields identical buckets."""
+    stats = df.agg(
+        F.min(F.col(primary).cast("bigint")).alias(_LO),
+        F.max(F.col(primary).cast("bigint")).alias(_HI),
+    )
+    bucket = F.expr(
+        f"CAST(((CAST({primary} AS BIGINT) - {_LO}) * {partitions})"
+        f" div ({_HI} - {_LO} + 1) AS INT)"
+    )
+    if descending:
+        bucket = F.lit(partitions - 1) - bucket
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(_PID, bucket)
+        .drop(_LO, _HI)
+    )
 
 
 def _exclusive_prefix(per_pid: DataFrame, agg: Column,
                       out: str) -> DataFrame:
-    """For each partition id, `agg` over all STRICTLY earlier partitions
-    (NULL when none). Broadcast triangle join over <=P rows per side."""
+    """For each bucket id, `agg` over all STRICTLY earlier buckets (NULL
+    when none). Broadcast triangle join over <=P rows per side."""
     metrics = [c for c in per_pid.columns if c != _PID]
     right = per_pid.select(
         F.col(_PID).alias("__rk_qid"),
@@ -74,11 +111,13 @@ def _exclusive_prefix(per_pid: DataFrame, agg: Column,
 
 
 def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
+                    *, primary: str, descending: bool = False,
                     partitions: int = DEFAULT_RANGE_PARTITIONS) -> DataFrame:
     """`row_number() OVER (ORDER BY order_cols)` without the global sort.
-    `order_cols` must be a total order (include a tiebreak) for the rank
-    to be deterministic — same contract as the window it replaces."""
-    part = _range_partitioned(df, order_cols, partitions)
+    `order_cols` must be a total order (include a tiebreak) whose leading
+    key is the integer column `primary` (sorted DESC when `descending`) —
+    same determinism contract as the window it replaces."""
+    part = _bucketed(df, primary, descending, partitions)
     wloc = Window.partitionBy(_PID).orderBy(*order_cols)
     local = part.withColumn(_LOC, F.row_number().over(wloc))
     cnts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
@@ -95,11 +134,13 @@ def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
 
 def add_global_running_sum(df: DataFrame, order_cols: list[Column],
                            value_col: str, out_col: str,
+                           *, primary: str, descending: bool = False,
                            partitions: int = DEFAULT_RANGE_PARTITIONS,
                            ) -> DataFrame:
     """`sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING..
-    CURRENT ROW)` without the global sort (order must be total)."""
-    part = _range_partitioned(df, order_cols, partitions)
+    CURRENT ROW)` without the global sort (order must be total, led by
+    the integer column `primary`)."""
+    part = _bucketed(df, primary, descending, partitions)
     wloc = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
@@ -121,10 +162,10 @@ def add_global_running_max_strictly_before(
 ) -> DataFrame:
     """`max(value) OVER (ORDER BY range_col RANGE UNBOUNDED PRECEDING..
     1 PRECEDING)` — the skyline "best among strictly smaller keys" frame —
-    without the global sort. Range-partitioning on `range_col` ALONE keeps
-    equal keys in one partition, so partition boundaries never split a
-    strictly-before frame. NULL when nothing precedes (first key)."""
-    part = _range_partitioned(df, [F.col(range_col)], partitions)
+    without the global sort. Bucketing on `range_col` alone keeps equal
+    keys in one bucket (the id is a function of the value), so boundaries
+    never split a strictly-before frame. NULL when nothing precedes."""
+    part = _bucketed(df, range_col, False, partitions)
     wloc = (
         Window.partitionBy(_PID)
         .orderBy(range_col)

@@ -2437,7 +2437,8 @@ def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.sum(F.col("o_totalprice").cast(DEC))).alias("ltv_c")
     )
     ranked = add_global_rank(
-        per_cust, [F.col("ltv_c").desc(), F.col("o_custkey")], "rk"
+        per_cust, [F.col("ltv_c").desc(), F.col("o_custkey")], "rk",
+        primary="ltv_c", descending=True,
     )
     n = per_cust.agg(F.count("*").cast("bigint").alias("n_tot"))
     return (
@@ -3097,7 +3098,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("n").alias("total"))
     cum = add_global_running_sum(
-        counts, [F.desc("n"), F.col("term")], "n", "cum"
+        counts, [F.desc("n"), F.col("term")], "n", "cum",
+        primary="n", descending=True,
     )
     return (
         cum.crossJoin(F.broadcast(total))
@@ -3240,13 +3242,16 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_c",
     )
     r = add_global_rank(
-        base, [F.col("recency_days"), F.col("o_custkey")], "r_rk"
+        base, [F.col("recency_days"), F.col("o_custkey")], "r_rk",
+        primary="recency_days",
     )
     r = add_global_rank(
-        r, [F.col("frequency").desc(), F.col("o_custkey")], "f_rk"
+        r, [F.col("frequency").desc(), F.col("o_custkey")], "f_rk",
+        primary="frequency", descending=True,
     )
     r = add_global_rank(
-        r, [F.col("monetary_c").desc(), F.col("o_custkey")], "m_rk"
+        r, [F.col("monetary_c").desc(), F.col("o_custkey")], "m_rk",
+        primary="monetary_c", descending=True,
     )
     n = per_cust.agg(F.count("*").cast("bigint").alias("n_tot"))
     return r.crossJoin(F.broadcast(n)).select(
@@ -3655,7 +3660,7 @@ def q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("x"))
     ranked = add_global_rank(
-        per_cust, [F.col("x"), F.col("o_custkey")], "rank"
+        per_cust, [F.col("x"), F.col("o_custkey")], "rank", primary="x"
     )
     m = ranked.agg(
         F.count("*").alias("n"),
@@ -3745,7 +3750,8 @@ def q_revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
     )
     cum = add_global_running_sum(
-        per_cust, [F.desc("rev_c"), F.col("o_custkey")], "rev_c", "cum_c"
+        per_cust, [F.desc("rev_c"), F.col("o_custkey")], "rev_c", "cum_c",
+        primary="rev_c", descending=True,
     )
     kept = cum.crossJoin(F.broadcast(tot)).filter(
         (F.col("cum_c") - F.col("rev_c")) * 10 < F.col("total_rev_c") * 8
@@ -4833,7 +4839,8 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def year_decile(base: DataFrame, out: str) -> DataFrame:
         ranked = add_global_rank(
-            base, [F.col("rev_c").desc(), F.col("o_custkey")], "rk"
+            base, [F.col("rev_c").desc(), F.col("o_custkey")], "rk",
+            primary="rev_c", descending=True,
         )
         n = base.agg(F.count("*").cast("bigint").alias("n_tot"))
         return ranked.crossJoin(F.broadcast(n)).select(
