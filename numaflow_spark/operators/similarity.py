@@ -400,7 +400,7 @@ def lsh_pairs_cte_sql(
             FROM codes a
             JOIN codes b ON a.band = b.band AND a.code = b.code
                         AND a.vid < b.vid
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT d1, d2
             FROM cand
             JOIN v va ON va.vid = d1

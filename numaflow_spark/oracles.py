@@ -702,7 +702,7 @@ _NEARDUP_PAIRS_CTES = """
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
         FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT d1, d2
         FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
         WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8

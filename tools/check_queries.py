@@ -99,7 +99,7 @@ def main() -> int:
 
     _os.makedirs("/tmp/ddb_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/ddb_spill'")
-    con.execute("SET max_temp_directory_size='35GB'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -1,0 +1,34 @@
+"""Patch per-query rows from a standalone re-run into a CORRECTNESS
+artifact (the r9 source_overlap_matrix precedent, now tooled): the big
+co-resident x10 run can starve individual DuckDB oracles of memory/temp;
+their rows are re-certified alone on an idle host and merged, with the
+patch provenance recorded in the artifact under "_patched".
+
+Usage: python tools/merge_artifact_rows.py ARTIFACT PATCH [note]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    artifact, patch = sys.argv[1], sys.argv[2]
+    note = sys.argv[3] if len(sys.argv) > 3 else "standalone re-run"
+    with open(artifact) as f:
+        art = json.load(f)
+    with open(patch) as f:
+        rows = json.load(f)
+    patched = [k for k in rows if k in art]
+    art.update(rows)
+    meta = art.setdefault("_patched", {})
+    for k in patched:
+        meta[k] = note
+    with open(artifact, "w") as f:
+        json.dump(art, f, indent=2)
+    print(f"patched {patched} into {artifact}")
+
+
+if __name__ == "__main__":
+    main()
