@@ -78,6 +78,8 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
     docstring). The (min, max) aggregate broadcasts as one row; both are
     order-insensitive, so every independent evaluation of this subtree
     yields identical buckets."""
+    import os
+
     stats = df.agg(
         F.min(F.col(primary).cast("bigint")).alias(_LO),
         F.max(F.col(primary).cast("bigint")).alias(_HI),
@@ -88,11 +90,24 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
     )
     if descending:
         bucket = F.lit(partitions - 1) - bucket
-    return (
+    part = (
         df.crossJoin(F.broadcast(stats))
         .withColumn(_PID, bucket)
         .drop(_LO, _HI)
     )
+    # Each two-phase op reads its input from TWO branches (local windows +
+    # per-bucket totals); correctness no longer cares (buckets are pure
+    # functions of the data), but lazily the upstream subtree re-evaluates
+    # per branch and CHAINED rankings compound it 2^k-fold — customer_rfm
+    # (3 chained ntiles) measured 18 s at x10 lazy vs ~3 s with the input
+    # materialized once per call. Same plan-audit escape hatch as
+    # materialize_no_aqe: SPARK_GRAFT_NO_AQE_MATERIALIZE=0 keeps the lazy
+    # plan so the pin tests see the real window/join structure.
+    if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in ("0", "false"):
+        from numaflow_spark.operators.graph import cut_lineage
+
+        part = cut_lineage(part, eager=True)
+    return part
 
 
 def _exclusive_prefix(per_pid: DataFrame, agg: Column,
