@@ -252,10 +252,9 @@ def _write_full_map(
         }
         if duck_wall is not None:
             payload["duckdb_suite_wall_sec"] = round(duck_wall, 1)
+            from numaflow_spark.session import cache_tables_enabled
             payload["cache_basis"] = (
-                "both-cached"
-                if os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
-                else "both-rescan"
+                "both-cached" if cache_tables_enabled() else "both-rescan"
             )
         if duck_timings:
             payload["duckdb_queries"] = {
@@ -294,7 +293,9 @@ def _duckdb_suite_wall(
         # timed, so neither engine pays per-query parquet decode and the
         # ratio compares plans, not I/O accounting. With caching off both
         # engines re-scan parquet per query (views here, plain reads there).
-        cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+        from numaflow_spark.session import cache_tables_enabled
+
+        cache = cache_tables_enabled()
         for t in (
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",

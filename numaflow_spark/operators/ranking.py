@@ -84,12 +84,27 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
         F.min(F.col(primary).cast("bigint")).alias(_LO),
         F.max(F.col(primary).cast("bigint")).alias(_HI),
     )
-    bucket = F.expr(
-        f"CAST(((CAST({primary} AS BIGINT) - {_LO}) * {partitions})"
-        f" div ({_HI} - {_LO} + 1) AS INT)"
+    # NULL primaries get a dedicated edge bucket (-1 ascending, P
+    # descending) so no row is ever dropped by the offsets join (ADVICE
+    # r10: the interpolation alone yields a NULL bucket id, silently lost
+    # by the inner join). The edge choice mirrors the Window.orderBy these
+    # ops replace: Spark sorts NULLS FIRST ascending, NULLS LAST
+    # descending. min/max ignore NULLs, so an all-NULL column routes every
+    # row through the NULL arm and (lo, hi) being NULL is harmless.
+    base = (
+        f"((CAST({primary} AS BIGINT) - {_LO}) * {partitions})"
+        f" div ({_HI} - {_LO} + 1)"
     )
     if descending:
-        bucket = F.lit(partitions - 1) - bucket
+        bucket = F.expr(
+            f"CAST(CASE WHEN {primary} IS NULL THEN {partitions} "
+            f"ELSE {partitions - 1} - ({base}) END AS INT)"
+        )
+    else:
+        bucket = F.expr(
+            f"CAST(CASE WHEN {primary} IS NULL THEN -1 "
+            f"ELSE {base} END AS INT)"
+        )
     part = (
         df.crossJoin(F.broadcast(stats))
         .withColumn(_PID, bucket)

@@ -5219,6 +5219,17 @@ RECERT_PENDING += [
 # are already certified; identical results re-verified at sf0.001-0.1).
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
+# ---------------------------------------------------------------------------
+# r11 drain event: CORRECTNESS_r10.json (the r10 driver artifact, landed
+# after the r10 builder session) carries a green hash row for every one of
+# the 29 names queued above — verified at r11 round open (the r10 window
+# was 50/50 green and equals the first 50 keys). Per the queue rule the
+# entries are removed in the first session that sees their fresh rows.
+# The watermark moves to 11: any r11 rewrite drains only against r11+ rows.
+# ---------------------------------------------------------------------------
+RECERT_PENDING = []
+RECERT_SINCE_ROUND = 11
+
 
 # ---------------------------------------------------------------------------
 # r10 AQE regime registry. AQE's advisory-size coalescing (tuned in r8 for

@@ -559,11 +559,14 @@ def _xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def _lz4_block_decompress(src: bytes) -> bytes:
+def _lz4_block_decompress(src: bytes, history: bytes = b"") -> bytes:
     """LZ4 block format decode (lz4_Block_format.md): token high nibble =
     literal run (15 extends byte-wise), low nibble = match length - 4;
-    2-byte LE offset; overlap-safe byte-range match copy."""
-    out = bytearray()
+    2-byte LE offset; overlap-safe byte-range match copy. `history` is the
+    prior decoded window (last <=64 KB) for block-DEPENDENT frames: match
+    offsets may reach back into it; only the newly decoded bytes are
+    returned."""
+    out = bytearray(history)
     pos, n = 0, len(src)
     while pos < n:
         token = src[pos]
@@ -606,7 +609,7 @@ def _lz4_block_decompress(src: bytes) -> bytes:
         else:
             for i in range(mlen):  # overlap: byte-wise replication
                 out.append(out[start + i])
-    return bytes(out)
+    return bytes(out[len(history):])
 
 
 def _lz4_block_compress(src: bytes) -> bytes | None:
@@ -708,6 +711,7 @@ def _lz4_frame_decompress(buf: bytes) -> bytes:
     flg = buf[4]
     if (flg >> 6) != 1:
         raise ValueError("unsupported lz4 frame version")
+    b_indep = bool(flg & (1 << 5))
     has_bchk = bool(flg & (1 << 4))
     has_csize = bool(flg & (1 << 3))
     has_cchk = bool(flg & (1 << 2))
@@ -741,7 +745,15 @@ def _lz4_frame_decompress(buf: bytes) -> bytes:
             pos += 4
             if bchk != _xxh32(block):
                 raise ValueError("lz4 block checksum mismatch")
-        out += block if stored else _lz4_block_decompress(block)
+        if stored:
+            out += block
+        else:
+            # Block-DEPENDENT frames (B.Indep clear — legal per the frame
+            # spec, though Kafka's clients set independence) let matches
+            # reach into the previous blocks' last 64 KB (ADVICE r10: a
+            # fresh history per block mis-decoded such frames as corrupt).
+            hist = b"" if b_indep else bytes(out[-65536:])
+            out += _lz4_block_decompress(block, hist)
     if has_cchk:
         if pos + 4 > len(buf):
             raise ValueError("truncated lz4 content checksum")

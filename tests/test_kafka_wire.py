@@ -1115,6 +1115,39 @@ def test_lz4_codec_over_the_wire_and_reference_interop(broker):
     c.close()
 
 
+def test_lz4_block_dependent_frame_decodes():
+    """Frames with the B.Indep FLG bit CLEAR are legal LZ4F: a match in
+    block N may reach into the previous blocks' last 64 KB of decoded
+    output (ADVICE r10: the decoder used a fresh history per block and
+    mis-reported such frames as corrupt offsets). Hand-built frame: a
+    stored first block, then a compressed block whose first sequence is a
+    match reaching 20 bytes back — entirely into block 1."""
+    import struct
+
+    from numaflow_spark.sources.kafka_wire import (
+        _LZ4_MAGIC,
+        _lz4_frame_decompress,
+        _xxh32,
+    )
+
+    flg = 1 << 6  # version 01, B.Indep CLEAR, no checksums/size
+    bd = 7 << 4
+    desc = bytes([flg, bd])
+    hc = (_xxh32(desc) >> 8) & 0xFF
+
+    b1 = b"0123456789abcdefghij"  # 20 bytes, stored
+    # block 2: [token lit=0 match=8][offset=20 LE] then a literals-only
+    # closing sequence of 5 bytes — decodes to b1[:8] + b"WXYZ!"
+    b2 = bytes([0x04]) + struct.pack("<H", 20) + bytes([0x50]) + b"WXYZ!"
+
+    frame = bytearray(_LZ4_MAGIC + desc + bytes([hc]))
+    frame += struct.pack("<I", len(b1) | 0x80000000) + b1
+    frame += struct.pack("<I", len(b2)) + b2
+    frame += struct.pack("<I", 0)  # EndMark
+
+    assert _lz4_frame_decompress(bytes(frame)) == b1 + b1[:8] + b"WXYZ!"
+
+
 def test_zstd_frame_content_size_parse():
     """RFC 8878 header parse: every FCS field width decodes correctly
     (pyarrow needs the exact size up front)."""

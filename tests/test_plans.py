@@ -979,8 +979,9 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
     onto the two-phase ranking module (operators/ranking.py) in r10; this
     sweep keeps the whole registry clean. Allowlist: queries whose
     single-partition window provably runs on a constant-bounded input
-    (post-limit tables, per-nation/month rollups) — currently EMPTY, every
-    registered plan is clean; add a name here only with a written bound."""
+    (post-limit tables, per-nation/month rollups) — four such entries are
+    allowlisted below, each with its written bound inline; add a name here
+    only with a written bound."""
     from tools.window_audit import unpartitioned_windows
 
     ALLOWLIST: set[str] = {

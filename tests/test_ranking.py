@@ -1,0 +1,166 @@
+"""Unit tests for the two-phase global ranking module
+(operators/ranking.py) against the single-partition windows it replaces —
+including the NULL-primary row-preservation contract (ADVICE r10: a NULL
+sort key used to get a NULL bucket id and fall out of the offsets join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from numaflow_spark.operators.ranking import (
+    add_global_rank,
+    add_global_running_max_strictly_before,
+    add_global_running_sum,
+    ntile_from_rank,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, v bigint, amt bigint")
+
+
+ROWS = [
+    (1, 40, 2), (2, 10, 5), (3, 30, 1), (4, 10, 7), (5, 90, 3),
+    (6, 55, 4), (7, 30, 9), (8, 70, 6), (9, 5, 8), (10, 60, 2),
+]
+
+
+def test_rank_matches_window(spark):
+    df = _df(spark, ROWS)
+    got = {
+        r["id"]: r["rk"]
+        for r in add_global_rank(
+            df, [F.col("v"), F.col("id")], "rk", primary="v", partitions=4
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_rank_descending_matches_window(spark):
+    df = _df(spark, ROWS)
+    got = {
+        r["id"]: r["rk"]
+        for r in add_global_rank(
+            df, [F.col("v").desc(), F.col("id")], "rk",
+            primary="v", descending=True, partitions=4,
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_running_sum_matches_window(spark):
+    df = _df(spark, ROWS)
+    got = {
+        r["id"]: r["rs"]
+        for r in add_global_running_sum(
+            df, [F.col("v"), F.col("id")], "amt", "rs",
+            primary="v", partitions=4,
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("amt").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_running_max_strictly_before_matches_window(spark):
+    df = _df(spark, ROWS)
+    got = {
+        r["id"]: r["rm"]
+        for r in add_global_running_max_strictly_before(
+            df, "v", "amt", "rm", partitions=4
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["rm"]
+        for r in df.withColumn("rm", F.max("amt").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_null_primary_rows_are_preserved_nulls_first_asc(spark):
+    """ADVICE r10: NULL primaries must survive (edge bucket), ordered the
+    way the replaced Window.orderBy orders them — NULLS FIRST ascending."""
+    rows = ROWS + [(11, None, 1), (12, None, 2)]
+    df = _df(spark, rows)
+    out = add_global_rank(
+        df, [F.col("v"), F.col("id")], "rk", primary="v", partitions=4
+    )
+    got = {r["id"]: r["rk"] for r in out.collect()}
+    assert len(got) == len(rows)
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    assert got[11] == 1 and got[12] == 2  # nulls first under asc
+
+
+def test_null_primary_rows_are_preserved_nulls_last_desc(spark):
+    rows = ROWS + [(11, None, 1)]
+    df = _df(spark, rows)
+    out = add_global_rank(
+        df, [F.col("v").desc(), F.col("id")], "rk",
+        primary="v", descending=True, partitions=4,
+    )
+    got = {r["id"]: r["rk"] for r in out.collect()}
+    assert len(got) == len(rows)
+    w = Window.orderBy(F.col("v").desc(), "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    assert got[11] == len(rows)  # nulls last under desc
+
+
+def test_all_null_primary(spark):
+    df = _df(spark, [(1, None, 1), (2, None, 2), (3, None, 3)])
+    out = add_global_rank(
+        df, [F.col("v"), F.col("id")], "rk", primary="v", partitions=4
+    )
+    got = {r["id"]: r["rk"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    df = _df(spark, ROWS)
+    n = df.count()
+    ranked = add_global_rank(
+        df, [F.col("v"), F.col("id")], "rk", primary="v", partitions=4
+    ).withColumn("n", F.lit(n).cast("bigint"))
+    for k in (1, 2, 3, 4, 7, 10, 13):
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.select(
+                "id", ntile_from_rank("rk", "n", k).alias("t")
+            ).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, f"k={k}"

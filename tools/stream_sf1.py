@@ -63,9 +63,12 @@ def main() -> None:
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
     )
+    # The derived sf1 parquet stores ts as TIMESTAMP_NTZ (written by a
+    # Spark 4 session with NTZ inference); watermarks require TIMESTAMP —
+    # same cast load_table applies on the batch side.
     mapped = stream.select(
         "user_id",
-        F.col("ts").alias("event_time"),
+        F.col("ts").cast("timestamp").alias("event_time"),
         F.col("value").cast("long").alias("v"),
     )
     agg = (

@@ -52,28 +52,48 @@ def single_partition_ids(plan: str) -> set[int]:
     return ids
 
 
+def _direct_children(tree: list[tuple[int, str, int]], j: int) -> list[int]:
+    """Indexes of node j's direct children: within j's subtree (every
+    following line strictly deeper than j), the nodes at the subtree's
+    minimum depth. Robust to uneven indent steps between levels."""
+    d = tree[j][0]
+    sub = []
+    k = j + 1
+    while k < len(tree) and tree[k][0] > d:
+        sub.append(k)
+        k += 1
+    if not sub:
+        return []
+    mind = min(tree[k][0] for k in sub)
+    return [k for k in sub if tree[k][0] == mind]
+
+
 def unpartitioned_windows(plan: str) -> int:
-    """Count Window nodes whose nearest downstream Exchange (walking the
-    unary child chain through Sort/AQEShuffleRead/ShuffleQueryStage) is a
-    SinglePartition exchange."""
+    """Count Window nodes whose nearest downstream Exchange is a
+    SinglePartition exchange. Walks the FULL unary descendant chain —
+    any single-child op (Sort, Project, Filter, AQEShuffleRead, ...) is a
+    passthrough — stopping at the first Exchange or the first multi-child
+    node (a join/union re-establishes distribution only via its own
+    exchanges, which a SinglePartition-requiring window above cannot
+    reuse). The r10 version whitelisted passthrough ops by name and broke
+    at the first unknown op, so a Project/Filter between Window and its
+    Exchange hid the offender (ADVICE r10)."""
     tree = parse_tree(plan)
     sp = single_partition_ids(plan)
     bad = 0
-    passthrough = {"Sort", "AQEShuffleRead", "ShuffleQueryStage",
-                   "InputAdapter", "WholeStageCodegen"}
-    for i, (depth, op, _nid) in enumerate(tree):
+    for i, (_depth, op, _nid) in enumerate(tree):
         if op != "Window":
             continue
-        d = depth
-        for j in range(i + 1, len(tree)):
-            cdepth, cop, cid = tree[j]
-            if cdepth <= d and cop not in passthrough:
-                break
+        cur = i
+        while True:
+            kids = _direct_children(tree, cur)
+            if len(kids) != 1:
+                break  # leaf (scan/ReusedExchange) or multi-child node
+            cur = kids[0]
+            cop, cid = tree[cur][1], tree[cur][2]
             if cop == "Exchange":
                 if cid in sp:
                     bad += 1
-                break
-            if cop not in passthrough:
                 break
     return bad
 
