@@ -72,8 +72,44 @@ _LO = "__rk_lo"
 _HI = "__rk_hi"
 
 
+def materialize_ranking_input(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a shared ranking input ONCE so several ranking
+    ops (or one op's stats/local/counts branches) re-read a checkpointed
+    table instead of re-evaluating the upstream rollup per branch
+    (VERDICT r10 #3: customer_rfm paid the per-op eager cut 3x on the SAME
+    per-customer rollup). Callers pass ``materialize=False`` to the add_*
+    ops afterwards. No-op under SPARK_GRAFT_NO_AQE_MATERIALIZE=0 so plan
+    audits see the real structure."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") in ("0", "false"):
+        return df
+    from numaflow_spark.operators.graph import cut_lineage
+
+    return cut_lineage(df, eager=True)
+
+
+def _bucket_expr(primary: str, lo: str, hi: str, partitions: int,
+                 descending: bool):
+    """The order-respecting deterministic bucket id (module docstring),
+    with NULL primaries routed to a dedicated edge bucket."""
+    base = (
+        f"((CAST({primary} AS BIGINT) - {lo}) * {partitions})"
+        f" div ({hi} - {lo} + 1)"
+    )
+    if descending:
+        return F.expr(
+            f"CAST(CASE WHEN {primary} IS NULL THEN {partitions} "
+            f"ELSE {partitions - 1} - ({base}) END AS INT)"
+        )
+    return F.expr(
+        f"CAST(CASE WHEN {primary} IS NULL THEN -1 "
+        f"ELSE {base} END AS INT)"
+    )
+
+
 def _bucketed(df: DataFrame, primary: str, descending: bool,
-              partitions: int) -> DataFrame:
+              partitions: int, materialize: bool = True) -> DataFrame:
     """Attach the order-respecting deterministic bucket id (see module
     docstring). The (min, max) aggregate broadcasts as one row; both are
     order-insensitive, so every independent evaluation of this subtree
@@ -91,23 +127,10 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
     # ops replace: Spark sorts NULLS FIRST ascending, NULLS LAST
     # descending. min/max ignore NULLs, so an all-NULL column routes every
     # row through the NULL arm and (lo, hi) being NULL is harmless.
-    base = (
-        f"((CAST({primary} AS BIGINT) - {_LO}) * {partitions})"
-        f" div ({_HI} - {_LO} + 1)"
-    )
-    if descending:
-        bucket = F.expr(
-            f"CAST(CASE WHEN {primary} IS NULL THEN {partitions} "
-            f"ELSE {partitions - 1} - ({base}) END AS INT)"
-        )
-    else:
-        bucket = F.expr(
-            f"CAST(CASE WHEN {primary} IS NULL THEN -1 "
-            f"ELSE {base} END AS INT)"
-        )
     part = (
         df.crossJoin(F.broadcast(stats))
-        .withColumn(_PID, bucket)
+        .withColumn(_PID, _bucket_expr(primary, _LO, _HI, partitions,
+                                       descending))
         .drop(_LO, _HI)
     )
     # Each two-phase op reads its input from TWO branches (local windows +
@@ -115,10 +138,15 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
     # functions of the data), but lazily the upstream subtree re-evaluates
     # per branch and CHAINED rankings compound it 2^k-fold — customer_rfm
     # (3 chained ntiles) measured 18 s at x10 lazy vs ~3 s with the input
-    # materialized once per call. Same plan-audit escape hatch as
-    # materialize_no_aqe: SPARK_GRAFT_NO_AQE_MATERIALIZE=0 keeps the lazy
-    # plan so the pin tests see the real window/join structure.
-    if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in ("0", "false"):
+    # materialized once per call. Callers that already ran
+    # materialize_ranking_input on the shared input pass
+    # ``materialize=False`` and skip the per-op cut (VERDICT r10 #3). Same
+    # plan-audit escape hatch as materialize_no_aqe:
+    # SPARK_GRAFT_NO_AQE_MATERIALIZE=0 keeps the lazy plan so the pin
+    # tests see the real window/join structure.
+    if materialize and os.environ.get(
+        "SPARK_GRAFT_NO_AQE_MATERIALIZE", "1"
+    ) not in ("0", "false"):
         from numaflow_spark.operators.graph import cut_lineage
 
         part = cut_lineage(part, eager=True)
@@ -126,28 +154,31 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
 
 
 def _exclusive_prefix(per_pid: DataFrame, agg: Column,
-                      out: str) -> DataFrame:
+                      out: str, pid: str = _PID) -> DataFrame:
     """For each bucket id, `agg` over all STRICTLY earlier buckets (NULL
     when none). Broadcast triangle join over <=P rows per side."""
-    metrics = [c for c in per_pid.columns if c != _PID]
+    metrics = [c for c in per_pid.columns if c != pid]
     right = per_pid.select(
-        F.col(_PID).alias("__rk_qid"),
+        F.col(pid).alias("__rk_qid"),
         *[F.col(c).alias(f"__rk_r_{c}") for c in metrics],
     )
-    j = per_pid.select(_PID).join(
-        F.broadcast(right), F.col("__rk_qid") < F.col(_PID), "left"
+    j = per_pid.select(pid).join(
+        F.broadcast(right), F.col("__rk_qid") < F.col(pid), "left"
     )
-    return j.groupBy(_PID).agg(agg.alias(out))
+    return j.groupBy(pid).agg(agg.alias(out))
 
 
 def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
                     *, primary: str, descending: bool = False,
-                    partitions: int = DEFAULT_RANGE_PARTITIONS) -> DataFrame:
+                    partitions: int = DEFAULT_RANGE_PARTITIONS,
+                    materialize: bool = True) -> DataFrame:
     """`row_number() OVER (ORDER BY order_cols)` without the global sort.
     `order_cols` must be a total order (include a tiebreak) whose leading
     key is the integer column `primary` (sorted DESC when `descending`) —
-    same determinism contract as the window it replaces."""
-    part = _bucketed(df, primary, descending, partitions)
+    same determinism contract as the window it replaces. Pass
+    ``materialize=False`` when `df` was already run through
+    materialize_ranking_input (skips the per-op eager cut)."""
+    part = _bucketed(df, primary, descending, partitions, materialize)
     wloc = Window.partitionBy(_PID).orderBy(*order_cols)
     local = part.withColumn(_LOC, F.row_number().over(wloc))
     cnts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
@@ -162,15 +193,71 @@ def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
     )
 
 
+def add_global_ranks(df: DataFrame,
+                     specs: list[tuple[list[Column], str, str, bool]],
+                     *, partitions: int = DEFAULT_RANGE_PARTITIONS,
+                     materialize: bool = True) -> DataFrame:
+    """N independent global ranks over ONE input with ONE materialization
+    (VERDICT r10 #3: chaining N add_global_rank calls paid the eager cut
+    N times on the same rollup). Each spec is (order_cols, out_col,
+    primary, descending); every `primary` must be a column of `df` (all
+    rankings order by INPUT columns, so one broadcast stats row and one
+    projection attach every bucket id at once). The result plan is one
+    linear chain — per spec: one hash exchange for the local window plus
+    a broadcast offsets join — evaluated once."""
+    import os
+
+    aggs = []
+    for i, (_oc, _out, primary, _desc) in enumerate(specs):
+        aggs += [
+            F.min(F.col(primary).cast("bigint")).alias(f"{_LO}{i}"),
+            F.max(F.col(primary).cast("bigint")).alias(f"{_HI}{i}"),
+        ]
+    stats = df.agg(*aggs)
+    part = df.crossJoin(F.broadcast(stats))
+    for i, (_oc, _out, primary, desc) in enumerate(specs):
+        part = part.withColumn(
+            f"{_PID}{i}",
+            _bucket_expr(primary, f"{_LO}{i}", f"{_HI}{i}", partitions, desc),
+        )
+    part = part.drop(*[c for i in range(len(specs))
+                       for c in (f"{_LO}{i}", f"{_HI}{i}")])
+    if materialize and os.environ.get(
+        "SPARK_GRAFT_NO_AQE_MATERIALIZE", "1"
+    ) not in ("0", "false"):
+        from numaflow_spark.operators.graph import cut_lineage
+
+        part = cut_lineage(part, eager=True)
+    result = part
+    for i, (order_cols, out_col, _primary, _desc) in enumerate(specs):
+        pid = f"{_PID}{i}"
+        wloc = Window.partitionBy(pid).orderBy(*order_cols)
+        result = result.withColumn(f"{_LOC}{i}", F.row_number().over(wloc))
+        cnts = part.groupBy(pid).agg(F.count("*").alias("_cnt"))
+        offs = _exclusive_prefix(cnts, F.sum("__rk_r__cnt"), f"{_PRE}{i}",
+                                 pid=pid)
+        result = (
+            result.join(F.broadcast(offs), pid)
+            .withColumn(
+                out_col,
+                (F.coalesce(F.col(f"{_PRE}{i}"), F.lit(0))
+                 + F.col(f"{_LOC}{i}")).cast("bigint"),
+            )
+            .drop(pid, f"{_LOC}{i}", f"{_PRE}{i}")
+        )
+    return result
+
+
 def add_global_running_sum(df: DataFrame, order_cols: list[Column],
                            value_col: str, out_col: str,
                            *, primary: str, descending: bool = False,
                            partitions: int = DEFAULT_RANGE_PARTITIONS,
+                           materialize: bool = True,
                            ) -> DataFrame:
     """`sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING..
     CURRENT ROW)` without the global sort (order must be total, led by
     the integer column `primary`)."""
-    part = _bucketed(df, primary, descending, partitions)
+    part = _bucketed(df, primary, descending, partitions, materialize)
     wloc = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
@@ -189,13 +276,14 @@ def add_global_running_sum(df: DataFrame, order_cols: list[Column],
 def add_global_running_max_strictly_before(
     df: DataFrame, range_col: str, value_col: str, out_col: str,
     partitions: int = DEFAULT_RANGE_PARTITIONS,
+    materialize: bool = True,
 ) -> DataFrame:
     """`max(value) OVER (ORDER BY range_col RANGE UNBOUNDED PRECEDING..
     1 PRECEDING)` — the skyline "best among strictly smaller keys" frame —
     without the global sort. Bucketing on `range_col` alone keeps equal
     keys in one bucket (the id is a function of the value), so boundaries
     never split a strictly-before frame. NULL when nothing precedes."""
-    part = _bucketed(df, range_col, False, partitions)
+    part = _bucketed(df, range_col, False, partitions, materialize)
     wloc = (
         Window.partitionBy(_PID)
         .orderBy(range_col)

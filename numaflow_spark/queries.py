@@ -2429,6 +2429,7 @@ def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives |customers| in the billions (VERDICT r9 #5)."""
     from numaflow_spark.operators.ranking import (
         add_global_rank,
+        materialize_ranking_input,
         ntile_from_rank,
     )
 
@@ -2436,9 +2437,13 @@ def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         _cents(F.sum(F.col("o_totalprice").cast(DEC))).alias("ltv_c")
     )
+    # One materialization serves the ranking's stats/local/counts branches
+    # AND the n_tot row — without it the n_tot agg re-rolled the fact
+    # table a second time (VERDICT r10 #3 fixed-cost cut).
+    per_cust = materialize_ranking_input(per_cust)
     ranked = add_global_rank(
         per_cust, [F.col("ltv_c").desc(), F.col("o_custkey")], "rk",
-        primary="ltv_c", descending=True,
+        primary="ltv_c", descending=True, materialize=False,
     )
     n = per_cust.agg(F.count("*").cast("bigint").alias("n_tot"))
     return (
@@ -3087,7 +3092,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself huge (web-scale corpora; VERDICT r9 #5). The coverage test is
     integer cross-multiplication ((cum - n) * 10 < total * 9) against the
     broadcast 1-row total, so no float crosses engines."""
-    from numaflow_spark.operators.ranking import add_global_running_sum
+    from numaflow_spark.operators.ranking import (
+        add_global_running_sum,
+        materialize_ranking_input,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -3096,10 +3104,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
+    # One materialization of the term census serves the running sum's
+    # branches AND the corpus total — without it the total agg re-ran the
+    # token explode a second time (VERDICT r10 #3 fixed-cost cut).
+    counts = materialize_ranking_input(counts)
     total = counts.agg(F.sum("n").alias("total"))
     cum = add_global_running_sum(
         counts, [F.desc("n"), F.col("term")], "n", "cum",
-        primary="n", descending=True,
+        primary="n", descending=True, materialize=False,
     )
     return (
         cum.crossJoin(F.broadcast(total))
@@ -3223,7 +3235,8 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tiebreak so band edges are engine-exact; the corpus max day
     rides as a broadcast 1-row aggregate. Integer day/cent math only."""
     from numaflow_spark.operators.ranking import (
-        add_global_rank,
+        add_global_ranks,
+        materialize_ranking_input,
         ntile_from_rank,
     )
 
@@ -3241,19 +3254,21 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_c",
     )
-    r = add_global_rank(
-        base, [F.col("recency_days"), F.col("o_custkey")], "r_rk",
-        primary="recency_days",
-    )
-    r = add_global_rank(
-        r, [F.col("frequency").desc(), F.col("o_custkey")], "f_rk",
-        primary="frequency", descending=True,
-    )
-    r = add_global_rank(
-        r, [F.col("monetary_c").desc(), F.col("o_custkey")], "m_rk",
-        primary="monetary_c", descending=True,
-    )
-    n = per_cust.agg(F.count("*").cast("bigint").alias("n_tot"))
+    # All three rankings order by columns of the SAME per-customer rollup,
+    # so they share one materialization and one stats row (VERDICT r10 #3:
+    # three chained add_global_rank calls paid the eager cut 3x) — and the
+    # n_tot row reads the same checkpoint instead of re-rolling the fact
+    # table.
+    base = materialize_ranking_input(base)
+    r = add_global_ranks(base, [
+        ([F.col("recency_days"), F.col("o_custkey")], "r_rk",
+         "recency_days", False),
+        ([F.col("frequency").desc(), F.col("o_custkey")], "f_rk",
+         "frequency", True),
+        ([F.col("monetary_c").desc(), F.col("o_custkey")], "m_rk",
+         "monetary_c", True),
+    ], materialize=False)
+    n = base.agg(F.count("*").cast("bigint").alias("n_tot"))
     return r.crossJoin(F.broadcast(n)).select(
         "o_custkey",
         "recency_days",
@@ -3739,19 +3754,26 @@ def q_revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication against the broadcast 1-row total; the
     final reduce emits one row (n_top, n_customers, top_rev_c,
     total_rev_c)."""
-    from numaflow_spark.operators.ranking import add_global_running_sum
+    from numaflow_spark.operators.ranking import (
+        add_global_running_sum,
+        materialize_ranking_input,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice").cast(DEC))).alias("rev_c")
     )
+    # One materialization serves the running sum's branches AND the
+    # total/count row — without it the totals agg re-rolled the fact
+    # table a second time (VERDICT r10 #3 fixed-cost cut).
+    per_cust = materialize_ranking_input(per_cust)
     tot = per_cust.agg(
         F.sum("rev_c").alias("total_rev_c"),
         F.count("*").alias("n_customers"),
     )
     cum = add_global_running_sum(
         per_cust, [F.desc("rev_c"), F.col("o_custkey")], "rev_c", "cum_c",
-        primary="rev_c", descending=True,
+        primary="rev_c", descending=True, materialize=False,
     )
     kept = cum.crossJoin(F.broadcast(tot)).filter(
         (F.col("cum_c") - F.col("rev_c")) * 10 < F.col("total_rev_c") * 8
@@ -4819,6 +4841,7 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     its filtered half. The only fact-table pass is the first aggregate."""
     from numaflow_spark.operators.ranking import (
         add_global_rank,
+        materialize_ranking_input,
         ntile_from_rank,
     )
 
@@ -4832,15 +4855,23 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "yr")
         .agg(F.sum("p_c").alias("rev_c"))
     )
-    y0 = per.agg(F.min("yr").alias("y0"))
+    # First corpus year straight off the (pruned) fact scan — identical to
+    # min(yr) over the rollup, without re-rolling the rollup inside the
+    # broadcast subquery.
+    y0 = orders.agg(F.min(F.year("o_orderdate")).alias("y0"))
     per = per.crossJoin(F.broadcast(y0)).filter(
         (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y0") + 1)
     )
+    # One materialization of the two-year rollup; both year halves (and
+    # their stats/local/counts branches and row counts) re-read the
+    # checkpoint instead of re-aggregating the fact table per branch
+    # (VERDICT r10 #3: the per-op eager cut ran the rollup twice).
+    per = materialize_ranking_input(per)
 
     def year_decile(base: DataFrame, out: str) -> DataFrame:
         ranked = add_global_rank(
             base, [F.col("rev_c").desc(), F.col("o_custkey")], "rk",
-            primary="rev_c", descending=True,
+            primary="rev_c", descending=True, materialize=False,
         )
         n = base.agg(F.count("*").cast("bigint").alias("n_tot"))
         return ranked.crossJoin(F.broadcast(n)).select(
@@ -5229,6 +5260,18 @@ assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 # ---------------------------------------------------------------------------
 RECERT_PENDING = []
 RECERT_SINCE_ROUND = 11
+
+# r11 ranking fixed-cost rewrites (VERDICT r10 #3 / task 4): one shared
+# materialization per query (add_global_ranks for the three rfm bands;
+# materialize_ranking_input + materialize=False elsewhere) replaces the
+# per-op eager cut; clv_decile_migration additionally reads y0 straight
+# off the pruned fact scan. Outputs re-verified hash-green vs UNCHANGED
+# oracles at sf0.001 + sf0.01 before commit; x10 walls:
+# clv_decile_migration 5.5 -> 1.9 s, customer_rfm 2.6 -> ~2.4 s.
+RECERT_PENDING += [
+    "clv_deciles", "customer_rfm", "clv_decile_migration",
+    "vocab_coverage", "revenue_pareto_customers",
+]
 
 
 # ---------------------------------------------------------------------------
