@@ -70,12 +70,15 @@ def _vertex_output(p: Pipeline, v: Vertex, spark: SparkSession,
         up = outputs[e.from_]
         cond = e.condition
         has_tags = "tags" in up.columns
-        if cond is not None and not has_tags:
+        if (cond is not None or e.unless) and not has_tags:
             raise ValueError(f"edge {e.from_}->{e.to} has a tag condition but upstream has no tags column")
         if has_tags:
-            branches.append(
-                routing.forward(up, cond.operator if cond else None, cond.values if cond else None)
-            )
+            b = routing.forward(up, cond.operator if cond else None, cond.values if cond else None)
+            # bypass skip semantics (Edge.unless): suppress messages a
+            # bypass condition already diverted to another sink
+            for u in e.unless:
+                b = b.filter(~routing.tag_condition(u.operator, u.values))
+            branches.append(b)
         else:
             branches.append(up)
     df = routing.fan_in(*branches)

@@ -40,11 +40,17 @@ class TagCondition:
 
 @dataclass(frozen=True)
 class Edge:
-    """Edge{from, to, conditions} (edge_types.go:21)."""
+    """Edge{from, to, conditions} (edge_types.go:21).
+
+    ``unless`` is the compile-time SKIP mechanism behind MonoVertex bypass
+    routing (mono_vertex_forwarding.go:19-32): the edge fires only when
+    NONE of the ``unless`` conditions match, so a message diverted to a
+    bypass sink does not also continue down the normal chain."""
 
     from_: str
     to: str
     condition: TagCondition | None = None
+    unless: tuple[TagCondition, ...] = ()
 
 
 @dataclass
@@ -129,6 +135,11 @@ class Pipeline:
     name: str
     vertices: list[Vertex] = field(default_factory=list)
     edges: list[Edge] = field(default_factory=list)
+    # MonoVertex spec.streaming (mono_vertex_types.go:543-547): per-message
+    # out-of-order source acking. Recorded for spec fidelity; Spark's
+    # micro-batch engine subsumes the semantics (documented divergence —
+    # offsets commit per checkpoint, safe for cumulative-commit sources).
+    per_message_streaming: bool = False
 
     # -- builder API ------------------------------------------------------
     def add(self, vertex: Vertex) -> "Pipeline":

@@ -377,15 +377,55 @@ def pipeline_from_yaml(
     return p
 
 
+def _bypass_condition(bypass: Mapping[str, Any], key: str) -> TagCondition | None:
+    """One destination's ForwardConditions from spec.bypass
+    (mono_vertex_forwarding.go:19-32) — same tags shape as edge
+    conditions."""
+    cond = (bypass.get(key) or {}).get("tags") or {}
+    values = cond.get("values") or ()
+    if not values:
+        return None
+    return TagCondition(cond.get("operator", "or"), tuple(values))
+
+
 def _monovertex_from(doc: Mapping[str, Any], registry: dict) -> Pipeline:
     """kind: MonoVertex (mono_vertex_types.go; monovertex.rs:20-30):
     source → [map udf] → sink, no inter-step buffer. Compiled to the same
     Pipeline shape — the engine has no ISB either way, so the distinction
-    is purely spec-level."""
+    is purely spec-level.
+
+    ``spec.bypass`` (mono_vertex_types.go:537-542; user guide
+    monovertex-bypass.md): tag-conditioned short-circuit routing to the
+    fallback / onSuccess / primary sink, skipping the components in
+    between. Compiled as explicit tag-conditioned edges from every
+    non-sink component to the destination sink vertex, with the matching
+    conditions NEGATED on the normal chain edges (Edge.unless) so a
+    bypassed message does not also continue down the chain. Per the doc's
+    caveat, when bypass conditions are declared for the PRIMARY sink,
+    messages reaching it that match no bypass condition are dropped —
+    the chain edge into the primary sink carries that condition.
+
+    ``spec.streaming`` (mono_vertex_types.go:543-547; mvtx-streaming.md):
+    per-message, out-of-order source acking. Parsed and recorded as
+    ``Pipeline.per_message_streaming``; Spark's micro-batch engine
+    subsumes the semantics (documented divergence — the batch barrier is
+    the micro-batch, and offsets commit per checkpoint, which is safe for
+    cumulative-commit sources). The reference's admission rule is kept:
+    ``streaming: true`` with the built-in Kafka source is rejected at
+    parse time (the reference rejects it because per-message out-of-order
+    acks over Kafka's cumulative commit can skip messages on crash)."""
     spec = doc.get("spec") or {}
     name = ((doc.get("metadata") or {}).get("name")) or "mono"
     p = Pipeline(name)
     src_spec = dict(spec.get("source") or {})
+    if spec.get("streaming") and "kafka" in src_spec:
+        raise ValueError(
+            f"MonoVertex {name!r}: `streaming: true` with the built-in "
+            "Kafka source is rejected (reference admission rule, "
+            "mvtx-streaming.md: cumulative offset commit + out-of-order "
+            "acks can silently skip messages)"
+        )
+    p.per_message_streaming = bool(spec.get("streaming"))
     if src_spec.get("transformer"):
         # same contract as the Pipeline path: silently dropping a source
         # transformer (event-time rewrite / filter / DROP) would run the
@@ -396,20 +436,71 @@ def _monovertex_from(doc: Mapping[str, Any], registry: dict) -> Pipeline:
         )
     src_spec.pop("transformer", None)
     p.add(Vertex(f"{name}-source", source=_build_source(f"{name}-source", src_spec, registry)))
-    prev = f"{name}-source"
+    chain = [f"{name}-source"]
     if spec.get("udf"):
         p.add(Vertex(f"{name}-map", udf=_build_udf(f"{name}-map", spec["udf"], registry)))
-        p.connect(prev, f"{name}-map")
-        prev = f"{name}-map"
+        chain.append(f"{name}-map")
+
+    bypass = spec.get("bypass") or {}
+    unknown = set(bypass) - {"sink", "fallback", "onSuccess"}
+    if unknown:
+        raise ValueError(
+            f"MonoVertex {name!r}: unsupported bypass destinations "
+            f"{sorted(unknown)} (mono_vertex_forwarding.go supports "
+            "sink/fallback/onSuccess)"
+        )
+    by_sink = _bypass_condition(bypass, "sink")
+    by_fb = _bypass_condition(bypass, "fallback")
+    by_os = _bypass_condition(bypass, "onSuccess")
+
     sink_spec = dict(spec.get("sink") or {})
     fallback = sink_spec.pop("fallback", None)
+    on_success = sink_spec.pop("onSuccess", None)
     sink = _build_sink(f"{name}-sink", sink_spec, registry)
     if fallback is not None and sink.writer is not None:
         fb_entry = registry.get(f"{name}-sink.fallback")
         if fb_entry is not None:
             sink.fallback = fb_entry
     p.add(Vertex(f"{name}-sink", sink=sink))
-    p.connect(prev, f"{name}-sink")
+
+    # Bypass destination sink vertices, built from the sink spec's own
+    # fallback/onSuccess AbstractSink definitions (sink.go:29,34).
+    extra_sinks: list[tuple[str, TagCondition]] = []
+    for cond, key, sub in (
+        (by_fb, "fallback", fallback),
+        (by_os, "onSuccess", on_success),
+    ):
+        if cond is None:
+            continue
+        if not isinstance(sub, dict):
+            raise ValueError(
+                f"MonoVertex {name!r}: bypass.{key} declared but "
+                f"spec.sink.{key} does not define a sink"
+            )
+        vname = f"{name}-{key.lower()}-sink"
+        p.add(Vertex(vname, sink=_build_sink(vname, dict(sub), registry)))
+        extra_sinks.append((vname, cond))
+
+    diverting = tuple(c for c in (by_sink, by_fb, by_os) if c is not None)
+    # chain edges: each fires only when no bypass condition diverts the
+    # message at that component's output
+    for up, down in zip(chain, chain[1:]):
+        p.edges.append(Edge(up, down, None, unless=diverting))
+    # bypass edges from every non-sink component
+    for up in chain:
+        for vname, cond in extra_sinks:
+            p.edges.append(Edge(up, vname, cond))
+        if by_sink is not None and up != chain[-1]:
+            # direct short-circuit to the primary sink, skipping the rest
+            # of the chain
+            p.edges.append(Edge(up, f"{name}-sink", by_sink))
+    # the final chain edge into the primary sink: with bypass.sink
+    # declared, only matching messages are processed (doc caveat — the
+    # rest are dropped at the primary sink)
+    p.edges.append(Edge(
+        chain[-1], f"{name}-sink", by_sink,
+        unless=tuple(c for c in (by_fb, by_os) if c is not None),
+    ))
     p.validate()
     return p
 

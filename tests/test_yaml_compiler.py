@@ -380,3 +380,168 @@ def test_shipped_examples_parse(spark):
             assert sp.pipeline.vertices
         else:
             assert pipeline_from_yaml(text).vertices
+
+
+BYPASS_MONO = """
+kind: MonoVertex
+metadata:
+  name: bp
+spec:
+  bypass:
+    fallback:
+      tags:
+        operator: or
+        values:
+          - odd
+  source:
+    generator:
+      rpu: 10
+      duration: 1s
+  udf:
+    container:
+      image: quay.io/numaio/numaflow-go/even-odd:stable
+  sink:
+    log: {}
+    fallback:
+      blackhole: {}
+"""
+
+
+def test_monovertex_bypass_routes_tagged_messages(spark):
+    """spec.bypass (mono_vertex_types.go:537-542, monovertex-bypass.md):
+    messages tagged 'odd' by the UDF short-circuit to the fallback sink
+    and must NOT reach the primary sink; untagged/even messages take the
+    normal chain. The partition is exact — no loss, no duplication."""
+    p = pipeline_from_yaml(BYPASS_MONO)
+    assert {v.name for v in p.vertices} == {
+        "bp-source", "bp-map", "bp-sink", "bp-fallback-sink"
+    }
+    sinks = compile_batch(p, spark)
+    primary = sinks["bp-sink"].select(
+        F.col("value").cast("string").cast("long").alias("n")
+    )
+    fb = sinks["bp-fallback-sink"].select(
+        F.col("value").cast("string").cast("long").alias("n")
+    )
+    assert primary.filter(F.col("n") % 2 != 0).count() == 0
+    assert fb.filter(F.col("n") % 2 == 0).count() == 0
+    assert primary.count() + fb.count() == 300
+
+
+def test_monovertex_bypass_doc_example_spec_compiles():
+    """The user guide's three-destination example (monovertex-bypass.md
+    'Spec' section) parses: sink/fallback/onSuccess each with their
+    conditional-forwarding tags block."""
+    yaml_text = """
+kind: MonoVertex
+metadata: {name: docs}
+spec:
+  bypass:
+    fallback:
+      tags:
+        operator: or
+        values:
+          - tag-a
+    onSuccess:
+      tags:
+        operator: and
+        values:
+          - tag-b
+    sink:
+      tags:
+        operator: not
+        values:
+          - tag-c
+  source:
+    generator: {rpu: 5, duration: 1s}
+  udf:
+    container: {image: quay.io/numaio/numaflow-go/map-cat:stable}
+  sink:
+    log: {}
+    fallback:
+      blackhole: {}
+    onSuccess:
+      blackhole: {}
+"""
+    p = pipeline_from_yaml(yaml_text)
+    names = {v.name for v in p.vertices}
+    assert {"docs-fallback-sink", "docs-onsuccess-sink"} <= names
+    # the chain edge into the primary sink carries the bypass.sink
+    # condition (doc caveat: non-matching messages are dropped there)
+    final = [e for e in p.edges
+             if e.from_ == "docs-map" and e.to == "docs-sink"]
+    assert final and final[0].condition.operator == "not"
+    assert final[0].condition.values == ("tag-c",)
+    # and excludes the fallback/onSuccess diversions
+    assert {u.values for u in final[0].unless} == {("tag-a",), ("tag-b",)}
+
+
+def test_monovertex_bypass_sink_caveat_drops_unmatched(spark):
+    """monovertex-bypass.md caveat: with bypass conditions on the PRIMARY
+    sink, a message matching no bypass condition is dropped when it
+    reaches the primary sink."""
+    yaml_text = """
+kind: MonoVertex
+metadata: {name: gate}
+spec:
+  bypass:
+    sink:
+      tags:
+        values:
+          - even
+  source:
+    generator: {rpu: 10, duration: 1s}
+  udf:
+    container: {image: quay.io/numaio/numaflow-go/even-odd:stable}
+  sink:
+    log: {}
+"""
+    p = pipeline_from_yaml(yaml_text)
+    out = compile_batch(p, spark)["gate-sink"].select(
+        F.col("value").cast("string").cast("long").alias("n")
+    )
+    assert out.filter(F.col("n") % 2 != 0).count() == 0
+    # generator payloads cycle 1,2,3 -> 100 of 300 are even; the 200 odd
+    # messages are dropped at the sink, not delivered anywhere
+    assert out.count() == 100
+
+
+def test_monovertex_bypass_requires_destination_sink_spec():
+    bad = BYPASS_MONO.replace("    fallback:\n      blackhole: {}\n", "")
+    with pytest.raises(ValueError, match="spec.sink.fallback"):
+        pipeline_from_yaml(bad)
+
+
+def test_monovertex_streaming_flag_parses_and_kafka_is_rejected():
+    """spec.streaming (mono_vertex_types.go:543-547, mvtx-streaming.md):
+    accepted and recorded (micro-batch subsumes per-message acking —
+    documented divergence); the reference's admission rule stands: with
+    the built-in Kafka source the combination is rejected."""
+    ok = """
+kind: MonoVertex
+metadata: {name: st}
+spec:
+  streaming: true
+  source:
+    generator: {rpu: 4, duration: 1s}
+  sink:
+    log: {}
+"""
+    p = pipeline_from_yaml(ok)
+    assert p.per_message_streaming is True
+    assert pipeline_from_yaml(MONO).per_message_streaming is False
+    bad = """
+kind: MonoVertex
+metadata: {name: stk}
+spec:
+  streaming: true
+  source:
+    kafka:
+      brokers: [b:9092]
+      topic: t
+      consumerGroup: g
+  sink:
+    log: {}
+"""
+    with pytest.raises(ValueError, match="Kafka"):
+        pipeline_from_yaml(bad)
