@@ -3046,3 +3046,157 @@ STAGED_ORACLES["winsorized_order_stats"] = """
 # window slots 1-8; staged-green at sf0.001 + sf0.01 re-verified this round).
 ORACLES.update(STAGED_ORACLES)
 STAGED_ORACLES = {}
+
+
+# ---------------------------------------------------------------------------
+# r11 analytics batch: exact-integer-moment twins of the six new queries.
+# corr/acf deliberately AVOID DuckDB's corr() (float accumulation would not
+# hash-match Spark); both engines derive the final doubles from identical
+# HUGEINT/DECIMAL(38,0) moments with the same IEEE op chain.
+# ---------------------------------------------------------------------------
+
+ORACLES["benford_digit_census"] = """
+    WITH c AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c
+        FROM orders
+    ), g AS (
+        SELECT CAST(substr(CAST(price_c AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+               count(*) AS n
+        FROM c GROUP BY digit
+    ), t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g
+    )
+    SELECT digit, n, n * 1000000 // n_total AS obs_ppm FROM g, t
+"""
+
+ORACLES["brand_qty_price_corr"] = """
+    WITH j AS (
+        SELECT p_brand,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), m AS (
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM j GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS corr_qty_price,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_c_per_qty
+    FROM m
+"""
+
+ORACLES["ks_priority_price"] = """
+    WITH base AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS is_a
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), per AS (
+        SELECT price_c,
+               CAST(sum(is_a) AS BIGINT) AS c1,
+               CAST(sum(1 - is_a) AS BIGINT) AS c2
+        FROM base GROUP BY price_c
+    ), cums AS (
+        SELECT CAST(sum(c1) OVER (ORDER BY price_c) AS BIGINT) AS cum1,
+               CAST(sum(c2) OVER (ORDER BY price_c) AS BIGINT) AS cum2
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2
+        FROM per
+    )
+    SELECT n1, n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2)
+                AS BIGINT) AS ks_ppm
+    FROM cums, tot GROUP BY n1, n2
+"""
+
+ORACLES["survival_km_table"] = """
+    WITH g AS (
+        SELECT date_diff('day',
+                   lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ),
+                   o_orderdate) AS gap
+        FROM orders
+    ), dp AS (
+        SELECT CAST(least(52, gap // 7) AS BIGINT) AS wk,
+               count(*) AS d_i
+        FROM g WHERE gap IS NOT NULL GROUP BY wk
+    )
+    SELECT a.wk,
+           CAST(sum(b.d_i) AS BIGINT) AS n_at_risk,
+           a.d_i,
+           a.d_i * 1000000 // CAST(sum(b.d_i) AS BIGINT) AS hazard_ppm
+    FROM dp a JOIN dp b ON b.wk >= a.wk
+    GROUP BY a.wk, a.d_i
+"""
+
+ORACLES["daily_revenue_acf"] = """
+    WITH day AS (
+        SELECT date_diff('day', DATE '1990-01-01',
+                         CAST(o_orderdate AS DATE)) AS di,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    ) AS BIGINT) AS rev
+        FROM orders GROUP BY di
+    ), lags AS (
+        SELECT unnest(range(1, 8)) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.rev AS xv, b.rev AS yv
+        FROM day a CROSS JOIN lags l
+        JOIN day b ON b.di = a.di - l.lag
+    ), m AS (
+        SELECT lag, count(*) AS n_days,
+               CAST(sum(xv) AS HUGEINT) AS sx,
+               CAST(sum(yv) AS HUGEINT) AS sy,
+               sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+               sum(CAST(yv AS HUGEINT) * yv) AS syy,
+               sum(CAST(xv AS HUGEINT) * yv) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+                      CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM m
+"""
+
+ORACLES["cusum_changepoint"] = """
+    WITH day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+        FROM orders GROUP BY day
+    ), t AS (
+        SELECT CAST(sum(x) AS BIGINT) AS t, count(*) AS d FROM day
+    ), c AS (
+        SELECT day.day,
+               CAST(sum(day.x * t.d - t.t) OVER (ORDER BY day.day)
+                    AS BIGINT) AS cum,
+               t.t, t.d
+        FROM day, t
+    ), s AS (
+        SELECT CAST(max(abs(cum)) AS BIGINT) AS cusum_stat FROM c
+    )
+    SELECT min(c.day) AS change_day,
+           s.cusum_stat,
+           CAST(max(c.d) AS BIGINT) AS n_days,
+           CAST(max(c.t) AS BIGINT) AS total_orders
+    FROM c, s
+    WHERE abs(c.cum) = s.cusum_stat
+    GROUP BY s.cusum_stat
+"""

@@ -5319,3 +5319,321 @@ QUERIES = {
     k: (_wrap_no_aqe(v) if k in NO_AQE_QUERIES else v)
     for k, v in QUERIES.items()
 }
+
+
+# ---------------------------------------------------------------------------
+# r11 analytics batch (VERDICT r10 task 10): six genuinely new statistical
+# shapes — digit-law census, exact-moment correlation/regression, two-sample
+# Kolmogorov-Smirnov distance, Kaplan-Meier risk table, autocorrelation
+# function, CUSUM change-point — none overlapping the existing deciles /
+# census / matrix / funnel / quantile families. All outputs are exact
+# integers or doubles derived by a single IEEE op chain from identical
+# exact integer moments in both engines (the promo_pct precedent), so the
+# driver hash compare is deterministic. Reference parity: these extend the
+# analytic query surface (SURVEY §2.8) the engine layers over the
+# reference's map/reduce contract, same as every prior rotation batch.
+# ---------------------------------------------------------------------------
+
+
+def q_benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit census of order totals (Benford's-law audit shape):
+    for each first significant digit 1-9 of o_totalprice, the order count
+    and its exact share in ppm (integer div — no float distribution sums).
+    One scan + a 9-row partial agg + one broadcast total: the plan is a
+    map-side census at any scale; nothing shuffles more than 9 rows past
+    the partial agg. Fraud/ETL-drift screens run exactly this shape over
+    ledgers at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice").cast(DEC)).alias("price_c")
+    )
+    census = (
+        o.select(
+            F.substring(F.col("price_c").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = census.agg(F.sum("n").alias("n_total"))
+    return census.crossJoin(F.broadcast(total)).select(
+        "digit", "n", F.expr("n * 1000000 div n_total").alias("obs_ppm")
+    )
+
+
+def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation AND least-squares slope of line-item
+    quantity vs extended price, computed from EXACT integer moments
+    (cents-scaled bigint x/y; sum x**2 et al. in DECIMAL(38,0)) so both
+    engines derive the same doubles from the same integers — never from
+    order-dependent float accumulation (DuckDB's corr() would not hash-
+    match Spark's). One broadcast dim join + one 25-group partial agg;
+    the moments pattern is the scale path for any distributed covariance/
+    regression at 100 TB (map-side combine reduces everything to 6 numbers
+    per group). Overflow audit: x<=5e3, y<=2e7 cents; n*syy at SF1k ~ 6e9
+    * (6e9*4e14) -> exceeds 38 digits only past ~SF10k; variance terms are
+    cast to DOUBLE before the final product to keep the denominator in
+    IEEE range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        _cents(F.col("l_quantity").cast(DEC)).alias("x"),
+        _cents(F.col("l_extendedprice").cast(DEC)).alias("y"),
+    )
+    m = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    vx = "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vy = "(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    return m.select(
+        "p_brand",
+        "n",
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+        ).alias("corr_qty_price"),
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / CAST({vx} AS DOUBLE), 6)"
+        ).alias("slope_c_per_qty"),
+    )
+
+
+def q_ks_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the order-total
+    distributions of 1-URGENT vs 5-LOW orders, in EXACT integer terms:
+    per distinct price the two sample counts, both ECDFs as global running
+    sums (two-phase — operators/ranking.py, no single-partition sort), and
+    D = max|cum1*n2 - cum2*n1| with ks_ppm = D*1e6 div (n1*n2). The
+    distribution-shift gate a training-data pipeline runs between corpus
+    snapshots, expressed with zero float comparisons. Scale: the grouped
+    price table is ~|distinct prices| rows; both running sums share ONE
+    materialized bucketing (materialize=False reuse)."""
+    from numaflow_spark.operators.ranking import (
+        add_global_running_sum,
+        materialize_ranking_input,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    per = (
+        o.select(
+            _cents(F.col("o_totalprice").cast(DEC)).alias("price_c"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_a"),
+        )
+        .groupBy("price_c")
+        .agg(
+            F.sum("is_a").alias("c1"),
+            F.sum(F.expr("1 - is_a")).alias("c2"),
+        )
+    )
+    per = materialize_ranking_input(per)
+    per = add_global_running_sum(
+        per, [F.col("price_c")], "c1", "cum1",
+        primary="price_c", materialize=False,
+    )
+    per = add_global_running_sum(
+        per, [F.col("price_c")], "c2", "cum2",
+        primary="price_c", materialize=False,
+    )
+    tot = per.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = per.crossJoin(F.broadcast(tot)).select(
+        F.expr("abs(cum1 * n2 - cum2 * n1)").alias("dnum"), "n1", "n2"
+    )
+    return (
+        d.groupBy("n1", "n2")
+        .agg(F.max("dnum").cast("bigint").alias("ks_num"))
+        .select(
+            "n1", "n2", "ks_num",
+            F.expr("ks_num * 1000000 div (n1 * n2)").alias("ks_ppm"),
+        )
+    )
+
+
+def q_survival_km_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table of customer inter-order gaps: per week
+    bucket (gap div 7 days, capped at 52) the event count d_i, the risk
+    set n_i = sum of events at >= that bucket, and the exact hazard in ppm
+    (d_i*1e6 div n_i) — the survival/churn primitive, integer-exact (the
+    S(t) product is a trivial client-side fold of these rows). The risk
+    set's reverse cumulative sum is a BROADCAST TRIANGLE SELF-JOIN over
+    the <=53-row bucket census (53^2 rows), deliberately not a window —
+    zero single-partition sorts, same device as ranking.py's exclusive
+    prefix. Heavy lifting (per-customer lag) hashes on o_custkey."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.withColumn("prev", F.lag("d").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    d_per = (
+        gaps.select(
+            F.least(F.lit(52), F.expr("datediff(d, prev) div 7"))
+            .cast("bigint")
+            .alias("wk")
+        )
+        .groupBy("wk")
+        .agg(F.count("*").alias("d_i"))
+    )
+    a, b = d_per.alias("a"), d_per.alias("b")
+    r = (
+        a.join(F.broadcast(b), F.expr("b.wk >= a.wk"))
+        .groupBy(F.col("a.wk").alias("wk"), F.col("a.d_i").alias("d_i"))
+        .agg(F.sum("b.d_i").cast("bigint").alias("n_at_risk"))
+    )
+    return r.select(
+        "wk", "n_at_risk", "d_i",
+        F.expr("d_i * 1000000 div n_at_risk").alias("hazard_ppm"),
+    )
+
+
+def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue at lags 1-7 days,
+    from exact integer moments over the (day, day-lag) self-join — the
+    seasonality detector behind scheduling/forecast pipelines. The daily
+    rollup is one partial agg (map-side combine) collapsing the fact table
+    to ~|days| rows; the 7 lags explode via a broadcast 7-row table and
+    self-join on day index (tiny hash join). Moments in DECIMAL(38,0)
+    (day revenue ~ 4e8 cents at SF1; sum of squares passes int64 at ~2400
+    days), final corr = one IEEE chain per lag from identical integers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(o_orderdate, DATE '1990-01-01')")
+        .cast("bigint")
+        .alias("di"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
+    )
+    day = o.groupBy("di").agg(F.sum("rc").alias("rev"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    left = day.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("di") - F.col("lag")).alias("jd"),
+        F.col("rev").alias("xv"),
+    )
+    pairs = left.join(
+        day.select(F.col("di").alias("jd"), F.col("rev").alias("yv")), "jd"
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.expr("CAST(xv AS DECIMAL(38,0)) * xv")).alias("sxx"),
+        F.sum(F.expr("CAST(yv AS DECIMAL(38,0)) * yv")).alias("syy"),
+        F.sum(F.expr("CAST(xv AS DECIMAL(38,0)) * yv")).alias("sxy"),
+    )
+    num = ("(CAST(n_days AS DECIMAL(38,0)) * sxy"
+           " - CAST(sx AS DECIMAL(38,0)) * sy)")
+    vx = ("(CAST(n_days AS DECIMAL(38,0)) * sxx"
+          " - CAST(sx AS DECIMAL(38,0)) * sx)")
+    vy = ("(CAST(n_days AS DECIMAL(38,0)) * syy"
+          " - CAST(sy AS DECIMAL(38,0)) * sy)")
+    return m.select(
+        "lag", "n_days",
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+        ).alias("acf"),
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point over the daily order-count series: with D days
+    and T total orders, dev_i = x_i*D - T (exact bigint, = D*(x_i - mean))
+    and the change point is the earliest day maximizing |running sum of
+    dev| — the classic drift detector, integer-exact end to end. The
+    running sum is the two-phase global form (operators/ranking.py);
+    the argmax reduces via one broadcast 1-row max. The fact table
+    collapses to |days| rows in one partial agg first, so the series
+    stage is O(days) regardless of SF."""
+    from numaflow_spark.operators.ranking import add_global_running_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    )
+    day = o.groupBy("day").agg(F.count("*").alias("x"))
+    tot = day.agg(F.sum("x").alias("t"), F.count("*").alias("d"))
+    dev = day.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.expr("datediff(day, DATE '1990-01-01')").cast("bigint").alias(
+            "di"
+        ),
+        F.expr("x * d - t").alias("dev"),
+        "t", "d",
+    )
+    c = add_global_running_sum(
+        dev, [F.col("di")], "dev", "cum", primary="di"
+    )
+    stat = c.agg(F.max(F.abs(F.col("cum"))).cast("bigint").alias(
+        "cusum_stat"
+    ))
+    return (
+        c.join(F.broadcast(stat), F.expr("abs(cum) = cusum_stat"))
+        .groupBy("cusum_stat")
+        .agg(
+            F.min("day").alias("change_day"),
+            F.max("d").cast("bigint").alias("n_days"),
+            F.max("t").cast("bigint").alias("total_orders"),
+        )
+        .select("change_day", "cusum_stat", "n_days", "total_orders")
+    )
+
+
+QUERIES["benford_digit_census"] = q_benford_digit_census
+QUERIES["brand_qty_price_corr"] = q_brand_qty_price_corr
+QUERIES["ks_priority_price"] = q_ks_priority_price
+QUERIES["survival_km_table"] = q_survival_km_table
+QUERIES["daily_revenue_acf"] = q_daily_revenue_acf
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+
+
+# ---------------------------------------------------------------------------
+# r11 certification window (driver certifies the FIRST 50 keys).
+# Head layout:
+#   slots 1-6   the six r11 analytics-batch queries (never certified —
+#               rotation contract requires them inside the window).
+#   slots 7-11  the five r11 ranking fixed-cost rewrites (RECERT_PENDING
+#               above, watermark 11 — drain on their fresh r11 rows).
+#   slots 12-50 the 39 least-recently-certified remaining queries
+#               (6 r6-latest then 33 r7-latest, registry order within each
+#               round — computed from CORRECTNESS_r01-r10).
+# Tail order (positions 51+) is untouched; no query leaves the registry.
+# ---------------------------------------------------------------------------
+_R11_WINDOW = [
+    "benford_digit_census", "brand_qty_price_corr", "ks_priority_price",
+    "survival_km_table", "daily_revenue_acf", "cusum_changepoint",
+    # r11 ranking fixed-cost rewrites (RECERT_PENDING):
+    "clv_deciles", "customer_rfm", "clv_decile_migration",
+    "vocab_coverage", "revenue_pareto_customers",
+    # 6 least-recently-certified (r6-latest), registry order:
+    "label_source_matrix", "seasonal_index", "error_rate_hours",
+    "interarrival_histogram", "segment_status_matrix",
+    "negative_balance_exposure",
+    # 33 least-recently-certified (r7-latest), registry order:
+    "inverted_index", "dow_hour_heatmap", "first_event_census",
+    "wau_dau_stickiness", "dedup_rate_by_source",
+    "supplier_lead_time_stats", "fixed_window_keyed",
+    "fixed_window_global", "sliding_window", "session_window",
+    "filter_transform", "flat_map", "route_and", "route_or", "route_not",
+    "fan_in_union", "dedup_exact", "pricing_summary", "join_agg",
+    "returned_item_revenue", "local_supplier_volume", "top_k", "rollup",
+    "pipeline_diamond", "accumulator_sort", "text_stats", "lang_id",
+    "doc_fingerprint_dups", "embedding_topk", "embedding_similar_pairs",
+    "lsh_ann_topk", "multimodal_decode", "asof_join",
+]
+assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
+}
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
