@@ -1586,6 +1586,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # The survivor set feeds TWO consumers — the shingle probe below and
+    # the anti-join's left side — and Catalyst evaluates the subtree (full-
+    # text window shuffle + tokenize + filters) once per consumer (r11,
+    # VERDICT r10 task 8: measured 6.1 -> 3.7 s min-of-3 at x10,
+    # interleaved arms, medians 10.6 -> 4.0, identical 5378-row output).
+    # Materialize the pruned survivor projection once; the
+    # audit env (SPARK_GRAFT_NO_AQE_MATERIALIZE=0) keeps plan tests lazy.
+    import os as _os
+
+    qual = qual.select("doc_id", "text", "lang", "source", "n_words")
+    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
+        "0", "false",
+    ):
+        from numaflow_spark.operators.graph import cut_lineage
+
+        qual = cut_lineage(qual, eager=True)
+
     # 3. decontaminate: drop any survivor sharing a 5-gram with the src0
     # benchmark (broadcast the benchmark's distinct shingles)
     bench_sh = (
@@ -4190,11 +4207,21 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(Window.orderBy("source")) - 1).alias("sid"),
         )
     )
-    toks = docs.select(
-        "source", F.split("text", " ").alias("w")
-    ).filter(F.size("w") >= 5)
+    # r11 (VERDICT r10 task 8): the source->bit broadcast join sits ABOVE
+    # the explode, so it probes |docs| rows instead of |shingles| (~120x
+    # fewer at this corpus's mean doc length). Measured at x10: full-query
+    # min 4.7 -> ~3.9 s, interleaved arms, identical 190-row output; at
+    # 100 TB the saved probe is billions of rows per scan.
+    toks = (
+        docs.join(F.broadcast(src_ids), "source")
+        .select(
+            F.expr("shiftleft(cast(1 as bigint), sid)").alias("bit"),
+            F.split("text", " ").alias("w"),
+        )
+        .filter(F.size("w") >= 5)
+    )
     sh = toks.select(
-        "source",
+        "bit",
         F.explode(
             F.expr(
                 "transform(sequence(1, size(w) - 4),"
@@ -4205,9 +4232,8 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     masks = (
-        sh.join(F.broadcast(src_ids), "source")
-        .groupBy("h")
-        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), sid))").alias("mask"))
+        sh.groupBy("h")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
         .groupBy("mask")
         .agg(F.count("*").alias("n_sh"))
     )
@@ -5273,6 +5299,14 @@ RECERT_PENDING += [
     "vocab_coverage", "revenue_pareto_customers",
 ]
 
+# r11 perf rewrites (VERDICT r10 task 8), re-verified hash-green vs
+# unchanged oracles at sf0.001 + sf0.01 (tools/
+# profile_overlap_curation_r11.json): corpus_curation materializes the
+# shared survivor projection once (x10: 6.1 -> 3.7 s min, interleaved);
+# source_overlap_matrix joins source->bit above the shingle explode
+# (probe |docs| not |shingles|; x10 full query 4.7 -> ~3.9 s min).
+RECERT_PENDING += ["corpus_curation", "source_overlap_matrix"]
+
 
 # ---------------------------------------------------------------------------
 # r10 AQE regime registry. AQE's advisory-size coalescing (tuned in r8 for
@@ -5604,8 +5638,10 @@ QUERIES["cusum_changepoint"] = q_cusum_changepoint
 #               rotation contract requires them inside the window).
 #   slots 7-11  the five r11 ranking fixed-cost rewrites (RECERT_PENDING
 #               above, watermark 11 — drain on their fresh r11 rows).
-#   slots 12-50 the 39 least-recently-certified remaining queries
-#               (6 r6-latest then 33 r7-latest, registry order within each
+#   slots 12-13 the two r11 perf rewrites (corpus_curation /
+#               source_overlap_matrix — RECERT_PENDING, task-8 levers).
+#   slots 14-50 the 37 least-recently-certified remaining queries
+#               (6 r6-latest then 31 r7-latest, registry order within each
 #               round — computed from CORRECTNESS_r01-r10).
 # Tail order (positions 51+) is untouched; no query leaves the registry.
 # ---------------------------------------------------------------------------
@@ -5615,6 +5651,9 @@ _R11_WINDOW = [
     # r11 ranking fixed-cost rewrites (RECERT_PENDING):
     "clv_deciles", "customer_rfm", "clv_decile_migration",
     "vocab_coverage", "revenue_pareto_customers",
+    # r11 perf rewrites (RECERT_PENDING): shared survivor materialization /
+    # join-above-explode (tools/profile_overlap_curation_r11.json):
+    "corpus_curation", "source_overlap_matrix",
     # 6 least-recently-certified (r6-latest), registry order:
     "label_source_matrix", "seasonal_index", "error_rate_hours",
     "interarrival_histogram", "segment_status_matrix",
@@ -5629,7 +5668,7 @@ _R11_WINDOW = [
     "returned_item_revenue", "local_supplier_volume", "top_k", "rollup",
     "pipeline_diamond", "accumulator_sort", "text_stats", "lang_id",
     "doc_fingerprint_dups", "embedding_topk", "embedding_similar_pairs",
-    "lsh_ann_topk", "multimodal_decode", "asof_join",
+    "lsh_ann_topk",
 ]
 assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {
