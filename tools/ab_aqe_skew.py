@@ -1,0 +1,122 @@
+"""VERDICT r10 task 9: confirm the NO_AQE_QUERIES regime registry does not
+forfeit AQE's skew-join split under cluster-shaped settings.
+
+For every NO_AQE_QUERIES member, run the RAW plan (regime wrapper disabled)
+with AQE ON under the threshold-SCALED skew settings from the test_plans
+skew fixture (skewedPartitionThresholdInBytes=64KB, factor=2, advisory
+32KB — local partitions are MBs where a cluster's are GBs, so scaling the
+thresholds preserves the factor semantics) and record:
+
+  - whether any final adaptive plan contains ``skew=true`` (did the
+    skew-split EVER have something to do on this shape?),
+  - min-of-2 wall for that arm vs plain AQE-off (the shipped regime).
+
+Decision rule: a query stays in NO_AQE_QUERIES unless the skew-scaled arm
+(a) fires a skew split AND (b) beats AQE-off — then the regime is hiding a
+real skew win and membership must be re-certified.
+
+Usage: python tools/ab_aqe_skew.py [sf_dir] [out.json] [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A/B the RAW plans: the regime registry must not pre-wrap its own arms.
+os.environ["SPARK_GRAFT_NO_AQE_MATERIALIZE"] = "0"
+
+from numaflow_spark.queries import NO_AQE_QUERIES, QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+SKEW_CONF = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    out_path = args[1] if len(args) > 1 else "tools/ab_aqe_skew_result.json"
+    names = args[2:] or sorted(NO_AQE_QUERIES)
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    spark = get_spark(
+        "ab_aqe_skew", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    defaults = {k: spark.conf.get(k, None) for k in SKEW_CONF}
+
+    def run(name: str, aqe: bool, skew_scaled: bool):
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        if skew_scaled:
+            for k, v in SKEW_CONF.items():
+                spark.conf.set(k, v)
+        best, skew_fired = None, False
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.toPandas()
+                dt = time.perf_counter() - t0
+                if best is None or dt < best:
+                    best = dt
+                if aqe:
+                    plan = df._jdf.queryExecution().executedPlan().toString()
+                    skew_fired = skew_fired or ("skew=true" in plan)
+        finally:
+            if skew_scaled:
+                for k, v in defaults.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        return best, skew_fired
+
+    rows = {}
+    for name in names:
+        try:
+            off_s, _ = run(name, aqe=False, skew_scaled=False)
+            skew_s, fired = run(name, aqe=True, skew_scaled=True)
+            rows[name] = {
+                "aqe_off_sec": round(off_s, 3),
+                "aqe_on_skew_scaled_sec": round(skew_s, 3),
+                "skew_split_fired": fired,
+                "regime_hides_skew_win": bool(
+                    fired and skew_s < off_s * 0.85 and off_s - skew_s > 0.15
+                ),
+            }
+            print(f"{name}: off={off_s:.2f}s skew_on={skew_s:.2f}s "
+                  f"fired={fired}")
+        except Exception as exc:  # keep sweeping; record the failure
+            rows[name] = {"err": str(exc)[:200]}
+            print(f"{name}: ERR {exc}")
+    hides = [n for n, r in rows.items() if r.get("regime_hides_skew_win")]
+    out = {
+        "sf_dir": sf_dir,
+        "skew_conf": SKEW_CONF,
+        "protocol": "min-of-2 per arm, interleaved per query, raw plans "
+                    "(SPARK_GRAFT_NO_AQE_MATERIALIZE=0), final adaptive "
+                    "plan string scanned for skew=true (iterative queries: "
+                    "final-round stage only)",
+        "queries": rows,
+        "regime_hides_skew_win": hides,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {out_path}; regime_hides_skew_win={hides}")
+
+
+if __name__ == "__main__":
+    main()

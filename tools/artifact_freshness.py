@@ -1,0 +1,88 @@
+"""VERDICT r10 task 5: make the x10-artifact freshness standard mechanical.
+
+The builder's standard: the newest x10 correctness artifact
+(CORRECTNESS_LOCAL_r{N}_sf1.json) must postdate EVERY commit that touches
+query-defining code — queries.py, oracles.py, operators/, __spark_entry__.py
+— otherwise the at-scale hash evidence describes a plan that no longer
+exists (r10 missed this by 30 minutes; e700e2c landed after the artifact).
+
+Compares git commit times (committed state only — the working tree is the
+builder's business until commit) and prints a verdict. Exit 0 = fresh,
+exit 1 = refresh needed, exit 2 = no artifact.
+
+Usage: python tools/artifact_freshness.py [repo_root]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+QUERY_PATHS = [
+    "numaflow_spark/queries.py",
+    "numaflow_spark/oracles.py",
+    "numaflow_spark/operators",
+    "__spark_entry__.py",
+]
+
+_SF1_RE = re.compile(r"^CORRECTNESS_LOCAL_r(\d+)_sf1\.json$")
+
+
+def _commit_ts(repo: str, path: str) -> int:
+    out = subprocess.run(
+        ["git", "-C", repo, "log", "-1", "--format=%ct", "--", path],
+        capture_output=True, text=True, timeout=30,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def latest_sf1_artifact(repo: str) -> tuple[int, str] | None:
+    """(round, path) of the newest-round x10 correctness artifact."""
+    best = None
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*_sf1.json")):
+        m = _SF1_RE.match(os.path.basename(p))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    return best
+
+
+def check(repo: str) -> tuple[int, str]:
+    """(exit_code, message). 0 fresh / 1 stale / 2 missing."""
+    art = latest_sf1_artifact(repo)
+    if art is None:
+        return 2, "no CORRECTNESS_LOCAL_r*_sf1.json artifact exists"
+    rnd, path = art
+    art_ts = _commit_ts(repo, path)
+    if art_ts == 0:
+        return 1, f"artifact {os.path.basename(path)} is not committed"
+    stale_vs = []
+    for qp in QUERY_PATHS:
+        ts = _commit_ts(repo, qp)
+        if ts > art_ts:
+            stale_vs.append((qp, ts - art_ts))
+    if stale_vs:
+        detail = ", ".join(f"{p} (+{d}s)" for p, d in stale_vs)
+        return 1, (
+            f"REFRESH NEEDED: {os.path.basename(path)} (r{rnd}) predates "
+            f"query-touching commits: {detail}"
+        )
+    return 0, (
+        f"fresh: {os.path.basename(path)} (r{rnd}) postdates every "
+        f"query-touching commit"
+    )
+
+
+def main() -> int:
+    repo = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    code, msg = check(repo)
+    print(msg)
+    return code
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
