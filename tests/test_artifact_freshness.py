@@ -1,0 +1,75 @@
+"""VERDICT r10 task 5: the x10 correctness artifact must postdate every
+query-touching commit — mechanically enforced, not remembered. The r10
+miss: CORRECTNESS_LOCAL_r10_sf1.json landed 30 minutes before the last
+ranking commit, so the at-scale evidence described a superseded plan.
+tools/artifact_freshness.py is the checker; these tests pin (a) its
+stale/fresh/missing logic on synthetic git repos and (b) the REAL repo's
+committed state."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+from tools.artifact_freshness import check, latest_sf1_artifact
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(repo, *args):
+    subprocess.run(
+        ["git", "-C", repo, *args], check=True, capture_output=True,
+        env={**os.environ,
+             "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+    )
+
+
+def _commit(repo, path, content, ts):
+    full = os.path.join(repo, path)
+    os.makedirs(os.path.dirname(full) or repo, exist_ok=True)
+    with open(full, "w") as f:
+        f.write(content)
+    _git(repo, "add", path)
+    env_ts = f"2026-01-01T00:00:{ts:02d}"
+    subprocess.run(
+        ["git", "-C", repo, "commit", "-m", f"c{ts}", "--date", env_ts],
+        check=True, capture_output=True,
+        env={**os.environ,
+             "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+             "GIT_COMMITTER_DATE": env_ts},
+    )
+
+
+def test_freshness_logic_on_synthetic_repo(tmp_path):
+    repo = str(tmp_path)
+    _git(repo, "init", "-q")
+    # no artifact at all -> code 2
+    _commit(repo, "numaflow_spark/queries.py", "q1", 1)
+    code, msg = check(repo)
+    assert code == 2
+    # artifact committed AFTER the query commit -> fresh
+    _commit(repo, "CORRECTNESS_LOCAL_r11_sf1.json", "{}", 2)
+    code, msg = check(repo)
+    assert code == 0, msg
+    # a later query-touching commit makes it stale -> code 1
+    _commit(repo, "numaflow_spark/operators/x.py", "op", 3)
+    code, msg = check(repo)
+    assert code == 1 and "REFRESH NEEDED" in msg
+    # a NEWER-round artifact restores freshness, and two-digit rounds
+    # must win the round ordering (the r10 glob-regression class)
+    _commit(repo, "CORRECTNESS_LOCAL_r12_sf1.json", "{}", 4)
+    rnd, path = latest_sf1_artifact(repo)
+    assert rnd == 12 and path.endswith("r12_sf1.json")
+    code, msg = check(repo)
+    assert code == 0, msg
+
+
+def test_repo_x10_artifact_postdates_query_commits():
+    """The real repo's newest committed x10 artifact must postdate every
+    committed change to queries.py / oracles.py / operators/ /
+    __spark_entry__.py. Uncommitted working-tree edits are the builder's
+    business; the standard binds at commit time."""
+    code, msg = check(REPO)
+    assert code == 0, msg
