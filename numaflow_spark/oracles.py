@@ -3200,3 +3200,163 @@ ORACLES["cusum_changepoint"] = """
     WHERE abs(c.cum) = s.cusum_stat
     GROUP BY s.cusum_stat
 """
+
+
+# ---------------------------------------------------------------------------
+# r11 staged oracles (r12 window candidates): exact-integer-moment twins.
+# The double chains are written with the SAME op order as the Spark side
+# and avoid pow() (not correctly rounded across libms) — only sqrt/mul/div.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["graph_assortativity"] = """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS (
+        SELECT u, v FROM edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM edges
+    ), deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    ), e AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM und JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u
+    ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM e
+    )
+    SELECT n AS n_directed_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+    FROM m
+"""
+
+STAGED_ORACLES["moment_profile"] = """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM lineitem
+    ), m AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS s1,
+               sum(CAST(x AS HUGEINT) * x) AS s2,
+               sum(CAST(x AS HUGEINT) * x * x) AS s3,
+               sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_items,
+           round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_qty_c,
+           round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+                 6) AS skewness,
+           round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                 - 3.0, 6) AS kurtosis_excess
+    FROM m
+"""
+
+STAGED_ORACLES["basket_triples"] = """
+    -- chained pair->triple joins, NOT a 3-way a/b/c form: in the 3-way
+    -- form b and c relate only through the inequality b.p < c.p, and the
+    -- optimizer may join b x c first as a nested-loop cross (measured:
+    -- >8 min at x10 vs 1.5 s for this chain, identical 2300 rows)
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, p_brand AS p
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), pairs AS (
+        SELECT a.o, a.p AS p1, b.p AS p2
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ), triples AS (
+        SELECT pr.p1, pr.p2, c.p AS p3, count(*) AS support
+        FROM pairs pr JOIN items c ON pr.o = c.o AND pr.p2 < c.p
+        GROUP BY 1, 2, 3
+    )
+    SELECT p1, p2, p3, support FROM triples WHERE support >= 2
+"""
+
+STAGED_ORACLES["dispersion_index"] = """
+    WITH per AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(extract(hour FROM ts) AS INTEGER) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ), m AS (
+        SELECT event_type, count(*) AS n_buckets,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM per GROUP BY event_type
+    )
+    SELECT event_type, n_buckets,
+           round((CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 6)
+               AS mean_per_hour,
+           round((CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
+                 / (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 6)
+               AS dispersion
+    FROM m
+"""
+
+STAGED_ORACLES["anova_weekday_revenue"] = """
+    WITH day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY day
+    ), wd AS (
+        SELECT CAST(isodow(day) AS BIGINT) AS dow, rev FROM day
+    ), g AS (
+        SELECT dow, count(*) AS ng,
+               CAST(sum(rev) AS HUGEINT) AS sg,
+               sum(CAST(rev AS HUGEINT) * rev) AS s2g
+        FROM wd GROUP BY dow
+    ), tot AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(sg) AS HUGEINT) AS s1,
+               CAST(sum(s2g) AS HUGEINT) AS s2,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum((sg * sg * 1000000) // ng) AS HUGEINT)
+                   AS between_scaled
+        FROM g
+    )
+    SELECT n AS n_days, k,
+           round(((CAST(between_scaled AS DOUBLE)
+                   - CAST((s1 * s1 * 1000000) // n AS DOUBLE))
+                  / CAST(k - 1 AS DOUBLE))
+                 / ((CAST(s2 AS DOUBLE) * 1000000.0
+                     - CAST(between_scaled AS DOUBLE))
+                    / CAST(n - k AS DOUBLE)), 6) AS f_stat
+    FROM tot
+"""

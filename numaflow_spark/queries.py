@@ -5676,3 +5676,231 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
 }
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+
+# ---------------------------------------------------------------------------
+# r11 staged batch for the r12 window (rotation contract: keep the pipeline
+# primed — VERDICT r10 task 10). Staged = in STAGED_QUERIES/STAGED_ORACLES,
+# verified hash-green at sf0.001 + sf0.01 via `check_queries.py --staged`,
+# NOT yet registered (the r12 session promotes them into the window head).
+# Shapes: graph assortativity, higher-moment profiles, A-Priori frequent
+# triples, Poisson overdispersion, one-way ANOVA — all exact-integer-moment
+# formulations (the r11 batch's determinism discipline; no pow(), only
+# sqrt/mul/div chains identical in both engines).
+# ---------------------------------------------------------------------------
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge instances
+    (each undirected edge counted both ways — Newman's r). Positive r =
+    hubs buy with hubs (salting strategy must split hub-hub pairs);
+    negative = hub-leaf (broadcast the leaf side). Exact integer moments
+    over the edge list (degrees are bigints; products in DECIMAL(38,0)),
+    one double chain at the end — no float accumulation. Scale: distinct
+    edges is one exchange; the degree join hashes on a part-sized table."""
+    from numaflow_spark.operators.graph import cooccurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # DISTINCT edges: cooccurrence_pairs emits one row per order, so the
+    # same pair repeats across orders; assortativity is over the graph's
+    # edge set, and degree = distinct-neighbor count (matches the oracle)
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("u", "v")
+        .distinct()
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("eu"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("y"))
+    e = und.join(du, und.u == du.eu).join(dv, und.v == dv.ev)
+    m = e.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    vx = "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vy = "(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+        ).alias("assortativity"),
+    )
+
+
+def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile of line-item quantity per returnflag:
+    mean, skewness, and excess kurtosis from EXACT raw moments (S1..S4 in
+    DECIMAL(38,0); cents-scaled x <= 5e5 keeps S4 under 38 digits to
+    ~SF100). The final doubles use only mul/div/sqrt (m2^1.5 is written
+    m2*sqrt(m2) — pow() is not correctly rounded and could diverge across
+    libms). One partial agg; 3 output rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_quantity").cast(DEC)).alias("x"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("s2"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x * x")).alias("s3"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).alias("s4"),
+    )
+    # identical double chain in the oracle: mu, m2..m4 from exact ints
+    mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    m2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {mu} * {mu})"
+    m3 = (f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+          f" - 3.0d * {mu} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+          f" + 2.0d * {mu} * {mu} * {mu})")
+    m4 = (f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+          f" - 4.0d * {mu} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+          f" + 6.0d * {mu} * {mu} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+          f" - 3.0d * {mu} * {mu} * {mu} * {mu})")
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.expr(f"round({mu}, 6)").alias("mean_qty_c"),
+        F.expr(f"round({m3} / ({m2} * sqrt({m2})), 6)").alias("skewness"),
+        F.expr(f"round({m4} / ({m2} * {m2}) - 3.0d, 6)").alias(
+            "kurtosis_excess"
+        ),
+    )
+
+
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent BRAND 3-itemsets over order baskets (the A-Priori step
+    after basket_pairs, lifted to the brand dimension so support is
+    meaningful at every scale — raw part-key triples go empty past sf0.01
+    on this uniform corpus): distinct sorted brand triples per order via
+    a ROW-LOCAL combination explode over the per-order sorted brand array
+    (baskets are bounded — no self-join fan-out, the classic
+    market-basket scale trap), then one census shuffle keyed on the
+    triple; support >= 2. Output is bounded by C(|brands|, 3) = 2300
+    regardless of corpus size; at 100 TB the expansion is C(basket, 3)
+    per row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "o", F.col("p_brand").alias("p")
+    )
+    baskets = lb.groupBy("o").agg(
+        F.array_sort(F.collect_set("p")).alias("a")
+    ).filter(F.size("a") >= 3)
+    combo = (
+        "flatten(flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a)), (y, j) -> "
+        "transform(slice(a, i + j + 3, size(a)), z -> "
+        "named_struct('p1', x, 'p2', y, 'p3', z))))))"
+    )
+    t = baskets.select(F.explode(F.expr(combo)).alias("t"))
+    return (
+        t.groupBy(
+            F.col("t.p1").alias("p1"),
+            F.col("t.p2").alias("p2"),
+            F.col("t.p3").alias("p3"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test per event type: the variance-to-mean
+    ratio of per-hour arrival counts (observed (date, hour) buckets only —
+    zero-count hours excluded, documented). Dispersion ~1 = Poisson
+    arrivals (rate-limit by mean), >1 = bursty (size buffers by the
+    ratio). Counts are exact ints; variance is the population form from
+    exact S1/S2; one double chain."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type",
+        F.expr("CAST(ts AS DATE)").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    m = per.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    mean = "(CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))"
+    var = f"(CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE) - {mean} * {mean})"
+    return m.select(
+        "event_type",
+        "n_buckets",
+        F.expr(f"round({mean}, 6)").alias("mean_per_hour"),
+        F.expr(f"round({var} / {mean}, 6)").alias("dispersion"),
+    )
+
+
+def q_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for daily order revenue across ISO
+    weekdays — "does day-of-week move revenue?" as a hypothesis test.
+    Between/within sums of squares come from EXACT integer group moments;
+    the only non-exact step is a micro-scaled integer floor division
+    (S1_g^2 * 1e6 div n_g), so the 7-term between-group sum is an exact
+    bigint sum — never an order-dependent float accumulation. Two partial
+    aggs (day rollup, weekday rollup); one output row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
+    )
+    day = o.groupBy("day").agg(F.sum("rc").alias("rev"))
+    wd = day.select(
+        F.expr("weekday(day) + 1").alias("dow"),
+        "rev",
+    )
+    g = wd.groupBy("dow").agg(
+        F.count("*").alias("ng"),
+        F.sum("rev").alias("sg"),
+        F.sum(F.expr("CAST(rev AS DECIMAL(38,0)) * rev")).alias("s2g"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").alias("s1"),
+        F.sum("s2g").alias("s2"),
+        F.count("*").cast("bigint").alias("k"),
+        # exact int128-style floor division: Spark's `div` returns LONG
+        # (overflows at ~9.2e18; sg^2*1e6 is ~1e27 at x10), so floor via
+        # remainder-subtract — the decimal quotient is then an exact
+        # integer and the (38,6) division introduces no rounding
+        F.sum(
+            F.expr(
+                "CAST((CAST(sg AS DECIMAL(38,0)) * sg * 1000000"
+                " - (CAST(sg AS DECIMAL(38,0)) * sg * 1000000) % ng)"
+                " / ng AS DECIMAL(38,0))"
+            )
+        ).alias("between_scaled"),
+    )
+    ssb = ("(CAST(between_scaled AS DOUBLE)"
+           " - CAST(CAST((CAST(s1 AS DECIMAL(38,0)) * s1 * 1000000"
+           " - (CAST(s1 AS DECIMAL(38,0)) * s1 * 1000000) % n)"
+           " / n AS DECIMAL(38,0)) AS DOUBLE))")
+    ssw = "(CAST(s2 AS DOUBLE) * 1000000.0d - CAST(between_scaled AS DOUBLE))"
+    return tot.select(
+        F.col("n").alias("n_days"),
+        "k",
+        F.expr(
+            f"round(({ssb} / CAST(k - 1 AS DOUBLE)) / "
+            f"({ssw} / CAST(n - k AS DOUBLE)), 6)"
+        ).alias("f_stat"),
+    )
+
+
+STAGED_QUERIES["graph_assortativity"] = q_graph_assortativity
+STAGED_QUERIES["moment_profile"] = q_moment_profile
+STAGED_QUERIES["basket_triples"] = q_basket_triples
+STAGED_QUERIES["dispersion_index"] = q_dispersion_index
+STAGED_QUERIES["anova_weekday_revenue"] = q_anova_weekday_revenue
