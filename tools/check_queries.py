@@ -52,6 +52,29 @@ def _multiset(rows, col_order):
     )
 
 
+def _run_meta(sf_dir: str) -> dict:
+    """Run provenance embedded in --json artifacts. A rerun on unchanged
+    code produces identical per-query rows, which git cannot record as a
+    new commit — the freshness rule (tools/artifact_freshness.py) then
+    cannot see that fresh evidence exists. The timestamp + HEAD here make
+    every rerun a committable content change."""
+    import subprocess
+    import time
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
+    return {
+        "sf_dir": sf_dir,
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_head": head,
+    }
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -84,7 +107,7 @@ def main() -> int:
             import json
 
             with open(json_out, "w") as f:
-                json.dump(report, f, indent=2)
+                json.dump({"_meta": _run_meta(sf_dir), **report}, f, indent=2)
 
     import __spark_entry__ as e
     from numaflow_spark.session import get_spark
