@@ -1,0 +1,19 @@
+#!/bin/bash
+# A/B classify the r11 x10 regressions: triangle_count, copurchase_lift
+# (plus sf0.1 siblings khop_trade_graph degree_distribution editdist_part_names).
+# Interleaved min-of-3: old(r10 @5ff9fa4 worktree) vs new(HEAD), same host state.
+set -u
+SF1=/root/repo/testdata_sf1
+SF01=/root/testdata/sf0.1
+OUT=/root/repo/tools/ab_r12_raw.txt
+: > $OUT
+for rep in 1 2 3; do
+  for side in old new; do
+    tree=$([ $side = old ] && echo /root/wt_r10 || echo /root/repo)
+    echo "== rep$rep $side sf1 ==" >> $OUT
+    (cd $tree && python tools/timeq.py $SF1 triangle_count copurchase_lift) >> $OUT 2>/dev/null
+    echo "== rep$rep $side sf01 ==" >> $OUT
+    (cd $tree && python tools/timeq.py $SF01 khop_trade_graph degree_distribution editdist_part_names) >> $OUT 2>/dev/null
+  done
+done
+echo DONE >> $OUT

@@ -1,0 +1,71 @@
+"""VERDICT r11 'What's wrong' #4: classify the r10->r11 driver-bench
+streaming drop (151.0K -> 121.7K ev/s). The streaming path had no r11
+code change, so the hypothesis is host drift; demonstrated the same way as
+the batch queries — bench._streaming_throughput run in the r10-close
+worktree (5ff9fa4) vs HEAD, fresh session per run, interleaved on one host
+state. Writes tools/ab_stream_r12_result.json."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from numaflow_spark.session import get_spark
+from bench import _streaming_throughput
+spark = get_spark("abstream12", extra_conf={
+    "spark.ui.showConsoleProgress": "false",
+})
+spark.sparkContext.setLogLevel("ERROR")
+_streaming_throughput(spark, n_batches=6)  # warmup
+print("RESULT", _streaming_throughput(spark))
+spark.stop()
+"""
+
+
+def run_arm(tree: str) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, tree], capture_output=True, text=True,
+        cwd=tree, timeout=900,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(out.stdout[-500:] + out.stderr[-500:])
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    arms = {"r10_5ff9fa4": "/root/wt_r10", "head": "/root/repo"}
+    runs: dict[str, list[float]] = {k: [] for k in arms}
+    for _ in range(reps):
+        for name, tree in arms.items():
+            runs[name].append(run_arm(tree))
+            print(name, runs[name][-1], flush=True)
+    result = {
+        "question": "r10->r11 driver-bench streaming drop 151.0K -> 121.7K ev/s: code or host?",
+        "protocol": "bench._streaming_throughput, fresh session per run, r10-close worktree vs HEAD interleaved on one host state, warmup run then measured run per invocation",
+        "arms": {
+            k: {"measured_runs": v, "min": min(v), "max": max(v),
+                "mean": round(sum(v) / len(v), 1)}
+            for k, v in runs.items()
+        },
+    }
+    a, b = (max(runs["r10_5ff9fa4"]), max(runs["head"]))
+    result["verdict"] = (
+        f"best-of-{reps}: r10 code {a:.0f} vs HEAD {b:.0f} ev/s "
+        f"({'HEAD >= r10 — host drift, not a code regression' if b >= a * 0.95 else 'HEAD slower — investigate'})"
+    )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "ab_stream_r12_result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result["arms"], indent=1))
+    print(result["verdict"])
+
+
+if __name__ == "__main__":
+    main()
