@@ -1,13 +1,18 @@
-"""VERDICT r10 task 5: the x10 correctness artifact must postdate every
-query-touching commit — mechanically enforced, not remembered. The r10
-miss: CORRECTNESS_LOCAL_r10_sf1.json landed 30 minutes before the last
-ranking commit, so the at-scale evidence described a superseded plan.
-tools/artifact_freshness.py is the checker; these tests pin (a) its
-stale/fresh/missing logic on synthetic git repos and (b) the REAL repo's
-committed state."""
+"""VERDICT r10 task 5 + r11 task 8/ADVICE: the x10 artifacts (correctness
+AND the bench pair) must postdate every query-touching commit —
+mechanically enforced, not remembered. The r10 miss:
+CORRECTNESS_LOCAL_r10_sf1.json landed 30 minutes before the last ranking
+commit, so the at-scale evidence described a superseded plan. The r11
+ADVICE hardened the rule: commit-time alone is gameable by committing a
+hand-edited _meta late, so the artifact's tool-written _meta.git_head must
+itself CONTAIN (be equal to or descend from) every query path's last
+commit. tools/artifact_freshness.py is the checker; these tests pin (a)
+its stale/fresh/missing/ancestry logic on synthetic git repos and (b) the
+REAL repo's committed state."""
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 
@@ -15,14 +20,21 @@ from tools.artifact_freshness import check, latest_sf1_artifact
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_ENV = {**os.environ,
+        "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"}
+
 
 def _git(repo, *args):
-    subprocess.run(
-        ["git", "-C", repo, *args], check=True, capture_output=True,
-        env={**os.environ,
-             "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
-             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
-    )
+    subprocess.run(["git", "-C", repo, *args], check=True,
+                   capture_output=True, env=_ENV)
+
+
+def _head(repo) -> str:
+    return subprocess.run(
+        ["git", "-C", repo, "rev-parse", "HEAD"], check=True,
+        capture_output=True, text=True,
+    ).stdout.strip()
 
 
 def _commit(repo, path, content, ts):
@@ -35,10 +47,7 @@ def _commit(repo, path, content, ts):
     subprocess.run(
         ["git", "-C", repo, "commit", "-m", f"c{ts}", "--date", env_ts],
         check=True, capture_output=True,
-        env={**os.environ,
-             "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
-             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
-             "GIT_COMMITTER_DATE": env_ts},
+        env={**_ENV, "GIT_COMMITTER_DATE": env_ts},
     )
 
 
@@ -49,27 +58,63 @@ def test_freshness_logic_on_synthetic_repo(tmp_path):
     _commit(repo, "numaflow_spark/queries.py", "q1", 1)
     code, msg = check(repo)
     assert code == 2
-    # artifact committed AFTER the query commit -> fresh
+    # correctness alone is not enough: the bench pair is also evidence
     _commit(repo, "CORRECTNESS_LOCAL_r11_sf1.json", "{}", 2)
     code, msg = check(repo)
+    assert code == 2 and "BENCH_LOCAL" in msg
+    # bench without its DuckDB twin -> the pair is incomplete
+    _commit(repo, "BENCH_LOCAL_r11_sf1.json", "{}", 3)
+    code, msg = check(repo)
+    assert code == 1 and "twin" in msg
+    _commit(repo, "BENCH_LOCAL_r11_sf1_duckdb_standalone.json", "{}", 4)
+    code, msg = check(repo)
     assert code == 0, msg
-    # a later query-touching commit makes it stale -> code 1
-    _commit(repo, "numaflow_spark/operators/x.py", "op", 3)
+    # a later query-touching commit makes BOTH families stale -> code 1
+    _commit(repo, "numaflow_spark/operators/x.py", "op", 5)
     code, msg = check(repo)
     assert code == 1 and "REFRESH NEEDED" in msg
-    # a NEWER-round artifact restores freshness, and two-digit rounds
-    # must win the round ordering (the r10 glob-regression class)
-    _commit(repo, "CORRECTNESS_LOCAL_r12_sf1.json", "{}", 4)
+    # NEWER-round artifacts restore freshness, and two-digit rounds must
+    # win the round ordering (the r10 glob-regression class)
+    _commit(repo, "CORRECTNESS_LOCAL_r12_sf1.json", "{}", 6)
+    _commit(repo, "BENCH_LOCAL_r12_sf1.json", "{}", 7)
+    _commit(repo, "BENCH_LOCAL_r12_sf1_duckdb_standalone.json", "{}", 8)
     rnd, path = latest_sf1_artifact(repo)
     assert rnd == 12 and path.endswith("r12_sf1.json")
     code, msg = check(repo)
     assert code == 0, msg
 
 
-def test_repo_x10_artifact_postdates_query_commits():
-    """The real repo's newest committed x10 artifact must postdate every
-    committed change to queries.py / oracles.py / operators/ /
-    __spark_entry__.py. Uncommitted working-tree edits are the builder's
-    business; the standard binds at commit time."""
+def test_meta_git_head_ancestry_rule(tmp_path):
+    """Committing an artifact late does NOT make it fresh if its own
+    recorded run HEAD predates the query-touching commit — the r11 ADVICE
+    gameability fix."""
+    repo = str(tmp_path)
+    _git(repo, "init", "-q")
+    _commit(repo, "numaflow_spark/queries.py", "q1", 1)
+    old_head = _head(repo)
+    _commit(repo, "numaflow_spark/queries.py", "q2", 2)
+    new_head = _head(repo)
+    # artifact commit POSTDATES the query commit, but its _meta.git_head
+    # records a run on the superseded code -> stale
+    art = json.dumps({"_meta": {"git_head": old_head}})
+    _commit(repo, "CORRECTNESS_LOCAL_r12_sf1.json", art, 3)
+    _commit(repo, "BENCH_LOCAL_r12_sf1.json", "{}", 4)
+    _commit(repo, "BENCH_LOCAL_r12_sf1_duckdb_standalone.json", "{}", 5)
+    code, msg = check(repo)
+    assert code == 1 and "_meta.git_head" in msg
+    # re-recording the run at the current head restores freshness
+    art = json.dumps({"_meta": {"git_head": new_head}})
+    _commit(repo, "CORRECTNESS_LOCAL_r12_sf1.json", art, 6)
+    code, msg = check(repo)
+    assert code == 0, msg
+
+
+def test_repo_x10_artifacts_postdate_query_commits():
+    """The real repo's newest committed x10 artifacts (correctness + bench
+    pair) must postdate every committed change to queries.py / oracles.py /
+    session.py / operators/ / __spark_entry__.py, and the correctness
+    artifact's recorded run HEAD must contain those commits. Uncommitted
+    working-tree edits are the builder's business; the standard binds at
+    commit time."""
     code, msg = check(REPO)
     assert code == 0, msg

@@ -1,14 +1,25 @@
-"""VERDICT r10 task 5: make the x10-artifact freshness standard mechanical.
+"""VERDICT r10 task 5 / r11 tasks: make the x10-artifact freshness standard
+mechanical, for BOTH at-scale artifact families.
 
 The builder's standard: the newest x10 correctness artifact
-(CORRECTNESS_LOCAL_r{N}_sf1.json) must postdate EVERY commit that touches
-query-defining code — queries.py, oracles.py, operators/, __spark_entry__.py
-— otherwise the at-scale hash evidence describes a plan that no longer
-exists (r10 missed this by 30 minutes; e700e2c landed after the artifact).
+(CORRECTNESS_LOCAL_r{N}_sf1.json) AND the newest x10 bench pair
+(BENCH_LOCAL_r{N}_sf1.json + its _duckdb_standalone twin) must postdate
+EVERY commit that touches query-defining code — queries.py, oracles.py,
+session.py, operators/, __spark_entry__.py — otherwise the at-scale
+evidence describes a plan that no longer exists (r10 missed this by 30
+minutes; e700e2c landed after the artifact).
 
-Compares git commit times (committed state only — the working tree is the
-builder's business until commit) and prints a verdict. Exit 0 = fresh,
-exit 1 = refresh needed, exit 2 = no artifact.
+Two rules, both enforced (r11 ADVICE hardened the first into the second):
+  1. commit-time: the artifact's last commit postdates each query path's
+     last commit.
+  2. provenance: if the artifact embeds a tool-written ``_meta.git_head``,
+     that head must EQUAL or DESCEND FROM each query path's last commit
+     (``git merge-base --is-ancestor``). A hand-edited _meta committed
+     late no longer counts as fresh evidence — the recorded run HEAD
+     itself must already contain the query-touching change.
+
+Compares committed state only — the working tree is the builder's business
+until commit. Exit 0 = fresh, exit 1 = refresh needed, exit 2 = missing.
 
 Usage: python tools/artifact_freshness.py [repo_root]
 """
@@ -16,6 +27,7 @@ Usage: python tools/artifact_freshness.py [repo_root]
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 import subprocess
@@ -24,11 +36,13 @@ import sys
 QUERY_PATHS = [
     "numaflow_spark/queries.py",
     "numaflow_spark/oracles.py",
+    "numaflow_spark/session.py",
     "numaflow_spark/operators",
     "__spark_entry__.py",
 ]
 
 _SF1_RE = re.compile(r"^CORRECTNESS_LOCAL_r(\d+)_sf1\.json$")
+_BENCH_RE = re.compile(r"^BENCH_LOCAL_r(\d+)_sf1\.json$")
 
 
 def _commit_ts(repo: str, path: str) -> int:
@@ -39,25 +53,57 @@ def _commit_ts(repo: str, path: str) -> int:
     return int(out) if out else 0
 
 
-def latest_sf1_artifact(repo: str) -> tuple[int, str] | None:
-    """(round, path) of the newest-round x10 correctness artifact."""
+def _last_commit(repo: str, path: str) -> str:
+    out = subprocess.run(
+        ["git", "-C", repo, "log", "-1", "--format=%H", "--", path],
+        capture_output=True, text=True, timeout=30,
+    ).stdout.strip()
+    return out
+
+
+def _is_ancestor(repo: str, ancestor: str, head: str) -> bool:
+    """True iff ``ancestor`` is reachable from ``head`` (or equal)."""
+    rc = subprocess.run(
+        ["git", "-C", repo, "merge-base", "--is-ancestor", ancestor, head],
+        capture_output=True, timeout=30,
+    ).returncode
+    return rc == 0
+
+
+def _latest(repo: str, rx: re.Pattern) -> tuple[int, str] | None:
+    """(round, path) of the newest-round artifact matching ``rx``."""
     best = None
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*_sf1.json")):
-        m = _SF1_RE.match(os.path.basename(p))
+    for p in glob.glob(os.path.join(repo, "*.json")):
+        m = rx.match(os.path.basename(p))
         if m and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), p)
     return best
 
 
-def check(repo: str) -> tuple[int, str]:
-    """(exit_code, message). 0 fresh / 1 stale / 2 missing."""
-    art = latest_sf1_artifact(repo)
-    if art is None:
-        return 2, "no CORRECTNESS_LOCAL_r*_sf1.json artifact exists"
-    rnd, path = art
+def latest_sf1_artifact(repo: str) -> tuple[int, str] | None:
+    return _latest(repo, _SF1_RE)
+
+
+def latest_bench_artifact(repo: str) -> tuple[int, str] | None:
+    return _latest(repo, _BENCH_RE)
+
+
+def _meta_head(path: str) -> str | None:
+    """The tool-written run HEAD, if the artifact carries one."""
+    try:
+        with open(path) as f:
+            meta = json.load(f).get("_meta") or {}
+        head = meta.get("git_head")
+        return head if head and head != "unknown" else None
+    except Exception:
+        return None
+
+
+def _check_one(repo: str, rnd: int, path: str, kind: str) -> tuple[int, str]:
+    base = os.path.basename(path)
     art_ts = _commit_ts(repo, path)
     if art_ts == 0:
-        return 1, f"artifact {os.path.basename(path)} is not committed"
+        return 1, f"{kind}: {base} is not committed"
     stale_vs = []
     for qp in QUERY_PATHS:
         ts = _commit_ts(repo, qp)
@@ -66,13 +112,58 @@ def check(repo: str) -> tuple[int, str]:
     if stale_vs:
         detail = ", ".join(f"{p} (+{d}s)" for p, d in stale_vs)
         return 1, (
-            f"REFRESH NEEDED: {os.path.basename(path)} (r{rnd}) predates "
+            f"{kind}: REFRESH NEEDED — {base} (r{rnd}) predates "
             f"query-touching commits: {detail}"
         )
+    # Provenance rule: the run's own recorded HEAD must already contain
+    # every query-touching commit. Commit-time alone is gameable by
+    # committing a hand-edited _meta after the fact.
+    head = _meta_head(path)
+    if head is not None:
+        behind = []
+        for qp in QUERY_PATHS:
+            last = _last_commit(repo, qp)
+            if last and not _is_ancestor(repo, last, head):
+                behind.append(qp)
+        if behind:
+            return 1, (
+                f"{kind}: REFRESH NEEDED — {base} (r{rnd}) _meta.git_head "
+                f"{head[:12]} does not contain the last commit touching: "
+                + ", ".join(behind)
+            )
     return 0, (
-        f"fresh: {os.path.basename(path)} (r{rnd}) postdates every "
-        f"query-touching commit"
+        f"{kind}: fresh — {base} (r{rnd}) postdates every query-touching "
+        f"commit" + (f"; run head {head[:12]} contains them" if head else "")
     )
+
+
+def check(repo: str) -> tuple[int, str]:
+    """(exit_code, message). 0 fresh / 1 stale / 2 missing.
+    Covers both at-scale families: correctness AND the bench pair."""
+    msgs, worst = [], 0
+    corr = latest_sf1_artifact(repo)
+    if corr is None:
+        return 2, "no CORRECTNESS_LOCAL_r*_sf1.json artifact exists"
+    code, msg = _check_one(repo, corr[0], corr[1], "correctness")
+    msgs.append(msg)
+    worst = max(worst, code)
+
+    bench = latest_bench_artifact(repo)
+    if bench is None:
+        msgs.append("bench: no BENCH_LOCAL_r*_sf1.json artifact exists")
+        worst = max(worst, 2)
+    else:
+        code, msg = _check_one(repo, bench[0], bench[1], "bench")
+        msgs.append(msg)
+        worst = max(worst, code)
+        twin = bench[1].replace(".json", "_duckdb_standalone.json")
+        if not os.path.exists(twin):
+            msgs.append(
+                f"bench: twin {os.path.basename(twin)} missing — the pair "
+                "is the evidence, not the Spark half alone"
+            )
+            worst = max(worst, 1)
+    return worst, "\n".join(msgs)
 
 
 def main() -> int:

@@ -15,6 +15,7 @@ evidence for queries the driver snapshot hasn't certified yet.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import Counter
 from datetime import date, datetime
@@ -52,27 +53,37 @@ def _multiset(rows, col_order):
     )
 
 
-def _run_meta(sf_dir: str) -> dict:
+def _run_meta(sf_dir: str, note: str | None = None) -> dict:
     """Run provenance embedded in --json artifacts. A rerun on unchanged
     code produces identical per-query rows, which git cannot record as a
     new commit — the freshness rule (tools/artifact_freshness.py) then
     cannot see that fresh evidence exists. The timestamp + HEAD here make
-    every rerun a committable content change."""
+    every rerun a committable content change.
+
+    The _meta block is STRICTLY tool-written (r11 ADVICE): annotations go
+    through --note, never a hand edit, so artifact_freshness can trust
+    git_head as actual run provenance. git rev-parse is pinned to THIS
+    repo's root so invoking the tool from elsewhere can't record an
+    unrelated repo's HEAD."""
     import subprocess
     import time
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-            timeout=10,
+            timeout=10, cwd=repo_root,
         ).stdout.strip()
     except Exception:
         head = "unknown"
-    return {
+    meta = {
         "sf_dir": sf_dir,
         "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "git_head": head,
     }
+    if note:
+        meta["note"] = note
+    return meta
 
 
 def main() -> int:
@@ -87,6 +98,14 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     staged = "--staged" in argv
     argv = [a for a in argv if a != "--staged"]
+    note = None
+    if "--note" in argv:
+        i = argv.index("--note")
+        if i + 1 >= len(argv):
+            print("error: --note requires a string", file=sys.stderr)
+            return 2
+        note = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     skip: set[str] = set()
     while "--skip" in argv:
         i = argv.index("--skip")
@@ -107,7 +126,9 @@ def main() -> int:
             import json
 
             with open(json_out, "w") as f:
-                json.dump({"_meta": _run_meta(sf_dir), **report}, f, indent=2)
+                json.dump(
+                    {"_meta": _run_meta(sf_dir, note), **report}, f, indent=2
+                )
 
     import __spark_entry__ as e
     from numaflow_spark.session import get_spark
@@ -220,8 +241,11 @@ def main() -> int:
     if json_out:
         import json
 
+        # Keep _meta on the FINAL write too — r11's committed artifact lost
+        # it here and the provenance had to be restored by hand, which is
+        # exactly what _run_meta exists to prevent.
         with open(json_out, "w") as f:
-            json.dump(report, f, indent=2)
+            json.dump({"_meta": _run_meta(sf_dir, note), **report}, f, indent=2)
         print(f"wrote {json_out} ({len(report)} queries)")
 
     if failures:
