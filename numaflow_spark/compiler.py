@@ -23,15 +23,76 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from numaflow_spark.operators import reduce_ops, routing
 from numaflow_spark.pipeline import MapUDF, Pipeline, ReduceUDF, Vertex
 
 
-def _apply_reduce(v: Vertex, df: DataFrame, streaming: bool) -> DataFrame:
+def _accumulator_shape(df: DataFrame, ts_col: str) -> DataFrame:
+    """Message envelope -> the stream-sorter's (key, event_time, value)
+    shape: keys array joined to one grouping key, binary payload decoded as
+    the e2e integer payload (accumulator.proto's canonical sorter body)."""
+    key = (
+        F.concat_ws(",", "keys") if "keys" in df.columns else F.lit("")
+    ).alias("key")
+    return df.select(
+        key,
+        F.col(ts_col).alias("event_time"),
+        F.col("value").cast("string").cast("long").alias("value"),
+    )
+
+
+def _apply_reduce(v: Vertex, df: DataFrame, streaming: bool,
+                  spark: SparkSession | None = None,
+                  idle_source: dict | None = None) -> DataFrame:
     udf = v.udf
     assert isinstance(udf, ReduceUDF)
     (wkind, wargs), = udf.window.items()
+    if wkind == "accumulator":
+        # R4 (window_types.go AccumulatorWindow; accumulator.rs:38-58;
+        # examples/13-accumulator-window.yaml, 40-stream-sorter.yaml): a
+        # per-key ORDERED replay, not an aggregation. The YAML `timeout`
+        # bounds how long a key's buffer waits before closing — mapped to
+        # the sorter's watermark delay, the same straggler bound the
+        # reference enforces via inactivity closure.
+        if udf.accumulator_fn is not None:
+            return udf.accumulator_fn(df)
+        from numaflow_spark.operators import accumulator as acc
+
+        shaped = _accumulator_shape(df, udf.ts_col)
+        if streaming:
+            return acc.stream_sorter(shaped, watermark_delay=wargs)
+        return acc.sorted_replay_batch(
+            shaped, ["key"], "event_time", ["value"]
+        ).select("key", "event_time", "value", "seq")
     if streaming:
+        if idle_source is not None:
+            # W3 (spec.watermark.idleSource): union the WMB heartbeat so
+            # the watermark advances while sources idle, assign the
+            # watermark over the union, then use the non-watermarking ops
+            # (exactly ONE EventTimeWatermark node — a second withWatermark
+            # below the WMB filter would never see the heartbeats).
+            from numaflow_spark.streaming.idle import (
+                heartbeat_stream,
+                with_idle_watermark,
+            )
+
+            hb = heartbeat_stream(
+                spark,
+                step_interval_s=idle_source.get("step_interval_s", 1),
+                max_delay=idle_source.get("max_delay", "0 seconds"),
+            )
+            w = with_idle_watermark(
+                df, hb, ts_col=udf.ts_col, delay=udf.allowed_lateness
+            )
+            if wkind == "fixed":
+                return reduce_ops.tumbling(w, udf.ts_col, wargs, udf.keys, udf.aggs)
+            if wkind == "session":
+                return reduce_ops.session(w, udf.ts_col, wargs, udf.keys, udf.aggs)
+            if wkind == "sliding":
+                length, slide = wargs
+                return reduce_ops.sliding(w, udf.ts_col, length, slide, udf.keys, udf.aggs)
         if wkind == "fixed":
             return reduce_ops.streaming_tumbling(
                 df, udf.ts_col, wargs, udf.allowed_lateness, udf.keys, udf.aggs
@@ -100,8 +161,16 @@ def _vertex_output(p: Pipeline, v: Vertex, spark: SparkSession,
     if v.kind == "sink":
         return df
     if isinstance(v.udf, MapUDF):
+        if v.side_inputs:
+            # W9: a map vertex declaring sideInputs gets the SideInput
+            # HANDLES (not frozen values) as a second argument — the fn
+            # calls .value()/side_table() itself. Plan-level transforms
+            # bake the value at compile; per-batch refresh belongs to sink
+            # writers (with_side_inputs), same split as the operator docs.
+            return v.udf.fn(df, {n: p.side_inputs[n] for n in v.side_inputs})
         return v.udf.fn(df)
-    return _apply_reduce(v, df, streaming)
+    return _apply_reduce(v, df, streaming, spark=spark,
+                         idle_source=p.idle_source if streaming else None)
 
 
 def compile_batch(p: Pipeline, spark: SparkSession) -> dict[str, DataFrame]:
@@ -121,9 +190,27 @@ def compile_batch(p: Pipeline, spark: SparkSession) -> dict[str, DataFrame]:
 
 @dataclass
 class StreamingDeployment:
-    """Handle over the started queries (one per sink, §3.1 step 5)."""
+    """Handle over the started queries (one per sink, §3.1 step 5).
+
+    When the spec declared ``lifecycle.desiredPhase: Paused``
+    (pipeline_types.go:444-493), ``queries`` starts empty and
+    ``lifecycles`` holds one unstarted Lifecycle controller per sink —
+    ``resume()`` brings the pipeline to Running, exactly the reconciler's
+    phase flip (W6, streaming/lifecycle.py)."""
 
     queries: dict[str, object]
+    lifecycles: dict[str, object] | None = None
+
+    def resume(self) -> None:
+        if self.lifecycles:
+            for name, lc in self.lifecycles.items():
+                self.queries[name] = lc.run()
+
+    def pause(self, drain: bool = True) -> None:
+        if self.lifecycles:
+            for name, lc in self.lifecycles.items():
+                lc.pause(drain=drain)
+                self.queries.pop(name, None)
 
     def process_all_available(self) -> None:
         for q in self.queries.values():
@@ -152,6 +239,8 @@ def compile_streaming(
     p.validate()
     outputs: dict[str, DataFrame] = {}
     started: dict[str, object] = {}
+    lifecycles: dict[str, object] = {}
+    paused = p.desired_phase == "Paused"
     for name in p.topo_order():
         v = p.vertex(name)
         outputs[name] = _vertex_output(p, v, spark, outputs, streaming=True)
@@ -162,9 +251,18 @@ def compile_streaming(
         if trigger:
             writer = writer.trigger(**trigger)
         if v.sink.writer is not None:
+            batch_writer = v.sink.writer
+            if v.side_inputs:
+                # W9 sink shape: refresh-then-process per micro-batch —
+                # the writer receives {name: latest_value} as a third arg.
+                from numaflow_spark.streaming.side_inputs import with_side_inputs
+
+                batch_writer = with_side_inputs(
+                    batch_writer, [p.side_inputs[n] for n in v.side_inputs]
+                )
             # UDSink: durable, checkpoint-recoverable (WAL analogue of the
             # reference's at-least-once ack chain, message.rs:130-296).
-            writer = writer.foreachBatch(v.sink.writer).option(
+            writer = writer.foreachBatch(batch_writer).option(
                 "checkpointLocation", f"{checkpoint_root}/{name}"
             )
         else:
@@ -173,5 +271,9 @@ def compile_streaming(
             writer = writer.format(default_format).queryName(name).outputMode("append")
             if default_format != "memory":
                 writer = writer.option("checkpointLocation", f"{checkpoint_root}/{name}")
-        started[name] = writer.start()
-    return StreamingDeployment(started)
+        from numaflow_spark.streaming.lifecycle import Lifecycle
+
+        lifecycles[name] = Lifecycle(start_fn=writer.start)
+        if not paused:
+            started[name] = lifecycles[name].run()
+    return StreamingDeployment(started, lifecycles=lifecycles)

@@ -92,6 +92,12 @@ class ReduceUDF:
     keys: Sequence[str] = ()
     ts_col: str = "event_time"
     allowed_lateness: str = "0 seconds"
+    # R4 accumulator window only (window_types.go AccumulatorWindow;
+    # accumulator.rs): window == {"accumulator": timeout_interval} gives the
+    # UDF a per-key ORDERED replay instead of an aggregation. ``aggs`` is
+    # unused; ``accumulator_fn`` (optional) replaces the built-in
+    # stream-sorter body with a registry-supplied DataFrame transform.
+    accumulator_fn: Any = None
 
 
 @dataclass
@@ -113,6 +119,9 @@ class Vertex:
     udf: MapUDF | ReduceUDF | None = None
     sink: Sink | None = None
     partitions: int = 1
+    # vertex_types.go:585-637 `sideInputs: [name]` — names of pipeline-level
+    # side inputs this vertex consumes (W9, streaming/side_inputs.py).
+    side_inputs: tuple[str, ...] = ()
 
     @property
     def kind(self) -> str:
@@ -140,6 +149,25 @@ class Pipeline:
     # micro-batch engine subsumes the semantics (documented divergence —
     # offsets commit per checkpoint, safe for cumulative-commit sources).
     per_message_streaming: bool = False
+    # spec.lifecycle (pipeline_types.go:444-493): the declared start phase
+    # and pause drain budget. compile_streaming honors desiredPhase=Paused
+    # by returning Lifecycle controllers without starting the queries.
+    desired_phase: str = "Running"
+    pause_grace_period_s: int = 30
+    # spec.watermark.idleSource (pipeline_types.go:604-616), parsed to
+    # {"threshold","step_interval","increment_by","max_delay"} Spark
+    # interval strings. When set, streaming reduce inputs get the WMB
+    # heartbeat union (W3, streaming/idle.py) so windows close while
+    # sources idle.
+    idle_source: dict | None = None
+    # spec.sideInputs (pipeline_types.go:495-530; side_inputs.go:30-47):
+    # name -> streaming.side_inputs.SideInput (fetch callable + refresh
+    # interval). Vertices reference them via Vertex.side_inputs (W9).
+    side_inputs: dict = field(default_factory=dict)
+    # spec.ordered (pipeline_types.go:540-550): FIFO-per-partition intent,
+    # recorded; the streaming compiler's ordered path (F9,
+    # streaming/ordered.py) is the executor.
+    ordered: bool = False
 
     # -- builder API ------------------------------------------------------
     def add(self, vertex: Vertex) -> "Pipeline":
@@ -196,6 +224,12 @@ class Pipeline:
             if v.kind in ("map", "reduce"):
                 if not self.in_edges(v.name) or not self.out_edges(v.name):
                     raise ValueError(f"udf vertex {v.name!r} must have in- and out-edges")
+            for s in v.side_inputs:
+                if s not in self.side_inputs:
+                    raise ValueError(
+                        f"vertex {v.name!r} references side input {s!r} not "
+                        "declared in spec.sideInputs (side_inputs.go:30-47)"
+                    )
         self.topo_order()  # raises on cycles
 
     def topo_order(self) -> list[str]:

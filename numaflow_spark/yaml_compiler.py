@@ -13,9 +13,21 @@ YAML shape so existing pipeline files drive this engine unchanged:
     ``DataFrame -> DataFrame`` for maps, or an agg-list factory for
     reducers. The e2e builtin images (map-cat, even-odd, reduce-sum) ship
     registered, so the reference's canonical examples run out of the box;
-  * ``udf.groupBy`` — window fixed/sliding/session with Go-style durations
-    (``10s``/``1m``/``100ms``), ``keyed``, ``allowedLateness`` →
-    ReduceUDF (udf.go:96-153);
+  * ``udf.groupBy`` — window fixed/sliding/session/accumulator with
+    Go-style durations (``10s``/``1m``/``100ms``), ``keyed``,
+    ``allowedLateness`` → ReduceUDF (udf.go:96-153; accumulator:
+    window_types.go, examples/13-accumulator-window.yaml);
+  * ``spec.lifecycle`` (desiredPhase Running/Paused, pauseGracePeriod) →
+    Pipeline.desired_phase, honored by compile_streaming (W6);
+  * ``spec.watermark.idleSource`` → the WMB heartbeat union (W3,
+    streaming/idle.py) in front of every streaming reduce watermark;
+  * ``spec.sideInputs`` + vertex ``sideInputs`` → streaming/side_inputs.py
+    SideInput handles (fetch callables from the registry under
+    ``sideinput:<name>``); map vertices receive the handles, udsink
+    writers get ``{name: latest_value}`` per micro-batch (W9);
+  * unknown spec/vertex keys RAISE (deployment-scope keys are ignored by
+    documented allowlist) — a YAML key silently dropped is worse than an
+    error;
   * ``spec.edges[*].conditions.tags`` — and/or/not values → TagCondition
     (edge_types.go:76-97);
   * sinks — log → golden memory sink, blackhole → discard writer, udsink
@@ -209,6 +221,31 @@ def _build_udf(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any]):
 
     if group_by:  # reducer (udf.go:96-107)
         win = group_by.get("window", {})
+        keyed = bool(group_by.get("keyed", False))
+        lateness = group_by.get("allowedLateness")
+        if "accumulator" in win:
+            # R4 (window_types.go AccumulatorWindow; examples/
+            # 13-accumulator-window.yaml:29, 40-stream-sorter.yaml:29): a
+            # per-key ordered replay with an inactivity `timeout`, wired
+            # onto operators/accumulator.py. A registry callable (vertex
+            # name or image basename) replaces the built-in stream-sorter
+            # body; the canonical stream-sorter images need none.
+            timeout = (win["accumulator"] or {}).get("timeout")
+            if not timeout:
+                raise ValueError(
+                    f"accumulator vertex {name!r}: window.accumulator needs "
+                    "a `timeout` (window_types.go AccumulatorWindow)"
+                )
+            acc_fn = registry.get(name) or registry.get(key)
+            return ReduceUDF(
+                window={"accumulator": parse_go_duration(timeout)},
+                aggs=(),
+                keys=("keys",) if keyed else (),
+                allowed_lateness=(
+                    parse_go_duration(lateness) if lateness else "0 seconds"
+                ),
+                accumulator_fn=acc_fn,
+            )
         if "fixed" in win:
             window = {"fixed": parse_go_duration(win["fixed"]["length"])}
         elif "sliding" in win:
@@ -227,8 +264,6 @@ def _build_udf(name: str, spec: Mapping[str, Any], registry: Mapping[str, Any]):
             raise ValueError(
                 f"reduce vertex {name!r} (image {image!r}) has no agg registry entry"
             )
-        keyed = bool(group_by.get("keyed", False))
-        lateness = group_by.get("allowedLateness")
         return ReduceUDF(
             window=window,
             aggs=aggs_factory(),
@@ -332,13 +367,22 @@ def pipeline_from_yaml(
     spec = doc.get("spec") or {}
     p = Pipeline(((doc.get("metadata") or {}).get("name")) or "pipeline")
 
+    _sweep_unknown(spec, _SPEC_HANDLED, _SPEC_DEPLOYMENT, "spec")
+    _parse_lifecycle(spec, p)
+    _parse_side_inputs(spec, p, registry)
+    p.ordered = bool((spec.get("ordered") or {}).get("enabled", False))
+
     wm = spec.get("watermark") or {}
     default_lateness = (
         parse_go_duration(wm["maxDelay"]) if wm.get("maxDelay") and not wm.get("disabled") else None
     )
+    if not wm.get("disabled"):
+        _parse_idle_source(wm, p)
 
     for v in spec.get("vertices", []):
         name = v["name"]
+        _sweep_unknown(v, _VERTEX_HANDLED, _VERTEX_DEPLOYMENT,
+                       f"vertex {name!r}")
         if "source" in v:
             body = _build_source(name, v["source"] or {}, registry)
             vertex = Vertex(name, source=body)
@@ -364,6 +408,7 @@ def pipeline_from_yaml(
         else:
             raise ValueError(f"vertex {name!r} has no source/udf/sink")
         vertex.partitions = int(v.get("partitions", 1) or 1)
+        vertex.side_inputs = tuple(v.get("sideInputs") or ())
         p.add(vertex)
 
     for e in spec.get("edges", []):
@@ -375,6 +420,118 @@ def pipeline_from_yaml(
 
     p.validate()
     return p
+
+
+def _schedule_interval_s(schedule: str) -> float:
+    """SideInputTrigger.schedule (side_inputs.go:40-47) → refresh interval
+    seconds. Supports the interval forms (`@every 1h30m`, `@hourly`, bare Go
+    durations); positional cron strings are rejected loudly — the engine's
+    manager is a TTL cache (streaming/side_inputs.py), and silently turning
+    a cron phase into an interval would be the silent-ignore class again."""
+    s = str(schedule).strip()
+    named = {"@hourly": 3600.0, "@daily": 86400.0, "@midnight": 86400.0,
+             "@weekly": 604800.0, "@every 1m": 60.0}
+    if s in named:
+        return named[s]
+    if s.startswith("@every "):
+        s = s[len("@every "):]
+    if _GO_DUR.findall(s) and not _GO_DUR.sub("", s):
+        return sum(int(n) * _UNIT_MS[u] for n, u in _GO_DUR.findall(s)) / 1000.0
+    raise ValueError(
+        f"side input schedule {schedule!r}: positional cron is not supported "
+        "— use an interval form (`@every 30m`, `@hourly`, `90s`); the engine "
+        "refreshes via TTL (streaming/side_inputs.py)"
+    )
+
+
+# PipelineSpec keys (pipeline_types.go:495-530). Handled keys compile onto
+# engine operators; deployment keys are K8s resourcing with no dataflow
+# semantics (documented out of scope, module docstring). ANYTHING ELSE
+# raises — a YAML key silently dropped is worse than an error (r11 VERDICT
+# "What's missing").
+_SPEC_HANDLED = {"vertices", "edges", "watermark", "lifecycle", "sideInputs",
+                 "ordered"}
+_SPEC_DEPLOYMENT = {"limits", "templates", "interStepBufferServiceName",
+                    "interStepBuffer"}
+# AbstractVertex keys (vertex_types.go:585-637): same split per vertex.
+_VERTEX_HANDLED = {"name", "source", "udf", "sink", "partitions",
+                   "sideInputs"}
+_VERTEX_DEPLOYMENT = {"scale", "limits", "containerTemplate",
+                      "initContainerTemplate", "initContainers", "sidecars",
+                      "volumes", "metadata", "updateStrategy", "affinity",
+                      "tolerations", "nodeSelector", "serviceAccountName",
+                      "imagePullSecrets", "resources"}
+
+
+def _sweep_unknown(keys, handled: set, deployment: set, where: str) -> None:
+    unknown = set(keys) - handled - deployment
+    if unknown:
+        raise ValueError(
+            f"{where}: unsupported key(s) {sorted(unknown)} — handled keys "
+            f"compile onto engine operators ({sorted(handled)}); deployment "
+            f"keys are ignored by design ({sorted(deployment)}); anything "
+            "else must not be silently dropped"
+        )
+
+
+def _parse_lifecycle(spec: Mapping[str, Any], p: Pipeline) -> None:
+    """spec.lifecycle (pipeline_types.go:444-493) → Pipeline.desired_phase/
+    pause_grace_period_s, honored by compile_streaming (W6)."""
+    lc = spec.get("lifecycle") or {}
+    phase = lc.get("desiredPhase", "Running")
+    if phase not in ("Running", "Paused"):
+        raise ValueError(
+            f"lifecycle.desiredPhase must be Running|Paused, got {phase!r} "
+            "(pipeline_types.go GetDesiredPhase)"
+        )
+    p.desired_phase = phase
+    p.pause_grace_period_s = int(lc.get("pauseGracePeriodSeconds", 30))
+
+
+def _parse_idle_source(wm: Mapping[str, Any], p: Pipeline) -> None:
+    """spec.watermark.idleSource (pipeline_types.go:604-616) → the WMB
+    heartbeat config (W3, streaming/idle.py) the streaming compiler unions
+    in front of every reduce watermark."""
+    idle = wm.get("idleSource")
+    if not idle:
+        return
+    step = idle.get("stepInterval", "1s")
+    step_ms = sum(int(n) * _UNIT_MS[u] for n, u in _GO_DUR.findall(str(step)))
+    p.idle_source = {
+        "threshold": parse_go_duration(idle["threshold"]) if idle.get("threshold") else None,
+        "increment_by": parse_go_duration(idle["incrementBy"]) if idle.get("incrementBy") else None,
+        "step_interval_s": max(1, step_ms // 1000),
+        "max_delay": parse_go_duration(wm["maxDelay"]) if wm.get("maxDelay") else "0 seconds",
+    }
+
+
+def _parse_side_inputs(spec: Mapping[str, Any], p: Pipeline,
+                       registry: Mapping[str, Any]) -> None:
+    """spec.sideInputs (side_inputs.go:30-47) → streaming/side_inputs.py
+    SideInput handles. The container image names user retrieval code the
+    engine cannot run; the registry supplies the ``fetch`` callable under
+    ``sideinput:<name>`` (or ``<name>``) — missing entries raise, never
+    silently drop."""
+    from numaflow_spark.streaming.side_inputs import SideInput
+
+    for si in spec.get("sideInputs") or []:
+        name = si.get("name")
+        if not name:
+            raise ValueError("spec.sideInputs entry without a name")
+        fetch = registry.get(f"sideinput:{name}") or registry.get(name)
+        if fetch is None:
+            raise ValueError(
+                f"side input {name!r} runs container image "
+                f"{((si.get('container') or {}).get('image'))!r}; provide "
+                f"its fetch callable in udf_registry under "
+                f"'sideinput:{name}' (side-inputs.md:1-40)"
+            )
+        schedule = (si.get("trigger") or {}).get("schedule")
+        if not schedule:
+            raise ValueError(f"side input {name!r} needs trigger.schedule")
+        p.side_inputs[name] = SideInput(
+            name=name, fetch=fetch, interval_s=_schedule_interval_s(schedule)
+        )
 
 
 def _bypass_condition(bypass: Mapping[str, Any], key: str) -> TagCondition | None:

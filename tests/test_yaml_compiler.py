@@ -545,3 +545,418 @@ spec:
 """
     with pytest.raises(ValueError, match="Kafka"):
         pipeline_from_yaml(bad)
+
+
+# ---------------------------------------------------------------------------
+# r12: accumulator window via YAML (VERDICT r11 task 3) + sideInputs /
+# idleSource / lifecycle parse-or-reject (task 4) + unknown-key sweep.
+# ---------------------------------------------------------------------------
+
+ACCUM_YAML = """
+kind: Pipeline
+metadata: {name: sort-e2e}
+spec:
+  vertices:
+    - name: in
+      source:
+        udsource: {}
+    - name: accum
+      udf:
+        container:
+          image: quay.io/numaio/numaflow-rs/stream-sorter:stable
+        groupBy:
+          window:
+            accumulator:
+              timeout: 30s
+          keyed: true
+    - name: out
+      sink:
+        log: {}
+  edges:
+    - {from: in, to: accum}
+    - {from: accum, to: out}
+"""
+
+
+def _envelope_rows(spark):
+    """Out-of-order (keys, value, event_time) envelope: arrival order is a
+    seeded shuffle of event times, so the sorter has real work."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    base = 1704067200
+    for batch in range(4):
+        times = [base + batch * 600 + i * 60 for i in range(10)]
+        rnd.shuffle(times)
+        for i, t in enumerate(times):
+            rows.append((batch * 10 + i, ["k%d" % (t % 2)], str(t % 7), t))
+    return spark.createDataFrame(
+        rows, "arrival long, keys array<string>, v string, et long"
+    ).select(
+        "arrival",
+        "keys",
+        F.col("v").cast("binary").alias("value"),
+        F.timestamp_seconds(F.col("et")).alias("event_time"),
+    )
+
+
+def test_accumulator_window_reference_examples_compile():
+    """The reference's own accumulator example specs
+    (examples/13-accumulator-window.yaml:29, 40-stream-sorter.yaml:29)
+    compile instead of raising 'unsupported window' (r11 missing #1)."""
+    import os
+
+    for fname, timeout in (
+        ("13-accumulator-window.yaml", "10 seconds"),
+        ("40-stream-sorter.yaml", "30 seconds"),
+    ):
+        path = os.path.join("/root/reference/examples", fname)
+        if not os.path.exists(path):
+            pytest.skip("reference examples unavailable")
+        p = pipeline_from_yaml(open(path).read())
+        accum = p.vertex("accum")
+        assert accum.kind == "reduce"
+        assert accum.udf.window == {"accumulator": timeout}
+        assert accum.udf.keys == ("keys",)
+
+
+def test_accumulator_yaml_stream_sorter_e2e(spark, tmp_path):
+    """SURVEY §7-M4 stream-sorter acceptance THROUGH the YAML compiler:
+    out-of-order events enter via a replayed udsource, the accumulator
+    vertex re-emits them per key in event-time order."""
+    from numaflow_spark.compiler import compile_streaming
+    from numaflow_spark.pipeline import Source
+    from numaflow_spark.sources.file_source import (
+        replay_stream,
+        write_replay_batches,
+    )
+
+    df = _envelope_rows(spark)
+    data_dir = write_replay_batches(
+        df, str(tmp_path / "in"), batches=4, order_col="arrival"
+    )
+    src = Source(
+        reader=lambda s: s.read.schema(df.schema).parquet(data_dir),
+        stream_reader=lambda s: replay_stream(
+            s, data_dir, schema=df.schema, max_files_per_trigger=1
+        ),
+    )
+    p = pipeline_from_yaml(ACCUM_YAML, {"in": src})
+    d = compile_streaming(p, spark, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        d.process_all_available()
+        out = spark.sql("SELECT * FROM out").collect()
+    finally:
+        d.stop()
+    assert out, "accumulator emitted nothing — watermark never advanced"
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r.event_time)
+    for key, times in by_key.items():
+        assert times == sorted(times), f"key {key} emitted out of order"
+
+
+def test_accumulator_yaml_batch_twin(spark, tmp_path):
+    """Batch compile of the same accumulator spec: per-key event-time order
+    with a deterministic seq (the correctness-harness twin)."""
+    from numaflow_spark.pipeline import Source
+
+    df = _envelope_rows(spark)
+    pq = str(tmp_path / "batch_in")
+    df.write.parquet(pq)
+    src = Source(reader=lambda s: s.read.parquet(pq))
+    p = pipeline_from_yaml(ACCUM_YAML, {"in": src})
+    out = compile_batch(p, spark)["out"]
+    rows = out.orderBy("key", "seq").collect()
+    assert len(rows) == 40
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r.event_time)
+    for key, times in by_key.items():
+        assert times == sorted(times)
+
+
+def test_accumulator_registry_fn_overrides_builtin(spark, tmp_path):
+    """A registry callable on the accumulator vertex replaces the built-in
+    sorter body (custom accumulator images)."""
+    from numaflow_spark.pipeline import Source
+
+    df = _envelope_rows(spark)
+    pq = str(tmp_path / "acc_in")
+    df.write.parquet(pq)
+    src = Source(reader=lambda s: s.read.parquet(pq))
+    p = pipeline_from_yaml(
+        ACCUM_YAML,
+        {"in": src, "accum": lambda d: d.withColumn("custom", F.lit(1))},
+    )
+    out = compile_batch(p, spark)["out"]
+    assert "custom" in out.columns and out.count() == 40
+
+
+def test_accumulator_requires_timeout():
+    from numaflow_spark.pipeline import Source
+
+    bad = ACCUM_YAML.replace("accumulator:\n              timeout: 30s",
+                             "accumulator: {}")
+    with pytest.raises(ValueError, match="timeout"):
+        pipeline_from_yaml(bad, {"in": Source(reader=lambda s: None)})
+
+
+LIFECYCLE_YAML = """
+kind: Pipeline
+metadata: {name: lc}
+spec:
+  lifecycle:
+    desiredPhase: Paused
+    pauseGracePeriodSeconds: 7
+  vertices:
+    - name: in
+      source:
+        udsource: {}
+    - name: out
+      sink:
+        log: {}
+  edges:
+    - {from: in, to: out}
+"""
+
+
+def test_lifecycle_desired_phase_parses_and_gates_start(spark, tmp_path):
+    """spec.lifecycle (pipeline_types.go:444-493): desiredPhase=Paused
+    compiles WITHOUT starting queries; resume() flips to Running (W6)."""
+    from numaflow_spark.compiler import compile_streaming
+    from numaflow_spark.pipeline import Source
+    from numaflow_spark.sources.file_source import (
+        replay_stream,
+        write_replay_batches,
+    )
+
+    df = _envelope_rows(spark)
+    data_dir = write_replay_batches(
+        df, str(tmp_path / "lc_in"), batches=2, order_col="arrival"
+    )
+    src = Source(
+        reader=lambda s: s.read.schema(df.schema).parquet(data_dir),
+        stream_reader=lambda s: replay_stream(s, data_dir, schema=df.schema),
+    )
+    p = pipeline_from_yaml(LIFECYCLE_YAML, {"in": src})
+    assert p.desired_phase == "Paused" and p.pause_grace_period_s == 7
+    d = compile_streaming(p, spark, checkpoint_root=str(tmp_path / "lc_ckpt"))
+    assert d.queries == {}, "Paused pipeline must not start its queries"
+    d.resume()
+    try:
+        assert set(d.queries) == {"out"}
+        d.process_all_available()
+        assert spark.sql("SELECT count(*) c FROM out").first().c == 40
+    finally:
+        d.pause(drain=False)
+    assert d.queries == {}
+
+
+def test_lifecycle_bad_phase_rejected():
+    with pytest.raises(ValueError, match="desiredPhase"):
+        pipeline_from_yaml(
+            LIFECYCLE_YAML.replace("desiredPhase: Paused", "desiredPhase: Zombie")
+        )
+
+
+IDLE_YAML = """
+kind: Pipeline
+metadata: {name: idle}
+spec:
+  watermark:
+    maxDelay: 0s
+    idleSource:
+      threshold: 5s
+      incrementBy: 3s
+      stepInterval: 1s
+  vertices:
+    - name: in
+      source:
+        udsource: {}
+    - name: agg
+      udf:
+        container: {image: example/counter:v1}
+        groupBy:
+          window:
+            fixed: {length: 10s}
+    - name: out
+      sink:
+        log: {}
+  edges:
+    - {from: in, to: agg}
+    - {from: agg, to: out}
+"""
+
+
+def test_idle_source_yaml_closes_windows(spark, tmp_path):
+    """spec.watermark.idleSource (pipeline_types.go:604-616) compiles onto
+    the WMB heartbeat union (W3): a source that goes idle forever still
+    closes its append-mode windows."""
+    import time as _t
+
+    from numaflow_spark.compiler import compile_streaming
+    from numaflow_spark.pipeline import Source
+    from numaflow_spark.sources.user_defined import SequenceSource, make_udsource
+
+    spark.dataSource.register(make_udsource(SequenceSource, name="seq_idle_yaml"))
+
+    def stream_reader(s):
+        return (
+            s.readStream.format("seq_idle_yaml")
+            .options(total="5", batch_size="5")
+            .load()
+            .select("offset", "event_time")
+        )
+
+    src = Source(reader=lambda s: None, stream_reader=stream_reader)
+    p = pipeline_from_yaml(
+        IDLE_YAML,
+        {"in": src, "agg": lambda: [F.count("*").alias("cnt"),
+                                    F.sum("offset").alias("total")]},
+    )
+    assert p.idle_source == {
+        "threshold": "5 seconds", "increment_by": "3 seconds",
+        "step_interval_s": 1, "max_delay": "0 seconds",
+    }
+    d = compile_streaming(p, spark, checkpoint_root=str(tmp_path / "idle_ckpt"))
+    try:
+        deadline = _t.monotonic() + 60
+        rows = []
+        while _t.monotonic() < deadline:
+            rows = spark.sql("SELECT cnt, total FROM out").collect()
+            if rows:
+                break
+            _t.sleep(0.5)
+        assert rows, "idle-source window never closed despite WMB heartbeats"
+        assert rows[0].cnt == 5 and rows[0].total == 10
+    finally:
+        d.stop()
+
+
+SIDE_YAML = """
+kind: Pipeline
+metadata: {name: si}
+spec:
+  sideInputs:
+    - name: cfg
+      container: {image: example/si:v1}
+      trigger: {schedule: "@every 1m30s"}
+  vertices:
+    - name: in
+      source:
+        udsource: {}
+    - name: enrich
+      udf:
+        container: {image: example/enrich:v1}
+      sideInputs: [cfg]
+    - name: out
+      sink:
+        udsink: {}
+      sideInputs: [cfg]
+  edges:
+    - {from: in, to: enrich}
+    - {from: enrich, to: out}
+"""
+
+
+def test_side_inputs_yaml_parse_and_wire(spark, tmp_path):
+    """spec.sideInputs + vertex sideInputs (side_inputs.go:30-47) compile
+    onto streaming/side_inputs.py: map vertices receive the SideInput
+    handles; udsink writers get {name: latest_value} per micro-batch."""
+    from numaflow_spark.compiler import compile_streaming
+    from numaflow_spark.pipeline import Source
+    from numaflow_spark.sources.file_source import (
+        replay_stream,
+        write_replay_batches,
+    )
+
+    df = _envelope_rows(spark)
+    data_dir = write_replay_batches(
+        df, str(tmp_path / "si_in"), batches=2, order_col="arrival"
+    )
+    src = Source(
+        reader=lambda s: s.read.schema(df.schema).parquet(data_dir),
+        stream_reader=lambda s: replay_stream(s, data_dir, schema=df.schema),
+    )
+    fetches = []
+    seen_handles = {}
+    batches = []
+
+    def enrich(d, sides):
+        seen_handles.update(sides)
+        return d
+
+    registry = {
+        "in": src,
+        "sideinput:cfg": lambda: fetches.append(1) or {"threshold": len(fetches)},
+        "enrich": enrich,
+        "out": lambda d, eid, sides: batches.append(sides["cfg"]),
+    }
+    p = pipeline_from_yaml(SIDE_YAML, registry)
+    assert list(p.side_inputs) == ["cfg"]
+    assert p.side_inputs["cfg"].interval_s == 90.0
+    assert p.vertex("enrich").side_inputs == ("cfg",)
+    d = compile_streaming(p, spark, checkpoint_root=str(tmp_path / "si_ckpt"))
+    try:
+        d.process_all_available()
+    finally:
+        d.stop()
+    assert "cfg" in seen_handles  # map vertex got the handle
+    assert batches and batches[0]["threshold"] >= 1  # writer got values
+    assert fetches  # the fetch actually ran
+
+
+def test_side_inputs_missing_registry_raises():
+    with pytest.raises(ValueError, match="sideinput:cfg"):
+        pipeline_from_yaml(SIDE_YAML, {"in": object(), "enrich": lambda d: d})
+
+
+def test_side_inputs_cron_schedule_rejected():
+    with pytest.raises(ValueError, match="cron"):
+        pipeline_from_yaml(
+            SIDE_YAML.replace("@every 1m30s", "0 30 * * * *"),
+            {"sideinput:cfg": lambda: 1},
+        )
+
+
+def test_side_inputs_undeclared_reference_rejected():
+    from numaflow_spark.pipeline import Source
+
+    bad = SIDE_YAML.replace("sideInputs: [cfg]", "sideInputs: [nope]", 1)
+    with pytest.raises(ValueError, match="nope"):
+        pipeline_from_yaml(bad, {
+            "sideinput:cfg": lambda: 1,
+            "in": Source(reader=lambda s: None),
+            "enrich": lambda d, sides: d,
+            "out": lambda d, eid, sides: None,
+        })
+
+
+def test_unknown_spec_key_rejected():
+    bad = SIMPLE.replace("spec:", "spec:\n  frobnicate: {a: 1}")
+    with pytest.raises(ValueError, match="frobnicate"):
+        pipeline_from_yaml(bad)
+
+
+def test_unknown_vertex_key_rejected():
+    bad = SIMPLE.replace("    - name: p1", "    - name: p1\n      mystery: 1")
+    with pytest.raises(ValueError, match="mystery"):
+        pipeline_from_yaml(bad)
+
+
+def test_deployment_keys_still_ignored():
+    """scale/limits/templates are K8s resourcing — documented out of scope,
+    must keep parsing (the reference examples carry them)."""
+    ok = SIMPLE.replace(
+        "spec:",
+        "spec:\n  limits: {readBatchSize: 1}\n  templates: {}",
+    ).replace("    - name: p1", "    - name: p1\n      scale: {min: 1}")
+    assert pipeline_from_yaml(ok).vertices
+
+
+def test_ordered_flag_parses():
+    y = SIMPLE.replace("spec:", "spec:\n  ordered: {enabled: true}")
+    assert pipeline_from_yaml(y).ordered is True
+    assert pipeline_from_yaml(SIMPLE).ordered is False
