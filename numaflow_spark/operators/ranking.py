@@ -153,10 +153,12 @@ def _bucketed(df: DataFrame, primary: str, descending: bool,
     return part
 
 
-def _exclusive_prefix(per_pid: DataFrame, agg: Column,
-                      out: str, pid: str = _PID) -> DataFrame:
-    """For each bucket id, `agg` over all STRICTLY earlier buckets (NULL
-    when none). Broadcast triangle join over <=P rows per side."""
+def _exclusive_prefixes(per_pid: DataFrame, aggs: list[tuple[Column, str]],
+                        pid: str = _PID) -> DataFrame:
+    """For each bucket id, each `agg` over all STRICTLY earlier buckets
+    (NULL when none). ONE broadcast triangle join over <=P rows per side
+    emits every prefix column at once — N running aggregates share a
+    single triangle instead of paying it N times (VERDICT r11 #2)."""
     metrics = [c for c in per_pid.columns if c != pid]
     right = per_pid.select(
         F.col(pid).alias("__rk_qid"),
@@ -165,7 +167,13 @@ def _exclusive_prefix(per_pid: DataFrame, agg: Column,
     j = per_pid.select(pid).join(
         F.broadcast(right), F.col("__rk_qid") < F.col(pid), "left"
     )
-    return j.groupBy(pid).agg(agg.alias(out))
+    return j.groupBy(pid).agg(*[a.alias(out) for a, out in aggs])
+
+
+def _exclusive_prefix(per_pid: DataFrame, agg: Column,
+                      out: str, pid: str = _PID) -> DataFrame:
+    """Single-aggregate convenience wrapper over _exclusive_prefixes."""
+    return _exclusive_prefixes(per_pid, [(agg, out)], pid=pid)
 
 
 def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
@@ -257,19 +265,53 @@ def add_global_running_sum(df: DataFrame, order_cols: list[Column],
     """`sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING..
     CURRENT ROW)` without the global sort (order must be total, led by
     the integer column `primary`)."""
+    return add_global_running_sums(
+        df, order_cols, [value_col], [out_col], primary=primary,
+        descending=descending, partitions=partitions,
+        materialize=materialize,
+    )
+
+
+def add_global_running_sums(df: DataFrame, order_cols: list[Column],
+                            value_cols: list[str], out_cols: list[str],
+                            *, primary: str, descending: bool = False,
+                            partitions: int = DEFAULT_RANGE_PARTITIONS,
+                            materialize: bool = True,
+                            ) -> DataFrame:
+    """N running sums over the SAME total order from ONE two-phase pass
+    (VERDICT r11 #2: ks_priority_price paid the full bucketing + local
+    window + per-bucket totals + triangle twice for its two ECDFs). All N
+    sums share one bucket assignment, ONE local Window physical operator
+    (identical window spec, N aggregate expressions), one per-bucket
+    totals aggregation, and one broadcast triangle join — the job count is
+    flat in N."""
+    assert len(value_cols) == len(out_cols) and value_cols
     part = _bucketed(df, primary, descending, partitions, materialize)
     wloc = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn(_LOC, F.sum(value_col).over(wloc))
-    sums = part.groupBy(_PID).agg(F.sum(value_col).alias("_s"))
-    offs = _exclusive_prefix(sums, F.sum("__rk_r__s"), _PRE)
-    return (
-        local.join(F.broadcast(offs), _PID)
-        .withColumn(out_col, F.coalesce(F.col(_PRE), F.lit(0)) + F.col(_LOC))
-        .drop(_PID, _LOC, _PRE)
+    local = part
+    for i, v in enumerate(value_cols):
+        local = local.withColumn(f"{_LOC}{i}", F.sum(v).over(wloc))
+    sums = part.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
+    )
+    offs = _exclusive_prefixes(
+        sums,
+        [(F.sum(f"__rk_r__s{i}"), f"{_PRE}{i}")
+         for i in range(len(value_cols))],
+    )
+    out = local.join(F.broadcast(offs), _PID)
+    for i, out_col in enumerate(out_cols):
+        out = out.withColumn(
+            out_col,
+            F.coalesce(F.col(f"{_PRE}{i}"), F.lit(0)) + F.col(f"{_LOC}{i}"),
+        )
+    return out.drop(
+        _PID, *[f"{_LOC}{i}" for i in range(len(value_cols))],
+        *[f"{_PRE}{i}" for i in range(len(value_cols))],
     )
 
 

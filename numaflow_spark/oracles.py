@@ -3360,3 +3360,8 @@ STAGED_ORACLES["anova_weekday_revenue"] = """
                     / CAST(n - k AS DOUBLE)), 6) AS f_stat
     FROM tot
 """
+
+# r12 promotion: the five staged analytics oracles above join the registry
+# (rotation contract — staged at r11 close, hash-green at sf0.001 + sf0.01
+# via check_queries --staged, promoted into the r12 window head).
+ORACLES.update(STAGED_ORACLES)

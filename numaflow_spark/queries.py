@@ -5447,10 +5447,15 @@ def q_ks_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = max|cum1*n2 - cum2*n1| with ks_ppm = D*1e6 div (n1*n2). The
     distribution-shift gate a training-data pipeline runs between corpus
     snapshots, expressed with zero float comparisons. Scale: the grouped
-    price table is ~|distinct prices| rows; both running sums share ONE
-    materialized bucketing (materialize=False reuse)."""
+    price table is ~|distinct prices| rows; both ECDFs come from ONE
+    two-phase pass (add_global_running_sums — shared bucketing, one local
+    window, one triangle; VERDICT r11 #2 halved this query's job count).
+    Overflow audit: cum*n products reach n1*n2 ~ (SF*750k)^2/4 — past
+    int64 near SF10 — and ks_num*1e6 likewise, so BOTH the D comparison
+    and the ppm run in DECIMAL(38,0) while the stored columns stay bigint
+    (exact; DuckDB's HUGEINT twin matches bit-for-bit)."""
     from numaflow_spark.operators.ranking import (
-        add_global_running_sum,
+        add_global_running_sums,
         materialize_ranking_input,
     )
 
@@ -5471,27 +5476,30 @@ def q_ks_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per = materialize_ranking_input(per)
-    per = add_global_running_sum(
-        per, [F.col("price_c")], "c1", "cum1",
-        primary="price_c", materialize=False,
-    )
-    per = add_global_running_sum(
-        per, [F.col("price_c")], "c2", "cum2",
+    per = add_global_running_sums(
+        per, [F.col("price_c")], ["c1", "c2"], ["cum1", "cum2"],
         primary="price_c", materialize=False,
     )
     tot = per.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
+    dec = "DECIMAL(38,0)"
     d = per.crossJoin(F.broadcast(tot)).select(
-        F.expr("abs(cum1 * n2 - cum2 * n1)").alias("dnum"), "n1", "n2"
+        F.expr(
+            f"abs(CAST(cum1 AS {dec}) * n2 - CAST(cum2 AS {dec}) * n1)"
+        ).alias("dnum"),
+        "n1", "n2",
     )
     return (
         d.groupBy("n1", "n2")
         .agg(F.max("dnum").cast("bigint").alias("ks_num"))
         .select(
             "n1", "n2", "ks_num",
-            F.expr("ks_num * 1000000 div (n1 * n2)").alias("ks_ppm"),
+            F.expr(
+                f"CAST(CAST(ks_num AS {dec}) * 1000000 div "
+                f"(CAST(n1 AS {dec}) * n2) AS BIGINT)"
+            ).alias("ks_ppm"),
         )
     )
 
@@ -5658,7 +5666,7 @@ _R11_WINDOW = [
     "label_source_matrix", "seasonal_index", "error_rate_hours",
     "interarrival_histogram", "segment_status_matrix",
     "negative_balance_exposure",
-    # 33 least-recently-certified (r7-latest), registry order:
+    # 31 least-recently-certified (r7-latest), registry order:
     "inverted_index", "dow_hour_heatmap", "first_event_census",
     "wau_dau_stickiness", "dedup_rate_by_source",
     "supplier_lead_time_stats", "fixed_window_keyed",
@@ -5899,8 +5907,59 @@ def q_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_QUERIES["graph_assortativity"] = q_graph_assortativity
-STAGED_QUERIES["moment_profile"] = q_moment_profile
-STAGED_QUERIES["basket_triples"] = q_basket_triples
-STAGED_QUERIES["dispersion_index"] = q_dispersion_index
-STAGED_QUERIES["anova_weekday_revenue"] = q_anova_weekday_revenue
+# r12 promotion (rotation contract): staged at r11 close, hash-green at
+# sf0.001 + sf0.01 via check_queries --staged, now registered with their
+# oracles (oracles.py tail ORACLES.update) and placed at the r12 window
+# head below.
+QUERIES["graph_assortativity"] = q_graph_assortativity
+QUERIES["moment_profile"] = q_moment_profile
+QUERIES["basket_triples"] = q_basket_triples
+QUERIES["dispersion_index"] = q_dispersion_index
+QUERIES["anova_weekday_revenue"] = q_anova_weekday_revenue
+
+
+# ---------------------------------------------------------------------------
+# r12 certification window (driver certifies the FIRST 50 keys).
+# Head layout:
+#   slots 1-5   the five r12 analytics promotions (never certified —
+#               rotation contract requires them inside the window).
+#   slot 6      ks_priority_price (RECERT_PENDING: r12 rewrite onto
+#               add_global_running_sums + DECIMAL(38,0) overflow fix).
+#   slots 7-50  the 44 least-recently-certified remaining queries
+#               (13 r7-latest then 31 r8-latest, registry order within
+#               each round — computed from CORRECTNESS_r01-r11).
+# Tail order (positions 51+) is untouched; no query leaves the registry.
+# The r11 RECERT queue (7 ranking/perf rewrites) drained on its fresh r11
+# driver rows (CORRECTNESS_r11.json, all green).
+# ---------------------------------------------------------------------------
+RECERT_PENDING = ["ks_priority_price"]
+RECERT_SINCE_ROUND = 12
+_R12_WINDOW = [
+    "graph_assortativity", "moment_profile", "basket_triples",
+    "dispersion_index", "anova_weekday_revenue",
+    # r12 rewrite (RECERT_PENDING):
+    "ks_priority_price",
+    # 13 least-recently-certified (r7-latest), registry order:
+    "multimodal_decode", "asof_join", "range_join_bands", "cube_agg",
+    "pivot_agg", "set_intersect", "token_count_bpe", "dedup_keep_latest",
+    "rank_per_group", "multimodal_frames", "ivf_ann_topk", "semi_join",
+    "anti_join",
+    # 31 least-recently-certified (r8-latest), registry order:
+    "topk_brand_parts_ties", "quantity_quartiles", "brand_rank_shift_yoy",
+    "doc_quality_gopher", "hash_sample", "pii_scrub", "salted_skew_join",
+    "tfidf_topterms", "bm25_rank", "bpe_pair_counts", "cohort_retention",
+    "customer_order_distribution", "discounted_brand_revenue",
+    "domain_mix_sample", "embedding_clusters", "embedding_dedup_survivors",
+    "embedding_quantize", "excess_shipment_supplier", "forecast_revenue",
+    "funnel_conversion", "hll_distinct", "idle_customer_balance",
+    "label_centroids", "large_order_customers", "lsh_multiprobe_topk",
+    "min_cost_supplier", "nation_market_share", "pq_adc_topk",
+    "priority_pending_orders", "promo_revenue_monthly",
+    "quality_quantile_filter",
+]
+assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
+}
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
