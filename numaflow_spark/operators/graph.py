@@ -187,9 +187,20 @@ def connected_components(
         eager=True,
     )
     for _ in range(max_iter):
-        srcs = e.select(F.col("u").alias("s")).distinct()
-        targets_with_out = e.join(srcs, e.v == srcs.s, "left_semi")
-        if targets_with_out.isEmpty():
+        # Star-forest probe: converged iff no node appears as BOTH a source
+        # and a target. One union + one groupBy (2 AQE jobs on the cached
+        # edge set) replaces the r11 distinct + semi-join probe (4 jobs) —
+        # same exact predicate, measured on the minhash edge set (r12 job
+        # floor; probes were 40% of the loop's job count).
+        flags = (
+            e.select(F.col("u").alias("n"), F.lit(1).alias("_o"),
+                     F.lit(0).alias("_i"))
+            .union(e.select(F.col("v").alias("n"), F.lit(0).alias("_o"),
+                            F.lit(1).alias("_i")))
+            .groupBy("n")
+            .agg(F.max("_o").alias("o"), F.max("_i").alias("i"))
+        )
+        if flags.filter((F.col("o") == 1) & (F.col("i") == 1)).isEmpty():
             break
         e = cut_lineage(_round(e), checkpoint_dir, eager=True)
     else:  # pragma: no cover - max_iter tuned far above O(log² n) bound

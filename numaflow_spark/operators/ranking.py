@@ -57,8 +57,50 @@ globally at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _use_literal_offsets() -> bool:
+    """Driver-side literal offsets (default on, VERDICT r11 task 6): the
+    per-bucket closing totals are <= partitions+1 rows by construction, so
+    collecting them and inlining each bucket's exclusive prefix as a
+    literal map lookup removes the triangle-join + per-bucket-agg +
+    broadcast-build stages from the final plan — 2-4 AQE jobs per ranking
+    op at sf0.1 where the scheduling floor is 69% of suite wall. Driver
+    traffic is bounded by the partition constant (same class as the BPE
+    1-row argmax and the CC convergence boolean, the repo's documented
+    bounded-collect allowlist). The collect reads the SAME materialized
+    snapshot the local window reads (cut_lineage eager), so the inlined
+    offsets cannot diverge from the windowed rows; in the lazy plan-audit
+    regime both evaluations are pure functions of the data (the module's
+    bucket-determinism contract). SPARK_GRAFT_LITERAL_OFFSETS=0 restores
+    the pure-plan triangle path (plan pins cover both)."""
+    return os.environ.get("SPARK_GRAFT_LITERAL_OFFSETS", "1") not in (
+        "0", "false"
+    )
+
+
+def _prefix_map_expr(pairs, pid_col: str, dtype: str, combine):
+    """Exclusive prefix per bucket id as a literal map lookup.
+
+    ``pairs`` = collected (pid, closing_total) rows; buckets with no
+    strictly-earlier non-NULL total get no map entry, so the lookup yields
+    NULL — exactly the empty-frame semantics of the triangle join this
+    replaces. Ascending pid is always the prefix direction: descending
+    rankings already flipped the bucket index in _bucket_expr."""
+    entries = []
+    acc = None
+    for pid, val in sorted(pairs, key=lambda kv: kv[0]):
+        if acc is not None:
+            entries += [F.lit(pid), F.lit(acc).cast(dtype)]
+        if val is not None:
+            acc = val if acc is None else combine(acc, val)
+    if not entries:
+        return F.lit(None).cast(dtype)
+    return F.create_map(*entries)[F.col(pid_col)]
 
 # Default fan-out of the two-phase sort. On the local[32] harness this
 # matches the core count; on a real cluster raise it toward the shuffle
@@ -190,6 +232,14 @@ def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
     wloc = Window.partitionBy(_PID).orderBy(*order_cols)
     local = part.withColumn(_LOC, F.row_number().over(wloc))
     cnts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
+    if _use_literal_offsets():
+        pre = _prefix_map_expr(
+            [(r[0], r[1]) for r in cnts.collect()], _PID, "bigint",
+            lambda a, b: a + b,
+        )
+        return local.withColumn(
+            out_col, (F.coalesce(pre, F.lit(0)) + F.col(_LOC)).cast("bigint")
+        ).drop(_PID, _LOC)
     offs = _exclusive_prefix(cnts, F.sum("__rk_r__cnt"), _PRE)
     return (
         local.join(F.broadcast(offs), _PID)
@@ -236,11 +286,43 @@ def add_global_ranks(df: DataFrame,
         from numaflow_spark.operators.graph import cut_lineage
 
         part = cut_lineage(part, eager=True)
+    literal = _use_literal_offsets()
+    grouped_cnts = None
+    if literal and len(specs) > 1:
+        # ONE pass for every spec's per-bucket counts: grouping sets over
+        # the N bucket-id columns (bucket ids are never NULL — the NULL
+        # primary routes to a dedicated integer edge bucket — so the
+        # grouping-set marker NULLs are unambiguous). <= N*(P+1) rows.
+        pids = [f"{_PID}{i}" for i in range(len(specs))]
+        rows = (
+            part.groupingSets([[p] for p in pids], *[F.col(p) for p in pids])
+            .agg(F.count("*").alias("_cnt"))
+            .collect()
+        )
+        grouped_cnts = {
+            p: [(r[j], r[len(pids)]) for r in rows if r[j] is not None]
+            for j, p in enumerate(pids)
+        }
     result = part
     for i, (order_cols, out_col, _primary, _desc) in enumerate(specs):
         pid = f"{_PID}{i}"
         wloc = Window.partitionBy(pid).orderBy(*order_cols)
         result = result.withColumn(f"{_LOC}{i}", F.row_number().over(wloc))
+        if literal:
+            pairs = (
+                grouped_cnts[pid]
+                if grouped_cnts is not None
+                else [(r[0], r[1])
+                      for r in part.groupBy(pid).agg(
+                          F.count("*").alias("_cnt")).collect()]
+            )
+            pre = _prefix_map_expr(pairs, pid, "bigint", lambda a, b: a + b)
+            result = result.withColumn(
+                out_col,
+                (F.coalesce(pre, F.lit(0)) + F.col(f"{_LOC}{i}"))
+                .cast("bigint"),
+            ).drop(pid, f"{_LOC}{i}")
+            continue
         cnts = part.groupBy(pid).agg(F.count("*").alias("_cnt"))
         offs = _exclusive_prefix(cnts, F.sum("__rk_r__cnt"), f"{_PRE}{i}",
                                  pid=pid)
@@ -254,6 +336,85 @@ def add_global_ranks(df: DataFrame,
             .drop(pid, f"{_LOC}{i}", f"{_PRE}{i}")
         )
     return result
+
+
+def add_grouped_global_ntile(
+    df: DataFrame, group_col: str, order_cols: list[Column], out_col: str,
+    k: int, *, primary: str, descending: bool = False,
+    partitions: int = DEFAULT_RANGE_PARTITIONS, materialize: bool = True,
+    max_groups: int = 64,
+) -> DataFrame:
+    """``ntile(k) OVER (PARTITION BY group ORDER BY order_cols)`` for a
+    SMALL (constant-bounded) integer group domain whose per-group tables
+    are huge — the two-value-partitioning trap (VERDICT r9 #5: a 2-year
+    partitionBy forces each year's whole customer set through ONE task).
+    Each group gets its own value-interpolated bucketing from a per-group
+    (min, max) stats row, then ONE local window over (group, bucket) and
+    ONE per-(group, bucket) counts pass serve every group — versus one full
+    two-phase op per group (clv_decile_migration paid 26 sf0.1 jobs that
+    way; this shape is ~8).
+
+    Driver traffic: |groups| stats rows + |groups|*(P+2) count rows, both
+    constant-bounded (asserted ≤ ``max_groups``). A LARGE group domain
+    does not want this op at all — plain ``partitionBy(group)`` windows
+    already parallelize there."""
+    part = df
+    if materialize:
+        part = materialize_ranking_input(part)
+    stats_rows = part.groupBy(group_col).agg(
+        F.min(F.col(primary).cast("bigint")).alias("lo"),
+        F.max(F.col(primary).cast("bigint")).alias("hi"),
+    ).collect()
+    if len(stats_rows) > max_groups:
+        raise ValueError(
+            f"add_grouped_global_ntile: {len(stats_rows)} groups > "
+            f"{max_groups} — a large group domain should use a plain "
+            "partitionBy(group) window instead"
+        )
+    lo_entries = [x for r in stats_rows if r[1] is not None
+                  for x in (F.lit(r[0]), F.lit(r[1]))]
+    hi_entries = [x for r in stats_rows if r[2] is not None
+                  for x in (F.lit(r[0]), F.lit(r[2]))]
+    lo = (F.create_map(*lo_entries)[F.col(group_col)]
+          if lo_entries else F.lit(None).cast("bigint"))
+    hi = (F.create_map(*hi_entries)[F.col(group_col)]
+          if hi_entries else F.lit(None).cast("bigint"))
+    part = (
+        part.withColumn(_LO, lo.cast("bigint"))
+        .withColumn(_HI, hi.cast("bigint"))
+        .withColumn(_PID, _bucket_expr(primary, _LO, _HI, partitions,
+                                       descending))
+        .drop(_LO, _HI)
+    )
+    wloc = Window.partitionBy(group_col, _PID).orderBy(*order_cols)
+    local = part.withColumn(_LOC, F.row_number().over(wloc))
+    cnt_rows = part.groupBy(group_col, _PID).count().collect()
+    # composite literal key: pid ∈ [-1, partitions], so (g, pid) packs
+    # collision-free into g*(partitions+2) + pid + 1
+    span = partitions + 2
+    key = (F.col(group_col).cast("bigint") * span + F.col(_PID) + 1)
+    by_group: dict = {}
+    for g, pid, c in sorted(cnt_rows, key=lambda r: (r[0], r[1])):
+        by_group.setdefault(g, []).append((pid, c))
+    pre_entries, n_entries = [], []
+    for g, pairs in by_group.items():
+        acc = 0
+        for pid, c in pairs:
+            if acc:
+                pre_entries += [F.lit(g * span + pid + 1), F.lit(acc)]
+            acc += c
+        n_entries += [F.lit(g), F.lit(acc)]
+    pre = (F.create_map(*pre_entries)[key]
+           if pre_entries else F.lit(None).cast("bigint"))
+    n_tot = F.create_map(*n_entries)[F.col(group_col)]
+    ranked = local.withColumn(
+        "__rk_grank",
+        (F.coalesce(pre, F.lit(0)) + F.col(_LOC)).cast("bigint"),
+    ).withColumn("__rk_gn", n_tot.cast("bigint"))
+    return (
+        ranked.withColumn(out_col, ntile_from_rank("__rk_grank", "__rk_gn", k))
+        .drop(_PID, _LOC, "__rk_grank", "__rk_gn")
+    )
 
 
 def add_global_running_sum(df: DataFrame, order_cols: list[Column],
@@ -298,6 +459,21 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
     sums = part.groupBy(_PID).agg(
         *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
     )
+    if _use_literal_offsets():
+        dtypes = [f.dataType.simpleString() for f in sums.schema.fields[1:]]
+        rows = sums.collect()
+        out = local
+        for i, out_col in enumerate(out_cols):
+            pre = _prefix_map_expr(
+                [(r[0], r[i + 1]) for r in rows], _PID, dtypes[i],
+                lambda a, b: a + b,
+            )
+            out = out.withColumn(
+                out_col, F.coalesce(pre, F.lit(0)) + F.col(f"{_LOC}{i}")
+            )
+        return out.drop(
+            _PID, *[f"{_LOC}{i}" for i in range(len(value_cols))]
+        )
     offs = _exclusive_prefixes(
         sums,
         [(F.sum(f"__rk_r__s{i}"), f"{_PRE}{i}")
@@ -333,11 +509,20 @@ def add_global_running_max_strictly_before(
     )
     local = part.withColumn(_LOC, F.max(value_col).over(wloc))
     maxes = part.groupBy(_PID).agg(F.max(value_col).alias("_m"))
+    if _use_literal_offsets():
+        dtype = maxes.schema.fields[1].dataType.simpleString()
+        pre = _prefix_map_expr(
+            [(r[0], r[1]) for r in maxes.collect()], _PID, dtype,
+            lambda a, b: max(a, b),
+        )
+        # greatest() skips NULLs (returns NULL only when BOTH are), which
+        # is exactly the empty-frame semantics of the window it replaces
+        return local.withColumn(
+            out_col, F.greatest(pre, F.col(_LOC))
+        ).drop(_PID, _LOC)
     offs = _exclusive_prefix(maxes, F.max("__rk_r__m"), _PRE)
     return (
         local.join(F.broadcast(offs), _PID)
-        # greatest() skips NULLs (returns NULL only when BOTH are), which
-        # is exactly the empty-frame semantics of the window it replaces
         .withColumn(out_col, F.greatest(F.col(_PRE), F.col(_LOC)))
         .drop(_PID, _LOC, _PRE)
     )

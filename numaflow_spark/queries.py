@@ -4866,9 +4866,8 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile is the TWO-PHASE distributed ntile (operators/ranking.py) on
     its filtered half. The only fact-table pass is the first aggregate."""
     from numaflow_spark.operators.ranking import (
-        add_global_rank,
+        add_grouped_global_ntile,
         materialize_ranking_input,
-        ntile_from_rank,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -4893,26 +4892,18 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint instead of re-aggregating the fact table per branch
     # (VERDICT r10 #3: the per-op eager cut ran the rollup twice).
     per = materialize_ranking_input(per)
-
-    def year_decile(base: DataFrame, out: str) -> DataFrame:
-        ranked = add_global_rank(
-            base, [F.col("rev_c").desc(), F.col("o_custkey")], "rk",
-            primary="rev_c", descending=True, materialize=False,
-        )
-        n = base.agg(F.count("*").cast("bigint").alias("n_tot"))
-        return ranked.crossJoin(F.broadcast(n)).select(
-            "o_custkey", ntile_from_rank("rk", "n_tot", 10).alias(out)
-        )
-
-    a = year_decile(
-        per.filter(F.col("yr") == F.col("y0")).select("o_custkey", "rev_c"),
-        "decile_from",
+    # BOTH years' deciles in one grouped two-phase pass (r12: the per-year
+    # add_global_rank pair cost 26 sf0.1 jobs; one window over (yr, bucket)
+    # + one counts pass costs ~8) — group domain is exactly 2 years.
+    deciled = add_grouped_global_ntile(
+        per, "yr", [F.col("rev_c").desc(), F.col("o_custkey")], "decile",
+        10, primary="rev_c", descending=True, materialize=False,
     )
-    b = year_decile(
-        per.filter(F.col("yr") == F.col("y0") + 1).select(
-            "o_custkey", "rev_c"
-        ),
-        "decile_to",
+    a = deciled.filter(F.col("yr") == F.col("y0")).select(
+        "o_custkey", F.col("decile").alias("decile_from")
+    )
+    b = deciled.filter(F.col("yr") == F.col("y0") + 1).select(
+        "o_custkey", F.col("decile").alias("decile_to")
     )
     return (
         a.join(b, "o_custkey")
@@ -5923,39 +5914,52 @@ QUERIES["anova_weekday_revenue"] = q_anova_weekday_revenue
 # Head layout:
 #   slots 1-5   the five r12 analytics promotions (never certified —
 #               rotation contract requires them inside the window).
-#   slot 6      ks_priority_price (RECERT_PENDING: r12 rewrite onto
-#               add_global_running_sums + DECIMAL(38,0) overflow fix).
-#   slots 7-50  the 44 least-recently-certified remaining queries
-#               (13 r7-latest then 31 r8-latest, registry order within
+#   slots 6-17  the r12 rewrites (RECERT_PENDING): every two-phase-ranking
+#               consumer re-plans under the literal-offsets job-floor
+#               lever (operators/ranking.py), ks_priority_price adds the
+#               multi-sum + DECIMAL(38,0) overflow fix, clv_decile_
+#               migration the grouped-ntile rewrite, and the CC family
+#               (neardup_* here, embedding_* in the r8 block below)
+#               re-plans under the union convergence probe (graph.py).
+#   slots 18-50 the 33 least-recently-certified remaining queries
+#               (13 r7-latest then 20 r8-latest, registry order within
 #               each round — computed from CORRECTNESS_r01-r11).
 # Tail order (positions 51+) is untouched; no query leaves the registry.
 # The r11 RECERT queue (7 ranking/perf rewrites) drained on its fresh r11
 # driver rows (CORRECTNESS_r11.json, all green).
 # ---------------------------------------------------------------------------
-RECERT_PENDING = ["ks_priority_price"]
+RECERT_PENDING = [
+    "ks_priority_price", "clv_decile_migration", "customer_rfm",
+    "clv_deciles", "vocab_coverage", "revenue_pareto_customers",
+    "pareto_parts", "gini_orders", "winsorized_order_stats",
+    "cusum_changepoint",
+    # r12 CC probe rewrite (operators/graph.py union probe):
+    "neardup_clusters", "neardup_survivors",
+    "embedding_clusters", "embedding_dedup_survivors",
+]
 RECERT_SINCE_ROUND = 12
 _R12_WINDOW = [
     "graph_assortativity", "moment_profile", "basket_triples",
     "dispersion_index", "anova_weekday_revenue",
-    # r12 rewrite (RECERT_PENDING):
-    "ks_priority_price",
+    # r12 rewrites (RECERT_PENDING):
+    "ks_priority_price", "clv_decile_migration", "customer_rfm",
+    "clv_deciles", "vocab_coverage", "revenue_pareto_customers",
+    "pareto_parts", "gini_orders", "winsorized_order_stats",
+    "cusum_changepoint", "neardup_clusters", "neardup_survivors",
     # 13 least-recently-certified (r7-latest), registry order:
     "multimodal_decode", "asof_join", "range_join_bands", "cube_agg",
     "pivot_agg", "set_intersect", "token_count_bpe", "dedup_keep_latest",
     "rank_per_group", "multimodal_frames", "ivf_ann_topk", "semi_join",
     "anti_join",
-    # 31 least-recently-certified (r8-latest), registry order:
+    # 20 least-recently-certified (r8-latest), registry order; the
+    # embedding_* pair double as RECERT rows (CC probe rewrite):
     "topk_brand_parts_ties", "quantity_quartiles", "brand_rank_shift_yoy",
     "doc_quality_gopher", "hash_sample", "pii_scrub", "salted_skew_join",
     "tfidf_topterms", "bm25_rank", "bpe_pair_counts", "cohort_retention",
     "customer_order_distribution", "discounted_brand_revenue",
     "domain_mix_sample", "embedding_clusters", "embedding_dedup_survivors",
     "embedding_quantize", "excess_shipment_supplier", "forecast_revenue",
-    "funnel_conversion", "hll_distinct", "idle_customer_balance",
-    "label_centroids", "large_order_customers", "lsh_multiprobe_topk",
-    "min_cost_supplier", "nation_market_share", "pq_adc_topk",
-    "priority_pending_orders", "promo_revenue_monthly",
-    "quality_quantile_filter",
+    "funnel_conversion",
 ]
 assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(QUERIES)
 QUERIES = {

@@ -729,18 +729,28 @@ def test_degree_distribution_no_cartesian(spark):
 
 
 def test_gini_rank_window_on_collapsed_customers(spark):
-    """r10: the rank is the two-phase distributed form — the local
+    """r10/r12: the rank is the two-phase distributed form — the local
     row_number window is PARTITIONED (by the range-partition id, never a
-    single-partition sort), the prefix offsets arrive via broadcast joins
-    over <=P rows, and no cartesian or Python stage appears."""
+    single-partition sort) and no cartesian or Python stage appears. The
+    prefix offsets are literal map lookups by default (r12 job-floor
+    lever: zero joins); under SPARK_GRAFT_LITERAL_OFFSETS=0 the
+    broadcast-triangle path must still plan its offsets join."""
+    import os
+
     from tools.window_audit import unpartitioned_windows
 
     plan = staged_plan_of(spark, "gini_orders")
     assert nodes(plan, "Window") >= 1
     assert unpartitioned_windows(plan) == 0
     assert nodes(plan, "CartesianProduct") == 0
-    assert nodes(plan, "BroadcastHashJoin") >= 1  # prefix offsets
     assert not re.search(r"EvalPython|MapInPandas", plan)
+    os.environ["SPARK_GRAFT_LITERAL_OFFSETS"] = "0"
+    try:
+        tri = staged_plan_of(spark, "gini_orders")
+    finally:
+        os.environ.pop("SPARK_GRAFT_LITERAL_OFFSETS")
+    assert nodes(tri, "BroadcastHashJoin") >= 1  # prefix offsets (triangle)
+    assert unpartitioned_windows(tri) == 0
 
 
 def test_interarrival_histogram_single_user_exchange(spark):
