@@ -242,7 +242,27 @@ def _write_full_map(
             dest = os.path.join(
                 here, f"BENCH_r{max(rounds, default=0) + 1:02d}_full.json"
             )
+        # Tool-written run provenance (same contract as check_queries
+        # _run_meta): artifact_freshness verifies _meta.git_head contains
+        # every query-touching commit, so the bench pair carries the same
+        # ancestry evidence as the correctness artifact.
+        import subprocess
+        import time as _time
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, timeout=10, cwd=here,
+            ).stdout.strip()
+        except Exception:
+            head = "unknown"
         payload = {
+            "_meta": {
+                "generated_utc": _time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                ),
+                "git_head": head,
+            },
             "metric": "declared_query_suite_wall",
             "value": round(total, 2),
             "unit": "sec",

@@ -5715,25 +5715,36 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
-    du = deg.select(F.col("u").alias("eu"), F.col("d").alias("x"))
-    dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("y"))
-    e = und.join(du, und.u == du.eu).join(dv, und.v == dv.ev)
-    m = e.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
-        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    # Symmetry collapse (r12): over the both-ways edge set the x and y
+    # marginals are identical, so n = Σd, sx = sy = Σd², sxx = syy = Σd³
+    # come from the DEGREE TABLE alone — no edge join. Only the cross
+    # moment needs the graph: sxy = Σ_u d(u)·s(u) with s(u) = Σ_{v∈Γ(u)}
+    # d(v), ONE edge⋈degree hash join + one node-sized join instead of the
+    # textbook two edge-table joins. All sums are exact integers
+    # (DECIMAL(38,0)), so the regrouped summation order cannot perturb the
+    # final double chain — bit-identical to the oracle's edge-join form.
+    m1 = deg.agg(
+        F.sum("d").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sx"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d * d")).alias("sxx"),
     )
-    num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("dv"))
+    su = (
+        und.join(dv, und.v == dv.ev)
+        .groupBy("u")
+        .agg(F.sum("dv").alias("s"))
+    )
+    sxy = su.join(deg, "u").agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * s")).alias("sxy")
+    )
+    m = m1.crossJoin(F.broadcast(sxy))
+    num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx)"
     vx = "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
-    vy = "(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
     return m.select(
         F.col("n").alias("n_directed_edges"),
         F.expr(
             f"round(CAST({num} AS DOUBLE) / "
-            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vx} AS DOUBLE)), 6)"
         ).alias("assortativity"),
     )
 
