@@ -3365,3 +3365,176 @@ STAGED_ORACLES["anova_weekday_revenue"] = """
 # (rotation contract — staged at r11 close, hash-green at sf0.001 + sf0.01
 # via check_queries --staged, promoted into the r12 window head).
 ORACLES.update(STAGED_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# r12 staged oracles (r13 window candidates): rank-test / independence /
+# order-statistic twins. Doubled tied ranks (2R always integer), per-cell
+# integer-division chi-square ppm, k-th-smallest quantiles — HUGEINT exact
+# everywhere; the one double chain (Spearman) uses the same op order as the
+# Spark side, mul/div/sqrt only.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["mannwhitney_price_priority"] = """
+    WITH base AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS is_a
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), per AS (
+        SELECT price_c,
+               CAST(sum(is_a) AS BIGINT) AS c1,
+               CAST(sum(1 - is_a) AS BIGINT) AS c2
+        FROM base GROUP BY price_c
+    ), cums AS (
+        SELECT c1, c2,
+               CAST(sum(c1) OVER (ORDER BY price_c) AS BIGINT) AS cum1,
+               CAST(sum(c2) OVER (ORDER BY price_c) AS BIGINT) AS cum2
+        FROM per
+    ), agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               sum(CAST(c1 AS HUGEINT)
+                   * (2 * (cum1 - c1 + cum2 - c2) + (c1 + c2) + 1))
+                   AS r1_doubled,
+               sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                   - (c1 + c2)) AS tie_cubes
+        FROM cums
+    )
+    SELECT n1, n2,
+           CAST(r1_doubled AS DECIMAL(38,0)) AS r1_doubled,
+           CAST(2 * CAST(n1 AS HUGEINT) * n2 + CAST(n1 AS HUGEINT) * (n1 + 1)
+                - r1_doubled AS DECIMAL(38,0)) AS u1_doubled,
+           CAST(tie_cubes AS DECIMAL(38,0)) AS tie_cubes
+    FROM agg
+"""
+
+STAGED_ORACLES["spearman_qty_price"] = """
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS p
+        FROM lineitem
+    ), qc AS (
+        SELECT q, count(*) AS cq FROM li GROUP BY q
+    ), qr AS (
+        SELECT q,
+               2 * (sum(cq) OVER (ORDER BY q) - cq) + cq + 1 AS rq2
+        FROM qc
+    ), pc AS (
+        SELECT p, count(*) AS cp FROM li GROUP BY p
+    ), pr AS (
+        SELECT p,
+               2 * (sum(cp) OVER (ORDER BY p) - cp) + cp + 1 AS rp2
+        FROM pc
+    ), r AS (
+        SELECT rq2, rp2
+        FROM li JOIN qr USING (q) JOIN pr USING (p)
+    ), m AS (
+        SELECT count(*) AS n,
+               sum(CAST(rq2 AS HUGEINT)) AS sx,
+               sum(CAST(rp2 AS HUGEINT)) AS sy,
+               sum(CAST(rq2 AS HUGEINT) * rq2) AS sxx,
+               sum(CAST(rp2 AS HUGEINT) * rp2) AS syy,
+               sum(CAST(rq2 AS HUGEINT) * rp2) AS sxy
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS spearman_rho
+    FROM m
+"""
+
+STAGED_ORACLES["chi2_brand_returnflag"] = """
+    WITH cells AS (
+        SELECT p_brand, l_returnflag, count(*) AS o
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, l_returnflag
+    ), rtot AS (
+        SELECT p_brand, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY p_brand
+    ), ctot AS (
+        SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS c
+        FROM cells GROUP BY l_returnflag
+    ), ntot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+    ), j AS (
+        SELECT o, r, c, n
+        FROM cells
+        JOIN rtot USING (p_brand)
+        JOIN ctot USING (l_returnflag)
+        CROSS JOIN ntot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           max(n) AS n_obs,
+           CAST(sum(
+               (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+               * 1000000
+               // (CAST(n AS HUGEINT) * r * c)
+           ) AS DECIMAL(38,0)) AS chi2_ppm
+    FROM j
+"""
+
+STAGED_ORACLES["p90_interarrival_exact"] = """
+    WITH g AS (
+        SELECT event_type,
+               CAST(epoch_us(ts)
+                    - epoch_us(lag(ts) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id)) AS BIGINT) // 1000000
+                   AS gap_s
+        FROM events
+    ), gg AS (
+        SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL
+    ), cen AS (
+        SELECT event_type, gap_s, count(*) AS cnt
+        FROM gg GROUP BY event_type, gap_s
+    ), cum AS (
+        SELECT event_type, gap_s,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum
+        FROM cen
+    ), tot AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        FROM cen GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS p90_gap_s
+    FROM cum JOIN tot USING (event_type)
+    WHERE cum >= (9 * n + 9) // 10
+    GROUP BY event_type
+"""
+
+STAGED_ORACLES["runs_test_daily_revenue"] = """
+    WITH day AS (
+        SELECT CAST(date_diff('day', DATE '1990-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY di
+    ), vc AS (
+        SELECT rev AS rev_b, count(*) AS c FROM day GROUP BY rev
+    ), cum AS (
+        SELECT rev_b, sum(c) OVER (ORDER BY rev_b) AS cum FROM vc
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM day
+    ), med AS (
+        SELECT CAST(min(rev_b) AS BIGINT) AS median_rev
+        FROM cum, n WHERE cum >= (n + 1) // 2
+    ), flags AS (
+        SELECT di, CAST(rev > median_rev AS INT) AS f
+        FROM day, med
+    ), pairs AS (
+        SELECT a.di, a.f, b.f AS f_next
+        FROM flags a LEFT JOIN flags b ON b.di = a.di + 1
+    )
+    SELECT CAST(sum(f) AS BIGINT) AS n_above,
+           CAST(sum(1 - f) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN f_next IS NULL OR f_next != f
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM pairs
+"""

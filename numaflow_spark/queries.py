@@ -5988,3 +5988,286 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
 }
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+
+# ---------------------------------------------------------------------------
+# r12 staged batch for the r13 window (rotation contract: keep the pipeline
+# primed). Staged = in STAGED_QUERIES/STAGED_ORACLES, verified hash-green at
+# sf0.001 + sf0.01 via `check_queries.py --staged`, NOT yet registered (the
+# r13 session promotes them into the window head). Shapes: rank-based
+# hypothesis tests (Mann-Whitney U with tie terms, Spearman rho), a
+# chi-square independence census, an exact order-statistic quantile, and a
+# Wald-Wolfowitz runs test — all integer-exact: tied ranks carry in DOUBLED
+# units (2R is always an integer), chi-square accumulates per-cell ppm
+# integer divisions, and the runs test is a join-based adjacency count with
+# no unpartitioned window. No pow()/log(); the only double chain (Spearman)
+# uses the same mul/div/sqrt ops as the r11 batch.
+# ---------------------------------------------------------------------------
+
+
+def q_mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the order-total distributions of 1-URGENT vs
+    5-LOW orders, tie-corrected, in EXACT integers: per distinct price the
+    two group counts, ONE two-phase running sum (shared with nothing — the
+    same add_global_running_sums device as ks_priority_price), then
+    R1_doubled = Σ c1 · (2·cum_before + c + 1) (doubled average ranks are
+    always integers), U1_doubled = 2·n1·n2 + n1(n1+1) − R1_doubled, and the
+    tie term Σ(t³−t) the variance formula needs — all DECIMAL(38,0), zero
+    floats, bit-equal across engines at any SF. The location-shift test a
+    corpus pipeline runs between two sources' length/score distributions."""
+    from numaflow_spark.operators.ranking import (
+        add_global_running_sums,
+        materialize_ranking_input,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    per = (
+        o.select(
+            _cents(F.col("o_totalprice").cast(DEC)).alias("price_c"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_a"),
+        )
+        .groupBy("price_c")
+        .agg(
+            F.sum("is_a").alias("c1"),
+            F.sum(F.expr("1 - is_a")).alias("c2"),
+        )
+    )
+    per = materialize_ranking_input(per)
+    per = add_global_running_sums(
+        per, [F.col("price_c")], ["c1", "c2"], ["cum1", "cum2"],
+        primary="price_c", materialize=False,
+    )
+    dec = "DECIMAL(38,0)"
+    agg = per.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        # cum_before = (cum1 - c1) + (cum2 - c2); doubled avg rank of the
+        # tie block = 2*cum_before + (c1 + c2) + 1
+        F.sum(
+            F.expr(
+                f"CAST(c1 AS {dec}) * "
+                f"(2 * (cum1 - c1 + cum2 - c2) + (c1 + c2) + 1)"
+            )
+        ).alias("r1_doubled"),
+        F.sum(
+            F.expr(
+                f"CAST(c1 + c2 AS {dec}) * (c1 + c2) * (c1 + c2)"
+                f" - (c1 + c2)"
+            )
+        ).alias("tie_cubes"),
+    )
+    return agg.select(
+        "n1", "n2",
+        F.col("r1_doubled").cast("decimal(38,0)").alias("r1_doubled"),
+        F.expr(
+            f"CAST(2 * CAST(n1 AS {dec}) * n2 + CAST(n1 AS {dec}) * (n1 + 1)"
+            f" - r1_doubled AS DECIMAL(38,0))"
+        ).alias("u1_doubled"),
+        F.col("tie_cubes").cast("decimal(38,0)").alias("tie_cubes"),
+    )
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and extended
+    price: both columns ranked with AVERAGE tied ranks carried in DOUBLED
+    units (2R integer always), then Pearson over the doubled ranks from
+    exact DECIMAL(38,0) moments — one double chain at the end. Ranks come
+    from the per-distinct-value census + running count (quantity: 50
+    values, broadcast; price: the two-phase running sum, then a hash join
+    back on the value). The monotone-dependence check a feature pipeline
+    runs before assuming linear correlation says anything. Overflow audit:
+    2R <= 2n, (2R)^2 * n ~ 4n^3 — 38 digits holds past SF10^5."""
+    from numaflow_spark.operators.ranking import add_global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        _cents(F.col("l_extendedprice").cast(DEC)).alias("p"),
+    )
+    dec = "DECIMAL(38,0)"
+    # quantity side: <= 50 distinct values — census + running count is a
+    # broadcastable table; doubled avg rank = 2*cum_before + cnt + 1
+    qc = li.groupBy("q").agg(F.count("*").alias("cq"))
+    qr = add_global_running_sum(
+        qc, [F.col("q")], "cq", "cumq", primary="q",
+    ).select(
+        "q", F.expr("2 * (cumq - cq) + cq + 1").alias("rq2")
+    )
+    # price side: same device over the distinct-price census
+    pc = li.groupBy("p").agg(F.count("*").alias("cp"))
+    pr = add_global_running_sum(
+        pc, [F.col("p")], "cp", "cump", primary="p",
+    ).select(
+        "p", F.expr("2 * (cump - cp) + cp + 1").alias("rp2")
+    )
+    ranked = li.join(F.broadcast(qr), "q").join(pr, "p")
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(f"CAST(rq2 AS {dec})")).alias("sx"),
+        F.sum(F.expr(f"CAST(rp2 AS {dec})")).alias("sy"),
+        F.sum(F.expr(f"CAST(rq2 AS {dec}) * rq2")).alias("sxx"),
+        F.sum(F.expr(f"CAST(rp2 AS {dec}) * rp2")).alias("syy"),
+        F.sum(F.expr(f"CAST(rq2 AS {dec}) * rp2")).alias("sxy"),
+    )
+    num = f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+    vx = f"(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
+    vy = f"(CAST(n AS {dec}) * syy - CAST(sy AS {dec}) * sy)"
+    return m.select(
+        F.col("n").alias("n_items"),
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+        ).alias("spearman_rho"),
+    )
+
+
+def q_chi2_brand_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence census of p_brand x l_returnflag: per cell
+    the exact scaled contribution ((O·n − r·c)² · 1e6) div (n·r·c), summed
+    as bigints — the integer-division-per-cell form is order-independent
+    and engine-exact (no float accumulation; the statistic is recoverable
+    as ppm). One fact pass for the census; marginals are tiny broadcast
+    rollups of the census itself. The drift detector for any categorical
+    x categorical pairing (source x language, shard x label)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "l_returnflag")
+        .agg(F.count("*").alias("o"))
+    )
+    from numaflow_spark.operators.graph import cut_lineage
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
+        "0", "false"
+    ):
+        cells = cut_lineage(cells, eager=True)  # census read by 3 branches
+    rtot = cells.groupBy("p_brand").agg(F.sum("o").alias("r"))
+    ctot = cells.groupBy("l_returnflag").agg(F.sum("o").alias("c"))
+    ntot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    dec = "DECIMAL(38,0)"
+    j = (
+        cells.join(F.broadcast(rtot), "p_brand")
+        .join(F.broadcast(ctot), "l_returnflag")
+        .crossJoin(F.broadcast(ntot))
+    )
+    cell_ppm = (
+        f"(CAST(o AS {dec}) * n - CAST(r AS {dec}) * c)"
+        f" * (CAST(o AS {dec}) * n - CAST(r AS {dec}) * c) * 1000000"
+        f" div (CAST(n AS {dec}) * r * c)"
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("n").alias("n_obs"),
+        F.sum(F.expr(cell_ppm)).cast("decimal(38,0)").alias("chi2_ppm"),
+    )
+
+
+def q_p90_interarrival_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p90 of per-user inter-event gaps per event type, as an ORDER
+    STATISTIC (k-th smallest, k = ceil(0.9·n)) over the (type, gap_second)
+    census — no approx_percentile (engine-specific interpolation) and no
+    row-level sort: the census collapses to <= |types| x |distinct gaps|
+    rows, the within-type cumulative count is a window PARTITIONED by type,
+    and the answer is min(gap | cum >= k). The latency/staleness SLO
+    primitive. Heavy lifting (per-user lag) hashes on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) - unix_micros(prev) AS BIGINT)"
+                   " div 1000000").alias("gap_s"),
+        )
+    )
+    census = gaps.groupBy("event_type", "gap_s").agg(
+        F.count("*").alias("cnt")
+    )
+    wt = Window.partitionBy("event_type").orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.withColumn("cum", F.sum("cnt").over(wt))
+    tot = census.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    j = cum.join(F.broadcast(tot), "event_type").filter(
+        # k = ceil(0.9 n) without floats: k = (9n + 9) div 10
+        F.expr("cum >= (9 * n + 9) div 10")
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.min("gap_s").alias("p90_gap_s"),
+    )
+
+
+def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily order revenue vs its EXACT median
+    (k-th smallest over the day census, k = (n+1) div 2): days flag above /
+    not-above, runs are counted by a JOIN on day-index+1 (a hash join on
+    the day-sized rollup — no unpartitioned window, no driver loop; a
+    missing next day ends a run by construction). Output n_above, n_below,
+    n_runs — the z-chain is a client-side fold of these three integers.
+    Randomness check against regime drift in any daily metric."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(o_orderdate, DATE '1990-01-01')")
+        .cast("bigint")
+        .alias("di"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
+    )
+    day = o.groupBy("di").agg(F.sum("rc").cast("decimal(38,0)").alias("rev"))
+    from numaflow_spark.operators.graph import cut_lineage
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
+        "0", "false"
+    ):
+        day = cut_lineage(day, eager=True)  # read by median + flags + join
+    # exact median: k-th smallest revenue over the day census (two-phase
+    # running count over the <= |days| rollup; |days| is calendar-bounded)
+    vc = day.groupBy("rev").agg(F.count("*").alias("c"))
+    from numaflow_spark.operators.ranking import add_global_running_sum
+
+    # rev is DECIMAL(38,0) cents — cast to bigint for the bucket primary
+    vc = vc.withColumn("rev_b", F.col("rev").cast("bigint"))
+    cum = add_global_running_sum(
+        vc, [F.col("rev_b")], "c", "cum", primary="rev_b",
+    )
+    n = day.agg(F.count("*").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.min("rev_b").cast("bigint").alias("median_rev"))
+    )
+    flags = day.crossJoin(F.broadcast(med)).select(
+        "di",
+        F.expr("CAST(CAST(rev AS BIGINT) > median_rev AS INT)").alias("f"),
+    )
+    nxt = flags.select(
+        (F.col("di") - 1).alias("di"), F.col("f").alias("f_next")
+    )
+    pairs = flags.join(nxt, "di", "left")
+    return pairs.agg(
+        F.sum("f").cast("bigint").alias("n_above"),
+        F.sum(F.expr("1 - f")).cast("bigint").alias("n_below"),
+        # a run ends where the next day is absent or flips sign
+        F.sum(
+            F.expr("CAST(f_next IS NULL OR f_next != f AS INT)")
+        ).cast("bigint").alias("n_runs"),
+    )
+
+
+STAGED_QUERIES["mannwhitney_price_priority"] = q_mannwhitney_price_priority
+STAGED_QUERIES["spearman_qty_price"] = q_spearman_qty_price
+STAGED_QUERIES["chi2_brand_returnflag"] = q_chi2_brand_returnflag
+STAGED_QUERIES["p90_interarrival_exact"] = q_p90_interarrival_exact
+STAGED_QUERIES["runs_test_daily_revenue"] = q_runs_test_daily_revenue
