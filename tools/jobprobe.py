@@ -1,0 +1,25 @@
+"""Quick job+wall probe for named queries (statusTracker job ids)."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+sf = sys.argv[1] if os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.1"
+names = sys.argv[2:] if os.path.isdir(sys.argv[1]) else sys.argv[1:]
+spark = get_spark("jobprobe", extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+sc = spark.sparkContext
+tr = sc.statusTracker()
+for t in ("events","lineitem","orders","customer","nation","documents","embeddings","part","supplier"):
+    load_table(spark, sf, t).count()
+for name in names:
+    fn = QUERIES[name]
+    fn(spark, sf).collect()  # warm
+    before = len(tr.getJobIdsForGroup(None) or []) or (max(tr.getJobIdsForGroup() or [-1]) + 1)
+    b = max(tr.getJobIdsForGroup() or [-1])
+    t0 = time.perf_counter()
+    n = len(fn(spark, sf).collect())
+    dt = time.perf_counter() - t0
+    a = max(tr.getJobIdsForGroup() or [-1])
+    print(f"{name}: jobs={a-b} wall={dt:.3f}s rows={n}", flush=True)
+spark.stop()
