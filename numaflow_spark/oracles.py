@@ -3404,10 +3404,10 @@ STAGED_ORACLES["mannwhitney_price_priority"] = """
         FROM cums
     )
     SELECT n1, n2,
-           CAST(r1_doubled AS DECIMAL(38,0)) AS r1_doubled,
+           CAST(r1_doubled AS BIGINT) AS r1_doubled,
            CAST(2 * CAST(n1 AS HUGEINT) * n2 + CAST(n1 AS HUGEINT) * (n1 + 1)
-                - r1_doubled AS DECIMAL(38,0)) AS u1_doubled,
-           CAST(tie_cubes AS DECIMAL(38,0)) AS tie_cubes
+                - r1_doubled AS BIGINT) AS u1_doubled,
+           CAST(tie_cubes AS BIGINT) AS tie_cubes
     FROM agg
 """
 
@@ -3475,7 +3475,7 @@ STAGED_ORACLES["chi2_brand_returnflag"] = """
                * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
                * 1000000
                // (CAST(n AS HUGEINT) * r * c)
-           ) AS DECIMAL(38,0)) AS chi2_ppm
+           ) AS BIGINT) AS chi2_ppm
     FROM j
 """
 

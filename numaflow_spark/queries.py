@@ -6077,14 +6077,19 @@ def q_mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tie_cubes"),
     )
+    # Outer columns cast to BIGINT (the r5 oracle-type rule: the driver
+    # comparator is only trusted on Spark-expressible types). Bounds:
+    # r1_doubled/u1_doubled <= 2*n1*n2 + n1(n1+1) ~ 2n^2 — int64-safe to
+    # ~SF1400 (n ~ 4e8); tie_cubes <= sum t^3 <= n*max_tie^2, far smaller.
+    # The INTERNAL arithmetic stays DECIMAL(38,0).
     return agg.select(
         "n1", "n2",
-        F.col("r1_doubled").cast("decimal(38,0)").alias("r1_doubled"),
+        F.col("r1_doubled").cast("bigint").alias("r1_doubled"),
         F.expr(
             f"CAST(2 * CAST(n1 AS {dec}) * n2 + CAST(n1 AS {dec}) * (n1 + 1)"
-            f" - r1_doubled AS DECIMAL(38,0))"
+            f" - r1_doubled AS BIGINT)"
         ).alias("u1_doubled"),
-        F.col("tie_cubes").cast("decimal(38,0)").alias("tie_cubes"),
+        F.col("tie_cubes").cast("bigint").alias("tie_cubes"),
     )
 
 
@@ -6179,10 +6184,12 @@ def q_chi2_brand_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * (CAST(o AS {dec}) * n - CAST(r AS {dec}) * c) * 1000000"
         f" div (CAST(n AS {dec}) * r * c)"
     )
+    # chi2_ppm <= 1e6 * n * max_cells — int64-safe to extreme SF (the r5
+    # oracle-type rule: outer columns BIGINT; internals stay DECIMAL).
     return j.agg(
         F.count("*").cast("bigint").alias("n_cells"),
         F.max("n").alias("n_obs"),
-        F.sum(F.expr(cell_ppm)).cast("decimal(38,0)").alias("chi2_ppm"),
+        F.sum(F.expr(cell_ppm)).cast("bigint").alias("chi2_ppm"),
     )
 
 
