@@ -3538,3 +3538,9 @@ STAGED_ORACLES["runs_test_daily_revenue"] = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
     FROM pairs
 """
+
+# r12 continuation promotion: the five staged rank/stats oracles above join
+# the registry (rotation contract — staged at r12 close, re-verified
+# hash-green at sf0.001 + sf0.01 via check_queries --staged before
+# promotion into the r12 continuation window head).
+ORACLES.update(STAGED_ORACLES)

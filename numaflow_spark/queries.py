@@ -6008,10 +6008,9 @@ assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 
 
 # ---------------------------------------------------------------------------
-# r12 staged batch for the r13 window (rotation contract: keep the pipeline
-# primed). Staged = in STAGED_QUERIES/STAGED_ORACLES, verified hash-green at
-# sf0.001 + sf0.01 via `check_queries.py --staged`, NOT yet registered (the
-# r13 session promotes them into the window head). Shapes: rank-based
+# r12 rank/stats batch (staged at r12 close, promoted in the r12
+# continuation session after re-verifying hash-green at sf0.001 + sf0.01
+# via `check_queries.py --staged`). Shapes: rank-based
 # hypothesis tests (Mann-Whitney U with tie terms, Spearman rho), a
 # chi-square independence census, an exact order-statistic quantile, and a
 # Wald-Wolfowitz runs test — all integer-exact: tied ranks carry in DOUBLED
@@ -6290,8 +6289,37 @@ def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_QUERIES["mannwhitney_price_priority"] = q_mannwhitney_price_priority
-STAGED_QUERIES["spearman_qty_price"] = q_spearman_qty_price
-STAGED_QUERIES["chi2_brand_returnflag"] = q_chi2_brand_returnflag
-STAGED_QUERIES["p90_interarrival_exact"] = q_p90_interarrival_exact
-STAGED_QUERIES["runs_test_daily_revenue"] = q_runs_test_daily_revenue
+QUERIES["mannwhitney_price_priority"] = q_mannwhitney_price_priority
+QUERIES["spearman_qty_price"] = q_spearman_qty_price
+QUERIES["chi2_brand_returnflag"] = q_chi2_brand_returnflag
+QUERIES["p90_interarrival_exact"] = q_p90_interarrival_exact
+QUERIES["runs_test_daily_revenue"] = q_runs_test_daily_revenue
+
+
+# ---------------------------------------------------------------------------
+# r12 continuation window: the driver restarted round 12, so the five
+# rank/stats promotions above join the head of the SAME certification
+# window (never driver-certified — the rotation contract requires them
+# inside the first 50). To keep the window at exactly 50, the five
+# least-recently-certified non-RECERT names at the tail of the r8 block
+# rotate out (they hold green driver rows from r8 and re-enter the r13
+# rotation); the RECERT embedding_* pair stays.
+# ---------------------------------------------------------------------------
+_R12B_PROMOTIONS = [
+    "mannwhitney_price_priority", "spearman_qty_price",
+    "chi2_brand_returnflag", "p90_interarrival_exact",
+    "runs_test_daily_revenue",
+]
+_R12B_ROTATED_OUT = {
+    "discounted_brand_revenue", "domain_mix_sample", "embedding_quantize",
+    "excess_shipment_supplier", "forecast_revenue",
+}
+_R12B_WINDOW = _R12B_PROMOTIONS + [
+    k for k in _R12_WINDOW if k not in _R12B_ROTATED_OUT
+]
+assert len(_R12B_WINDOW) == 50 and set(_R12B_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R12B_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12B_WINDOW)},
+}
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
