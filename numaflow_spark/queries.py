@@ -3367,20 +3367,36 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles table joins back TWICE by part key (broadcastable — |parts|
     rows); n_orders rides as a 1-row broadcast; the top-50 is a heap take.
     All-integer lift via bigint floor division. Pairs below support 5 are
-    cut before the joins, the standard a-priori prune. Pair build via
-    cooccurrence_pairs (one orderkey shuffle, row-local expansion — r7
-    rewrite of the self-join). Materialized via materialize_no_aqe
-    (cooccurrence-family regime): 3.8 -> 2.4 s sf0.1 / 4.4 -> 2.6 s x10."""
-    from numaflow_spark.operators.graph import cooccurrence_pairs
+    cut before the joins, the standard a-priori prune. Materialized via
+    materialize_no_aqe (cooccurrence-family regime, registry wrapper).
 
+    r12 shared-dedup rewrite: the singles table, the n_orders scalar, and
+    BOTH sides of the pair self-join now hang off ONE repartition(order)
+    + dropDuplicates([order, part]) subtree (the shape
+    _cooccurrence_pairs_selfjoin builds internally), so ReuseExchange
+    collapses the lineitem scan+shuffle to a single physical occurrence
+    where the old op.distinct() form scanned and shuffled the fact table
+    twice. Measured min-of-3 same-session, identical output:
+    5.05 -> 2.55 s at sf0.1 (tools/ab_lift.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_orders")
+    gi = (
+        li.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
-    singles = op.groupBy("l_partkey").agg(F.count("*").alias("n_single"))
+    n_orders = gi.groupBy().agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    singles = gi.groupBy("l_partkey").agg(F.count("*").alias("n_single"))
+    pa = gi.select(
+        F.col("l_orderkey").alias("_g"), F.col("l_partkey").alias("u")
+    )
+    pb = gi.select(
+        F.col("l_orderkey").alias("_g2"), F.col("l_partkey").alias("v")
+    )
     pairs = (
-        cooccurrence_pairs(li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey")
+        pa.join(pb, (F.col("_g") == F.col("_g2")) & (F.col("u") < F.col("v")))
         .groupBy(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
@@ -5823,32 +5839,54 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     market-basket scale trap), then one census shuffle keyed on the
     triple; support >= 2. Output is bounded by C(|brands|, 3) = 2300
     regardless of corpus size; at 100 TB the expansion is C(basket, 3)
-    per row."""
+    per row.
+
+    r12 int-pack rewrite: brands carry through the basket build and the
+    combination explode as a lex-order-preserving 7-bit key (d1*11 +
+    (d2+1), so 'Brand#1' < 'Brand#10' < 'Brand#2' survives numerically)
+    and each triple is ONE int (k1*16384 + k2*128 + k3) instead of a
+    3-string named_struct — the collect_set buffers ints not strings,
+    the explode allocates no structs, and the census groupBy keys on a
+    4-byte int. Brand strings are algebraically decoded only on the
+    2300-row census output. Measured min-of-3 same-session, identical
+    output: 3.37 -> 2.06 s at sf0.1, 3.15 -> 2.72 s at x10 idle-host
+    (tools/ab_triples.py)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), "l_partkey"
     )
-    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    lb = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
-        "o", F.col("p_brand").alias("p")
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "(ascii(substr(p_brand, 7, 1)) - 48) * 11 + "
+            "if(length(p_brand) = 8, ascii(substr(p_brand, 8, 1)) - 47, 0)"
+        ).alias("b"),
     )
+    lb = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select("o", "b")
     baskets = lb.groupBy("o").agg(
-        F.array_sort(F.collect_set("p")).alias("a")
+        F.array_sort(F.collect_set("b")).alias("a")
     ).filter(F.size("a") >= 3)
     combo = (
         "flatten(flatten(transform(a, (x, i) -> "
         "transform(slice(a, i + 2, size(a)), (y, j) -> "
         "transform(slice(a, i + j + 3, size(a)), z -> "
-        "named_struct('p1', x, 'p2', y, 'p3', z))))))"
+        "x * 16384 + y * 128 + z)))))"
     )
     t = baskets.select(F.explode(F.expr(combo)).alias("t"))
-    return (
-        t.groupBy(
-            F.col("t.p1").alias("p1"),
-            F.col("t.p2").alias("p2"),
-            F.col("t.p3").alias("p3"),
+    cens = t.groupBy("t").agg(F.count("*").alias("support")).filter(
+        F.col("support") >= 2
+    )
+
+    def _dec(key: str):
+        return F.expr(
+            f"concat('Brand#', CAST(({key}) div 11 AS STRING), "
+            f"if(({key}) % 11 = 0, '', CAST(({key}) % 11 - 1 AS STRING)))"
         )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
+
+    return cens.select(
+        _dec("t div 16384").alias("p1"),
+        _dec("(t div 128) % 128").alias("p2"),
+        _dec("t % 128").alias("p3"),
+        "support",
     )
 
 
@@ -6300,23 +6338,30 @@ QUERIES["runs_test_daily_revenue"] = q_runs_test_daily_revenue
 # r12 continuation window: the driver restarted round 12, so the five
 # rank/stats promotions above join the head of the SAME certification
 # window (never driver-certified — the rotation contract requires them
-# inside the first 50). To keep the window at exactly 50, the five
+# inside the first 50), and copurchase_lift enters as a RECERT row (the
+# shared-dedup rewrite below is a plan change by the queue's rule; its
+# sibling basket_triples — int-pack rewrite — already sits in the window
+# as an r12 promotion). To keep the window at exactly 50, the six
 # least-recently-certified non-RECERT names at the tail of the r8 block
 # rotate out (they hold green driver rows from r8 and re-enter the r13
 # rotation); the RECERT embedding_* pair stays.
 # ---------------------------------------------------------------------------
+RECERT_PENDING += ["basket_triples", "copurchase_lift"]
 _R12B_PROMOTIONS = [
     "mannwhitney_price_priority", "spearman_qty_price",
     "chi2_brand_returnflag", "p90_interarrival_exact",
     "runs_test_daily_revenue",
 ]
 _R12B_ROTATED_OUT = {
-    "discounted_brand_revenue", "domain_mix_sample", "embedding_quantize",
-    "excess_shipment_supplier", "forecast_revenue",
+    "customer_order_distribution", "discounted_brand_revenue",
+    "domain_mix_sample", "embedding_quantize", "excess_shipment_supplier",
+    "forecast_revenue",
 }
-_R12B_WINDOW = _R12B_PROMOTIONS + [
-    k for k in _R12_WINDOW if k not in _R12B_ROTATED_OUT
-]
+_R12B_WINDOW = (
+    _R12B_PROMOTIONS
+    + [k for k in _R12_WINDOW if k not in _R12B_ROTATED_OUT]
+    + ["copurchase_lift"]
+)
 assert len(_R12B_WINDOW) == 50 and set(_R12B_WINDOW) <= set(QUERIES)
 QUERIES = {
     **{k: QUERIES[k] for k in _R12B_WINDOW},

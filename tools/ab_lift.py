@@ -1,0 +1,96 @@
+"""A/B copurchase_lift at a given sf dir.
+
+A = current registered query: op.distinct() feeds singles + n_orders while
+    the pair build runs its own repartition(o) + dropDuplicates — lineitem
+    is scanned and shuffled twice.
+B = shared-dedup: ONE repartition(o) + dropDuplicates([o, p]) subtree feeds
+    the self-join's both sides AND singles AND n_orders, so ReuseExchange
+    collapses the scan+shuffle to a single physical occurrence.
+
+Usage: python tools/ab_lift.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+
+def q_b(spark, sf_dir):
+    from numaflow_spark.operators.graph import materialize_no_aqe
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gi = (
+        li.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    n_orders = gi.groupBy().agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    singles = gi.groupBy("l_partkey").agg(F.count("*").alias("n_single"))
+    a = gi.select(F.col("l_orderkey").alias("_g"), F.col("l_partkey").alias("u"))
+    b = gi.select(F.col("l_orderkey").alias("_g2"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, (F.col("_g") == F.col("_g2")) & (F.col("u") < F.col("v")))
+        .groupBy(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    sa = singles.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_single").alias("n_b")
+    )
+    enriched = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    out = (
+        enriched.select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
+        .limit(50)
+    )
+    return materialize_no_aqe(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = get_spark(
+        "ab_lift", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qa = QUERIES["copurchase_lift"]
+    qa(spark, sf_dir).count()
+    q_b(spark, sf_dir).count()
+    for label, fn in [("A current", qa), ("B shared", q_b)]:
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            walls.append(time.time() - t0)
+        print(f"{label}: rows={n} min={min(walls):.2f}s walls={[round(w,2) for w in walls]}")
+    a = [tuple(r) for r in qa(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_b(spark, sf_dir).collect()]
+    print("equal:", sorted(a) == sorted(b), len(a), len(b))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""A/B the basket_triples formulation at a given sf dir.
+
+A = current registered query (string brands, named_struct combination
+    explode, groupBy three string columns).
+B = int-packed: brand -> 2-digit suffix int BEFORE the basket build,
+    combos packed as one INT (b1*10000 + b2*100 + b3), census on the
+    single int key, decode back to brand strings after the 2300-row agg.
+
+Usage: python tools/ab_triples.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+
+
+def q_b(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        # 'Brand#N' / 'Brand#NM' -> lex-order-preserving int key:
+        # d1*11 + (d2+1 if 2 digits else 0). 'Brand#1'(11) < 'Brand#10'(12)
+        # < ... < 'Brand#19'(21) < 'Brand#2'(22) — matches string sort.
+        F.expr(
+            "(ascii(substr(p_brand, 7, 1)) - 48) * 11 + "
+            "if(length(p_brand) = 8, ascii(substr(p_brand, 8, 1)) - 47, 0)"
+        ).alias("b"),
+    )
+    lb = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select("o", "b")
+    baskets = lb.groupBy("o").agg(
+        F.array_sort(F.collect_set("b")).alias("a")
+    ).filter(F.size("a") >= 3)
+    combo = (
+        "flatten(flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a)), (y, j) -> "
+        "transform(slice(a, i + j + 3, size(a)), z -> "
+        "x * 16384 + y * 128 + z)))))"
+    )
+    t = baskets.select(F.explode(F.expr(combo)).alias("t"))
+    cens = t.groupBy("t").agg(F.count("*").alias("support")).filter(
+        F.col("support") >= 2
+    )
+
+    def dec(key):
+        # inverse of the lex key: d1 = k div 11, rem = k % 11 -> '' or rem-1
+        return F.expr(
+            f"concat('Brand#', CAST(({key}) div 11 AS STRING), "
+            f"if(({key}) % 11 = 0, '', CAST(({key}) % 11 - 1 AS STRING)))"
+        )
+
+    return cens.select(
+        dec("t div 16384").alias("p1"),
+        dec("(t div 128) % 128").alias("p2"),
+        dec("t % 128").alias("p3"),
+        "support",
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = get_spark(
+        "ab_triples", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qa = QUERIES["basket_triples"]
+    # warm both
+    qa(spark, sf_dir).count()
+    q_b(spark, sf_dir).count()
+    for label, fn in [("A current", qa), ("B intpack", q_b)]:
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            walls.append(time.time() - t0)
+        print(f"{label}: rows={n} min={min(walls):.2f}s walls={[round(w,2) for w in walls]}")
+    # equality check
+    a = {tuple(r) for r in qa(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q_b(spark, sf_dir).collect()}
+    print("equal:", a == b, len(a), len(b))
+
+
+if __name__ == "__main__":
+    main()
