@@ -3544,3 +3544,162 @@ STAGED_ORACLES["runs_test_daily_revenue"] = """
 # hash-green at sf0.001 + sf0.01 via check_queries --staged before
 # promotion into the r12 continuation window head).
 ORACLES.update(STAGED_ORACLES)
+
+# ---------------------------------------------------------------------------
+# r12-continuation staged batch (r13 candidates) — mirrors of the five
+# STAGED_QUERIES appended at the end of queries.py. HUGEINT everywhere the
+# Spark side holds DECIMAL(38,0); each double chain copies the Spark
+# expression tree verbatim (same parenthesization, one round(..., 6)).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["kendall_tau_qty_size"] = """
+    WITH cells AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(p_size AS BIGINT) AS s,
+               count(*) AS cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ), cd AS (
+        SELECT sum(CASE WHEN a.s < b.s
+                        THEN CAST(a.cnt AS HUGEINT) * b.cnt
+                        ELSE CAST(0 AS HUGEINT) END) AS c_pairs,
+               sum(CASE WHEN a.s > b.s
+                        THEN CAST(a.cnt AS HUGEINT) * b.cnt
+                        ELSE CAST(0 AS HUGEINT) END) AS d_pairs
+        FROM cells a JOIN cells b ON a.q < b.q
+    ), tq AS (
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS n1_doubled,
+               sum(CAST(t AS HUGEINT)) AS n
+        FROM (SELECT q, sum(cnt) AS t FROM cells GROUP BY q)
+    ), ts AS (
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS n2_doubled
+        FROM (SELECT s, sum(cnt) AS t FROM cells GROUP BY s)
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(c_pairs AS BIGINT) AS c_pairs,
+           CAST(d_pairs AS BIGINT) AS d_pairs,
+           CAST(n1_doubled AS BIGINT) AS n1_doubled,
+           CAST(n2_doubled AS BIGINT) AS n2_doubled,
+           round(CAST(c_pairs - d_pairs AS DOUBLE) /
+                 sqrt(CAST(n * (n - 1) - n1_doubled AS DOUBLE) / 2.0 *
+                      (CAST(n * (n - 1) - n2_doubled AS DOUBLE) / 2.0)), 6)
+               AS tau_b
+    FROM cd, tq, ts
+"""
+
+STAGED_ORACLES["mann_kendall_daily_revenue"] = """
+    WITH day AS (
+        SELECT CAST(datediff('day', DATE '1990-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS rev
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT sum(CAST(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1
+                             ELSE 0 END AS BIGINT)) AS s_stat
+        FROM day a JOIN day b ON a.di < b.di
+    ), ties AS (
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie_term,
+               CAST(sum(t) AS BIGINT) AS n_days
+        FROM (SELECT rev, count(*) AS t FROM day GROUP BY rev)
+    )
+    SELECT n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5)
+                - tie_term AS BIGINT) AS var18,
+           round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                      ELSE 0.0 END /
+                 sqrt(CAST(CAST(n_days AS HUGEINT) * (n_days - 1)
+                           * (2 * n_days + 5) - tie_term AS DOUBLE)
+                      / 18.0), 6) AS z_stat
+    FROM s, ties
+"""
+
+STAGED_ORACLES["gini_by_nation"] = """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ), nx AS (
+        SELECT c_nationkey AS nk, x
+        FROM cust JOIN customer ON o_custkey = c_custkey
+    ), cens AS (
+        SELECT nk, x, count(*) AS cnt FROM nx GROUP BY 1, 2
+    ), cum AS (
+        SELECT nk, x, cnt,
+               sum(cnt) OVER (PARTITION BY nk ORDER BY x) AS cumc
+        FROM cens
+    ), per AS (
+        SELECT nk,
+               CAST(sum(cnt) AS BIGINT) AS n_cust,
+               sum(CAST(x AS HUGEINT) * cnt) AS sx,
+               sum(CAST(x AS HUGEINT) *
+                   (2 * cnt * (cumc - cnt) + cnt * (cnt + 1))) AS si2
+        FROM cum GROUP BY nk
+    )
+    SELECT n_name, n_cust,
+           CAST((si2 - (CAST(n_cust AS HUGEINT) + 1) * sx) * 1000000
+                // (CAST(n_cust AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+    FROM per JOIN nation ON nk = n_nationkey
+"""
+
+STAGED_ORACLES["xcorr_segments_lag7"] = """
+    WITH day AS (
+        SELECT CAST(datediff('day', DATE '1990-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               c_mktsegment AS seg,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT b.rev AS xb, m.rev AS xm
+        FROM (SELECT di, rev FROM day WHERE seg = 'BUILDING') b
+        JOIN (SELECT di, rev FROM day WHERE seg = 'MACHINERY') m
+          ON b.di = m.di + 7
+    ), mo AS (
+        SELECT count(*) AS n,
+               sum(CAST(xb AS HUGEINT)) AS sx,
+               sum(CAST(xm AS HUGEINT)) AS sy,
+               sum(CAST(xb AS HUGEINT) * xb) AS sxx,
+               sum(CAST(xm AS HUGEINT) * xm) AS syy,
+               sum(CAST(xb AS HUGEINT) * xm) AS sxy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS xcorr_lag7
+    FROM mo
+"""
+
+STAGED_ORACLES["ztest_promo_return_rate"] = """
+    WITH m AS (
+        SELECT CAST(sum(g) AS BIGINT) AS n1,
+               CAST(sum(g * r) AS BIGINT) AS x1,
+               CAST(sum(1 - g) AS BIGINT) AS n2,
+               CAST(sum((1 - g) * r) AS BIGINT) AS x2
+        FROM (
+            SELECT CAST(p_type LIKE 'PROMO%' AS INT) AS g,
+                   CAST(l_returnflag = 'R' AS INT) AS r
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+    )
+    SELECT n1, x1, n2, x2,
+           round(CAST(CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1
+                      AS DOUBLE)
+                 * CAST(CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1
+                        AS DOUBLE)
+                 * CAST(n1 + n2 AS DOUBLE) /
+                 (CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                  * CAST(CAST(x1 AS HUGEINT) + x2 AS DOUBLE)
+                  * CAST(CAST(n1 AS HUGEINT) + n2
+                         - (CAST(x1 AS HUGEINT) + x2) AS DOUBLE)), 6)
+               AS z2_stat
+    FROM m
+"""

@@ -6368,3 +6368,321 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R12B_WINDOW)},
 }
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+
+# ---------------------------------------------------------------------------
+# r12-continuation staged batch for the r13 window (rotation contract:
+# keep the pipeline primed). Staged = in STAGED_QUERIES/STAGED_ORACLES,
+# verified hash-green at sf0.001 + sf0.01 via `check_queries.py --staged`,
+# NOT yet registered. Shapes: Kendall tau-b from a bounded contingency
+# census (concordant/discordant pair mass via a broadcast cell x cell
+# triangle, never a row-level pair join), the Mann-Kendall trend test
+# (sign-pair S + tie-corrected variance over the <= |days| daily rollup),
+# per-nation Gini from a tie-invariant value-census block formula, a
+# lagged cross-correlation between two segment revenue series, and a
+# two-proportion z-test — the experiment-readout primitive. Integer /
+# DECIMAL(38,0) accumulation throughout; each emits at most one
+# double chain (mul/div/sqrt + round 6, the spearman precedent) at the
+# very end.
+# ---------------------------------------------------------------------------
+
+
+def q_kendall_tau_qty_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between l_quantity (1..50) and the part's p_size
+    (1..50): ONE fact pass builds the <= 2500-cell contingency census;
+    concordant/discordant mass comes from a broadcast cell x cell
+    comparison (C = sum n_a*n_b over a.q < b.q and a.s < b.s — each
+    unordered pair counted once because the q-order fixes the direction),
+    tie terms from the two marginals of the same census. The row-level
+    pair space is n^2 (10^13 at sf0.1); the cell triangle is 2500^2 =
+    6.25M products REGARDLESS of corpus size — the entire statistic
+    reduces to census + broadcast triangle, the KM/KS device. Counts in
+    DECIMAL(38,0); outputs BIGINT (r5 oracle-type rule; c/d <= n^2/2 is
+    int64-safe to ~SF1000) plus one double chain for tau_b.
+
+    Reference parity: numaflow exposes no analytics surface; this extends
+    SURVEY §2.8's scalar/agg functions the way a data-quality monitor
+    needs (monotone-association drift between two bounded ordinals)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"), "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("bigint").alias("s")
+    )
+    dec = "DECIMAL(38,0)"
+    cells = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("q", "s")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = cells.select(
+        F.col("q").alias("qa"), F.col("s").alias("sa"),
+        F.col("cnt").alias("na"),
+    )
+    b = cells.select(
+        F.col("q").alias("qb"), F.col("s").alias("sb"),
+        F.col("cnt").alias("nb"),
+    )
+    cd = (
+        a.join(F.broadcast(b), (F.col("qa") < F.col("qb")))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN sa < sb THEN CAST(na AS {dec}) * nb "
+                    f"ELSE CAST(0 AS {dec}) END"
+                )
+            ).alias("c_pairs"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN sa > sb THEN CAST(na AS {dec}) * nb "
+                    f"ELSE CAST(0 AS {dec}) END"
+                )
+            ).alias("d_pairs"),
+        )
+    )
+    # marginal tie masses over the same census: n0 = n(n-1)/2 doubled to
+    # stay integral -> carry 2*n0, 2*n1, 2*n2
+    tq = cells.groupBy("q").agg(F.sum("cnt").alias("t")).agg(
+        F.sum(F.expr(f"CAST(t AS {dec}) * (t - 1)")).alias("n1_doubled"),
+        F.sum(F.expr(f"CAST(t AS {dec})")).alias("n"),
+    )
+    ts = cells.groupBy("s").agg(F.sum("cnt").alias("t")).agg(
+        F.sum(F.expr(f"CAST(t AS {dec}) * (t - 1)")).alias("n2_doubled")
+    )
+    m = cd.crossJoin(F.broadcast(tq)).crossJoin(F.broadcast(ts))
+    n0d = f"(CAST(n AS {dec}) * (n - 1))"
+    return m.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("c_pairs").cast("bigint").alias("c_pairs"),
+        F.col("d_pairs").cast("bigint").alias("d_pairs"),
+        F.col("n1_doubled").cast("bigint").alias("n1_doubled"),
+        F.col("n2_doubled").cast("bigint").alias("n2_doubled"),
+        F.expr(
+            f"round(CAST(c_pairs - d_pairs AS DOUBLE) / "
+            f"sqrt(CAST({n0d} - n1_doubled AS DOUBLE) / 2.0 * "
+            f"(CAST({n0d} - n2_doubled AS DOUBLE) / 2.0)), 6)"
+        ).alias("tau_b"),
+    )
+
+
+def q_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily order revenue: S = sum over day
+    pairs i<j of sign(rev_j - rev_i), with the tie-corrected variance
+    var*18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) — the nonparametric
+    monotone-trend monitor for any daily metric. The pair triangle runs
+    over the DAY rollup (<= ~2600 rows for a 7-year calendar — a written
+    constant bound, the KM-triangle precedent), broadcast nested-loop;
+    the fact table is touched exactly once for the rollup. S, var18
+    integer-exact; one double chain for the normal-approximation z
+    (continuity-corrected)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(o_orderdate, DATE '1990-01-01')")
+        .cast("bigint")
+        .alias("di"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
+    )
+    dec = "DECIMAL(38,0)"
+    day = o.groupBy("di").agg(
+        F.sum("rc").cast("decimal(38,0)").alias("rev")
+    )
+    from numaflow_spark.operators.graph import cut_lineage
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
+        "0", "false"
+    ):
+        day = cut_lineage(day, eager=True)  # read by triangle + ties + n
+    a = day.select(F.col("di").alias("dia"), F.col("rev").alias("ra"))
+    b = day.select(F.col("di").alias("dib"), F.col("rev").alias("rb"))
+    s = (
+        a.join(F.broadcast(b), F.col("dia") < F.col("dib"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CASE WHEN rb > ra THEN 1 WHEN rb < ra "
+                       "THEN -1 ELSE 0 END AS BIGINT)")
+            ).alias("s_stat")
+        )
+    )
+    ties = day.groupBy("rev").agg(F.count("*").alias("t")).agg(
+        F.sum(
+            F.expr(f"CAST(t AS {dec}) * (t - 1) * (2 * t + 5)")
+        ).alias("tie_term"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("t").cast("bigint").alias("n_days"),
+    )
+    m = s.crossJoin(F.broadcast(ties))
+    var18 = (
+        f"(CAST(n_days AS {dec}) * (n_days - 1) * (2 * n_days + 5)"
+        f" - tie_term)"
+    )
+    return m.select(
+        "n_days",
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.expr(f"CAST({var18} AS BIGINT)").alias("var18"),
+        F.expr(
+            f"round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+            f" WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+            f" ELSE 0.0 END / sqrt(CAST({var18} AS DOUBLE) / 18.0), 6)"
+        ).alias("z_stat"),
+    )
+
+
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of customer order revenue (customers with >= 1
+    order), via the tie-invariant census block formula: per (nation,
+    revenue-value) the count c and within-nation running count C before
+    the block give 2*sum(i*x) over the block = v*(2*c*C + c*(c+1)) —
+    identical for ANY ordering of tied values, so no row_number
+    tie-break leaks into the statistic. gini_ppm = (2*sum(i*x) -
+    (n+1)*sum(x)) * 1e6 div (n * sum(x)), all DECIMAL(38,0). The window
+    is PARTITIONED by nation and runs over the per-nation distinct-value
+    census (|customers-with-orders| rows worst case, spread over 25
+    partitions); at extreme scale the same block formula rides the
+    two-phase per-group running sum instead. Inequality drift per shard
+    is the curation analogue (is one source's contribution concentrating?)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice").cast(DEC)).alias("rc")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dec = "DECIMAL(38,0)"
+    cust = o.groupBy("o_custkey").agg(
+        F.sum("rc").cast("decimal(38,0)").alias("x")
+    )
+    nx = cust.join(c, cust.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"), "x"
+    )
+    cens = nx.groupBy("nk", "x").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("nk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cens.withColumn("cumc", F.sum("cnt").over(w))
+    per = cum.groupBy("nk").agg(
+        F.sum("cnt").cast("bigint").alias("n_cust"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * cnt")).alias("sx"),
+        # 2*sum(i*x) per block: x * (2*c*(cum-c) + c*(c+1))
+        F.sum(
+            F.expr(
+                f"CAST(x AS {dec}) * "
+                f"(2 * cnt * (cumc - cnt) + cnt * (cnt + 1))"
+            )
+        ).alias("si2"),
+    )
+    out = per.join(F.broadcast(n), per.nk == n.n_nationkey)
+    return out.select(
+        "n_name",
+        "n_cust",
+        F.expr(
+            f"CAST((si2 - (CAST(n_cust AS {dec}) + 1) * sx) * 1000000"
+            f" div (CAST(n_cust AS {dec}) * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def q_xcorr_segments_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation at lag 7 days between the daily order revenue of
+    the BUILDING and MACHINERY market segments (does one segment lead the
+    other by a week?): one orders-x-customer pass rolls both series up to
+    (day, segment) cents; the lag join is an EQUI-join on di = di + 7
+    over the <= |days| rollup; Pearson from exact DECIMAL(38,0) moments,
+    one double chain at the end. The lead-lag detector between any two
+    source time series (ingest volume vs dedup survivors, etc.)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1990-01-01')")
+        .cast("bigint")
+        .alias("di"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dec = "DECIMAL(38,0)"
+    day = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("di", "c_mktsegment")
+        .agg(F.sum("rc").cast("decimal(38,0)").alias("rev"))
+    )
+    bld = day.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("di").alias("db"), F.col("rev").alias("xb")
+    )
+    mch = day.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("di").alias("dm"), F.col("rev").alias("xm")
+    )
+    j = bld.join(F.broadcast(mch), F.col("db") == F.col("dm") + 7)
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(f"CAST(xb AS {dec})")).alias("sx"),
+        F.sum(F.expr(f"CAST(xm AS {dec})")).alias("sy"),
+        F.sum(F.expr(f"CAST(xb AS {dec}) * xb")).alias("sxx"),
+        F.sum(F.expr(f"CAST(xm AS {dec}) * xm")).alias("syy"),
+        F.sum(F.expr(f"CAST(xb AS {dec}) * xm")).alias("sxy"),
+    )
+    num = f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+    vx = f"(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
+    vy = f"(CAST(n AS {dec}) * syy - CAST(sy AS {dec}) * sy)"
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+        ).alias("xcorr_lag7"),
+    )
+
+
+def q_ztest_promo_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: do PROMO-type parts come back (l_returnflag
+    = 'R') at a different rate than non-PROMO parts? The A/B-experiment
+    readout primitive. ONE fact pass with a broadcast part dim produces
+    the four counts (n1, x1, n2, x2); the pooled z^2 is one double chain
+    over exact integers: z2 = d^2 * (n1+n2) / (n1*n2*px*(n1+n2-px)) with
+    d = x1*n2 - x2*n1 (DECIMAL(38,0), int64-safe output to ~SF100) and
+    px = x1 + x2. Identical expression tree in the oracle so the single
+    double rounding matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(p_type LIKE 'PROMO%' AS INT)").alias("g"),
+    )
+    dec = "DECIMAL(38,0)"
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            F.sum("g").cast("bigint").alias("n1"),
+            F.sum(
+                F.expr("g * CAST(l_returnflag = 'R' AS INT)")
+            ).cast("bigint").alias("x1"),
+            F.sum(F.expr("1 - g")).cast("bigint").alias("n2"),
+            F.sum(
+                F.expr("(1 - g) * CAST(l_returnflag = 'R' AS INT)")
+            ).cast("bigint").alias("x2"),
+        )
+    )
+    d = f"(CAST(x1 AS {dec}) * n2 - CAST(x2 AS {dec}) * n1)"
+    px = f"(CAST(x1 AS {dec}) + x2)"
+    return m.select(
+        "n1", "x1", "n2", "x2",
+        F.expr(
+            f"round(CAST({d} AS DOUBLE) * CAST({d} AS DOUBLE) * "
+            f"CAST(n1 + n2 AS DOUBLE) / "
+            f"(CAST(CAST(n1 AS {dec}) * n2 AS DOUBLE) * "
+            f"CAST({px} AS DOUBLE) * "
+            f"CAST(CAST(n1 AS {dec}) + n2 - {px} AS DOUBLE)), 6)"
+        ).alias("z2_stat"),
+    )
+
+
+STAGED_QUERIES["kendall_tau_qty_size"] = q_kendall_tau_qty_size
+STAGED_QUERIES["mann_kendall_daily_revenue"] = q_mann_kendall_daily_revenue
+STAGED_QUERIES["gini_by_nation"] = q_gini_by_nation
+STAGED_QUERIES["xcorr_segments_lag7"] = q_xcorr_segments_lag7
+STAGED_QUERIES["ztest_promo_return_rate"] = q_ztest_promo_return_rate
