@@ -188,10 +188,15 @@ def connected_components(
     )
     for _ in range(max_iter):
         # Star-forest probe: converged iff no node appears as BOTH a source
-        # and a target. One union + one groupBy (2 AQE jobs on the cached
-        # edge set) replaces the r11 distinct + semi-join probe (4 jobs) —
-        # same exact predicate, measured on the minhash edge set (r12 job
-        # floor; probes were 40% of the loop's job count).
+        # and a target. One union + one groupBy (r11 distinct + semi-join
+        # was 4 jobs) — same exact predicate, measured on the minhash edge
+        # set (r12 job floor; probes were 40% of the loop's job count).
+        # The probe runs with AQE OFF (r12 continuation): adaptive
+        # execution splits the isEmpty into a shuffle-materialize job plus
+        # a final job, while the non-adaptive plan is ONE take(1) job over
+        # the same two-stage shuffle — measured 2 -> 1 jobs per probe,
+        # ~6 probes per CC run. The ROUNDS stay under AQE (the loop-scoped
+        # aqe_off experiment in r10 made CC slower; see the note above).
         flags = (
             e.select(F.col("u").alias("n"), F.lit(1).alias("_o"),
                      F.lit(0).alias("_i"))
@@ -200,7 +205,11 @@ def connected_components(
             .groupBy("n")
             .agg(F.max("_o").alias("o"), F.max("_i").alias("i"))
         )
-        if flags.filter((F.col("o") == 1) & (F.col("i") == 1)).isEmpty():
+        with aqe_off(e.sparkSession):
+            converged = flags.filter(
+                (F.col("o") == 1) & (F.col("i") == 1)
+            ).isEmpty()
+        if converged:
             break
         e = cut_lineage(_round(e), checkpoint_dir, eager=True)
     else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
