@@ -3703,3 +3703,175 @@ STAGED_ORACLES["ztest_promo_return_rate"] = """
                AS z2_stat
     FROM m
 """
+
+# ---------------------------------------------------------------------------
+# r12-continuation staged batch #2 (r13/r14 candidates) — mirrors of the six
+# STAGED_QUERIES at the end of queries.py. HUGEINT everywhere the Spark side
+# holds DECIMAL(38,0); every double chain copies the Spark expression tree
+# verbatim (same parenthesization, one round(..., 6) per emitted double).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES["theilsen_daily_revenue"] = """
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+                   AS t,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS rev
+        FROM orders GROUP BY 1
+    ), slopes AS (
+        SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b ON a.t < b.t
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 6)
+                   AS ts_slope_cents_per_day
+        FROM slopes
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           n_pairs, ts_slope_cents_per_day
+    FROM m
+"""
+
+STAGED_ORACLES["kappa_priority_return"] = """
+    WITH j AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS x,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cells AS (
+        SELECT x, y, count(*) AS cnt FROM j GROUP BY x, y
+    ), m AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN x = y THEN cnt ELSE 0 END) AS BIGINT)
+                   AS agree,
+               CAST(sum(CASE WHEN x = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS r1,
+               CAST(sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM cells
+    )
+    SELECT n AS n_items, agree,
+           CAST((CAST(n AS HUGEINT) * agree
+                 - (CAST(r1 AS HUGEINT) * c1
+                    + CAST(n - r1 AS HUGEINT) * (n - c1))) * 1000000
+                // (CAST(n AS HUGEINT) * n
+                    - (CAST(r1 AS HUGEINT) * c1
+                       + CAST(n - r1 AS HUGEINT) * (n - c1))) AS BIGINT)
+               AS kappa_ppm,
+           round(CAST(CAST(n AS HUGEINT) * agree
+                      - (CAST(r1 AS HUGEINT) * c1
+                         + CAST(n - r1 AS HUGEINT) * (n - c1)) AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n
+                        - (CAST(r1 AS HUGEINT) * c1
+                           + CAST(n - r1 AS HUGEINT) * (n - c1)) AS DOUBLE),
+                 6) AS kappa
+    FROM m
+"""
+
+STAGED_ORACLES["js_divergence_sources"] = """
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source, lang
+    ), ns AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c GROUP BY source
+    ), grid AS (
+        SELECT ns.source, l.lang, ns.n_s,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS k
+        FROM ns CROSS JOIN (SELECT DISTINCT lang FROM c) l
+        LEFT JOIN c ON c.source = ns.source AND c.lang = l.lang
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           max(a.n_s) AS n_a, max(b.n_s) AS n_b,
+           round(0.5 * sum(
+               CASE WHEN a.k > 0 THEN
+                   (CAST(a.k AS DOUBLE) / CAST(a.n_s AS DOUBLE))
+                   * ln((CAST(a.k AS DOUBLE) / CAST(a.n_s AS DOUBLE)) * 2.0
+                        / ((CAST(a.k AS DOUBLE) / CAST(a.n_s AS DOUBLE))
+                           + (CAST(b.k AS DOUBLE) / CAST(b.n_s AS DOUBLE))))
+               ELSE 0.0 END
+               + CASE WHEN b.k > 0 THEN
+                   (CAST(b.k AS DOUBLE) / CAST(b.n_s AS DOUBLE))
+                   * ln((CAST(b.k AS DOUBLE) / CAST(b.n_s AS DOUBLE)) * 2.0
+                        / ((CAST(a.k AS DOUBLE) / CAST(a.n_s AS DOUBLE))
+                           + (CAST(b.k AS DOUBLE) / CAST(b.n_s AS DOUBLE))))
+               ELSE 0.0 END), 6) AS js_nats
+    FROM grid a JOIN grid b
+      ON a.lang = b.lang AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+STAGED_ORACLES["zipf_slope_vocab"] = """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), top AS (
+        SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 1000
+    ), ranked AS (
+        SELECT cnt AS ca,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                   AS rank
+        FROM top
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               sum(ln(CAST(rank AS DOUBLE))) AS sx,
+               sum(ln(CAST(ca AS DOUBLE))) AS sy,
+               sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(ca AS DOUBLE))) AS sxy,
+               sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+        FROM ranked
+    )
+    SELECT n_terms,
+           round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6)
+               AS zipf_slope
+    FROM m
+"""
+
+STAGED_ORACLES["psi_price_drift"] = """
+    WITH o AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(length(bin(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                    AS BIGINT))) AS BIGINT) AS bucket
+        FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+    ), census AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN yr = 1998 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM o GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+               CAST(sum(n_b) AS BIGINT) AS tb
+        FROM census
+    )
+    SELECT bucket, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round(((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                      - (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)))
+                     * ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                          / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+           END AS psi_term
+    FROM census CROSS JOIN tot
+"""
+
+STAGED_ORACLES["entropy_by_source"] = """
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS k
+        FROM documents GROUP BY source, lang
+    ), ns AS (
+        SELECT source, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY source
+    )
+    SELECT c.source,
+           max(ns.n) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(CAST(c.k AS HUGEINT) * (c.k - 1)) * 1000000
+                // (CAST(max(ns.n) AS HUGEINT) * (max(ns.n) - 1)) AS BIGINT)
+               AS simpson_ppm,
+           round(-sum((CAST(c.k AS DOUBLE) / CAST(ns.n AS DOUBLE))
+                      * ln(CAST(c.k AS DOUBLE) / CAST(ns.n AS DOUBLE))), 6)
+               AS entropy_nats
+    FROM c JOIN ns ON c.source = ns.source
+    GROUP BY c.source
+"""

@@ -6686,3 +6686,294 @@ STAGED_QUERIES["mann_kendall_daily_revenue"] = q_mann_kendall_daily_revenue
 STAGED_QUERIES["gini_by_nation"] = q_gini_by_nation
 STAGED_QUERIES["xcorr_segments_lag7"] = q_xcorr_segments_lag7
 STAGED_QUERIES["ztest_promo_return_rate"] = q_ztest_promo_return_rate
+
+
+# ---------------------------------------------------------------------------
+# r12-continuation staged batch #2 (r13/r14 candidates — deepen the
+# rotation pool). Same contract as batch #1: STAGED_QUERIES/STAGED_ORACLES
+# only, hash-green at sf0.001 + sf0.01 via `check_queries.py --staged`
+# before any registry slot. Shapes: Theil–Sen median slope over the
+# constant-bounded daily-revenue rollup (the robust-trend twin of
+# mann_kendall — pairwise slopes over ≤|days| rows via a broadcast
+# triangle, never a fact-level pair join), Cohen's kappa between two
+# binary labelings from a 4-cell census, the pairwise Jensen–Shannon
+# divergence matrix between document sources (drift/contamination
+# monitor over a dense source×lang census grid), a Zipf log–log OLS
+# slope over the deterministic top-1000 vocabulary (rank by broadcast
+# strictly-greater triangle — no single-partition window), the
+# Population Stability Index census between two order years (the
+# ML-ops drift readout; per-bucket rows so every double is row-local),
+# and per-source Shannon entropy + exact-integer Simpson concentration.
+# Integer / DECIMAL(38,0) accumulation; ln() only inside a final
+# round(..., 6) chain (the tfidf/bm25 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator (median of pairwise slopes) for daily order
+    revenue vs time — the robust trend line whose sign mann_kendall
+    tests. The fact table collapses to ≤|days| rows (≤~2,400 for this
+    corpus's 1995–2001 span at ANY scale factor) in one partial agg;
+    the pairwise slope set is a broadcast day×day triangle (≤2.9M
+    nested-loop probes of a day-count-bounded build side — the KM/KS
+    census device, constant in corpus size). Median via exact
+    interpolating percentile on the slope doubles; revenue exact in
+    cents until the one division. n_pairs ≤ days²/2 — int64-trivial."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("t"),
+        _cents(F.col("o_totalprice").cast(DEC)).alias("c"),
+    )
+    daily = o.groupBy("t").agg(F.sum("c").alias("rev"))
+    a = daily.select(F.col("t").alias("ta"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("t").alias("tb"), F.col("rev").alias("rb"))
+    slopes = a.join(F.broadcast(b), F.col("ta") < F.col("tb")).select(
+        F.expr("CAST(rb - ra AS DOUBLE) / CAST(tb - ta AS DOUBLE)").alias(
+            "slope"
+        )
+    )
+    m = slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("round(percentile(slope, 0.5d), 6)").alias(
+            "ts_slope_cents_per_day"
+        ),
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return nd.crossJoin(F.broadcast(m)).select(
+        "n_days", "n_pairs", "ts_slope_cents_per_day"
+    )
+
+
+def q_kappa_priority_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary labelings of every line item —
+    "expedited order" (priority 1-URGENT/2-HIGH) vs "returned"
+    (l_returnflag = 'R'): chance-corrected agreement, the standard
+    label-quality readout when two annotators (here: two business
+    signals) tag the same corpus. One fact join + a 4-cell census;
+    kappa = (n·agree − Σ marginal products) / (n² − Σ marginal
+    products) held exact in DECIMAL(38,0) (n² < 10³⁸ to ~SF10¹⁰),
+    emitted as exact ppm (div) plus one double chain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("x"),
+    )
+    dec = "DECIMAL(38,0)"
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN x = y THEN cnt ELSE 0 END"))
+        .cast("bigint").alias("agree"),
+        F.sum(F.expr("CASE WHEN x = 1 THEN cnt ELSE 0 END"))
+        .cast("bigint").alias("r1"),
+        F.sum(F.expr("CASE WHEN y = 1 THEN cnt ELSE 0 END"))
+        .cast("bigint").alias("c1"),
+    )
+    pe = (
+        f"(CAST(r1 AS {dec}) * c1 + CAST(n - r1 AS {dec}) * (n - c1))"
+    )
+    num = f"(CAST(n AS {dec}) * agree - {pe})"
+    den = f"(CAST(n AS {dec}) * n - {pe})"
+    return m.select(
+        F.col("n").alias("n_items"),
+        "agree",
+        F.expr(f"CAST({num} * 1000000 div {den} AS BIGINT)").alias(
+            "kappa_ppm"
+        ),
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6)"
+        ).alias("kappa"),
+    )
+
+
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between document sources over
+    their language distributions — the drift matrix a curation pipeline
+    watches to catch a source changing character (JS is symmetric,
+    bounded by ln 2, and defined even where supports differ — exactly
+    why it beats KL here). The corpus collapses to a dense
+    |sources|×|langs| census grid (one partial agg + a tiny left join);
+    the matrix is a source×source broadcast triangle over that grid.
+    Counts exact integers; each pair's JS is one double chain summed
+    over ≤|langs| row-local terms, round 6 (tfidf ln() precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    ns = c.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_s"))
+    langs = c.select("lang").distinct()
+    grid = (
+        ns.crossJoin(F.broadcast(langs))
+        .join(c, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "n_s",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("k"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "lang",
+        F.col("n_s").alias("na"), F.col("k").alias("ka"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), F.col("lang").alias("lang_b"),
+        F.col("n_s").alias("nb"), F.col("k").alias("kb"),
+    )
+    pa = "(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE))"
+    pb = "(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    term = (
+        f"(CASE WHEN ka > 0 THEN {pa} * ln({pa} * 2.0d / ({pa} + {pb})) "
+        f"ELSE 0.0d END + "
+        f"CASE WHEN kb > 0 THEN {pb} * ln({pb} * 2.0d / ({pa} + {pb})) "
+        f"ELSE 0.0d END)"
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.expr(f"round(0.5d * sum({term}), 6)").alias("js_nats"),
+        )
+    )
+
+
+def q_zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) across the top-1000 tokens — the one-number diagnostic
+    of vocabulary health (natural text ≈ −1; boilerplate/spam corpora
+    flatten it). Token census in one partial-aggregated shuffle; the
+    top-1000 cut is TakeOrderedAndProject (distributed heap, count
+    desc / token asc — deterministic under ties); ranks come from a
+    broadcast strictly-greater triangle over the 1000-row cut (≤10⁶
+    probes, NO single-partition window); the five OLS moments reduce
+    to one row. Sums of ≤1000 ln() doubles — round 6 far above the
+    accumulated ulp error."""
+    from numaflow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("token")).limit(1000)
+    a = top.select(F.col("token").alias("tok_a"), F.col("cnt").alias("ca"))
+    bb = top.select(F.col("token").alias("tok_b"), F.col("cnt").alias("cb"))
+    ranked = (
+        a.join(
+            F.broadcast(bb),
+            (F.col("cb") > F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("tok_b") < F.col("tok_a"))),
+            "left",
+        )
+        .groupBy("tok_a", "ca")
+        .agg((F.count("tok_b") + F.lit(1)).cast("bigint").alias("rank"))
+    )
+    x = "ln(CAST(rank AS DOUBLE))"
+    y = "ln(CAST(ca AS DOUBLE))"
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.expr(f"sum({x})").alias("sx"),
+        F.expr(f"sum({y})").alias("sy"),
+        F.expr(f"sum({x} * {y})").alias("sxy"),
+        F.expr(f"sum({x} * {x})").alias("sxx"),
+    )
+    return m.select(
+        "n_terms",
+        F.expr(
+            "round((CAST(n_terms AS DOUBLE) * sxy - sx * sy) / "
+            "(CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6)"
+        ).alias("zipf_slope"),
+    )
+
+
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index census of the order-price distribution,
+    1997 vs 1998 — the standard ML-ops drift gate between a training
+    snapshot and a serving window. Prices bucket by power-of-two cents
+    (length(bin(c)) — integer-exact, no libm), the two years' bucket
+    counts come from ONE fact pass, and each shared bucket emits its
+    own PSI contribution (p−q)·ln(p/q) as a row-local double — no
+    cross-row double summation anywhere, so the only rounding surface
+    is one round-6 per row. Buckets seen in only one year are reported
+    with a NULL term (they carry infinite PSI weight; the monitor's
+    cue to alarm on support change, not average over it)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.length(
+            F.expr(
+                f"bin(CAST(CAST(o_totalprice AS {DEC}) * 100 AS BIGINT))"
+            )
+        ).cast("bigint").alias("bucket"),
+    ).filter(F.col("yr").isin(1997, 1998))
+    census = o.groupBy("bucket").agg(
+        F.sum(F.expr("CASE WHEN yr = 1997 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.expr("CASE WHEN yr = 1998 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("n_b"),
+    )
+    tot = census.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    p = "(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))"
+    q = "(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))"
+    return census.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_a", "n_b",
+        F.expr(
+            f"CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            f"round(({p} - {q}) * ln({p} / {q}), 6) END"
+        ).alias("psi_term"),
+    )
+
+
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix diversity: Shannon entropy (nats) plus the
+    exact-integer Simpson concentration Σ k(k−1) / n(n−1) in ppm — the
+    pair of readouts a mixture dashboard shows per corpus slice (are
+    sources monolingual silos or balanced mixes?). One census pass;
+    Simpson is pure integer arithmetic end-to-end (unbiased
+    small-sample form), entropy is the single ln() double chain summed
+    over ≤|langs| terms, round 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "DECIMAL(38,0)"
+    c = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    ns = c.groupBy("source").agg(F.sum("k").cast("bigint").alias("n"))
+    pk = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    return (
+        c.join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.expr(
+                f"CAST(sum(CAST(k AS {dec}) * (k - 1)) * 1000000 div "
+                f"(CAST(max(n) AS {dec}) * (max(n) - 1)) AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.expr(f"round(-sum({pk} * ln({pk})), 6)").alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+STAGED_QUERIES["theilsen_daily_revenue"] = q_theilsen_daily_revenue
+STAGED_QUERIES["kappa_priority_return"] = q_kappa_priority_return
+STAGED_QUERIES["js_divergence_sources"] = q_js_divergence_sources
+STAGED_QUERIES["zipf_slope_vocab"] = q_zipf_slope_vocab
+STAGED_QUERIES["psi_price_drift"] = q_psi_price_drift
+STAGED_QUERIES["entropy_by_source"] = q_entropy_by_source
