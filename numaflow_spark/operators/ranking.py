@@ -218,6 +218,33 @@ def _exclusive_prefix(per_pid: DataFrame, agg: Column,
     return _exclusive_prefixes(per_pid, [(agg, out)], pid=pid)
 
 
+def add_running_sum_bounded(df: DataFrame, order_col: str, value_col: str,
+                            out_col: str) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over ``order_col`` ascending
+    for CONSTANT-BOUNDED censuses (calendar-day rollups, value-domain
+    censuses): one broadcast strictly-less triangle instead of the
+    two-phase machinery. The two-phase form exists for unbounded key
+    spaces and pays its materialize + stats + offsets jobs per call; over
+    a bounded census the triangle is pure plan (no action), so the whole
+    prefix folds into the consumer's final job DAG (r12 continuation:
+    spearman 19 -> 14 jobs from the quantity side alone). ``order_col``
+    must be unique per row — census keys are. Cost: |df|² broadcast
+    nested-loop probes; callers document the bound (≤10⁴ rows → ≤10⁸
+    probes). Unbounded inputs stay on add_global_running_sum."""
+    cols = df.columns
+    b = df.select(
+        F.col(order_col).alias("__rb_k"), F.col(value_col).alias("__rb_v")
+    )
+    return (
+        df.join(F.broadcast(b), F.col("__rb_k") < F.col(order_col), "left")
+        .groupBy(*cols)
+        .agg(
+            (F.coalesce(F.sum("__rb_v"), F.lit(0)) + F.col(value_col))
+            .alias(out_col)
+        )
+    )
+
+
 def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
                     *, primary: str, descending: bool = False,
                     partitions: int = DEFAULT_RANGE_PARTITIONS,

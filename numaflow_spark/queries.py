@@ -5616,11 +5616,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and T total orders, dev_i = x_i*D - T (exact bigint, = D*(x_i - mean))
     and the change point is the earliest day maximizing |running sum of
     dev| — the classic drift detector, integer-exact end to end. The
-    running sum is the two-phase global form (operators/ranking.py);
-    the argmax reduces via one broadcast 1-row max. The fact table
-    collapses to |days| rows in one partial agg first, so the series
-    stage is O(days) regardless of SF."""
-    from numaflow_spark.operators.ranking import add_global_running_sum
+    running sum is the bounded-census broadcast triangle
+    (operators/ranking.py::add_running_sum_bounded — |days| is calendar-
+    bounded at ANY scale factor, so the two-phase machinery's
+    materialize/stats/offsets jobs are pure overhead here); the argmax
+    reduces via one broadcast 1-row max. The fact table collapses to
+    |days| rows in one partial agg first, so the series stage is O(days)
+    regardless of SF."""
+    from numaflow_spark.operators.ranking import add_running_sum_bounded
 
     o = load_table(spark, sf_dir, "orders").select(
         F.expr("CAST(o_orderdate AS DATE)").alias("day")
@@ -5635,9 +5638,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("x * d - t").alias("dev"),
         "t", "d",
     )
-    c = add_global_running_sum(
-        dev, [F.col("di")], "dev", "cum", primary="di"
-    )
+    c = add_running_sum_bounded(dev, "di", "dev", "cum")
     stat = c.agg(F.max(F.abs(F.col("cum"))).cast("bigint").alias(
         "cusum_stat"
     ))
@@ -6140,19 +6141,26 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the value). The monotone-dependence check a feature pipeline
     runs before assuming linear correlation says anything. Overflow audit:
     2R <= 2n, (2R)^2 * n ~ 4n^3 — 38 digits holds past SF10^5."""
-    from numaflow_spark.operators.ranking import add_global_running_sum
+    from numaflow_spark.operators.ranking import (
+        add_global_running_sum,
+        add_running_sum_bounded,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("bigint").alias("q"),
         _cents(F.col("l_extendedprice").cast(DEC)).alias("p"),
     )
     dec = "DECIMAL(38,0)"
-    # quantity side: <= 50 distinct values — census + running count is a
-    # broadcastable table; doubled avg rank = 2*cum_before + cnt + 1
+    # quantity side: <= 50 distinct values — the running count is a
+    # broadcast strictly-less triangle over the census itself (the
+    # _exclusive_prefixes device), NOT the two-phase machinery: the
+    # two-phase module exists for unbounded key spaces and pays its
+    # materialize + stats + offsets jobs; over a value-bounded census the
+    # triangle stays entirely inside the final action's DAG (r12
+    # continuation: spearman 19 -> 12 jobs, the whole quantity-side
+    # two-phase block collapsed). Doubled avg rank = 2*prefix + cnt + 1.
     qc = li.groupBy("q").agg(F.count("*").alias("cq"))
-    qr = add_global_running_sum(
-        qc, [F.col("q")], "cq", "cumq", primary="q",
-    ).select(
+    qr = add_running_sum_bounded(qc, "q", "cq", "cumq").select(
         "q", F.expr("2 * (cumq - cq) + cq + 1").alias("rq2")
     )
     # price side: same device over the distinct-price census
@@ -6293,16 +6301,15 @@ def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0", "false"
     ):
         day = cut_lineage(day, eager=True)  # read by median + flags + join
-    # exact median: k-th smallest revenue over the day census (two-phase
-    # running count over the <= |days| rollup; |days| is calendar-bounded)
+    # exact median: k-th smallest revenue over the day census (bounded-
+    # census broadcast triangle — the value census has <= |days| rows and
+    # |days| is calendar-bounded, so no two-phase machinery)
     vc = day.groupBy("rev").agg(F.count("*").alias("c"))
-    from numaflow_spark.operators.ranking import add_global_running_sum
+    from numaflow_spark.operators.ranking import add_running_sum_bounded
 
-    # rev is DECIMAL(38,0) cents — cast to bigint for the bucket primary
+    # rev is DECIMAL(38,0) cents — cast to bigint for the order key
     vc = vc.withColumn("rev_b", F.col("rev").cast("bigint"))
-    cum = add_global_running_sum(
-        vc, [F.col("rev_b")], "c", "cum", primary="rev_b",
-    )
+    cum = add_running_sum_bounded(vc, "rev_b", "c", "cum")
     n = day.agg(F.count("*").cast("bigint").alias("n"))
     med = (
         cum.crossJoin(F.broadcast(n))
@@ -6347,6 +6354,12 @@ QUERIES["runs_test_daily_revenue"] = q_runs_test_daily_revenue
 # rotation); the RECERT embedding_* pair stays.
 # ---------------------------------------------------------------------------
 RECERT_PENDING += ["basket_triples", "copurchase_lift"]
+# r12-continuation bounded-triangle running sums (plan change, same
+# semantics): spearman's quantity side, runs_test's median census, and
+# cusum's day series moved off the two-phase machinery onto
+# add_running_sum_bounded. All three sit in the r12B window head, so the
+# driver re-certifies them this round; cusum was already queued above.
+RECERT_PENDING += ["spearman_qty_price", "runs_test_daily_revenue"]
 _R12B_PROMOTIONS = [
     "mannwhitney_price_priority", "spearman_qty_price",
     "chi2_brand_returnflag", "p90_interarrival_exact",
