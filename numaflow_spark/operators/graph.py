@@ -51,6 +51,43 @@ def aqe_off(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
+@contextmanager
+def sized_loop_conf(spark, n_rows: int, *, rows_per_partition: int = 500_000):
+    """AQE off + shuffle partitions sized from a MEASURED row count, for
+    iterative loops whose per-round input is already materialized. The r10
+    loop-scoped aqe_off experiment made CC *slower* because it kept the
+    session's 32 shuffle partitions: 6 exchanges/round × 32 near-empty
+    tasks out-costs the AQE jobs it removes. The missing half of that
+    lever is the partition count: with partitions = ceil(2·n/target)
+    (2× margin — large-star/small-star keeps |E| ≤ 2·|E₀|), capped at the
+    session's configured width, each AQE-off round is ONE job of a few
+    right-sized tasks. At cluster scale a 10¹⁰-edge loop hits the session
+    cap and keeps its full width — the sizing never *reduces* scale-out
+    below what the data needs, it only stops billing empty tasks at the
+    small end. Restores both confs on exit."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(2, min(cap, (2 * max(n_rows, 1)) // rows_per_partition + 1))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # Broadcast joins each run a build-side collect JOB even without AQE
+    # (measured: a CC round's two star joins kept it at 4-6 jobs after
+    # aqe_off). In-loop the join inputs are the already-materialized,
+    # right-partitioned round state — a shuffle join over `parts`
+    # partitions is one stage of the SAME job, so the round collapses to
+    # a single action. At cluster scale the round's join sides are edge-
+    # and node-sized (never broadcastable anyway), so nothing is lost.
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
 def cut_lineage(
     df: DataFrame, checkpoint_dir: str | None = None, *, eager: bool = True
 ) -> DataFrame:
@@ -186,36 +223,35 @@ def connected_components(
         checkpoint_dir,
         eager=True,
     )
-    for _ in range(max_iter):
-        # Star-forest probe: converged iff no node appears as BOTH a source
-        # and a target. One union + one groupBy (r11 distinct + semi-join
-        # was 4 jobs) — same exact predicate, measured on the minhash edge
-        # set (r12 job floor; probes were 40% of the loop's job count).
-        # The probe runs with AQE OFF (r12 continuation): adaptive
-        # execution splits the isEmpty into a shuffle-materialize job plus
-        # a final job, while the non-adaptive plan is ONE take(1) job over
-        # the same two-stage shuffle — measured 2 -> 1 jobs per probe,
-        # ~6 probes per CC run. The ROUNDS stay under AQE (the loop-scoped
-        # aqe_off experiment in r10 made CC slower; see the note above).
-        flags = (
-            e.select(F.col("u").alias("n"), F.lit(1).alias("_o"),
-                     F.lit(0).alias("_i"))
-            .union(e.select(F.col("v").alias("n"), F.lit(0).alias("_o"),
-                            F.lit(1).alias("_i")))
-            .groupBy("n")
-            .agg(F.max("_o").alias("o"), F.max("_i").alias("i"))
-        )
-        with aqe_off(e.sparkSession):
-            converged = flags.filter(
-                (F.col("o") == 1) & (F.col("i") == 1)
-            ).isEmpty()
-        if converged:
-            break
-        e = cut_lineage(_round(e), checkpoint_dir, eager=True)
-    else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds"
-        )
+    # One count over the just-checkpointed blocks sizes the whole loop
+    # (sized_loop_conf): with AQE off and right-sized shuffle partitions,
+    # each round's eager materialization is ONE job instead of ~7 AQE
+    # stage-jobs, and each star-forest probe (converged iff no node
+    # appears as BOTH a source and a target — one union + one groupBy,
+    # the r11 distinct + semi-join probe was 4 jobs) is ONE take(1) job
+    # instead of 2. The r10 note above measured loop-scoped aqe_off as
+    # slower — that experiment kept the session's 32 shuffle partitions;
+    # the partition sizing is the missing half (see sized_loop_conf).
+    # Measured r12 continuation, sf0.1: embedding_clusters 48 -> ~15
+    # jobs, same output.
+    n0 = e.count()
+    with sized_loop_conf(e.sparkSession, n0):
+        for _ in range(max_iter):
+            flags = (
+                e.select(F.col("u").alias("n"), F.lit(1).alias("_o"),
+                         F.lit(0).alias("_i"))
+                .union(e.select(F.col("v").alias("n"), F.lit(0).alias("_o"),
+                                F.lit(1).alias("_i")))
+                .groupBy("n")
+                .agg(F.max("_o").alias("o"), F.max("_i").alias("i"))
+            )
+            if flags.filter((F.col("o") == 1) & (F.col("i") == 1)).isEmpty():
+                break
+            e = cut_lineage(_round(e), checkpoint_dir, eager=True)
+        else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
+            )
     # At the fixpoint the edge set is a star forest: (member, root) with
     # root = component min. Roots map to themselves.
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
