@@ -83,6 +83,20 @@ def _use_literal_offsets() -> bool:
     )
 
 
+def _collect_no_aqe(df: DataFrame):
+    """collect() with AQE disabled for the module's bounded aggregate
+    pulls (per-bucket counts/sums/maxes/stats — ≤ partitions+1 rows over
+    an already-materialized input). AQE splits each pull into a shuffle-
+    materialize job plus a result job; the non-adaptive plan is ONE job
+    over the same two-stage shuffle (the CC probe device, graph.py) —
+    measured 2 -> 1 jobs per pull, and the ranking ops make 1-3 pulls
+    per call."""
+    from numaflow_spark.operators.graph import aqe_off
+
+    with aqe_off(df.sparkSession):
+        return df.collect()
+
+
 def _prefix_map_expr(pairs, pid_col: str, dtype: str, combine):
     """Exclusive prefix per bucket id as a literal map lookup.
 
@@ -261,7 +275,7 @@ def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
     cnts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
     if _use_literal_offsets():
         pre = _prefix_map_expr(
-            [(r[0], r[1]) for r in cnts.collect()], _PID, "bigint",
+            [(r[0], r[1]) for r in _collect_no_aqe(cnts)], _PID, "bigint",
             lambda a, b: a + b,
         )
         return local.withColumn(
@@ -324,8 +338,8 @@ def add_global_ranks(df: DataFrame,
         rows = (
             part.groupingSets([[p] for p in pids], *[F.col(p) for p in pids])
             .agg(F.count("*").alias("_cnt"))
-            .collect()
         )
+        rows = _collect_no_aqe(rows)
         grouped_cnts = {
             p: [(r[j], r[len(pids)]) for r in rows if r[j] is not None]
             for j, p in enumerate(pids)
@@ -340,8 +354,8 @@ def add_global_ranks(df: DataFrame,
                 grouped_cnts[pid]
                 if grouped_cnts is not None
                 else [(r[0], r[1])
-                      for r in part.groupBy(pid).agg(
-                          F.count("*").alias("_cnt")).collect()]
+                      for r in _collect_no_aqe(part.groupBy(pid).agg(
+                          F.count("*").alias("_cnt")))]
             )
             pre = _prefix_map_expr(pairs, pid, "bigint", lambda a, b: a + b)
             result = result.withColumn(
@@ -388,10 +402,10 @@ def add_grouped_global_ntile(
     part = df
     if materialize:
         part = materialize_ranking_input(part)
-    stats_rows = part.groupBy(group_col).agg(
+    stats_rows = _collect_no_aqe(part.groupBy(group_col).agg(
         F.min(F.col(primary).cast("bigint")).alias("lo"),
         F.max(F.col(primary).cast("bigint")).alias("hi"),
-    ).collect()
+    ))
     if len(stats_rows) > max_groups:
         raise ValueError(
             f"add_grouped_global_ntile: {len(stats_rows)} groups > "
@@ -415,7 +429,7 @@ def add_grouped_global_ntile(
     )
     wloc = Window.partitionBy(group_col, _PID).orderBy(*order_cols)
     local = part.withColumn(_LOC, F.row_number().over(wloc))
-    cnt_rows = part.groupBy(group_col, _PID).count().collect()
+    cnt_rows = _collect_no_aqe(part.groupBy(group_col, _PID).count())
     # composite literal key: pid ∈ [-1, partitions], so (g, pid) packs
     # collision-free into g*(partitions+2) + pid + 1
     span = partitions + 2
@@ -488,7 +502,7 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
     )
     if _use_literal_offsets():
         dtypes = [f.dataType.simpleString() for f in sums.schema.fields[1:]]
-        rows = sums.collect()
+        rows = _collect_no_aqe(sums)
         out = local
         for i, out_col in enumerate(out_cols):
             pre = _prefix_map_expr(
@@ -539,7 +553,7 @@ def add_global_running_max_strictly_before(
     if _use_literal_offsets():
         dtype = maxes.schema.fields[1].dataType.simpleString()
         pre = _prefix_map_expr(
-            [(r[0], r[1]) for r in maxes.collect()], _PID, dtype,
+            [(r[0], r[1]) for r in _collect_no_aqe(maxes)], _PID, dtype,
             lambda a, b: max(a, b),
         )
         # greatest() skips NULLs (returns NULL only when BOTH are), which
