@@ -5743,16 +5743,17 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    from numaflow_spark.operators.graph import cut_lineage
+    from numaflow_spark.operators.graph import materialize_no_aqe
 
     # One materialization of the distinct edge set: deg and the s(u) join
     # both read it, and lazily each branch would re-run the full
     # cooccurrence pipeline (explode + self-join) — the same shared-input
-    # rule as materialize_ranking_input. Plan audits see the lazy shape.
-    import os as _os
-
-    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in ("0", "false"):
-        pairs = cut_lineage(pairs, eager=True)
+    # rule as materialize_ranking_input. materialize_no_aqe, not a plain
+    # eager cut: the pair-expansion stage is the cooccurrence family's
+    # CPU-bound shape whose reduce side AQE packs onto too few cores
+    # (graph.py::materialize_no_aqe rationale — degree_distribution
+    # measured 2x on the same subtree). Plan audits see the lazy shape.
+    pairs = materialize_no_aqe(pairs)
     und = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
