@@ -269,3 +269,35 @@ def test_cooccurrence_pairs_drops_null_group(spark):
     df = spark.createDataFrame(rows, "g long, item long")
     got = sorted(tuple(r) for r in cooccurrence_pairs(df, "g", "item").collect())
     assert got == [(7, 4, 5)]
+
+
+def test_sized_loop_conf_restores_confs(spark):
+    """sized_loop_conf sizes shuffle width from the measured row count and
+    restores AQE, partition, and broadcast confs on exit — including on
+    exception (a shared bench/driver session must never stay mutated)."""
+    from numaflow_spark.operators.graph import sized_loop_conf
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    with sized_loop_conf(spark, 909):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    for k, v in before.items():
+        assert spark.conf.get(k) == v
+    try:
+        with sized_loop_conf(spark, 10**9):
+            # 2e9/5e5 rows -> capped at the session's configured width
+            cap = int(before["spark.sql.shuffle.partitions"])
+            assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cap
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    for k, v in before.items():
+        assert spark.conf.get(k) == v

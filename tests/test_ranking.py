@@ -164,3 +164,39 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             for r in df.withColumn("t", F.ntile(k).over(w)).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_running_sum_bounded_matches_two_phase(spark):
+    """The bounded-census broadcast triangle (add_running_sum_bounded) and
+    the two-phase form compute the same inclusive prefix on a census with
+    unique keys — the substitution contract behind the r12-continuation
+    spearman/cusum/runs_test rewrites."""
+    from numaflow_spark.operators.ranking import add_running_sum_bounded
+
+    rows = [(k, v) for k, v in
+            [(3, 7), (1, 2), (9, 5), (4, 1), (12, 8), (7, 3), (2, 11)]]
+    df = spark.createDataFrame(rows, "k bigint, c bigint")
+    got = {
+        r["k"]: r["cum"]
+        for r in add_running_sum_bounded(df, "k", "c", "cum").collect()
+    }
+    want = {
+        r["k"]: r["cum"]
+        for r in add_global_running_sum(
+            df, [F.col("k")], "c", "cum", primary="k", partitions=4
+        ).collect()
+    }
+    assert got == want
+    # inclusive semantics: the smallest key's prefix is its own value
+    assert got[1] == 2 and got[12] == sum(v for _, v in rows)
+
+
+def test_running_sum_bounded_preserves_columns_and_types(spark):
+    from numaflow_spark.operators.ranking import add_running_sum_bounded
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (2, 6, "b")], "k bigint, c bigint, tag string"
+    )
+    out = add_running_sum_bounded(df, "k", "c", "cum")
+    assert set(out.columns) == {"k", "c", "tag", "cum"}
+    assert dict(out.dtypes)["cum"] == "bigint"
