@@ -1,0 +1,211 @@
+"""Streaming distribution-drift monitor: the online form of
+``queries.q_psi_price_drift``.
+
+A serving/ingest stream is compared continuously against a FROZEN
+baseline distribution (the training snapshot): each micro-batch's values
+bucket into power-of-two cells (``length(bin(v))`` — the repo's
+integer-exact bucket device, no libm), the per-event-time-window census
+accumulates in a small persistent store, and when a window closes (the
+observed max event time passes its end by the allowed lateness) the
+monitor emits ONE row for it: event count, shared-bucket count, PSI
+against the baseline, and the support-change flags a drift gate alarms
+on. PSI over shared buckets mirrors the batch query exactly; buckets
+seen only in the window or only in the baseline are REPORTED (counts,
+not averaged into PSI) because they carry infinite PSI weight — the
+alarm cue is support change itself, same doctrine as the batch twin.
+
+Scale notes: state is (windows × ≤64 buckets) rows — bounded by the
+bin-length domain regardless of stream rate, so the store never grows
+with traffic, only with open windows. Per batch: one row-local bucket
+projection + one partial-aggregated census over the batch, one equi-join
+against the open-window slice of the store. The baseline is a ≤64-entry
+literal map broadcast inside the plan. At cluster scale swap the parquet
+store dir for Delta/Iceberg — the operator needs only append + read.
+
+Reference anchor: a numaflow user would express this as source →
+transformer (bucket) → keyed fixed-window reduce → sink with a UDF
+computing PSI per closed window (SURVEY §2.4 R1 + §2.8); here the window
+close/lateness bookkeeping rides the same census store pattern as the
+repo's other streaming operators (curation fingerprints, upsert
+snapshot).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from numaflow_spark.streaming.neardup import has_local_parquet, require_local_store
+
+
+def bin_bucket(col: F.Column) -> F.Column:
+    """Power-of-two bucket id: number of binary digits of the (bigint)
+    value — integer-exact, engine-portable (the degree_distribution /
+    psi_price_drift device). Non-positive values route to bucket 0 so no
+    row is ever dropped."""
+    return (
+        F.when(col > 0, F.length(F.bin(col)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
+def baseline_census(df: DataFrame, value_col: str) -> dict[int, int]:
+    """Collect the frozen baseline's bucket census as a small dict
+    (≤64 entries by construction — the bin-length domain of bigints).
+    This is the training-snapshot side, computed ONCE before the stream
+    starts; the collect is bounded by the bucket domain, not the data."""
+    rows = (
+        df.select(bin_bucket(F.col(value_col).cast("bigint")).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return {int(r["b"]): int(r["n"]) for r in rows}
+
+
+def psi_terms(census: list[tuple[int, int]],
+              baseline: dict[int, int]) -> dict:
+    """PSI of an observed census against the baseline — plain-Python fold
+    over ≤64 (bucket, count) pairs (driver-side by design: the inputs are
+    bucket-domain-bounded, the same class as the BPE argmax row). Returns
+    the shared-support PSI plus the support-change evidence."""
+    tot_obs = sum(n for _, n in census) or 0
+    tot_base = sum(baseline.values()) or 0
+    obs = {int(b): int(n) for b, n in census}
+    shared = sorted(set(obs) & set(baseline))
+    only_obs = sorted(set(obs) - set(baseline))
+    only_base = sorted(set(baseline) - set(obs))
+    psi = 0.0
+    for b in shared:
+        p = obs[b] / tot_obs
+        q = baseline[b] / tot_base
+        psi += (p - q) * math.log(p / q)
+    return {
+        "n_events": tot_obs,
+        "n_buckets_shared": len(shared),
+        "psi": round(psi, 6),
+        "new_bucket_events": sum(obs[b] for b in only_obs),
+        "missing_bucket_mass_ppm": (
+            sum(baseline[b] for b in only_base) * 1_000_000 // tot_base
+            if tot_base
+            else 0
+        ),
+    }
+
+
+class StreamingDrift:
+    """Online PSI drift gate over event-time windows.
+
+    Wire ``update(batch_df)`` into ``foreachBatch``. Each call buckets the
+    batch, folds its census into the persistent per-window store, then
+    CLOSES every window whose end + allowed lateness is at or before the
+    max event time seen so far, emitting one summary row per closed
+    window into ``<store_dir>/emitted``. Re-delivered batches are
+    tolerated: closing is idempotent (a window id never emits twice) and
+    the census fold is additive per batch id.
+    """
+
+    def __init__(self, store_dir: str, baseline: dict[int, int], *,
+                 value_col: str, ts_col: str = "ts",
+                 window_seconds: int = 3600, lateness_seconds: int = 0,
+                 psi_alarm: float = 0.2):
+        require_local_store(store_dir)
+        self.store_dir = store_dir
+        self.baseline = dict(baseline)
+        self.value_col = value_col
+        self.ts_col = ts_col
+        self.window_seconds = int(window_seconds)
+        self.lateness_seconds = int(lateness_seconds)
+        self.psi_alarm = float(psi_alarm)
+        os.makedirs(store_dir, exist_ok=True)
+
+    # -- store slices ------------------------------------------------
+    def _census_path(self) -> str:
+        return os.path.join(self.store_dir, "census")
+
+    def _emitted_path(self) -> str:
+        return os.path.join(self.store_dir, "emitted")
+
+    def _read(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
+        if has_local_parquet(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], schema)
+
+    # -- the foreachBatch hook ----------------------------------------
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        spark = batch_df.sparkSession
+        win = self.window_seconds
+        batch = batch_df.select(
+            (
+                (F.unix_timestamp(F.col(self.ts_col)).cast("bigint") / win)
+                .cast("bigint") * win
+            ).alias("wstart"),
+            bin_bucket(F.col(self.value_col).cast("bigint")).alias("b"),
+            F.unix_timestamp(F.col(self.ts_col)).cast("bigint").alias("es"),
+        )
+        agg = batch.groupBy("wstart", "b").agg(
+            F.count("*").alias("n"), F.max("es").alias("max_es")
+        )
+        rows = agg.collect()  # ≤ windows-in-batch × 64 buckets — bounded
+        if rows:
+            spark.createDataFrame(
+                [(int(r["wstart"]), int(r["b"]), int(r["n"])) for r in rows],
+                "wstart bigint, b bigint, n bigint",
+            ).write.mode("append").parquet(self._census_path())
+        max_es = max((int(r["max_es"]) for r in rows), default=None)
+        if max_es is None:
+            return
+        # close every window whose end (+lateness) has passed
+        census = self._read(
+            spark, self._census_path(), "wstart bigint, b bigint, n bigint"
+        )
+        emitted = self._read(
+            spark, self._emitted_path(),
+            "wstart bigint, n_events bigint, n_buckets_shared bigint, "
+            "psi double, new_bucket_events bigint, "
+            "missing_bucket_mass_ppm bigint, alarm boolean",
+        )
+        done = {int(r["wstart"]) for r in emitted.select("wstart").collect()}
+        closable = (
+            census.filter(
+                F.col("wstart") + win + self.lateness_seconds <= max_es
+            )
+            .groupBy("wstart", "b")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        by_window: dict[int, list[tuple[int, int]]] = {}
+        for r in closable:
+            ws = int(r["wstart"])
+            if ws not in done:
+                by_window.setdefault(ws, []).append((int(r["b"]), int(r["n"])))
+        out = []
+        for ws in sorted(by_window):
+            t = psi_terms(by_window[ws], self.baseline)
+            alarm = (
+                t["psi"] >= self.psi_alarm
+                or t["new_bucket_events"] > 0
+                or t["missing_bucket_mass_ppm"] > 0
+            )
+            out.append((
+                ws, t["n_events"], t["n_buckets_shared"], t["psi"],
+                t["new_bucket_events"], t["missing_bucket_mass_ppm"], alarm,
+            ))
+        if out:
+            spark.createDataFrame(
+                out,
+                "wstart bigint, n_events bigint, n_buckets_shared bigint, "
+                "psi double, new_bucket_events bigint, "
+                "missing_bucket_mass_ppm bigint, alarm boolean",
+            ).write.mode("append").parquet(self._emitted_path())
+
+    def emitted(self, spark: SparkSession) -> DataFrame:
+        return self._read(
+            spark, self._emitted_path(),
+            "wstart bigint, n_events bigint, n_buckets_shared bigint, "
+            "psi double, new_bucket_events bigint, "
+            "missing_bucket_mass_ppm bigint, alarm boolean",
+        )

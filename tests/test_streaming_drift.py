@@ -1,0 +1,142 @@
+"""StreamingDrift: online PSI drift gate (streaming twin of the
+psi_price_drift batch query). Driven both at the update() level and
+through a real streaming query (parquet replay -> foreachBatch)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from numaflow_spark.streaming.drift import (
+    StreamingDrift,
+    baseline_census,
+    bin_bucket,
+    psi_terms,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, v bigint")
+
+
+def _t(s):
+    return dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def test_bin_bucket_matches_batch_device(spark):
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (255,), (256,), (-3,)], "v bigint"
+    )
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", bin_bucket(F.col("v")).alias("b")).collect()
+    }
+    # length(bin(v)) for positives, 0 for non-positives
+    assert got == {0: 0, 1: 1, 2: 2, 255: 8, 256: 9, -3: 0}
+
+
+def test_psi_terms_matches_hand_fold():
+    baseline = {3: 50, 4: 50}
+    census = [(3, 30), (4, 60), (7, 10)]  # bucket 7 is new support
+    t = psi_terms(census, baseline)
+    p3, q3 = 30 / 100, 50 / 100
+    p4, q4 = 60 / 100, 50 / 100
+    want = (p3 - q3) * math.log(p3 / q3) + (p4 - q4) * math.log(p4 / q4)
+    assert t["psi"] == round(want, 6)
+    assert t["n_events"] == 100
+    assert t["n_buckets_shared"] == 2
+    assert t["new_bucket_events"] == 10
+    assert t["missing_bucket_mass_ppm"] == 0
+
+
+def test_drift_window_close_and_alarm(spark, tmp_path):
+    """Two 60s windows: the first matches the baseline (no alarm), the
+    second shifts mass upward (alarm). Windows only emit once their end
+    has passed; the final window needs a later event to close it."""
+    base = _events(spark, [(_t(0), 10)] * 50 + [(_t(0), 100)] * 50)
+    bl = baseline_census(base, "v")
+    mon = StreamingDrift(
+        str(tmp_path / "store"), bl, value_col="v", ts_col="ts",
+        window_seconds=60, psi_alarm=0.2,
+    )
+    # window [0,60): same 50/50 shape as the baseline
+    w1 = [( _t(1), 10)] * 25 + [(_t(2), 100)] * 25
+    # window [60,120): shifted 5/45 -> big PSI
+    w2 = [(_t(61), 10)] * 5 + [(_t(62), 100)] * 45
+    # sentinel event at t=180 closes window 2 (lands in its own window)
+    w3 = [(_t(180), 10)]
+    for batch in (w1, w2, w3):
+        mon.update(_events(spark, batch))
+    got = {
+        int(r["wstart"]): r for r in mon.emitted(spark).collect()
+    }
+    assert set(got) == {int(_t(0).timestamp()) // 60 * 60,
+                        int(_t(60).timestamp()) // 60 * 60}
+    first = got[min(got)]
+    second = got[max(got)]
+    assert first["n_events"] == 50 and not first["alarm"]
+    assert second["n_events"] == 50 and second["alarm"]
+    assert second["psi"] > 0.2 and first["psi"] < 0.05
+    assert first["new_bucket_events"] == 0
+    assert first["missing_bucket_mass_ppm"] == 0
+
+
+def test_drift_idempotent_close(spark, tmp_path):
+    """A window never emits twice, even if later batches would close it
+    again (re-delivery / continued traffic)."""
+    bl = {4: 100}
+    mon = StreamingDrift(
+        str(tmp_path / "s"), bl, value_col="v", ts_col="ts",
+        window_seconds=60,
+    )
+    mon.update(_events(spark, [(_t(1), 9)] * 10))
+    mon.update(_events(spark, [(_t(70), 9)]))   # closes window 0
+    mon.update(_events(spark, [(_t(130), 9)]))  # would close it again
+    rows = mon.emitted(spark).collect()
+    starts = [int(r["wstart"]) for r in rows]
+    assert len(starts) == len(set(starts))
+
+
+def test_drift_via_streaming_query(spark, tmp_path):
+    """End-to-end: parquet replay -> foreachBatch(StreamingDrift.update)
+    -> emitted store, with the same two-window shape as the direct test."""
+    from numaflow_spark.sources.file_source import (
+        replay_stream,
+        write_replay_batches,
+    )
+
+    bl = {4: 50, 7: 50}  # buckets of 10 and 100
+    rows = (
+        [(_t(1), 10, 1)] * 10 + [(_t(2), 100, 1)] * 10
+        + [(_t(61), 100, 2)] * 20
+        + [(_t(180), 10, 3)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, v bigint, ord int")
+    data_dir = write_replay_batches(
+        df, str(tmp_path / "in"), batches=3, order_col="ord"
+    )
+    mon = StreamingDrift(
+        str(tmp_path / "store"), bl, value_col="v", ts_col="ts",
+        window_seconds=60, psi_alarm=0.2,
+    )
+    q = (
+        replay_stream(spark, data_dir, schema=df.schema,
+                      max_files_per_trigger=1)
+        .writeStream.foreachBatch(lambda b, i: mon.update(b, i))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (int(r["wstart"]) % 3600, bool(r["alarm"]))
+        for r in mon.emitted(spark).collect()
+    )
+    # window 0: balanced 10/10 vs 50/50 baseline -> no alarm;
+    # window 60: all mass in bucket 7 -> alarm
+    assert got == [(0, False), (60, True)]
