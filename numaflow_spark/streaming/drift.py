@@ -66,6 +66,29 @@ def baseline_census(df: DataFrame, value_col: str) -> dict[int, int]:
     return {int(r["b"]): int(r["n"]) for r in rows}
 
 
+def ks_distance(census: list[tuple[int, int]],
+                baseline: dict[int, int]) -> float:
+    """Two-sample Kolmogorov–Smirnov distance between the window census
+    and the baseline over the SHARED bucket axis: max |ECDF_obs −
+    ECDF_base| across the union of buckets (buckets are ordered — they
+    are bin lengths, i.e. magnitude classes). Complements PSI: KS is
+    sensitive to a mass SHIFT along the axis even when every bucket stays
+    populated, where PSI reacts per-bucket. Driver-side fold over ≤64
+    pairs, same bounded class as psi_terms."""
+    tot_obs = sum(n for _, n in census)
+    tot_base = sum(baseline.values())
+    if not tot_obs or not tot_base:
+        return 0.0
+    obs = {int(b): int(n) for b, n in census}
+    co = cb = 0
+    d = 0.0
+    for b in sorted(set(obs) | set(baseline)):
+        co += obs.get(b, 0)
+        cb += baseline.get(b, 0)
+        d = max(d, abs(co / tot_obs - cb / tot_base))
+    return round(d, 6)
+
+
 def psi_terms(census: list[tuple[int, int]],
               baseline: dict[int, int]) -> dict:
     """PSI of an observed census against the baseline — plain-Python fold
@@ -111,7 +134,7 @@ class StreamingDrift:
     def __init__(self, store_dir: str, baseline: dict[int, int], *,
                  value_col: str, ts_col: str = "ts",
                  window_seconds: int = 3600, lateness_seconds: int = 0,
-                 psi_alarm: float = 0.2):
+                 psi_alarm: float = 0.2, ks_alarm: float = 0.15):
         require_local_store(store_dir)
         self.store_dir = store_dir
         self.baseline = dict(baseline)
@@ -120,6 +143,7 @@ class StreamingDrift:
         self.window_seconds = int(window_seconds)
         self.lateness_seconds = int(lateness_seconds)
         self.psi_alarm = float(psi_alarm)
+        self.ks_alarm = float(ks_alarm)
         os.makedirs(store_dir, exist_ok=True)
 
     # -- store slices ------------------------------------------------
@@ -165,7 +189,7 @@ class StreamingDrift:
         emitted = self._read(
             spark, self._emitted_path(),
             "wstart bigint, n_events bigint, n_buckets_shared bigint, "
-            "psi double, new_bucket_events bigint, "
+            "psi double, ks double, new_bucket_events bigint, "
             "missing_bucket_mass_ppm bigint, alarm boolean",
         )
         done = {int(r["wstart"]) for r in emitted.select("wstart").collect()}
@@ -185,20 +209,22 @@ class StreamingDrift:
         out = []
         for ws in sorted(by_window):
             t = psi_terms(by_window[ws], self.baseline)
+            ks = ks_distance(by_window[ws], self.baseline)
             alarm = (
                 t["psi"] >= self.psi_alarm
+                or ks >= self.ks_alarm
                 or t["new_bucket_events"] > 0
                 or t["missing_bucket_mass_ppm"] > 0
             )
             out.append((
-                ws, t["n_events"], t["n_buckets_shared"], t["psi"],
+                ws, t["n_events"], t["n_buckets_shared"], t["psi"], ks,
                 t["new_bucket_events"], t["missing_bucket_mass_ppm"], alarm,
             ))
         if out:
             spark.createDataFrame(
                 out,
                 "wstart bigint, n_events bigint, n_buckets_shared bigint, "
-                "psi double, new_bucket_events bigint, "
+                "psi double, ks double, new_bucket_events bigint, "
                 "missing_bucket_mass_ppm bigint, alarm boolean",
             ).write.mode("append").parquet(self._emitted_path())
 
@@ -206,6 +232,6 @@ class StreamingDrift:
         return self._read(
             spark, self._emitted_path(),
             "wstart bigint, n_events bigint, n_buckets_shared bigint, "
-            "psi double, new_bucket_events bigint, "
+            "psi double, ks double, new_bucket_events bigint, "
             "missing_bucket_mass_ppm bigint, alarm boolean",
         )

@@ -52,6 +52,20 @@ def test_psi_terms_matches_hand_fold():
     assert t["missing_bucket_mass_ppm"] == 0
 
 
+def test_ks_distance_shift_within_support():
+    """KS catches a mass shift along the bucket axis even when every
+    bucket stays populated; identical censuses give 0."""
+    from numaflow_spark.streaming.drift import ks_distance
+
+    baseline = {3: 50, 4: 30, 5: 20}
+    assert ks_distance([(3, 50), (4, 30), (5, 20)], baseline) == 0.0
+    # shift toward the high bucket: ECDF gap peaks after bucket 4
+    d = ks_distance([(3, 20), (4, 30), (5, 50)], baseline)
+    assert d == round(abs((20 + 30) / 100 - (50 + 30) / 100), 6)  # 0.3
+    # disjoint support: gap hits 1.0
+    assert ks_distance([(9, 10)], {3: 10}) == 1.0
+
+
 def test_drift_window_close_and_alarm(spark, tmp_path):
     """Two 60s windows: the first matches the baseline (no alarm), the
     second shifts mass upward (alarm). Windows only emit once their end
@@ -82,6 +96,10 @@ def test_drift_window_close_and_alarm(spark, tmp_path):
     assert second["psi"] > 0.2 and first["psi"] < 0.05
     assert first["new_bucket_events"] == 0
     assert first["missing_bucket_mass_ppm"] == 0
+    # KS over the same censuses: exact ECDF gap — 0 for the matching
+    # window, |5/50 - 50/100| = 0.4 for the shifted one
+    assert first["ks"] == 0.0
+    assert second["ks"] == 0.4
 
 
 def test_drift_idempotent_close(spark, tmp_path):
