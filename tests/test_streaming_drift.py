@@ -158,3 +158,23 @@ def test_drift_via_streaming_query(spark, tmp_path):
     # window 0: balanced 10/10 vs 50/50 baseline -> no alarm;
     # window 60: all mass in bucket 7 -> alarm
     assert got == [(0, False), (60, True)]
+
+
+def test_drift_lateness_delays_close(spark, tmp_path):
+    """With lateness L, a window closes only once max event time reaches
+    window end + L — the late-data grace the batch twin doesn't need."""
+    bl = {4: 100}
+    mon = StreamingDrift(
+        str(tmp_path / "s"), bl, value_col="v", ts_col="ts",
+        window_seconds=60, lateness_seconds=30,
+    )
+    mon.update(_events(spark, [(_t(1), 9)] * 4))
+    # t=70: window [0,60) ended but 70 < 60+30 -> still open
+    mon.update(_events(spark, [(_t(70), 9)]))
+    assert mon.emitted(spark).count() == 0
+    # a late event for window 0 arrives inside the grace and still counts
+    mon.update(_events(spark, [(_t(50), 9)]))
+    # t=95 >= 90 -> closes window 0 with all 5 on-time + 1 late event
+    mon.update(_events(spark, [(_t(95), 9)]))
+    rows = {int(r["wstart"]) % 3600: r for r in mon.emitted(spark).collect()}
+    assert 0 in rows and rows[0]["n_events"] == 5
