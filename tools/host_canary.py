@@ -1,0 +1,83 @@
+"""Host-health canary for benchmark hygiene (SCALE.md "host-drift
+discipline"). The bench box suffers episodic multi-minute degradation
+bursts (hypervisor steal/IO) that fake 3-30x per-query regressions; this
+probe takes ~15 s and stamps a machine-readable verdict so bench pairs
+and A/Bs can record the host state they ran under — and be discarded
+when the canary says degraded.
+
+Probes:
+  1. single-core burn (pure-Python integer loop) — CPU speed
+  2. 16-way parallel burn — effective core capacity / steal
+  3. sequential 4 KiB fsync-write loop — IO latency class
+
+Usage: python tools/host_canary.py [out.json]
+Prints one JSON line; writes it to out.json when given. Exit code 0 =
+healthy, 1 = degraded (any probe > 2x its healthy reference).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import tempfile
+import time
+
+# Healthy references measured on this box idle (2026-08-16): single-core
+# burn ~1.2-1.8 s, 16-par ~0.9-1.3 s, 64 fsyncs ~0.1-0.5 s.
+REF = {"single_burn_s": 1.8, "par16_burn_s": 1.3, "fsync64_s": 0.5}
+
+
+def _burn(_=None) -> int:
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return s
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    t0 = time.perf_counter()
+    _burn()
+    single = time.perf_counter() - t0
+
+    with mp.Pool(16) as p:
+        t0 = time.perf_counter()
+        p.map(_burn, range(16))
+        par16 = time.perf_counter() - t0
+
+    fd, path = tempfile.mkstemp()
+    try:
+        t0 = time.perf_counter()
+        for _ in range(64):
+            os.write(fd, b"x" * 4096)
+            os.fsync(fd)
+        fsync64 = time.perf_counter() - t0
+    finally:
+        os.close(fd)
+        os.unlink(path)
+
+    got = {
+        "single_burn_s": round(single, 3),
+        "par16_burn_s": round(par16, 3),
+        "fsync64_s": round(fsync64, 3),
+    }
+    degraded = [k for k, v in got.items() if v > 2 * REF[k]]
+    verdict = {
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **got,
+        "reference": REF,
+        "degraded_probes": degraded,
+        "verdict": "degraded" if degraded else "healthy",
+    }
+    line = json.dumps(verdict)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 1 if degraded else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
