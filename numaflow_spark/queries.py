@@ -5743,17 +5743,24 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    from numaflow_spark.operators.graph import materialize_no_aqe
-
     # One materialization of the distinct edge set: deg and the s(u) join
     # both read it, and lazily each branch would re-run the full
     # cooccurrence pipeline (explode + self-join) — the same shared-input
-    # rule as materialize_ranking_input. materialize_no_aqe, not a plain
-    # eager cut: the pair-expansion stage is the cooccurrence family's
-    # CPU-bound shape whose reduce side AQE packs onto too few cores
-    # (graph.py::materialize_no_aqe rationale — degree_distribution
-    # measured 2x on the same subtree). Plan audits see the lazy shape.
-    pairs = materialize_no_aqe(pairs)
+    # rule as materialize_ranking_input. Plain AQE cut_lineage, NOT
+    # materialize_no_aqe: unlike degree_distribution, the expensive side
+    # here is the DISTINCT after the explode (a real shuffle AQE sizes
+    # well), and the interleaved x10 A/B (tools/ab_assort_sf1.json)
+    # measured no-AQE 10.01 s vs AQE 5.59 s min-of-3 — the no-AQE regime
+    # was 1.8x slower for this shape (r12 VERDICT What's-wrong #1).
+    # Plan audits (SPARK_GRAFT_NO_AQE_MATERIALIZE=0) see the lazy shape.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
+        "0", "false",
+    ):
+        from numaflow_spark.operators.graph import cut_lineage
+
+        pairs = cut_lineage(pairs, eager=True)
     und = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
