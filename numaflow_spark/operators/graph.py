@@ -210,30 +210,30 @@ def connected_components(
     # Materialize the canonical edge set before iterating: round 1's plan
     # references it from several union/join branches, so leaving the
     # (possibly expensive — e.g. a full LSH pipeline) upstream lazy would
-    # re-evaluate it per branch.
+    # re-evaluate it per branch. LAZY checkpoint + count: the count is the
+    # materializing action (one job for both, vs eager-cut + count = two).
     # NOTE on AQE in the rounds: the r10 aqe_off experiment (blanket AND
     # loop-scoped) made CC *slower* here — embedding_clusters 4.87 -> 8.0 s,
     # neardup_clusters 5.1 -> 6.0 s at sf0.1 — because each round is a
     # ~6-exchange DAG whose coalesced reduce stages AQE compacts; the job
     # floor it adds is cheaper than the uncoalesced task launches it
-    # avoids. CC keeps AQE; the fixed-round tiny-state loops (pagerank,
-    # k-hop, BPE) are where aqe_off wins.
+    # avoids. CC keeps AQE OUTSIDE the loop; inside, sized_loop_conf's
+    # right-sized partitions are the missing half (see its docstring).
     e = cut_lineage(
         _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))),
         checkpoint_dir,
-        eager=True,
+        eager=False,
     )
-    # One count over the just-checkpointed blocks sizes the whole loop
-    # (sized_loop_conf): with AQE off and right-sized shuffle partitions,
-    # each round's eager materialization is ONE job instead of ~7 AQE
-    # stage-jobs, and each star-forest probe (converged iff no node
-    # appears as BOTH a source and a target — one union + one groupBy,
-    # the r11 distinct + semi-join probe was 4 jobs) is ONE take(1) job
-    # instead of 2. The r10 note above measured loop-scoped aqe_off as
-    # slower — that experiment kept the session's 32 shuffle partitions;
-    # the partition sizing is the missing half (see sized_loop_conf).
-    # Measured r12 continuation, sf0.1: embedding_clusters 48 -> ~15
-    # jobs, same output.
+    # The count sizes the whole loop (sized_loop_conf): with AQE off and
+    # right-sized shuffle partitions each round is ONE job. r13 fusion:
+    # rounds checkpoint LAZILY and the star-forest probe (converged iff no
+    # node appears as BOTH a source and a target — one union + one
+    # groupBy) is the action that materializes them. The probe's map
+    # stages compute every partition of the round output, so the local
+    # checkpoint persists as a side effect of the SAME job and lineage is
+    # truncated when the job completes — probe + materialize = 1 job per
+    # round instead of 2 (r12: ~2/round; measured r13 at sf0.1:
+    # neardup_clusters 22 -> 15 jobs, same output).
     n0 = e.count()
     with sized_loop_conf(e.sparkSession, n0):
         for _ in range(max_iter):
@@ -247,7 +247,7 @@ def connected_components(
             )
             if flags.filter((F.col("o") == 1) & (F.col("i") == 1)).isEmpty():
                 break
-            e = cut_lineage(_round(e), checkpoint_dir, eager=True)
+            e = cut_lineage(_round(e), checkpoint_dir, eager=False)
         else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
             raise RuntimeError(
                 f"connected_components: no convergence in {max_iter} rounds"
