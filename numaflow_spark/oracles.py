@@ -3875,3 +3875,10 @@ STAGED_ORACLES["entropy_by_source"] = """
     FROM c JOIN ns ON c.source = ns.source
     GROUP BY c.source
 """
+
+
+# r13 promotion: the staged rank/stats/divergence batch registers with the
+# r13 window head (queries.py tail); the staged dict resets for the next
+# batch.
+ORACLES.update(STAGED_ORACLES)
+STAGED_ORACLES = {}

@@ -6998,3 +6998,83 @@ STAGED_QUERIES["js_divergence_sources"] = q_js_divergence_sources
 STAGED_QUERIES["zipf_slope_vocab"] = q_zipf_slope_vocab
 STAGED_QUERIES["psi_price_drift"] = q_psi_price_drift
 STAGED_QUERIES["entropy_by_source"] = q_entropy_by_source
+
+
+# ---------------------------------------------------------------------------
+# r13 promotion (rotation contract): the 11 queries staged across the r12
+# sessions — re-verified hash-green at sf0.001 + sf0.01 via
+# `check_queries.py --staged` in the r13 session before this block landed —
+# now registered with their oracles (oracles.py tail ORACLES.update) and
+# placed at the r13 window head below. Registry: 188 -> 199.
+# ---------------------------------------------------------------------------
+QUERIES["kendall_tau_qty_size"] = q_kendall_tau_qty_size
+QUERIES["mann_kendall_daily_revenue"] = q_mann_kendall_daily_revenue
+QUERIES["gini_by_nation"] = q_gini_by_nation
+QUERIES["xcorr_segments_lag7"] = q_xcorr_segments_lag7
+QUERIES["ztest_promo_return_rate"] = q_ztest_promo_return_rate
+QUERIES["theilsen_daily_revenue"] = q_theilsen_daily_revenue
+QUERIES["kappa_priority_return"] = q_kappa_priority_return
+QUERIES["js_divergence_sources"] = q_js_divergence_sources
+QUERIES["zipf_slope_vocab"] = q_zipf_slope_vocab
+QUERIES["psi_price_drift"] = q_psi_price_drift
+QUERIES["entropy_by_source"] = q_entropy_by_source
+STAGED_QUERIES = {}
+
+
+# ---------------------------------------------------------------------------
+# r13 certification window (driver certifies the FIRST 50 keys).
+# Head layout:
+#   slots 1-11  the eleven r13 promotions (never driver-certified — the
+#               rotation contract requires them inside the window).
+#   slots 12-16 RECERT_PENDING: graph_assortativity re-plans under the
+#               materializer revert (tools/ab_assort_sf1.json — the no-AQE
+#               eager cut measured 1.8x slower at x10 than plain AQE
+#               cut_lineage, VERDICT r12 What's-wrong #1), and the four CC
+#               consumers re-plan under the probe-fused loop
+#               (operators/graph.py: rounds checkpoint lazily and the
+#               star-forest probe's single action materializes them — one
+#               job per round instead of two).
+#   slots 17-50 the 34 least-recently-certified remaining queries
+#               (20 r8-latest then 14 r9-latest, registry order within
+#               each round — computed from CORRECTNESS_r01-r12).
+# Tail order (positions 51+) is untouched; no query leaves the registry.
+# The r12 RECERT queue (17 rewrites) drained on its fresh r12 driver rows
+# (CORRECTNESS_r12.json, all green).
+# ---------------------------------------------------------------------------
+RECERT_PENDING = [
+    "graph_assortativity",
+    "neardup_clusters", "neardup_survivors",
+    "embedding_clusters", "embedding_dedup_survivors",
+]
+RECERT_SINCE_ROUND = 13
+_R13_PROMOTIONS = [
+    "kendall_tau_qty_size", "mann_kendall_daily_revenue", "gini_by_nation",
+    "xcorr_segments_lag7", "ztest_promo_return_rate",
+    "theilsen_daily_revenue", "kappa_priority_return",
+    "js_divergence_sources", "zipf_slope_vocab", "psi_price_drift",
+    "entropy_by_source",
+]
+_R13_ROTATION = [
+    # 20 least-recently-certified (r8-latest), registry order:
+    "customer_order_distribution", "discounted_brand_revenue",
+    "domain_mix_sample", "embedding_quantize", "excess_shipment_supplier",
+    "forecast_revenue", "funnel_conversion", "hll_distinct",
+    "idle_customer_balance", "label_centroids", "large_order_customers",
+    "lsh_multiprobe_topk", "min_cost_supplier", "nation_market_share",
+    "pq_adc_topk", "priority_pending_orders", "promo_revenue_monthly",
+    "quality_quantile_filter", "scd2_history", "set_except",
+    # 14 least-recently-certified (r9-latest), registry order:
+    "nation_yoy_order_growth", "order_concurrency_peak",
+    "nation_seat_apportionment", "event_type_daily_share",
+    "repeat_purchase_rate", "dup_ngram_frac", "decontaminate",
+    "ngram_lm_score", "winnow_dups", "cms_heavy_bigrams",
+    "sequence_packing", "vocab_topk", "stratified_sample",
+    "sql_shipping_priority",
+]
+_R13_WINDOW = _R13_PROMOTIONS + RECERT_PENDING + _R13_ROTATION
+assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R13_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
+}
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
