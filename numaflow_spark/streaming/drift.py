@@ -14,13 +14,19 @@ seen only in the window or only in the baseline are REPORTED (counts,
 not averaged into PSI) because they carry infinite PSI weight — the
 alarm cue is support change itself, same doctrine as the batch twin.
 
-Scale notes: state is (windows × ≤64 buckets) rows — bounded by the
-bin-length domain regardless of stream rate, so the store never grows
-with traffic, only with open windows. Per batch: one row-local bucket
-projection + one partial-aggregated census over the batch, one equi-join
-against the open-window slice of the store. The baseline is a ≤64-entry
-literal map broadcast inside the plan. At cluster scale swap the parquet
-store dir for Delta/Iceberg — the operator needs only append + read.
+Scale notes: state is a COMPACTED snapshot of (open windows × ≤64
+buckets) census rows plus two meta rows (running max event time, last
+applied batch id) — bounded by the bin-length domain regardless of
+stream rate AND of stream lifetime: census rows for closed windows are
+dropped at every snapshot swap (r13, ADVICE r12: the append-only store
+re-aggregated every long-closed window per batch and grew unboundedly).
+Per batch: one partial-aggregated census over the batch (collected — ≤
+windows-in-batch × 64 rows), a driver-side fold into the snapshot, and
+one bounded snapshot rewrite + rename swap (the upsert store's commit
+pattern). The emitted-set guard reads only the closable windows' rows
+(filter pushdown), not the full history. At cluster scale swap the
+parquet store dir for Delta/Iceberg — the operator needs only
+read + overwrite-commit.
 
 Reference anchor: a numaflow user would express this as source →
 transformer (bucket) → keyed fixed-window reduce → sink with a UDF
@@ -123,12 +129,21 @@ class StreamingDrift:
     """Online PSI drift gate over event-time windows.
 
     Wire ``update(batch_df)`` into ``foreachBatch``. Each call buckets the
-    batch, folds its census into the persistent per-window store, then
+    batch, folds its census into the persistent per-window snapshot, then
     CLOSES every window whose end + allowed lateness is at or before the
-    max event time seen so far, emitting one summary row per closed
-    window into ``<store_dir>/emitted``. Re-delivered batches are
-    tolerated: closing is idempotent (a window id never emits twice) and
-    the census fold is additive per batch id.
+    max event time seen so far (a RUNNING max persisted in the snapshot —
+    a batch of only late events, or the first batch after a restart,
+    still closes what earlier batches made closable), emitting one
+    summary row per closed window into ``<store_dir>/emitted``.
+    Re-delivery is idempotent end to end: Structured Streaming re-runs
+    the last uncommitted epoch in order, so a ``batch_id`` at or below
+    the snapshot's last applied id skips the census fold (the fold and
+    the id advance commit in ONE atomic snapshot swap), and the emit path
+    is guarded by the emitted set — commit order is snapshot-tmp write →
+    emit append → rename swap, so every crash point either replays
+    cleanly or dedups on the guard. Calls without a ``batch_id``
+    (ad-hoc / unit-test use) stay additive per call, with the same
+    close-once guarantee.
     """
 
     def __init__(self, store_dir: str, baseline: dict[int, int], *,
@@ -159,55 +174,87 @@ class StreamingDrift:
         return spark.createDataFrame([], schema)
 
     # -- the foreachBatch hook ----------------------------------------
+    #
+    # Snapshot schema: census rows are (kind='c', wstart, b, n); two meta
+    # rows carry the running state — (kind='m', wstart=-1, b=0,
+    # n=max_event_seconds_seen) and (kind='m', wstart=-1, b=1,
+    # n=last_applied_batch_id). One file set, so the fold, the watermark
+    # advance, and the idempotency cursor commit in a single rename swap.
+    _SNAP_SCHEMA = "kind string, wstart bigint, b bigint, n bigint"
+    _META_MAX_ES = 0
+    _META_BATCH = 1
+
     def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         spark = batch_df.sparkSession
         win = self.window_seconds
-        batch = batch_df.select(
-            (
-                (F.unix_timestamp(F.col(self.ts_col)).cast("bigint") / win)
-                .cast("bigint") * win
-            ).alias("wstart"),
-            bin_bucket(F.col(self.value_col).cast("bigint")).alias("b"),
-            F.unix_timestamp(F.col(self.ts_col)).cast("bigint").alias("es"),
+        # Load the compacted snapshot: open-window census + meta. Bounded
+        # by (open windows × ≤64 buckets) + 2 by construction.
+        census: dict[tuple[int, int], int] = {}
+        meta: dict[int, int] = {}
+        for r in self._read(
+            spark, self._census_path(), self._SNAP_SCHEMA
+        ).collect():
+            if r["kind"] == "m":
+                meta[int(r["b"])] = int(r["n"])
+            else:
+                census[(int(r["wstart"]), int(r["b"]))] = int(r["n"])
+        last_applied = meta.get(self._META_BATCH)
+        max_es = meta.get(self._META_MAX_ES)
+
+        duplicate = (
+            batch_id is not None
+            and last_applied is not None
+            and batch_id <= last_applied
         )
-        agg = batch.groupBy("wstart", "b").agg(
-            F.count("*").alias("n"), F.max("es").alias("max_es")
-        )
-        rows = agg.collect()  # ≤ windows-in-batch × 64 buckets — bounded
-        if rows:
-            spark.createDataFrame(
-                [(int(r["wstart"]), int(r["b"]), int(r["n"])) for r in rows],
-                "wstart bigint, b bigint, n bigint",
-            ).write.mode("append").parquet(self._census_path())
-        max_es = max((int(r["max_es"]) for r in rows), default=None)
-        if max_es is None:
-            return
-        # close every window whose end (+lateness) has passed
-        census = self._read(
-            spark, self._census_path(), "wstart bigint, b bigint, n bigint"
-        )
-        emitted = self._read(
-            spark, self._emitted_path(),
-            "wstart bigint, n_events bigint, n_buckets_shared bigint, "
-            "psi double, ks double, new_bucket_events bigint, "
-            "missing_bucket_mass_ppm bigint, alarm boolean",
-        )
-        done = {int(r["wstart"]) for r in emitted.select("wstart").collect()}
-        closable = (
-            census.filter(
-                F.col("wstart") + win + self.lateness_seconds <= max_es
+        if not duplicate:
+            batch = batch_df.select(
+                (
+                    (F.unix_timestamp(F.col(self.ts_col)).cast("bigint") / win)
+                    .cast("bigint") * win
+                ).alias("wstart"),
+                bin_bucket(F.col(self.value_col).cast("bigint")).alias("b"),
+                F.unix_timestamp(F.col(self.ts_col)).cast("bigint").alias("es"),
             )
-            .groupBy("wstart", "b")
-            .agg(F.sum("n").alias("n"))
-            .collect()
-        )
+            rows = batch.groupBy("wstart", "b").agg(
+                F.count("*").alias("n"), F.max("es").alias("max_es")
+            ).collect()  # ≤ windows-in-batch × 64 buckets — bounded
+            for r in rows:
+                key = (int(r["wstart"]), int(r["b"]))
+                census[key] = census.get(key, 0) + int(r["n"])
+                es = int(r["max_es"])
+                max_es = es if max_es is None else max(max_es, es)
+            if batch_id is not None:
+                last_applied = batch_id
+            if not rows and batch_id is None:
+                return  # ad-hoc empty call: nothing to fold or advance
+        if max_es is None:
+            return  # no events ever observed — nothing closable
+        # Partition the census on the PERSISTED running watermark: a
+        # batch of only late events (its own max below the watermark)
+        # still closes windows earlier batches made closable.
+        horizon = max_es - win - self.lateness_seconds
         by_window: dict[int, list[tuple[int, int]]] = {}
-        for r in closable:
-            ws = int(r["wstart"])
-            if ws not in done:
-                by_window.setdefault(ws, []).append((int(r["b"]), int(r["n"])))
+        open_census: dict[tuple[int, int], int] = {}
+        for (ws, b), n in census.items():
+            if ws <= horizon:
+                by_window.setdefault(ws, []).append((b, n))
+            else:
+                open_census[(ws, b)] = n
+        # Emit guard: only the closable windows' rows are consulted
+        # (pushdown filter), never the full emitted history.
+        done: set[int] = set()
+        if by_window and has_local_parquet(self._emitted_path()):
+            done = {
+                int(r["wstart"])
+                for r in spark.read.parquet(self._emitted_path())
+                .filter(F.col("wstart").isin([int(w) for w in by_window]))
+                .select("wstart")
+                .collect()
+            }
         out = []
         for ws in sorted(by_window):
+            if ws in done:
+                continue
             t = psi_terms(by_window[ws], self.baseline)
             ks = ks_distance(by_window[ws], self.baseline)
             alarm = (
@@ -220,6 +267,32 @@ class StreamingDrift:
                 ws, t["n_events"], t["n_buckets_shared"], t["psi"], ks,
                 t["new_bucket_events"], t["missing_bucket_mass_ppm"], alarm,
             ))
+        # Commit order (crash-safe with the duplicate guard above):
+        # 1. materialize the new snapshot to a sibling tmp dir;
+        # 2. append the closed-window rows to emitted;
+        # 3. rename-swap the snapshot (fold + watermark + batch cursor
+        #    become visible atomically).
+        # A crash before 2 replays the batch cleanly; between 2 and 3 the
+        # replayed close dedups on the emitted guard; after 3 the replay
+        # skips the fold via the batch cursor and finds nothing closable.
+        snap_rows = [
+            ("c", ws, b, n) for (ws, b), n in sorted(open_census.items())
+        ] + [("m", -1, self._META_MAX_ES, max_es)] + (
+            [("m", -1, self._META_BATCH, last_applied)]
+            if last_applied is not None
+            else []
+        )
+        import shutil
+        import time
+
+        tmp = f"{self._census_path().rstrip('/')}.tmp-{time.time_ns()}"
+        try:
+            spark.createDataFrame(
+                snap_rows, self._SNAP_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         if out:
             spark.createDataFrame(
                 out,
@@ -227,6 +300,9 @@ class StreamingDrift:
                 "psi double, ks double, new_bucket_events bigint, "
                 "missing_bucket_mass_ppm bigint, alarm boolean",
             ).write.mode("append").parquet(self._emitted_path())
+        from numaflow_spark.maintenance import swap_dir
+
+        swap_dir(self._census_path(), tmp)
 
     def emitted(self, spark: SparkSession) -> DataFrame:
         return self._read(

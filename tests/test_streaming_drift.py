@@ -178,3 +178,66 @@ def test_drift_lateness_delays_close(spark, tmp_path):
     mon.update(_events(spark, [(_t(95), 9)]))
     rows = {int(r["wstart"]) % 3600: r for r in mon.emitted(spark).collect()}
     assert 0 in rows and rows[0]["n_events"] == 5
+
+
+def test_drift_redelivered_batch_id_is_idempotent(spark, tmp_path):
+    """ADVICE r12 (medium): a re-delivered foreachBatch epoch (standard
+    failure recovery) must not double-count an open window's census. The
+    fold and the batch cursor commit in one snapshot swap, so applying
+    the same batch_id twice folds once."""
+    bl = {4: 100}
+    mon = StreamingDrift(
+        str(tmp_path / "s"), bl, value_col="v", ts_col="ts",
+        window_seconds=60,
+    )
+    b0 = _events(spark, [(_t(1), 9)] * 10)
+    mon.update(b0, 0)
+    mon.update(b0, 0)  # redelivery of the SAME epoch
+    mon.update(_events(spark, [(_t(70), 9)] * 3), 1)  # closes window 0
+    rows = {int(r["wstart"]) % 3600: r for r in mon.emitted(spark).collect()}
+    assert rows[0]["n_events"] == 10  # 20 would mean the redelivery counted
+
+
+def test_drift_census_compacts_closed_windows(spark, tmp_path):
+    """ADVICE r12 (low): the census store holds only OPEN windows (+2 meta
+    rows) — closed windows' rows are dropped at the snapshot swap, so
+    state is bounded by open windows, not stream lifetime."""
+    bl = {4: 100}
+    mon = StreamingDrift(
+        str(tmp_path / "s"), bl, value_col="v", ts_col="ts",
+        window_seconds=60,
+    )
+    for i in range(5):  # five successive windows, each closing the last
+        mon.update(_events(spark, [(_t(1 + 60 * i), 9)] * 4), i)
+    snap = spark.read.parquet(str(tmp_path / "s" / "census")).collect()
+    open_rows = [r for r in snap if r["kind"] == "c"]
+    meta_rows = [r for r in snap if r["kind"] == "m"]
+    assert len(open_rows) == 1  # only the newest (still-open) window
+    assert len(meta_rows) == 2  # running max event time + batch cursor
+    assert len(mon.emitted(spark).collect()) == 4
+
+
+def test_drift_late_only_batch_closes_on_persisted_watermark(spark, tmp_path):
+    """ADVICE r12 (low): the close watermark is the persisted RUNNING max
+    event time — a batch containing only late events (its own max below
+    the watermark) still closes windows earlier batches made closable,
+    and the watermark survives a monitor restart."""
+    bl = {4: 100}
+    store = str(tmp_path / "s")
+    mon = StreamingDrift(
+        store, bl, value_col="v", ts_col="ts", window_seconds=60,
+    )
+    mon.update(_events(spark, [(_t(1), 9)] * 2), 0)    # window 0 census
+    mon.update(_events(spark, [(_t(200), 9)]), 1)      # watermark -> 200
+    # restart: a NEW monitor on the same store, fed one LATE event only
+    mon2 = StreamingDrift(
+        store, bl, value_col="v", ts_col="ts", window_seconds=60,
+    )
+    mon2.update(_events(spark, [(_t(70), 9)]), 2)
+    starts = sorted(
+        int(r["wstart"]) % 3600 for r in mon2.emitted(spark).collect()
+    )
+    # window 0 closed by batch 1; window 60 (the late event's window, end
+    # 120 < watermark 200) closes on the late-only batch — the batch's
+    # own max (70) could close nothing
+    assert starts == [0, 60]
