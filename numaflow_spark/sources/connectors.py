@@ -133,6 +133,20 @@ class SqsSourceHandle(SourceHandle):
     def __init__(self, options: dict):
         self.queue_url = options["queue_url"]
         self.batch_size = min(int(options.get("batch_size", 10)), 10)  # SQS max
+        # Client placement options (r13): the YAML's awsRegion reaches the
+        # client explicitly, and endpoint_url makes the handle usable from
+        # a DataSource worker process where ambient AWS_* env does not
+        # follow (both fall back to boto3's own resolution when absent).
+        self.region = options.get("region") or None
+        self.endpoint_url = options.get("endpoint_url") or None
+        self._static_creds = (
+            {
+                "aws_access_key_id": options["access_key"],
+                "aws_secret_access_key": options["secret_key"],
+            }
+            if options.get("access_key")
+            else None
+        )
         self._sqs = None
         self._inflight: dict[int, str] = {}  # seq -> receipt handle
         self._seq = 0
@@ -140,7 +154,18 @@ class SqsSourceHandle(SourceHandle):
     def _client(self):
         boto3 = _require("boto3", "SQS")
         if self._sqs is None:
-            self._sqs = boto3.client("sqs")
+            kw = {}
+            if self.region:
+                kw["region_name"] = self.region
+            if self.endpoint_url:
+                kw["endpoint_url"] = self.endpoint_url
+            # Explicit static credentials are a TEST seam (the mini wire
+            # server); production deployments use the ambient provider
+            # chain (instance role / env / config), which boto3 falls
+            # back to when these are absent.
+            if options_creds := getattr(self, "_static_creds", None):
+                kw.update(options_creds)
+            self._sqs = boto3.client("sqs", **kw)
         return self._sqs
 
     def initial_offset(self) -> dict:
