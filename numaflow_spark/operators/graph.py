@@ -64,7 +64,19 @@ def sized_loop_conf(spark, n_rows: int, *, rows_per_partition: int = 500_000):
     right-sized tasks. At cluster scale a 10¹⁰-edge loop hits the session
     cap and keeps its full width — the sizing never *reduces* scale-out
     below what the data needs, it only stops billing empty tasks at the
-    small end. Restores both confs on exit."""
+    small end. Restores all three confs on exit.
+
+    CONCURRENCY CONTRACT (ADVICE r12): these are SESSION-GLOBAL SQL confs
+    — while the context is open, any query run concurrently on the same
+    SparkSession inherits AQE-off, a shrunken shuffle width, and disabled
+    broadcast joins. Every caller in this repo (the iterative operators,
+    the bench/driver harnesses) runs queries sequentially on its session,
+    which is the assumption this lever is built on. A concurrent
+    deployment must either serialize access to the session for the loop's
+    duration or give loop work a dedicated session
+    (``SparkSession.newSession()`` shares the context but isolates SQL
+    conf). The same contract covers ``aqe_off`` and ranking's
+    ``_collect_no_aqe``."""
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(2, min(cap, (2 * max(n_rows, 1)) // rows_per_partition + 1))
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -90,7 +90,9 @@ def _collect_no_aqe(df: DataFrame):
     materialize job plus a result job; the non-adaptive plan is ONE job
     over the same two-stage shuffle (the CC probe device, graph.py) —
     measured 2 -> 1 jobs per pull, and the ranking ops make 1-3 pulls
-    per call."""
+    per call. Session-global conf for the pull's duration — see
+    graph.py::sized_loop_conf's concurrency contract (single-threaded
+    session assumed; concurrent use needs a dedicated newSession())."""
     from numaflow_spark.operators.graph import aqe_off
 
     with aqe_off(df.sparkSession):

@@ -149,7 +149,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     if cache_on:
         stale = _TABLE_MEMO.get((sf_dir, name))
-        df = df.persist()
+        if os.environ.get("SPARK_GRAFT_CACHE_MODE", "ckpt") == "persist":
+            df = df.persist()
+        else:
+            # Default is localCheckpoint, not persist(): an
+            # InMemoryRelation leaf breaks Catalyst's exchange reuse —
+            # identical cached-scan subtrees stop canonicalizing equal, so
+            # a query whose plan references a census from k branches pays
+            # k shuffles instead of 1 + (k-1) ReusedExchange (measured r13
+            # on cusum_changepoint: ReusedExchange 5 -> 0, 10 -> 22 jobs,
+            # suite job total 1006 -> 754 at sf0.1 on the r13-pre
+            # surface). A localCheckpoint is a LogicalRDD leaf, which
+            # canonicalizes stably, keeps the scan-once-per-suite economics
+            # (executor-local blocks), and restores the reuse. Trade-off:
+            # blocks are row-oriented (no columnar batch pruning), which
+            # measured neutral-to-faster on every probed query.
+            # SPARK_GRAFT_CACHE_MODE=persist restores the columnar memo.
+            df = df.localCheckpoint(eager=True)
         _TABLE_MEMO[(sf_dir, name)] = (spark, df)
         if stale is not None and stale[0] is not spark:
             # overwrite from a NEWER session: release the old session's
