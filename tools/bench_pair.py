@@ -1,0 +1,163 @@
+"""Drift-proofed x10 bench pair (VERDICT r12 task 5).
+
+The r12 suite ratio swung 0.77x <-> 1.15x on twin drift alone: two DuckDB
+standalone runs ~75 min apart read 372.7 s then 253.4 s on unchanged
+code, while Spark moved +0.7%. A single-shot pair cannot distinguish
+engine regressions from host weather. This tool produces the pair under
+one protocol:
+
+  canary -> duck run A -> canary -> spark (bench.py) -> canary
+         -> duck run B -> canary
+
+* The DuckDB twin runs TWICE, BRACKETING the Spark run, each in a fresh
+  idle process (the r8 rule: the in-bench twin measures up to 2x slow
+  co-resident with the 48g JVM). Per-query twin = min(A, B); a host
+  stall during either bracket cannot inflate the twin side of the ratio.
+* tools/host_canary.py runs between every stage. If ANY reading is
+  degraded, the tool REFUSES to write artifacts (exit 1) —
+  SPARK_GRAFT_CANARY_OVERRIDE=1 writes anyway with the readings
+  recorded, for judging "this was the best host state available".
+* _meta embeds all canary readings, both twin walls, git HEAD, and the
+  protocol name, tool-written (the artifact_freshness ancestry rule).
+
+Usage: python tools/bench_pair.py <round> [sf_dir]
+Writes BENCH_LOCAL_r{N}_sf1.json + BENCH_LOCAL_r{N}_sf1_duckdb_standalone.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+
+def _canary() -> dict:
+    r = subprocess.run(
+        [PY, os.path.join(REPO, "tools", "host_canary.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _duck(sf_dir: str, tag: str) -> dict:
+    out = f"/tmp/bench_pair_duck_{tag}.json"
+    r = subprocess.run(
+        [PY, os.path.join(REPO, "tools", "duckdb_standalone.py"), sf_dir, out],
+        capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"duckdb run {tag} failed: {r.stderr[-2000:]}")
+    return json.load(open(out))
+
+
+def _spark(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    r = subprocess.run(
+        [PY, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=7200, cwd=REPO, env=env,
+    )
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench.py emitted no JSON: {r.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> int:
+    rnd = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "testdata_sf1"
+    )
+    stages: list[tuple[str, dict]] = []
+
+    def canary(tag: str) -> dict:
+        c = _canary()
+        stages.append((tag, c))
+        print(f"# canary {tag}: {c['verdict']} {c}", flush=True)
+        return c
+
+    canary("before_duck_a")
+    duck_a = _duck(sf_dir, "a")
+    canary("before_spark")
+    spark = _spark(sf_dir)
+    canary("before_duck_b")
+    duck_b = _duck(sf_dir, "b")
+    canary("after")
+
+    degraded = [t for t, c in stages if c["verdict"] != "healthy"]
+    if degraded and os.environ.get("SPARK_GRAFT_CANARY_OVERRIDE") != "1":
+        print(
+            f"REFUSING to write artifacts: canary degraded at {degraded} "
+            "(set SPARK_GRAFT_CANARY_OVERRIDE=1 to record anyway)",
+            flush=True,
+        )
+        return 1
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=10, cwd=REPO,
+        ).stdout.strip()
+    except Exception:  # pragma: no cover
+        head = "unknown"
+    meta = {
+        "sf_dir": sf_dir,
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_head": head,
+        "protocol": (
+            "bracketed pair: duckA -> spark -> duckB, fresh process per "
+            "engine run, twin = per-query min(A,B); host_canary between "
+            "every stage gates the write"
+        ),
+        "canary": {t: c for t, c in stages},
+        "canary_degraded_stages": degraded,
+    }
+
+    twin_q = {
+        k: min(duck_a["queries"][k], duck_b["queries"][k])
+        for k in duck_a["queries"]
+        if k in duck_b["queries"]
+    }
+    twin_wall = round(sum(twin_q.values()), 1)
+    twin = {
+        "_meta": meta,
+        "wall": twin_wall,
+        "wall_run_a": duck_a["wall"],
+        "wall_run_b": duck_b["wall"],
+        "sf_dir": sf_dir,
+        "skipped": duck_a.get("skipped", []),
+        "cache_tables": duck_a.get("cache_tables"),
+        "queries": twin_q,
+        "queries_run_a": duck_a["queries"],
+        "queries_run_b": duck_b["queries"],
+    }
+    bench = {
+        "_meta": meta,
+        **spark,
+        "duckdb_suite_wall_sec": twin_wall,
+    }
+    bench_path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}_sf1.json")
+    twin_path = os.path.join(
+        REPO, f"BENCH_LOCAL_r{rnd}_sf1_duckdb_standalone.json"
+    )
+    with open(bench_path, "w") as f:
+        json.dump(bench, f, indent=1)
+    with open(twin_path, "w") as f:
+        json.dump(twin, f, indent=1)
+    print(json.dumps({
+        "spark_wall": spark.get("value"),
+        "twin_wall": twin_wall,
+        "twin_walls_raw": [duck_a["wall"], duck_b["wall"]],
+        "ratio": round(spark.get("value", 0) / twin_wall, 3) if twin_wall else None,
+        "wrote": [bench_path, twin_path],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
