@@ -133,10 +133,22 @@ BUILTIN_MAPS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "map-cat": _cat,
     "even-odd": _even_odd,
     "map-even-odd": _even_odd,
+    # numaflow-go examples/mapper/forward_message: emit the input payload
+    # unchanged (the compression demo's pass-through stage) — identity.
+    "map-forward-message": _cat,
 }
 BUILTIN_REDUCERS: dict[str, Callable[[], list]] = {
     "reduce-sum": _reduce_sum_aggs,
     "reduce-counter": _reduce_count_aggs,
+    # numaflow-go examples/reducestreamer/sum (13-streaming-reduce
+    # example): "compute the sum". The demo also emits early once a
+    # partial sum passes 100; the engine's streaming reduce runs in
+    # update mode (R5 partials), which subsumes early emission — the
+    # batch twin is the plain window sum. Divergence documented here.
+    "reduce-stream-sum": _reduce_sum_aggs,
+    # numaflow-go examples/sessionreducer/counter (12-session example):
+    # per-session count of the keyed stream.
+    "session-counter": _reduce_count_aggs,
 }
 
 

@@ -1205,3 +1205,60 @@ def test_lazy_aggs_materialize_at_compile_time(spark):
     out = compile_batch(p, spark)["out"]
     total = out.agg(F.sum("sum_value")).first()[0]
     assert total == sum((i % 3) + 1 for i in range(150))
+
+
+def test_builtin_example_images_compile_and_run(spark):
+    """The reference example images with documented builtin semantics
+    (numaflow-go examples: forward_message = identity, reducestreamer/sum
+    = window sum, sessionreducer/counter = session count) compile without
+    a registry entry, so examples 1/12/13 parse out of the box."""
+    yaml_text = """
+kind: Pipeline
+metadata: {name: builtin-images}
+spec:
+  vertices:
+    - name: in
+      source: {generator: {rpu: 5, duration: 1s, keyCount: 2}}
+    - name: fwd
+      udf:
+        container: {image: quay.io/numaio/numaflow-go/map-forward-message:stable}
+    - name: sum
+      udf:
+        container: {image: quay.io/numaio/numaflow-go/reduce-stream-sum:stable}
+        groupBy:
+          window: {fixed: {length: 10s}}
+          keyed: true
+    - name: out
+      sink: {log: {}}
+  edges:
+    - {from: in, to: fwd}
+    - {from: fwd, to: sum}
+    - {from: sum, to: out}
+"""
+    p = pipeline_from_yaml(yaml_text)
+    out = compile_batch(p, spark)["out"]
+    total = out.agg(F.sum("sum_value")).first()[0]
+    assert total == sum((i % 3) + 1 for i in range(150))
+    # session-counter: counts per session window
+    sess = """
+kind: Pipeline
+metadata: {name: sess-count}
+spec:
+  vertices:
+    - name: in
+      source: {generator: {rpu: 5, duration: 1s, keyCount: 2}}
+    - name: compute-count
+      udf:
+        container: {image: quay.io/numaio/numaflow-go/session-counter:stable}
+        groupBy:
+          window: {session: {timeout: 120s}}
+          keyed: true
+    - name: out
+      sink: {log: {}}
+  edges:
+    - {from: in, to: compute-count}
+    - {from: compute-count, to: out}
+"""
+    p2 = pipeline_from_yaml(sess)
+    out2 = compile_batch(p2, spark)["out"]
+    assert out2.agg(F.sum("count_value")).first()[0] == 150
