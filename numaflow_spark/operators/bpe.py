@@ -70,6 +70,13 @@ def train_bpe(
     durable at cluster scale (operators/graph.py::cut_lineage)."""
     from numaflow_spark.operators.graph import aqe_off, cut_lineage
 
+    # LAZY checkpoints throughout (the r13 CC probe-fusion device,
+    # graph.py::connected_components): each round's argmax collect is the
+    # action that materializes the previous round's merged syms — its map
+    # stages compute every partition, so the local checkpoint persists as
+    # a side effect of the SAME job and probe + materialize = 1 job per
+    # round instead of 2 (measured sf0.1: bpe_merges 19 -> 11 jobs,
+    # identical merges).
     syms = cut_lineage(
         vocab.select(
             word_col,
@@ -78,7 +85,7 @@ def train_bpe(
             # the lookahead keeps Spark's trailing-empty split artifact out
         ),
         checkpoint_dir,
-        eager=True,
+        eager=False,
     )
     merges: list[tuple[str, str]] = []
     # The merge rounds are the iterative-loop AQE regime (graph.py::aqe_off
@@ -112,7 +119,7 @@ def train_bpe(
             syms = cut_lineage(
                 syms.withColumn("syms", F.expr(_merge_expr("syms", a, b))),
                 checkpoint_dir,
-                eager=True,
+                eager=False,
             )
     return merges, syms
 

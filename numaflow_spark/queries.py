@@ -7045,6 +7045,9 @@ RECERT_PENDING = [
     "graph_assortativity",
     "neardup_clusters", "neardup_survivors",
     "embedding_clusters", "embedding_dedup_survivors",
+    # r13 lazy-checkpoint merge loop (operators/bpe.py, the CC fusion
+    # device): 19 -> 10 sf0.1 jobs, identical merges
+    "bpe_merges",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7069,7 +7072,9 @@ _R13_ROTATION = [
     "repeat_purchase_rate", "dup_ngram_frac", "decontaminate",
     "ngram_lm_score", "winnow_dups", "cms_heavy_bigrams",
     "sequence_packing", "vocab_topk", "stratified_sample",
-    "sql_shipping_priority",
+    # sql_shipping_priority (next in LRC order) rotated out to keep the
+    # window at 50 when bpe_merges entered RECERT; it holds a green r9
+    # row and re-enters the r14 rotation.
 ]
 _R13_WINDOW = _R13_PROMOTIONS + RECERT_PENDING + _R13_ROTATION
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
