@@ -130,21 +130,27 @@ _LO = "__rk_lo"
 _HI = "__rk_hi"
 
 
-def materialize_ranking_input(df: DataFrame) -> DataFrame:
-    """Eagerly materialize a shared ranking input ONCE so several ranking
+def materialize_ranking_input(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Materialize a shared ranking input ONCE so several ranking
     ops (or one op's stats/local/counts branches) re-read a checkpointed
     table instead of re-evaluating the upstream rollup per branch
     (VERDICT r10 #3: customer_rfm paid the per-op eager cut 3x on the SAME
     per-customer rollup). Callers pass ``materialize=False`` to the add_*
-    ops afterwards. No-op under SPARK_GRAFT_NO_AQE_MATERIALIZE=0 so plan
-    audits see the real structure."""
+    ops afterwards. ``eager=False`` (r13, the CC probe-fusion device) cuts
+    the lineage LAZILY: the consumer's first full-scan action — the
+    ranking op's stats aggregate or bounded counts pull — computes every
+    partition, so the checkpoint persists inside that job instead of
+    paying a separate materialization job; later branches read the same
+    blocks, so the bucket-determinism contract is unchanged. No-op under
+    SPARK_GRAFT_NO_AQE_MATERIALIZE=0 so plan audits see the real
+    structure."""
     import os
 
     if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") in ("0", "false"):
         return df
     from numaflow_spark.operators.graph import cut_lineage
 
-    return cut_lineage(df, eager=True)
+    return cut_lineage(df, eager=eager)
 
 
 def _bucket_expr(primary: str, lo: str, hi: str, partitions: int,
@@ -297,7 +303,8 @@ def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
 def add_global_ranks(df: DataFrame,
                      specs: list[tuple[list[Column], str, str, bool]],
                      *, partitions: int = DEFAULT_RANGE_PARTITIONS,
-                     materialize: bool = True) -> DataFrame:
+                     materialize: bool = True,
+                     count_col: str | None = None) -> DataFrame:
     """N independent global ranks over ONE input with ONE materialization
     (VERDICT r10 #3: chaining N add_global_rank calls paid the eager cut
     N times on the same rollup). Each spec is (order_cols, out_col,
@@ -305,7 +312,14 @@ def add_global_ranks(df: DataFrame,
     rankings order by INPUT columns, so one broadcast stats row and one
     projection attach every bucket id at once). The result plan is one
     linear chain — per spec: one hash exchange for the local window plus
-    a broadcast offsets join — evaluated once."""
+    a broadcast offsets join — evaluated once.
+
+    ``count_col`` (r13): also stamp the TOTAL row count as a bigint
+    column. Under the literal-offsets regime the total is the sum of the
+    already-collected per-bucket counts — a free literal, saving the
+    consumer's separate count aggregate + broadcast (ntile consumers all
+    need n); otherwise it costs the one crossJoin-broadcast agg the
+    consumer would have paid anyway."""
     import os
 
     aggs = []
@@ -331,6 +345,7 @@ def add_global_ranks(df: DataFrame,
         part = cut_lineage(part, eager=True)
     literal = _use_literal_offsets()
     grouped_cnts = None
+    total_rows: int | None = None
     if literal and len(specs) > 1:
         # ONE pass for every spec's per-bucket counts: grouping sets over
         # the N bucket-id columns (bucket ids are never NULL — the NULL
@@ -346,6 +361,7 @@ def add_global_ranks(df: DataFrame,
             p: [(r[j], r[len(pids)]) for r in rows if r[j] is not None]
             for j, p in enumerate(pids)
         }
+        total_rows = sum(c for _, c in grouped_cnts[pids[0]])
     result = part
     for i, (order_cols, out_col, _primary, _desc) in enumerate(specs):
         pid = f"{_PID}{i}"
@@ -359,6 +375,8 @@ def add_global_ranks(df: DataFrame,
                       for r in _collect_no_aqe(part.groupBy(pid).agg(
                           F.count("*").alias("_cnt")))]
             )
+            if total_rows is None:
+                total_rows = sum(c for _, c in pairs)
             pre = _prefix_map_expr(pairs, pid, "bigint", lambda a, b: a + b)
             result = result.withColumn(
                 out_col,
@@ -378,6 +396,15 @@ def add_global_ranks(df: DataFrame,
             )
             .drop(pid, f"{_LOC}{i}", f"{_PRE}{i}")
         )
+    if count_col is not None:
+        if total_rows is not None:
+            result = result.withColumn(
+                count_col, F.lit(int(total_rows)).cast("bigint")
+            )
+        else:
+            result = result.crossJoin(F.broadcast(
+                df.agg(F.count("*").cast("bigint").alias(count_col))
+            ))
     return result
 
 

@@ -3290,8 +3290,12 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so they share one materialization and one stats row (VERDICT r10 #3:
     # three chained add_global_rank calls paid the eager cut 3x) — and the
     # n_tot row reads the same checkpoint instead of re-rolling the fact
-    # table.
-    base = materialize_ranking_input(base)
+    # table. Lazy cut (r13): the ranking op's stats aggregate is the
+    # action that materializes the rollup — no separate checkpoint job.
+    base = materialize_ranking_input(base, eager=False)
+    # count_col (r13): n_tot is the sum of the already-collected bucket
+    # counts under the literal-offsets regime — no separate count
+    # aggregate + broadcast over the rollup.
     r = add_global_ranks(base, [
         ([F.col("recency_days"), F.col("o_custkey")], "r_rk",
          "recency_days", False),
@@ -3299,9 +3303,8 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
          "frequency", True),
         ([F.col("monetary_c").desc(), F.col("o_custkey")], "m_rk",
          "monetary_c", True),
-    ], materialize=False)
-    n = base.agg(F.count("*").cast("bigint").alias("n_tot"))
-    return r.crossJoin(F.broadcast(n)).select(
+    ], materialize=False, count_col="n_tot")
+    return r.select(
         "o_custkey",
         "recency_days",
         "frequency",
@@ -4921,8 +4924,10 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One materialization of the two-year rollup; both year halves (and
     # their stats/local/counts branches and row counts) re-read the
     # checkpoint instead of re-aggregating the fact table per branch
-    # (VERDICT r10 #3: the per-op eager cut ran the rollup twice).
-    per = materialize_ranking_input(per)
+    # (VERDICT r10 #3: the per-op eager cut ran the rollup twice). Lazy
+    # cut (r13): the grouped ntile's per-group stats pull materializes
+    # the rollup inside its own job — no separate checkpoint job.
+    per = materialize_ranking_input(per, eager=False)
     # BOTH years' deciles in one grouped two-phase pass (r12: the per-year
     # add_global_rank pair cost 26 sf0.1 jobs; one window over (yr, bucket)
     # + one counts pass costs ~8) — group domain is exactly 2 years.
@@ -7048,6 +7053,10 @@ RECERT_PENDING = [
     # r13 lazy-checkpoint merge loop (operators/bpe.py, the CC fusion
     # device): 19 -> 10 sf0.1 jobs, identical merges
     "bpe_merges",
+    # r13 clv-pair job cuts (VERDICT r12 task 7): lazy ranking-input cut
+    # + count_col literal (ranking.py) — both re-verified at sf0.001 +
+    # sf0.01, literal and pure-plan regimes
+    "customer_rfm", "clv_decile_migration",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7071,10 +7080,11 @@ _R13_ROTATION = [
     "nation_seat_apportionment", "event_type_daily_share",
     "repeat_purchase_rate", "dup_ngram_frac", "decontaminate",
     "ngram_lm_score", "winnow_dups", "cms_heavy_bigrams",
-    "sequence_packing", "vocab_topk", "stratified_sample",
-    # sql_shipping_priority (next in LRC order) rotated out to keep the
-    # window at 50 when bpe_merges entered RECERT; it holds a green r9
-    # row and re-enters the r14 rotation.
+    "sequence_packing",
+    # vocab_topk / stratified_sample / sql_shipping_priority (next in LRC
+    # order) rotated out to keep the window at 50 as bpe_merges +
+    # customer_rfm + clv_decile_migration entered RECERT; all three hold
+    # green r9 rows and re-enter the r14 rotation.
 ]
 _R13_WINDOW = _R13_PROMOTIONS + RECERT_PENDING + _R13_ROTATION
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
