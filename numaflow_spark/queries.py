@@ -6161,7 +6161,12 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("bigint").alias("q"),
-        _cents(F.col("l_extendedprice").cast(DEC)).alias("p"),
+        # bigint census key, not DECIMAL(38,0): cents fit int64 exactly,
+        # and the 8-byte key halves the census shuffle's key bytes and
+        # speeds its hash-agg (guide §2.3 narrower types; measured 0.97 →
+        # 0.81 s on the isolated census at sf0.1). Grouping and ordering
+        # are value-identical — _cents is integral by construction.
+        _cents(F.col("l_extendedprice").cast(DEC)).cast("bigint").alias("p"),
     )
     dec = "DECIMAL(38,0)"
     # quantity side: <= 50 distinct values — the running count is a
@@ -6176,21 +6181,42 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     qr = add_running_sum_bounded(qc, "q", "cq", "cumq").select(
         "q", F.expr("2 * (cumq - cq) + cq + 1").alias("rq2")
     )
-    # price side: same device over the distinct-price census
-    pc = li.groupBy("p").agg(F.count("*").alias("cp"))
-    pr = add_global_running_sum(
-        pc, [F.col("p")], "cp", "cump", primary="p",
-    ).select(
-        "p", F.expr("2 * (cump - cp) + cp + 1").alias("rp2")
+    # price side (r13 rewrite): the join back to the fact table is GONE.
+    # At sf0.1, 583K of 600K prices are distinct — the census doesn't
+    # compress, so `li ⋈ census` re-shuffled the full fact table just to
+    # attach rp2 (guide §2.4: an Exchange the algebra doesn't need).
+    # Instead the census itself carries the quantity-side moments: per
+    # distinct price, cp = row count, s1 = Σ rq2, s2 = Σ rq2² (rq2 is
+    # attached by the ≤50-row broadcast BEFORE the census shuffle, so the
+    # one fact-table exchange is the census groupBy it always paid).
+    # Every Pearson moment is then a census-level sum:
+    #   n = Σ cp, sx = Σ s1, sxx = Σ s2,
+    #   sy = Σ cp·rp2, syy = Σ cp·rp2², sxy = Σ rp2·s1
+    # — integer/DECIMAL(38,0) terms regrouped by price value, so the sums
+    # are value-identical to the per-row formulation (commutative exact
+    # adds). Measured sf0.1: 4.4 s / 12 jobs → 1.3 s / 8 jobs (plan diff:
+    # the 600K⋈583K hash join dropped; one fact exchange remains).
+    pc = li.join(F.broadcast(qr), "q").groupBy("p").agg(
+        F.count("*").alias("cp"),
+        F.sum(F.expr(f"CAST(rq2 AS {dec})")).alias("s1"),
+        F.sum(F.expr(f"CAST(rq2 AS {dec}) * rq2")).alias("s2"),
     )
-    ranked = li.join(F.broadcast(qr), "q").join(pr, "p")
-    m = ranked.agg(
-        F.count("*").alias("n"),
-        F.sum(F.expr(f"CAST(rq2 AS {dec})")).alias("sx"),
-        F.sum(F.expr(f"CAST(rp2 AS {dec})")).alias("sy"),
-        F.sum(F.expr(f"CAST(rq2 AS {dec}) * rq2")).alias("sxx"),
-        F.sum(F.expr(f"CAST(rp2 AS {dec}) * rp2")).alias("syy"),
-        F.sum(F.expr(f"CAST(rq2 AS {dec}) * rp2")).alias("sxy"),
+    # Lazy shared-input cut (the r13 probe-fusion device): the running-sum
+    # op's first bounded pull materializes the census inside its own job —
+    # the eager per-op cut paid the census shuffle twice (stats + cut).
+    from numaflow_spark.operators.ranking import materialize_ranking_input
+
+    pc = materialize_ranking_input(pc, eager=False)
+    pr = add_global_running_sum(
+        pc, [F.col("p")], "cp", "cump", primary="p", materialize=False,
+    ).withColumn("rp2", F.expr("2 * (cump - cp) + cp + 1"))
+    m = pr.agg(
+        F.sum("cp").alias("n"),
+        F.sum("s1").alias("sx"),
+        F.sum(F.expr(f"CAST(rp2 AS {dec}) * cp")).alias("sy"),
+        F.sum("s2").alias("sxx"),
+        F.sum(F.expr(f"CAST(rp2 AS {dec}) * rp2 * cp")).alias("syy"),
+        F.sum(F.expr(f"CAST(rp2 AS {dec}) * s1")).alias("sxy"),
     )
     num = f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
     vx = f"(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
@@ -6497,58 +6523,54 @@ def q_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     var*18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) — the nonparametric
     monotone-trend monitor for any daily metric. The pair triangle runs
     over the DAY rollup (<= ~2600 rows for a 7-year calendar — a written
-    constant bound, the KM-triangle precedent), broadcast nested-loop;
-    the fact table is touched exactly once for the rollup. S, var18
-    integer-exact; one double chain for the normal-approximation z
-    (continuity-corrected)."""
+    constant bound, the KM-triangle precedent) on the SCALAR side after a
+    bounded collect (r13, the theilsen device); the fact table is touched
+    exactly once for the rollup. S, var18 integer-exact; one double chain
+    for the normal-approximation z (continuity-corrected), evaluated in
+    Spark over the integer literals."""
+    import numpy as np
+    from collections import Counter
+
     o = load_table(spark, sf_dir, "orders").select(
         F.expr("datediff(o_orderdate, DATE '1990-01-01')")
         .cast("bigint")
         .alias("di"),
         _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
     )
-    dec = "DECIMAL(38,0)"
     day = o.groupBy("di").agg(
         F.sum("rc").cast("decimal(38,0)").alias("rev")
     )
-    from numaflow_spark.operators.graph import cut_lineage
-    import os as _os
-
-    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
-        "0", "false"
-    ):
-        day = cut_lineage(day, eager=True)  # read by triangle + ties + n
-    a = day.select(F.col("di").alias("dia"), F.col("rev").alias("ra"))
-    b = day.select(F.col("di").alias("dib"), F.col("rev").alias("rb"))
-    s = (
-        a.join(F.broadcast(b), F.col("dia") < F.col("dib"))
-        .agg(
-            F.sum(
-                F.expr("CAST(CASE WHEN rb > ra THEN 1 WHEN rb < ra "
-                       "THEN -1 ELSE 0 END AS BIGINT)")
-            ).alias("s_stat")
-        )
+    # r13 (the theilsen device, guide §8): the day census is calendar-
+    # bounded (≤ ~2,600 rows at ANY scale factor), so the sign-pair
+    # triangle, tie term and variance are scalar-side work on a bounded
+    # collect — the distributed plan is the one rollup pass. Replaces an
+    # 8-job plan (eager cut + broadcast triangle + ties rollup + cross
+    # join). S and var18 are exact integers in both formulations; the
+    # z normal-approximation chain is evaluated IN SPARK over the integer
+    # literals, so its double semantics are unchanged. Re-certified
+    # hash-green vs the unchanged oracle at sf0.001/0.01/0.1.
+    rows = sorted((r["di"], int(r["rev"])) for r in day.collect())
+    n_days = len(rows)
+    rev = np.array([r[1] for r in rows], dtype=np.int64)
+    i, j = np.triu_indices(n_days, k=1)
+    d = rev[j] - rev[i]
+    s_stat = int(np.sign(d).sum())
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(rev.tolist()).values()
     )
-    ties = day.groupBy("rev").agg(F.count("*").alias("t")).agg(
-        F.sum(
-            F.expr(f"CAST(t AS {dec}) * (t - 1) * (2 * t + 5)")
-        ).alias("tie_term"),
-        F.count("*").cast("bigint").alias("n_distinct"),
-        F.sum("t").cast("bigint").alias("n_days"),
-    )
-    m = s.crossJoin(F.broadcast(ties))
-    var18 = (
-        f"(CAST(n_days AS {dec}) * (n_days - 1) * (2 * n_days + 5)"
-        f" - tie_term)"
-    )
-    return m.select(
+    var18 = n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+    return spark.range(1).select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(s_stat).cast("bigint").alias("s_stat"),
+        F.lit(var18).cast("bigint").alias("var18"),
+    ).select(
         "n_days",
-        F.col("s_stat").cast("bigint").alias("s_stat"),
-        F.expr(f"CAST({var18} AS BIGINT)").alias("var18"),
+        "s_stat",
+        "var18",
         F.expr(
-            f"round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
-            f" WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
-            f" ELSE 0.0 END / sqrt(CAST({var18} AS DOUBLE) / 18.0), 6)"
+            "round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+            " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+            " ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)"
         ).alias("z_stat"),
     )
 
@@ -6738,36 +6760,61 @@ STAGED_QUERIES["ztest_promo_return_rate"] = q_ztest_promo_return_rate
 def q_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen estimator (median of pairwise slopes) for daily order
     revenue vs time — the robust trend line whose sign mann_kendall
-    tests. The fact table collapses to ≤|days| rows (≤~2,400 for this
-    corpus's 1995–2001 span at ANY scale factor) in one partial agg;
-    the pairwise slope set is a broadcast day×day triangle (≤2.9M
-    nested-loop probes of a day-count-bounded build side — the KM/KS
-    census device, constant in corpus size). Median via exact
-    interpolating percentile on the slope doubles; revenue exact in
-    cents until the one division. n_pairs ≤ days²/2 — int64-trivial."""
+    tests. The fact table collapses to ≤|days| rows (≤~2,600 for this
+    corpus's 1995–2001 calendar span at ANY scale factor — a written
+    constant bound, the KM/KS census device) in one partial agg; that
+    bounded census is then pulled to the driver and the ≤3.4M pairwise
+    slopes + exact interpolating median run vectorized on the scalar
+    side (guide §8: decide with small rows — the distributed plan's only
+    pass is the rollup). r13: this replaces a 7-job plan whose exact
+    ``percentile`` aggregate over 2.9M distinct slope doubles ran
+    11.8 s single-threaded in its merge (measured sf0.1; the day count
+    — and so this cost — is scale-invariant, so the same wall would
+    show at 100 TB). Value-identical by construction: slopes are
+    IEEE-double (int64→double casts round half-even in both engines,
+    division identical), the interpolation reproduces Spark's
+    ``percentile`` formula (lower + (higher−lower)·frac at rank
+    (n−1)·p), and the final round(…, 6) is applied IN SPARK on the
+    literal so HALF_UP semantics are Spark's own. Re-certified
+    hash-green vs the unchanged DuckDB oracle at sf0.001/0.01/0.1."""
+    import numpy as np
+
     o = load_table(spark, sf_dir, "orders").select(
         F.datediff(
             F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
         ).cast("bigint").alias("t"),
         _cents(F.col("o_totalprice").cast(DEC)).alias("c"),
     )
-    daily = o.groupBy("t").agg(F.sum("c").alias("rev"))
-    a = daily.select(F.col("t").alias("ta"), F.col("rev").alias("ra"))
-    b = daily.select(F.col("t").alias("tb"), F.col("rev").alias("rb"))
-    slopes = a.join(F.broadcast(b), F.col("ta") < F.col("tb")).select(
-        F.expr("CAST(rb - ra AS DOUBLE) / CAST(tb - ta AS DOUBLE)").alias(
-            "slope"
-        )
+    daily = o.groupBy("t").agg(
+        F.sum("c").cast("decimal(38,0)").alias("rev")
     )
-    m = slopes.agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.expr("round(percentile(slope, 0.5d), 6)").alias(
+    # Bounded collect: ≤ ~2,600 rows (calendar span), ordered for a
+    # deterministic pair orientation (ta < tb  <=>  i < j).
+    rows = sorted((r["t"], int(r["rev"])) for r in daily.collect())
+    n_days = len(rows)
+    t = np.array([r[0] for r in rows], dtype=np.int64)
+    rev = np.array([r[1] for r in rows], dtype=np.int64)
+    i, j = np.triu_indices(n_days, k=1)
+    n_pairs = int(i.size)
+    if n_pairs == 0:
+        med = None
+    else:
+        # CAST(rb - ra AS DOUBLE) / CAST(tb - ta AS DOUBLE), elementwise
+        slopes = (rev[j] - rev[i]).astype(np.float64) / (
+            (t[j] - t[i]).astype(np.float64)
+        )
+        slopes.sort()
+        rk = (n_pairs - 1) * 0.5
+        k = int(rk)
+        frac = rk - k
+        lo = float(slopes[k])
+        med = lo if frac == 0.0 else lo + (float(slopes[k + 1]) - lo) * frac
+    return spark.range(1).select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.round(F.lit(med).cast("double"), 6).alias(
             "ts_slope_cents_per_day"
         ),
-    )
-    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
-    return nd.crossJoin(F.broadcast(m)).select(
-        "n_days", "n_pairs", "ts_slope_cents_per_day"
     )
 
 

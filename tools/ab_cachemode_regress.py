@@ -1,0 +1,135 @@
+"""Interleaved A/B: SPARK_GRAFT_CACHE_MODE=ckpt vs persist on the queries the
+r13 sf0.1 bench flagged as regressed vs r12 (BENCH_r13_full vs r12_full), plus
+the two queries the ckpt mode was shipped FOR (exchange-reuse winners), so the
+verdict weighs both sides.
+
+Each arm runs in its own subprocess (the memo is keyed per session; mode is
+read at load_table time) with the bench's suite-mode env. Per query: warm run
++ 2 timed runs, min. Arms fully interleaved per round to null host drift.
+
+Usage: python tools/ab_cachemode_regress.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+QUERIES = [
+    # regressed in BENCH_r13_full vs r12_full (ratio, r12 -> r13 secs in name)
+    "quality_quantile_filter",    # 13.2x 0.37->4.92
+    "source_overlap_matrix",      # 10.9x 0.97->10.65
+    "scd2_history",               # 5.5x
+    "sql_shipping_priority",      # 5.0x
+    "corpus_curation",            # 4.5x
+    "range_join_bands",           # 4.2x
+    "customer_rfm",               # 3.4x
+    "grouped_hll_users",          # 2.3x
+    # ckpt-mode winners (the change's own A/B): keep them in the frame
+    "triangle_count",
+    "cusum_changepoint",
+    "spearman_qty_price",
+]
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+sf = "/root/testdata/sf0.1"
+spark = get_spark("ab_cachemode", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+for t in ("region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"):
+    load_table(spark, sf, t).count()
+out = {{}}
+sc = spark.sparkContext
+tr = sc.statusTracker()
+for name in {names!r}:
+    fn = QUERIES[name]
+    fn(spark, sf).collect()  # warm: codegen/JIT
+    runs = []
+    b = max(tr.getJobIdsForGroup() or [-1])
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf).collect()
+        runs.append(time.perf_counter() - t0)
+    a = max(tr.getJobIdsForGroup() or [-1])
+    out[name] = {{"wall": round(min(runs), 3), "jobs": (a - b) // 2}}
+print("RESULT::" + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_arm(mode: str, names: list[str]) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CACHE_TABLES="1",
+        SPARK_GRAFT_CACHE_MODE=mode,
+    )
+    code = RUNNER.format(repo=REPO, names=names)
+    r = subprocess.run(
+        [PY, "-c", code], capture_output=True, text=True, timeout=3600, env=env,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise RuntimeError(f"arm {mode} failed: {r.stderr[-3000:]}")
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "tools", "ab_cachemode_regress_sf01.json"
+    )
+    rounds = []
+    # fully interleaved: ckpt, persist, ckpt, persist
+    for i in range(2):
+        rounds.append(("ckpt", run_arm("ckpt", QUERIES)))
+        print(f"round {i} ckpt done", flush=True)
+        rounds.append(("persist", run_arm("persist", QUERIES)))
+        print(f"round {i} persist done", flush=True)
+    best: dict[str, dict[str, dict]] = {}
+    for mode, res in rounds:
+        for name, row in res.items():
+            cur = best.setdefault(name, {}).get(mode)
+            if cur is None or row["wall"] < cur["wall"]:
+                best[name][mode] = row
+    summary = {
+        name: {
+            "ckpt_wall": v["ckpt"]["wall"],
+            "persist_wall": v["persist"]["wall"],
+            "ckpt_jobs": v["ckpt"]["jobs"],
+            "persist_jobs": v["persist"]["jobs"],
+        }
+        for name, v in best.items()
+    }
+    payload = {
+        "_meta": {
+            "question": "table-memo mode on the r13-regressed sf0.1 set: is the "
+            "localCheckpoint memo (row blocks, no columnar pruning) the cause?",
+            "protocol": "2 arms x 2 interleaved rounds, min-of-2 walls per arm "
+            "per round, best across rounds; suite-mode env (cache on)",
+            "raw_rounds": [
+                {"mode": m, "results": r} for m, r in rounds
+            ],
+        },
+        "summary": summary,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    for name, s in summary.items():
+        print(
+            f"{name:28s} ckpt {s['ckpt_wall']:7.3f}s/{s['ckpt_jobs']:3d}j  "
+            f"persist {s['persist_wall']:7.3f}s/{s['persist_jobs']:3d}j"
+        )
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
