@@ -5621,41 +5621,37 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and T total orders, dev_i = x_i*D - T (exact bigint, = D*(x_i - mean))
     and the change point is the earliest day maximizing |running sum of
     dev| — the classic drift detector, integer-exact end to end. The
-    running sum is the bounded-census broadcast triangle
-    (operators/ranking.py::add_running_sum_bounded — |days| is calendar-
-    bounded at ANY scale factor, so the two-phase machinery's
-    materialize/stats/offsets jobs are pure overhead here); the argmax
-    reduces via one broadcast 1-row max. The fact table collapses to
-    |days| rows in one partial agg first, so the series stage is O(days)
-    regardless of SF."""
-    from numaflow_spark.operators.ranking import add_running_sum_bounded
-
+    fact table collapses to |days| rows in one partial agg; the running
+    sum and earliest-argmax run on the SCALAR side after a bounded
+    collect (r13, the theilsen device — |days| is calendar-bounded at
+    ANY scale factor), so the series stage is O(days) regardless of SF."""
     o = load_table(spark, sf_dir, "orders").select(
         F.expr("CAST(o_orderdate AS DATE)").alias("day")
     )
     day = o.groupBy("day").agg(F.count("*").alias("x"))
-    tot = day.agg(F.sum("x").alias("t"), F.count("*").alias("d"))
-    dev = day.crossJoin(F.broadcast(tot)).select(
-        "day",
-        F.expr("datediff(day, DATE '1990-01-01')").cast("bigint").alias(
-            "di"
-        ),
-        F.expr("x * d - t").alias("dev"),
-        "t", "d",
-    )
-    c = add_running_sum_bounded(dev, "di", "dev", "cum")
-    stat = c.agg(F.max(F.abs(F.col("cum"))).cast("bigint").alias(
-        "cusum_stat"
-    ))
-    return (
-        c.join(F.broadcast(stat), F.expr("abs(cum) = cusum_stat"))
-        .groupBy("cusum_stat")
-        .agg(
-            F.min("day").alias("change_day"),
-            F.max("d").cast("bigint").alias("n_days"),
-            F.max("t").cast("bigint").alias("total_orders"),
-        )
-        .select("change_day", "cusum_stat", "n_days", "total_orders")
+    # r13 (the theilsen device, guide §8): the day census is calendar-
+    # bounded (≤ ~2,600 rows at ANY scale factor), so the running
+    # deviation sum, max |cum| and earliest-argmax are scalar-side work
+    # on a bounded collect — the distributed plan is the one fact-pass
+    # rollup. Replaces a 9-job plan (bounded-triangle running sum + max
+    # pull + self-join). Integer-exact end to end, as before.
+    # Re-certified hash-green vs the unchanged oracle at all three SFs.
+    rows = sorted((r["day"], r["x"]) for r in day.collect())
+    d = len(rows)
+    t = sum(x for _, x in rows)
+    cum = 0
+    best = -1
+    change_day = None
+    for dy, x in rows:
+        cum += x * d - t
+        if abs(cum) > best:
+            best = abs(cum)
+            change_day = dy
+    return spark.range(1).select(
+        F.lit(change_day).cast("date").alias("change_day"),
+        F.lit(best).cast("bigint").alias("cusum_stat"),
+        F.lit(d).cast("bigint").alias("n_days"),
+        F.lit(t).cast("bigint").alias("total_orders"),
     )
 
 
@@ -6247,33 +6243,35 @@ def q_chi2_brand_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "l_returnflag")
         .agg(F.count("*").alias("o"))
     )
-    from numaflow_spark.operators.graph import cut_lineage
-    import os as _os
-
-    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
-        "0", "false"
-    ):
-        cells = cut_lineage(cells, eager=True)  # census read by 3 branches
-    rtot = cells.groupBy("p_brand").agg(F.sum("o").alias("r"))
-    ctot = cells.groupBy("l_returnflag").agg(F.sum("o").alias("c"))
-    ntot = cells.agg(F.sum("o").cast("bigint").alias("n"))
-    dec = "DECIMAL(38,0)"
-    j = (
-        cells.join(F.broadcast(rtot), "p_brand")
-        .join(F.broadcast(ctot), "l_returnflag")
-        .crossJoin(F.broadcast(ntot))
+    # r13 (the theilsen device, guide §8): the census is value-bounded
+    # (≤ |brands|×|returnflags| = 75 cells at ANY scale factor), so the
+    # marginals and the per-cell integer-division fold are scalar-side
+    # work on a bounded collect — the distributed plan is the one
+    # fact-pass census. Replaces an 11-job plan (eager cut + 2 marginal
+    # rollups + 3 broadcast joins). Python int arithmetic is unbounded,
+    # so the DECIMAL(38,0) internals' exactness is preserved verbatim
+    # ((O·n − r·c)² ≥ 0 and n·r·c > 0, so DECIMAL `div` = Python `//`).
+    # Re-certified hash-green vs the unchanged oracle at all three SFs.
+    rows = cells.collect()
+    r_tot: dict = {}
+    c_tot: dict = {}
+    for row in rows:
+        r_tot[row["p_brand"]] = r_tot.get(row["p_brand"], 0) + row["o"]
+        c_tot[row["l_returnflag"]] = (
+            c_tot.get(row["l_returnflag"], 0) + row["o"]
+        )
+    n = sum(r_tot.values())
+    chi2_ppm = sum(
+        (row["o"] * n - r_tot[row["p_brand"]] * c_tot[row["l_returnflag"]])
+        ** 2
+        * 1_000_000
+        // (n * r_tot[row["p_brand"]] * c_tot[row["l_returnflag"]])
+        for row in rows
     )
-    cell_ppm = (
-        f"(CAST(o AS {dec}) * n - CAST(r AS {dec}) * c)"
-        f" * (CAST(o AS {dec}) * n - CAST(r AS {dec}) * c) * 1000000"
-        f" div (CAST(n AS {dec}) * r * c)"
-    )
-    # chi2_ppm <= 1e6 * n * max_cells — int64-safe to extreme SF (the r5
-    # oracle-type rule: outer columns BIGINT; internals stay DECIMAL).
-    return j.agg(
-        F.count("*").cast("bigint").alias("n_cells"),
-        F.max("n").alias("n_obs"),
-        F.sum(F.expr(cell_ppm)).cast("bigint").alias("chi2_ppm"),
+    return spark.range(1).select(
+        F.lit(len(rows)).cast("bigint").alias("n_cells"),
+        F.lit(n).cast("bigint").alias("n_obs"),
+        F.lit(chi2_ppm).cast("bigint").alias("chi2_ppm"),
     )
 
 
@@ -6321,11 +6319,12 @@ def q_p90_interarrival_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald-Wolfowitz runs test on daily order revenue vs its EXACT median
     (k-th smallest over the day census, k = (n+1) div 2): days flag above /
-    not-above, runs are counted by a JOIN on day-index+1 (a hash join on
-    the day-sized rollup — no unpartitioned window, no driver loop; a
-    missing next day ends a run by construction). Output n_above, n_below,
-    n_runs — the z-chain is a client-side fold of these three integers.
-    Randomness check against regime drift in any daily metric."""
+    not-above, runs counted on the calendar-bounded day census after a
+    bounded collect (r13, the theilsen device; a missing next day ends a
+    run by construction, exactly as the day-index+1 join it replaces).
+    Output n_above, n_below, n_runs — the z-chain is a client-side fold
+    of these three integers. Randomness check against regime drift in any
+    daily metric."""
     o = load_table(spark, sf_dir, "orders").select(
         F.expr("datediff(o_orderdate, DATE '1990-01-01')")
         .cast("bigint")
@@ -6333,43 +6332,30 @@ def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("o_totalprice").cast(DEC)).alias("rc"),
     )
     day = o.groupBy("di").agg(F.sum("rc").cast("decimal(38,0)").alias("rev"))
-    from numaflow_spark.operators.graph import cut_lineage
-    import os as _os
-
-    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
-        "0", "false"
-    ):
-        day = cut_lineage(day, eager=True)  # read by median + flags + join
-    # exact median: k-th smallest revenue over the day census (bounded-
-    # census broadcast triangle — the value census has <= |days| rows and
-    # |days| is calendar-bounded, so no two-phase machinery)
-    vc = day.groupBy("rev").agg(F.count("*").alias("c"))
-    from numaflow_spark.operators.ranking import add_running_sum_bounded
-
-    # rev is DECIMAL(38,0) cents — cast to bigint for the order key
-    vc = vc.withColumn("rev_b", F.col("rev").cast("bigint"))
-    cum = add_running_sum_bounded(vc, "rev_b", "c", "cum")
-    n = day.agg(F.count("*").cast("bigint").alias("n"))
-    med = (
-        cum.crossJoin(F.broadcast(n))
-        .filter(F.expr("cum >= (n + 1) div 2"))
-        .agg(F.min("rev_b").cast("bigint").alias("median_rev"))
+    # r13 (the theilsen device, guide §8): the day census is calendar-
+    # bounded (≤ ~2,600 rows at ANY scale factor), so the exact median
+    # (k-th smallest, k = (n+1) div 2), the above/not-above flags and the
+    # run count (a run ends where the next calendar day is absent or the
+    # flag flips — identical to the day-index+1 join it replaces) are
+    # scalar-side work on a bounded collect; the distributed plan is the
+    # one fact-pass rollup. Replaces a 12-job plan (eager cut + value
+    # census + bounded running sum + median pull + flag join). Integer-
+    # exact end to end, as before. Re-certified hash-green vs the
+    # unchanged oracle at all three SFs.
+    rows = sorted((r["di"], int(r["rev"])) for r in day.collect())
+    n = len(rows)
+    k = (n + 1) // 2
+    median_rev = sorted(rev for _, rev in rows)[k - 1] if n else None
+    flags = {di: int(rev > median_rev) for di, rev in rows}
+    n_above = sum(flags.values())
+    n_runs = sum(
+        1 for di, f in flags.items()
+        if flags.get(di + 1) is None or flags[di + 1] != f
     )
-    flags = day.crossJoin(F.broadcast(med)).select(
-        "di",
-        F.expr("CAST(CAST(rev AS BIGINT) > median_rev AS INT)").alias("f"),
-    )
-    nxt = flags.select(
-        (F.col("di") - 1).alias("di"), F.col("f").alias("f_next")
-    )
-    pairs = flags.join(nxt, "di", "left")
-    return pairs.agg(
-        F.sum("f").cast("bigint").alias("n_above"),
-        F.sum(F.expr("1 - f")).cast("bigint").alias("n_below"),
-        # a run ends where the next day is absent or flips sign
-        F.sum(
-            F.expr("CAST(f_next IS NULL OR f_next != f AS INT)")
-        ).cast("bigint").alias("n_runs"),
+    return spark.range(1).select(
+        F.lit(n_above).cast("bigint").alias("n_above"),
+        F.lit(n - n_above).cast("bigint").alias("n_below"),
+        F.lit(n_runs).cast("bigint").alias("n_runs"),
     )
 
 
@@ -6467,48 +6453,51 @@ def q_kendall_tau_qty_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "s")
         .agg(F.count("*").alias("cnt"))
     )
-    a = cells.select(
-        F.col("q").alias("qa"), F.col("s").alias("sa"),
-        F.col("cnt").alias("na"),
-    )
-    b = cells.select(
-        F.col("q").alias("qb"), F.col("s").alias("sb"),
-        F.col("cnt").alias("nb"),
-    )
-    cd = (
-        a.join(F.broadcast(b), (F.col("qa") < F.col("qb")))
-        .agg(
-            F.sum(
-                F.expr(
-                    f"CASE WHEN sa < sb THEN CAST(na AS {dec}) * nb "
-                    f"ELSE CAST(0 AS {dec}) END"
-                )
-            ).alias("c_pairs"),
-            F.sum(
-                F.expr(
-                    f"CASE WHEN sa > sb THEN CAST(na AS {dec}) * nb "
-                    f"ELSE CAST(0 AS {dec}) END"
-                )
-            ).alias("d_pairs"),
-        )
-    )
-    # marginal tie masses over the same census: n0 = n(n-1)/2 doubled to
-    # stay integral -> carry 2*n0, 2*n1, 2*n2
-    tq = cells.groupBy("q").agg(F.sum("cnt").alias("t")).agg(
-        F.sum(F.expr(f"CAST(t AS {dec}) * (t - 1)")).alias("n1_doubled"),
-        F.sum(F.expr(f"CAST(t AS {dec})")).alias("n"),
-    )
-    ts = cells.groupBy("s").agg(F.sum("cnt").alias("t")).agg(
-        F.sum(F.expr(f"CAST(t AS {dec}) * (t - 1)")).alias("n2_doubled")
-    )
-    m = cd.crossJoin(F.broadcast(tq)).crossJoin(F.broadcast(ts))
-    n0d = f"(CAST(n AS {dec}) * (n - 1))"
-    return m.select(
-        F.col("n").cast("bigint").alias("n_items"),
-        F.col("c_pairs").cast("bigint").alias("c_pairs"),
-        F.col("d_pairs").cast("bigint").alias("d_pairs"),
-        F.col("n1_doubled").cast("bigint").alias("n1_doubled"),
-        F.col("n2_doubled").cast("bigint").alias("n2_doubled"),
+    # r13 (the theilsen device, guide §8): the contingency census is
+    # value-bounded (≤ 2,500 cells at ANY scale factor), so the cell×cell
+    # triangle, marginal tie masses and pair counts are scalar-side work
+    # on a bounded collect — the distributed plan is the one fact-pass
+    # census. C/D via 2-D suffix sums over the 50×50 count matrix
+    # (int64 intermediates ≤ n²/2, exactly the query's existing BIGINT
+    # output bound — int64-safe to ~SF700, the docstring's contract).
+    # Replaces a 12-job plan (cell triangle + two marginal rollups + two
+    # cross joins). The tau_b double chain is evaluated IN SPARK over the
+    # integer literals (same expression, identical double semantics).
+    # Re-certified hash-green vs the unchanged oracle at sf0.001/0.01/0.1.
+    import numpy as np
+
+    rows = cells.collect()
+    qvals = sorted({r["q"] for r in rows})
+    svals = sorted({r["s"] for r in rows})
+    qi = {v: k for k, v in enumerate(qvals)}
+    si = {v: k for k, v in enumerate(svals)}
+    M = np.zeros((len(qvals), len(svals)), dtype=np.int64)
+    for r in rows:
+        M[qi[r["q"]], si[r["s"]]] = r["cnt"]
+    # SS_gt[i, j] = sum of M over (q' > i, s' > j); SS_lt[i, j] = sum over
+    # (q' > i, s' < j) — each unordered pair counted once (q-order fixes
+    # the direction, as in the plan it replaces).
+    right = np.cumsum(M[::-1, :], axis=0)[::-1, :]  # suffix over q
+    ss_gt = np.zeros_like(M)
+    ss_gt[:-1, :-1] = np.cumsum(right[1:, ::-1], axis=1)[:, ::-1][:, 1:]
+    ss_lt = np.zeros_like(M)
+    ss_lt[:-1, 1:] = np.cumsum(right[1:, :], axis=1)[:, :-1]
+    c_pairs = int((M * ss_gt).sum())
+    d_pairs = int((M * ss_lt).sum())
+    tq = M.sum(axis=1)
+    ts = M.sum(axis=0)
+    n = int(M.sum())
+    n1_doubled = int((tq * (tq - 1)).sum())
+    n2_doubled = int((ts * (ts - 1)).sum())
+    n0d = f"(CAST(n_items AS {dec}) * (n_items - 1))"
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_items"),
+        F.lit(c_pairs).cast("bigint").alias("c_pairs"),
+        F.lit(d_pairs).cast("bigint").alias("d_pairs"),
+        F.lit(n1_doubled).cast("bigint").alias("n1_doubled"),
+        F.lit(n2_doubled).cast("bigint").alias("n2_doubled"),
+    ).select(
+        "n_items", "c_pairs", "d_pairs", "n1_doubled", "n2_doubled",
         F.expr(
             f"round(CAST(c_pairs - d_pairs AS DOUBLE) / "
             f"sqrt(CAST({n0d} - n1_doubled AS DOUBLE) / 2.0 * "
@@ -7104,6 +7093,12 @@ RECERT_PENDING = [
     # + count_col literal (ranking.py) — both re-verified at sf0.001 +
     # sf0.01, literal and pure-plan regimes
     "customer_rfm", "clv_decile_migration",
+    # r13 optimization-round scalar-side collapses (the theilsen device —
+    # bounded censuses fold on the driver; each re-verified hash-green at
+    # sf0.001/0.01/0.1 before landing) and the spearman census rewrite
+    # (join-back to the fact table removed):
+    "spearman_qty_price", "chi2_brand_returnflag",
+    "runs_test_daily_revenue", "cusum_changepoint",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7126,12 +7121,13 @@ _R13_ROTATION = [
     "nation_yoy_order_growth", "order_concurrency_peak",
     "nation_seat_apportionment", "event_type_daily_share",
     "repeat_purchase_rate", "dup_ngram_frac", "decontaminate",
-    "ngram_lm_score", "winnow_dups", "cms_heavy_bigrams",
-    "sequence_packing",
     # vocab_topk / stratified_sample / sql_shipping_priority (next in LRC
     # order) rotated out to keep the window at 50 as bpe_merges +
-    # customer_rfm + clv_decile_migration entered RECERT; all three hold
-    # green r9 rows and re-enter the r14 rotation.
+    # customer_rfm + clv_decile_migration entered RECERT; ngram_lm_score /
+    # winnow_dups / cms_heavy_bigrams / sequence_packing rotated out as
+    # the four optimization-round rewrites (spearman / chi2 / runs_test /
+    # cusum) entered RECERT. All hold green r9 rows and re-enter the r14
+    # rotation.
 ]
 _R13_WINDOW = _R13_PROMOTIONS + RECERT_PENDING + _R13_ROTATION
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
