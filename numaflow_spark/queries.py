@@ -6425,6 +6425,24 @@ assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
 # ---------------------------------------------------------------------------
 
 
+def _kendall_cd(M) -> tuple[int, int]:
+    """Concordant/discordant pair mass over a value-sorted contingency
+    count matrix M[i, j] via 2-D suffix sums: C = Σ M[i,j]·(mass at
+    i' > i, j' > j), D = Σ M[i,j]·(mass at i' > i, j' < j) — each
+    unordered pair counted once (the row order fixes the direction).
+    int64 intermediates ≤ n²/2, the same bound as the BIGINT output
+    contract of its one caller (kendall_tau_qty_size). Unit-tested
+    against the O(cells²) brute force (tests/test_ranking.py)."""
+    import numpy as np
+
+    right = np.cumsum(M[::-1, :], axis=0)[::-1, :]  # suffix over rows
+    ss_gt = np.zeros_like(M)
+    ss_gt[:-1, :-1] = np.cumsum(right[1:, ::-1], axis=1)[:, ::-1][:, 1:]
+    ss_lt = np.zeros_like(M)
+    ss_lt[:-1, 1:] = np.cumsum(right[1:, :], axis=1)[:, :-1]
+    return int((M * ss_gt).sum()), int((M * ss_lt).sum())
+
+
 def q_kendall_tau_qty_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-b between l_quantity (1..50) and the part's p_size
     (1..50): ONE fact pass builds the <= 2500-cell contingency census;
@@ -6474,16 +6492,7 @@ def q_kendall_tau_qty_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     M = np.zeros((len(qvals), len(svals)), dtype=np.int64)
     for r in rows:
         M[qi[r["q"]], si[r["s"]]] = r["cnt"]
-    # SS_gt[i, j] = sum of M over (q' > i, s' > j); SS_lt[i, j] = sum over
-    # (q' > i, s' < j) — each unordered pair counted once (q-order fixes
-    # the direction, as in the plan it replaces).
-    right = np.cumsum(M[::-1, :], axis=0)[::-1, :]  # suffix over q
-    ss_gt = np.zeros_like(M)
-    ss_gt[:-1, :-1] = np.cumsum(right[1:, ::-1], axis=1)[:, ::-1][:, 1:]
-    ss_lt = np.zeros_like(M)
-    ss_lt[:-1, 1:] = np.cumsum(right[1:, :], axis=1)[:, :-1]
-    c_pairs = int((M * ss_gt).sum())
-    d_pairs = int((M * ss_lt).sum())
+    c_pairs, d_pairs = _kendall_cd(M)
     tq = M.sum(axis=1)
     ts = M.sum(axis=0)
     n = int(M.sum())

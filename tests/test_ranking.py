@@ -200,3 +200,33 @@ def test_running_sum_bounded_preserves_columns_and_types(spark):
     out = add_running_sum_bounded(df, "k", "c", "cum")
     assert set(out.columns) == {"k", "c", "tag", "cum"}
     assert dict(out.dtypes)["cum"] == "bigint"
+
+
+def test_kendall_cd_matches_bruteforce():
+    """The 2-D suffix-sum concordant/discordant fold (queries._kendall_cd,
+    the r13 scalar-side collapse of kendall_tau_qty_size) must equal the
+    O(cells^2) brute force on random count matrices, including empty
+    rows/columns and degenerate 1xK / Kx1 shapes."""
+    import numpy as np
+
+    from numaflow_spark.queries import _kendall_cd
+
+    rng = np.random.default_rng(7)
+    shapes = [(1, 1), (1, 5), (5, 1), (2, 2), (7, 3), (50, 50)]
+    for nq, ns in shapes:
+        M = rng.integers(0, 9, size=(nq, ns)).astype(np.int64)
+        M[rng.random(size=M.shape) < 0.3] = 0  # sparse cells, like a census
+        c_want = d_want = 0
+        for i in range(nq):
+            for j in range(ns):
+                if not M[i, j]:
+                    continue
+                for i2 in range(i + 1, nq):
+                    for j2 in range(ns):
+                        if M[i2, j2]:
+                            if j2 > j:
+                                c_want += int(M[i, j]) * int(M[i2, j2])
+                            elif j2 < j:
+                                d_want += int(M[i, j]) * int(M[i2, j2])
+        c_got, d_got = _kendall_cd(M)
+        assert (c_got, d_got) == (c_want, d_want), (nq, ns)
