@@ -508,6 +508,7 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
                             *, primary: str, descending: bool = False,
                             partitions: int = DEFAULT_RANGE_PARTITIONS,
                             materialize: bool = True,
+                            totals_cols: list[str | None] | None = None,
                             ) -> DataFrame:
     """N running sums over the SAME total order from ONE two-phase pass
     (VERDICT r11 #2: ks_priority_price paid the full bucketing + local
@@ -515,8 +516,18 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
     sums share one bucket assignment, ONE local Window physical operator
     (identical window spec, N aggregate expressions), one per-bucket
     totals aggregation, and one broadcast triangle join — the job count is
-    flat in N."""
+    flat in N.
+
+    ``totals_cols`` (r13, the add_global_ranks ``count_col`` device): for
+    each non-None entry, also stamp the GRAND total of that value column
+    as a column of the result. Under the literal-offsets regime the total
+    is the fold of the already-collected per-bucket sums — a free literal
+    in the same exact integer/decimal terms (commutative adds of the same
+    per-bucket values), saving the consumer's separate total aggregate +
+    broadcast join (the ECDF consumers all need n1/n2); otherwise it costs
+    the one crossJoin-broadcast agg the consumer would have paid anyway."""
     assert len(value_cols) == len(out_cols) and value_cols
+    assert totals_cols is None or len(totals_cols) == len(value_cols)
     part = _bucketed(df, primary, descending, partitions, materialize)
     wloc = (
         Window.partitionBy(_PID)
@@ -541,6 +552,16 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
             out = out.withColumn(
                 out_col, F.coalesce(pre, F.lit(0)) + F.col(f"{_LOC}{i}")
             )
+        if totals_cols is not None:
+            for i, tc in enumerate(totals_cols):
+                if tc is None:
+                    continue
+                # grand total = fold of the collected per-bucket sums:
+                # NULL iff every bucket sum is NULL (Spark's sum-over-
+                # empty/all-NULL contract), else the exact commutative add
+                vals = [r[i + 1] for r in rows if r[i + 1] is not None]
+                tot = sum(vals) if vals else None
+                out = out.withColumn(tc, F.lit(tot).cast(dtypes[i]))
         return out.drop(
             _PID, *[f"{_LOC}{i}" for i in range(len(value_cols))]
         )
@@ -555,6 +576,11 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
             out_col,
             F.coalesce(F.col(f"{_PRE}{i}"), F.lit(0)) + F.col(f"{_LOC}{i}"),
         )
+    if totals_cols is not None and any(tc is not None for tc in totals_cols):
+        out = out.crossJoin(F.broadcast(df.agg(*[
+            F.sum(v).alias(tc)
+            for v, tc in zip(value_cols, totals_cols) if tc is not None
+        ])))
     return out.drop(
         _PID, *[f"{_LOC}{i}" for i in range(len(value_cols))],
         *[f"{_PRE}{i}" for i in range(len(value_cols))],

@@ -1601,7 +1601,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         from numaflow_spark.operators.graph import cut_lineage
 
-        qual = cut_lineage(qual, eager=True)
+        # r13 wave 2: lazy cut — the flagged-docs broadcast build (the
+        # survivor shingle probe) materializes the survivor set inside
+        # its own job; the anti-join's probe side then reads the same
+        # blocks. The standalone checkpoint job is gone (survivors are a
+        # deterministic window pick, so concurrent first-evaluation is
+        # benign).
+        qual = cut_lineage(qual, eager=False)
 
     # 3. decontaminate: drop any survivor sharing a 5-gram with the src0
     # benchmark (broadcast the benchmark's distinct shingles)
@@ -2230,7 +2236,13 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
         "0", "false"
     ):
-        per_pair = cut_lineage(per_pair, eager=True)
+        # r13 wave 2: lazy cut — the first consumer stage (the per-order
+        # rollup's exchange) materializes the pair table inside its own
+        # job; the late-supplier branch then reads the same blocks. The
+        # standalone checkpoint job is gone (the CC probe-fusion device;
+        # per_pair is a deterministic grouped aggregate, so concurrent
+        # first-evaluation is benign).
+        per_pair = cut_lineage(per_pair, eager=False)
     per_order = per_pair.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
         F.sum("is_late").alias("n_late"),
@@ -4207,9 +4219,9 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     `decontaminate`/`dup_ngram_frac`; this is the corpus-level rollup).
 
     Scale shape (r8 rewrite — bitmask rollup instead of a shingle
-    self-join): sources get dense ids (a window over the TINY distinct-
-    source table, broadcast back), every shingle occurrence ORs its
-    source bit into a per-shingle mask — one shuffle keyed on the
+    self-join): sources get dense ids (r13: a literal map from the
+    bounded distinct-source collect — ≤64 by the bitmask width, asserted),
+    every shingle occurrence ORs its source bit into a per-shingle mask — one shuffle keyed on the
     shingle, and because bit_or is idempotent the map-side combiner
     absorbs duplicate (source, shingle) rows BEFORE the exchange, so no
     distinct pass exists at all. The per-shingle masks then collapse to
@@ -4233,23 +4245,35 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-keyed oracle is unchanged: outputs are per-source-pair COUNTS,
     identical modulo 64-bit collisions."""
     docs = load_table(spark, sf_dir, "documents")
-    src_ids = (
-        docs.select("source")
-        .distinct()
-        .select(
-            "source",
-            (F.row_number().over(Window.orderBy("source")) - 1).alias("sid"),
+    # r13 wave 2: the dense source-id assignment is a LITERAL map from a
+    # bounded driver collect (the ingest-source label set is pipeline
+    # config, single-digit cardinality, and hard-bounded at 64 by the
+    # bitmask width this query already declares — asserted loudly). The
+    # old plan evaluated the distinct+row_number subtree once per
+    # broadcast consumer (bit join + two name join-backs = 3x) and put
+    # the only single-partition window in the query here; now the source
+    # -> bit and sid -> name mappings are plan literals, the name
+    # join-backs are element_at lookups, and the window is gone entirely
+    # (this query leaves the window-audit allowlist). sid order is
+    # identical to the row_number it replaces: rank in the sorted
+    # distinct-source list.
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    if len(srcs) > 64:
+        raise ValueError(
+            f"source_overlap_matrix: {len(srcs)} sources > 64-bit mask — "
+            "batch the source ids (docstring) before using this query"
         )
-    )
-    # r11 (VERDICT r10 task 8): the source->bit broadcast join sits ABOVE
-    # the explode, so it probes |docs| rows instead of |shingles| (~120x
-    # fewer at this corpus's mean doc length). Measured at x10: full-query
-    # min 4.7 -> ~3.9 s, interleaved arms, identical 190-row output; at
-    # 100 TB the saved probe is billions of rows per scan.
+    bit_map = F.create_map(*[
+        x for i, s in enumerate(srcs)
+        for x in (F.lit(s), F.lit(1 << i).cast("bigint"))
+    ])
+    # r11 (VERDICT r10 task 8): the source->bit mapping sits ABOVE the
+    # explode, so it maps |docs| rows instead of |shingles| (~120x fewer
+    # at this corpus's mean doc length). At 100 TB the saved probe is
+    # billions of rows per scan.
     toks = (
-        docs.join(F.broadcast(src_ids), "source")
-        .select(
-            F.expr("shiftleft(cast(1 as bigint), sid)").alias("bit"),
+        docs.select(
+            bit_map[F.col("source")].alias("bit"),
             F.split("text", " ").alias("w"),
         )
         .filter(F.size("w") >= 5)
@@ -4287,12 +4311,11 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.i").alias("sid_a"), F.col("p.j").alias("sid_b"))
         .agg(F.sum("n_sh").alias("n_shared"))
     )
-    na = src_ids.select(F.col("source").alias("src_a"), F.col("sid").alias("sid_a"))
-    nb = src_ids.select(F.col("source").alias("src_b"), F.col("sid").alias("sid_b"))
-    return (
-        pairs.join(F.broadcast(na), "sid_a")
-        .join(F.broadcast(nb), "sid_b")
-        .select("src_a", "src_b", "n_shared")
+    names = F.array(*[F.lit(s) for s in srcs])
+    return pairs.select(
+        F.element_at(names, F.col("sid_a") + 1).alias("src_a"),
+        F.element_at(names, F.col("sid_b") + 1).alias("src_b"),
+        "n_shared",
     )
 
 
@@ -5502,17 +5525,18 @@ def q_ks_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1 - is_a")).alias("c2"),
         )
     )
-    per = materialize_ranking_input(per)
+    # r13 wave 2: lazy census cut (the running-sum op's bounded sums pull
+    # materializes the rollup inside its own job) + totals stamped by the
+    # op from the already-collected per-bucket sums — the separate
+    # sum(c1)/sum(c2) aggregate + crossJoin broadcast job is gone; n1/n2
+    # are the identical exact bigint folds of the same per-bucket values.
+    per = materialize_ranking_input(per, eager=False)
     per = add_global_running_sums(
         per, [F.col("price_c")], ["c1", "c2"], ["cum1", "cum2"],
-        primary="price_c", materialize=False,
-    )
-    tot = per.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
+        primary="price_c", materialize=False, totals_cols=["n1", "n2"],
     )
     dec = "DECIMAL(38,0)"
-    d = per.crossJoin(F.broadcast(tot)).select(
+    d = per.select(
         F.expr(
             f"abs(CAST(cum1 AS {dec}) * n2 - CAST(cum2 AS {dec}) * n1)"
         ).alias("dnum"),
@@ -6100,7 +6124,10 @@ def q_mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1 - is_a")).alias("c2"),
         )
     )
-    per = materialize_ranking_input(per)
+    # r13 wave 2: lazy census cut — the running-sum op's bounded sums
+    # pull materializes the rollup inside its own job (the ks twin's
+    # device; the standalone checkpoint job is gone).
+    per = materialize_ranking_input(per, eager=False)
     per = add_global_running_sums(
         per, [F.col("price_c")], ["c1", "c2"], ["cum1", "cum2"],
         primary="price_c", materialize=False,

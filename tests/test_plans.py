@@ -1005,10 +1005,9 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
         # 25-row per-nation rollup (docstring pins it; nations are a
         # constant-bounded dimension)
         "nation_seat_apportionment",
-        # source-id assignment + matrix windows run on the DISTINCT source
-        # list (single-digit cardinality label set, bounded by pipeline
-        # config, never by corpus size)
-        "source_overlap_matrix",
+        # (r13 wave 2: source_overlap_matrix left this list — its source-id
+        # assignment is now a literal map from a bounded driver collect, so
+        # the query has no window at all)
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
