@@ -270,27 +270,37 @@ def add_running_sum_bounded(df: DataFrame, order_col: str, value_col: str,
 def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
                     *, primary: str, descending: bool = False,
                     partitions: int = DEFAULT_RANGE_PARTITIONS,
-                    materialize: bool = True) -> DataFrame:
+                    materialize: bool = True,
+                    count_col: str | None = None) -> DataFrame:
     """`row_number() OVER (ORDER BY order_cols)` without the global sort.
     `order_cols` must be a total order (include a tiebreak) whose leading
     key is the integer column `primary` (sorted DESC when `descending`) —
     same determinism contract as the window it replaces. Pass
     ``materialize=False`` when `df` was already run through
-    materialize_ranking_input (skips the per-op eager cut)."""
+    materialize_ranking_input (skips the per-op eager cut).
+
+    ``count_col`` (r13 wave 2, the add_global_ranks device): also stamp
+    the TOTAL row count. Under the literal-offsets regime it is the sum
+    of the already-collected per-bucket counts — a free literal; else one
+    crossJoin-broadcast count agg (what the consumer paid anyway)."""
     part = _bucketed(df, primary, descending, partitions, materialize)
     wloc = Window.partitionBy(_PID).orderBy(*order_cols)
     local = part.withColumn(_LOC, F.row_number().over(wloc))
     cnts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
     if _use_literal_offsets():
-        pre = _prefix_map_expr(
-            [(r[0], r[1]) for r in _collect_no_aqe(cnts)], _PID, "bigint",
-            lambda a, b: a + b,
-        )
-        return local.withColumn(
+        pairs = [(r[0], r[1]) for r in _collect_no_aqe(cnts)]
+        pre = _prefix_map_expr(pairs, _PID, "bigint", lambda a, b: a + b)
+        out = local.withColumn(
             out_col, (F.coalesce(pre, F.lit(0)) + F.col(_LOC)).cast("bigint")
         ).drop(_PID, _LOC)
+        if count_col is not None:
+            out = out.withColumn(
+                count_col,
+                F.lit(sum(c for _, c in pairs)).cast("bigint"),
+            )
+        return out
     offs = _exclusive_prefix(cnts, F.sum("__rk_r__cnt"), _PRE)
-    return (
+    out = (
         local.join(F.broadcast(offs), _PID)
         .withColumn(
             out_col,
@@ -298,6 +308,11 @@ def add_global_rank(df: DataFrame, order_cols: list[Column], out_col: str,
         )
         .drop(_PID, _LOC, _PRE)
     )
+    if count_col is not None:
+        out = out.crossJoin(F.broadcast(
+            df.agg(F.count("*").cast("bigint").alias(count_col))
+        ))
+    return out
 
 
 def add_global_ranks(df: DataFrame,
@@ -492,14 +507,19 @@ def add_global_running_sum(df: DataFrame, order_cols: list[Column],
                            *, primary: str, descending: bool = False,
                            partitions: int = DEFAULT_RANGE_PARTITIONS,
                            materialize: bool = True,
+                           total_col: str | None = None,
+                           count_col: str | None = None,
                            ) -> DataFrame:
     """`sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING..
     CURRENT ROW)` without the global sort (order must be total, led by
-    the integer column `primary`)."""
+    the integer column `primary`). ``total_col``/``count_col`` stamp the
+    grand total of ``value_col`` / the total row count (see
+    add_global_running_sums)."""
     return add_global_running_sums(
         df, order_cols, [value_col], [out_col], primary=primary,
         descending=descending, partitions=partitions,
-        materialize=materialize,
+        materialize=materialize, totals_cols=[total_col],
+        count_col=count_col,
     )
 
 
@@ -509,6 +529,7 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
                             partitions: int = DEFAULT_RANGE_PARTITIONS,
                             materialize: bool = True,
                             totals_cols: list[str | None] | None = None,
+                            count_col: str | None = None,
                             ) -> DataFrame:
     """N running sums over the SAME total order from ONE two-phase pass
     (VERDICT r11 #2: ks_priority_price paid the full bucketing + local
@@ -525,7 +546,9 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
     in the same exact integer/decimal terms (commutative adds of the same
     per-bucket values), saving the consumer's separate total aggregate +
     broadcast join (the ECDF consumers all need n1/n2); otherwise it costs
-    the one crossJoin-broadcast agg the consumer would have paid anyway."""
+    the one crossJoin-broadcast agg the consumer would have paid anyway.
+    ``count_col`` likewise stamps the TOTAL row count — the per-bucket
+    counts ride the same single sums pull."""
     assert len(value_cols) == len(out_cols) and value_cols
     assert totals_cols is None or len(totals_cols) == len(value_cols)
     part = _bucketed(df, primary, descending, partitions, materialize)
@@ -537,11 +560,15 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
     local = part
     for i, v in enumerate(value_cols):
         local = local.withColumn(f"{_LOC}{i}", F.sum(v).over(wloc))
-    sums = part.groupBy(_PID).agg(
-        *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
-    )
+    sum_aggs = [F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
+    if count_col is not None:
+        sum_aggs.append(F.count("*").alias("_scnt"))
+    sums = part.groupBy(_PID).agg(*sum_aggs)
     if _use_literal_offsets():
-        dtypes = [f.dataType.simpleString() for f in sums.schema.fields[1:]]
+        dtypes = [
+            f.dataType.simpleString()
+            for f in sums.schema.fields[1:len(value_cols) + 1]
+        ]
         rows = _collect_no_aqe(sums)
         out = local
         for i, out_col in enumerate(out_cols):
@@ -562,6 +589,13 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
                 vals = [r[i + 1] for r in rows if r[i + 1] is not None]
                 tot = sum(vals) if vals else None
                 out = out.withColumn(tc, F.lit(tot).cast(dtypes[i]))
+        if count_col is not None:
+            # count-over-anything is 0 on empty input, never NULL
+            out = out.withColumn(
+                count_col,
+                F.lit(sum(r[len(value_cols) + 1] for r in rows))
+                .cast("bigint"),
+            )
         return out.drop(
             _PID, *[f"{_LOC}{i}" for i in range(len(value_cols))]
         )
@@ -576,11 +610,14 @@ def add_global_running_sums(df: DataFrame, order_cols: list[Column],
             out_col,
             F.coalesce(F.col(f"{_PRE}{i}"), F.lit(0)) + F.col(f"{_LOC}{i}"),
         )
-    if totals_cols is not None and any(tc is not None for tc in totals_cols):
-        out = out.crossJoin(F.broadcast(df.agg(*[
-            F.sum(v).alias(tc)
-            for v, tc in zip(value_cols, totals_cols) if tc is not None
-        ])))
+    tot_aggs = [
+        F.sum(v).alias(tc)
+        for v, tc in zip(value_cols, totals_cols or []) if tc is not None
+    ]
+    if count_col is not None:
+        tot_aggs.append(F.count("*").cast("bigint").alias(count_col))
+    if tot_aggs:
+        out = out.crossJoin(F.broadcast(df.agg(*tot_aggs)))
     return out.drop(
         _PID, *[f"{_LOC}{i}" for i in range(len(value_cols))],
         *[f"{_PRE}{i}" for i in range(len(value_cols))],

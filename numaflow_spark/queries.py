@@ -2481,17 +2481,19 @@ def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         _cents(F.sum(F.col("o_totalprice").cast(DEC))).alias("ltv_c")
     )
-    # One materialization serves the ranking's stats/local/counts branches
-    # AND the n_tot row — without it the n_tot agg re-rolled the fact
-    # table a second time (VERDICT r10 #3 fixed-cost cut).
-    per_cust = materialize_ranking_input(per_cust)
+    # r13 wave 2: lazy cut (the ranking op's bounded counts pull
+    # materializes the rollup inside its own job) + n_tot stamped by the
+    # op from the same collected per-bucket counts — the separate count
+    # aggregate + crossJoin broadcast job is gone (VERDICT r10 #3, then
+    # the count_col device).
+    per_cust = materialize_ranking_input(per_cust, eager=False)
     ranked = add_global_rank(
         per_cust, [F.col("ltv_c").desc(), F.col("o_custkey")], "rk",
         primary="ltv_c", descending=True, materialize=False,
+        count_col="n_tot",
     )
-    n = per_cust.agg(F.count("*").cast("bigint").alias("n_tot"))
     return (
-        ranked.crossJoin(F.broadcast(n))
+        ranked
         .select("ltv_c", ntile_from_rank("rk", "n_tot", 10).alias("decile"))
         .groupBy("decile")
         .agg(
@@ -3148,18 +3150,19 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
-    # One materialization of the term census serves the running sum's
-    # branches AND the corpus total — without it the total agg re-ran the
-    # token explode a second time (VERDICT r10 #3 fixed-cost cut).
-    counts = materialize_ranking_input(counts)
-    total = counts.agg(F.sum("n").alias("total"))
+    # r13 wave 2: lazy cut (the running-sum op's bounded sums pull
+    # materializes the census inside its own job) + the corpus total
+    # stamped by the op from the same collected per-bucket sums — the
+    # separate total aggregate + crossJoin broadcast job is gone
+    # (VERDICT r10 #3, then the totals_cols device).
+    counts = materialize_ranking_input(counts, eager=False)
     cum = add_global_running_sum(
         counts, [F.desc("n"), F.col("term")], "n", "cum",
         primary="n", descending=True, materialize=False,
+        total_col="total",
     )
     return (
-        cum.crossJoin(F.broadcast(total))
-        .filter((F.col("cum") - F.col("n")) * 10 < F.col("total") * 9)
+        cum.filter((F.col("cum") - F.col("n")) * 10 < F.col("total") * 9)
         .select("term", "n", "cum")
     )
 
@@ -3826,19 +3829,18 @@ def q_revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice").cast(DEC))).alias("rev_c")
     )
-    # One materialization serves the running sum's branches AND the
-    # total/count row — without it the totals agg re-rolled the fact
-    # table a second time (VERDICT r10 #3 fixed-cost cut).
-    per_cust = materialize_ranking_input(per_cust)
-    tot = per_cust.agg(
-        F.sum("rev_c").alias("total_rev_c"),
-        F.count("*").alias("n_customers"),
-    )
+    # r13 wave 2: lazy cut (the running-sum op's bounded sums pull
+    # materializes the rollup inside its own job) + the total/count row
+    # stamped by the op from the same collected per-bucket sums/counts —
+    # the separate totals aggregate + crossJoin broadcast job is gone
+    # (VERDICT r10 #3, then the totals_cols/count_col device).
+    per_cust = materialize_ranking_input(per_cust, eager=False)
     cum = add_global_running_sum(
         per_cust, [F.desc("rev_c"), F.col("o_custkey")], "rev_c", "cum_c",
         primary="rev_c", descending=True, materialize=False,
+        total_col="total_rev_c", count_col="n_customers",
     )
-    kept = cum.crossJoin(F.broadcast(tot)).filter(
+    kept = cum.filter(
         (F.col("cum_c") - F.col("rev_c")) * 10 < F.col("total_rev_c") * 8
     )
     return kept.groupBy("n_customers", "total_rev_c").agg(
@@ -7103,7 +7105,7 @@ STAGED_QUERIES = {}
 # Head layout:
 #   slots 1-11  the eleven r13 promotions (never driver-certified — the
 #               rotation contract requires them inside the window).
-#   slots 12-16 RECERT_PENDING: graph_assortativity re-plans under the
+#   slots 12-31 RECERT_PENDING: graph_assortativity re-plans under the
 #               materializer revert (tools/ab_assort_sf1.json — the no-AQE
 #               eager cut measured 1.8x slower at x10 than plain AQE
 #               cut_lineage, VERDICT r12 What's-wrong #1), and the four CC
@@ -7111,9 +7113,9 @@ STAGED_QUERIES = {}
 #               (operators/graph.py: rounds checkpoint lazily and the
 #               star-forest probe's single action materializes them — one
 #               job per round instead of two).
-#   slots 17-50 the 34 least-recently-certified remaining queries
-#               (20 r8-latest then 14 r9-latest, registry order within
-#               each round — computed from CORRECTNESS_r01-r12).
+#   slots 32-50 the 19 least-recently-certified remaining queries
+#               (r8-latest, registry order — computed from
+#               CORRECTNESS_r01-r12).
 # Tail order (positions 51+) is untouched; no query leaves the registry.
 # The r12 RECERT queue (17 rewrites) drained on its fresh r12 driver rows
 # (CORRECTNESS_r12.json, all green).
@@ -7135,6 +7137,12 @@ RECERT_PENDING = [
     # (join-back to the fact table removed):
     "spearman_qty_price", "chi2_brand_returnflag",
     "runs_test_daily_revenue", "cusum_changepoint",
+    # r13 wave-2 job cuts (lazy cuts + running-sum totals literal +
+    # literal source-id map) — each re-verified hash-green at
+    # sf0.001/0.01/0.1 plus the pure-plan and no-materialize regimes:
+    "ks_priority_price", "mannwhitney_price_priority", "waiting_supplier",
+    "corpus_curation", "source_overlap_matrix",
+    "clv_deciles", "vocab_coverage", "revenue_pareto_customers",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7152,18 +7160,20 @@ _R13_ROTATION = [
     "idle_customer_balance", "label_centroids", "large_order_customers",
     "lsh_multiprobe_topk", "min_cost_supplier", "nation_market_share",
     "pq_adc_topk", "priority_pending_orders", "promo_revenue_monthly",
-    "quality_quantile_filter", "scd2_history", "set_except",
-    # 14 least-recently-certified (r9-latest), registry order:
-    "nation_yoy_order_growth", "order_concurrency_peak",
-    "nation_seat_apportionment", "event_type_daily_share",
-    "repeat_purchase_rate", "dup_ngram_frac", "decontaminate",
+    "quality_quantile_filter", "scd2_history",
     # vocab_topk / stratified_sample / sql_shipping_priority (next in LRC
     # order) rotated out to keep the window at 50 as bpe_merges +
     # customer_rfm + clv_decile_migration entered RECERT; ngram_lm_score /
     # winnow_dups / cms_heavy_bigrams / sequence_packing rotated out as
     # the four optimization-round rewrites (spearman / chi2 / runs_test /
-    # cusum) entered RECERT. All hold green r9 rows and re-enter the r14
-    # rotation.
+    # cusum) entered RECERT; nation_seat_apportionment /
+    # event_type_daily_share / repeat_purchase_rate / dup_ngram_frac /
+    # decontaminate / set_except / nation_yoy_order_growth /
+    # order_concurrency_peak rotated out as the eight wave-2 job-cut
+    # rewrites (ks_priority_price / mannwhitney_price_priority /
+    # waiting_supplier / corpus_curation / source_overlap_matrix /
+    # clv_deciles / vocab_coverage / revenue_pareto_customers) entered
+    # RECERT. All hold green r8/r9 rows and re-enter the r14 rotation.
 ]
 _R13_WINDOW = _R13_PROMOTIONS + RECERT_PENDING + _R13_ROTATION
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
