@@ -829,6 +829,17 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = term.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    # r13 wave 2: tf feeds the df broadcast AND the scoring probe —
+    # lazily cut it so the tokenize + (doc, term) rollup runs once (the
+    # df broadcast build materializes the blocks inside its own job).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
+        "0", "false",
+    ):
+        from numaflow_spark.operators.graph import cut_lineage
+
+        tf = cut_lineage(tf, eager=False)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
@@ -1196,6 +1207,10 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     terms = ["join", "vector", "stream"]
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # r13 wave 2 NOTE: the lazy shared-rollup cut was tried here (dl, tf,
+    # then tf alone) and REJECTED on interleaved x10 A/Bs — old 3.15-3.19 s
+    # vs cut 3.54-3.94 s min-of-3: Catalyst already reuses these exchanges
+    # between consumers, so the checkpoint only broke pipelining.
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -7105,7 +7120,7 @@ STAGED_QUERIES = {}
 # Head layout:
 #   slots 1-11  the eleven r13 promotions (never driver-certified — the
 #               rotation contract requires them inside the window).
-#   slots 12-31 RECERT_PENDING: graph_assortativity re-plans under the
+#   slots 12-33 RECERT_PENDING: graph_assortativity re-plans under the
 #               materializer revert (tools/ab_assort_sf1.json — the no-AQE
 #               eager cut measured 1.8x slower at x10 than plain AQE
 #               cut_lineage, VERDICT r12 What's-wrong #1), and the four CC
@@ -7113,7 +7128,7 @@ STAGED_QUERIES = {}
 #               (operators/graph.py: rounds checkpoint lazily and the
 #               star-forest probe's single action materializes them — one
 #               job per round instead of two).
-#   slots 32-50 the 19 least-recently-certified remaining queries
+#   slots 34-50 the 17 least-recently-certified remaining queries
 #               (r8-latest, registry order — computed from
 #               CORRECTNESS_r01-r12).
 # Tail order (positions 51+) is untouched; no query leaves the registry.
@@ -7143,6 +7158,9 @@ RECERT_PENDING = [
     "ks_priority_price", "mannwhitney_price_priority", "waiting_supplier",
     "corpus_curation", "source_overlap_matrix",
     "clv_deciles", "vocab_coverage", "revenue_pareto_customers",
+    # r13 wave-2 text-family lazy cuts (tools/ab_text_lazy_r13.json —
+    # the bm25 form was A/B-rejected and reverted; these two kept):
+    "ngram_lm_score", "tfidf_topterms",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7160,7 +7178,6 @@ _R13_ROTATION = [
     "idle_customer_balance", "label_centroids", "large_order_customers",
     "lsh_multiprobe_topk", "min_cost_supplier", "nation_market_share",
     "pq_adc_topk", "priority_pending_orders", "promo_revenue_monthly",
-    "quality_quantile_filter", "scd2_history",
     # vocab_topk / stratified_sample / sql_shipping_priority (next in LRC
     # order) rotated out to keep the window at 50 as bpe_merges +
     # customer_rfm + clv_decile_migration entered RECERT; ngram_lm_score /
@@ -7173,7 +7190,10 @@ _R13_ROTATION = [
     # rewrites (ks_priority_price / mannwhitney_price_priority /
     # waiting_supplier / corpus_curation / source_overlap_matrix /
     # clv_deciles / vocab_coverage / revenue_pareto_customers) entered
-    # RECERT. All hold green r8/r9 rows and re-enter the r14 rotation.
+    # RECERT; quality_quantile_filter / scd2_history rotated out as the
+    # two kept text-family lazy cuts (ngram_lm_score / tfidf_topterms)
+    # entered RECERT. All hold green r8/r9 rows and re-enter the r14
+    # rotation.
 ]
 _R13_WINDOW = _R13_PROMOTIONS + RECERT_PENDING + _R13_ROTATION
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
