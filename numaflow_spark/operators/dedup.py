@@ -465,12 +465,17 @@ def _simhash_bit_params(n: int = _SIMHASH_BITS, seed: int = 101) -> list[tuple[i
 def _token_poly_hash(tok: Column) -> Column:
     """(acc*31 + codepoint) % P folded over the token's characters — the
     JVM-side twin of the oracle's list_reduce (verified char-split/ascii
-    semantics agree across engines, including '' -> [''] -> 217)."""
-    codes = F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long"))
+    semantics agree across engines, including '' -> [''] -> 217).
+
+    r13 wave 3 (guide §1.2 per-task work): ascii() is applied inside the
+    fold lambda rather than via an intermediate ``transform`` — one pass
+    over the char array instead of materializing a codes array first.
+    Identical operands in identical order, so values are unchanged
+    (re-certified on both consumers, winnow_dups and simhash_neardup)."""
     return F.aggregate(
-        codes,
+        F.split(tok, ""),
         F.lit(_SIMHASH_TOK_INIT).cast("long"),
-        lambda acc, c: (acc * 31 + c) % _SIMHASH_TOK_P,
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _SIMHASH_TOK_P,
     )
 
 

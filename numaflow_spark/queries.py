@@ -1306,25 +1306,39 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping-priority query, entered through the SQL
     façade (the reference has no SQL layer at all — SURVEY §0; here the
     full ANSI surface rides on Catalyst): top-10 undelivered orders by
-    revenue. Joins are dim-filtered before the fact join so AQE broadcasts
-    them; revenue is exact decimal summed then emitted as integer cents."""
+    revenue. Revenue is exact decimal summed then emitted as integer cents.
+
+    r13 wave-3 rewrite (guide §2.3, aggregate before you shuffle): revenue
+    is pre-aggregated per l_orderkey INSIDE lineitem before the orders
+    join — o_orderdate and o_orderpriority are functionally dependent on
+    the key, so the old GROUP BY (l_orderkey, o_orderdate,
+    o_orderpriority) over the three-way join result is identical to a
+    per-key rollup joined back. The orderkey exchange now carries one
+    partially-aggregated row per key instead of the joined detail, and
+    AQE broadcast-joins the dim-filtered orders⋈customer side onto the
+    rollup. Same rows, same ORDER BY, same LIMIT. Measured interleaved
+    min-of-3 at x10: 3.55 -> 1.50 s."""
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
     return spark.sql(
         """
         SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1 AS DECIMAL(18,2))
-                           - CAST(l_discount AS DECIMAL(18,2))))
-                    * 10000 AS BIGINT) AS revenue_c4,
+               CAST(rev * 10000 AS BIGINT) AS revenue_c4,
                CAST(date_format(o_orderdate, 'yyyyMMdd') AS BIGINT) AS odate,
                o_orderpriority
-        FROM customer_sql JOIN orders_sql ON c_custkey = o_custkey
-                          JOIN lineitem_sql ON l_orderkey = o_orderkey
+        FROM (
+            SELECT l_orderkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+            FROM lineitem_sql
+            WHERE l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey
+        ) r
+        JOIN orders_sql ON l_orderkey = o_orderkey
+        JOIN customer_sql ON c_custkey = o_custkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1995-03-15'
-          AND l_shipdate > TIMESTAMP '1995-03-15'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue_c4 DESC, l_orderkey
         LIMIT 10
         """
@@ -1449,15 +1463,23 @@ def q_audio_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_priority_pending_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): count orders per priority
     that have at least one line item shipped after the order date —
-    EXISTS-style existence test as a LEFT SEMI JOIN with the inequality
-    riding the join condition (§2.13: the reference has no joins at all).
-    The semi join shuffles on orderkey only; the priority group-by runs on
-    the surviving (order-sized, not lineitem-sized) table."""
+    EXISTS-style existence test (§2.13: the reference has no joins at all).
+
+    r13 wave-3 rewrite (guide §2.3, aggregate before you shuffle):
+    EXISTS(l_shipdate > o_orderdate) == max(l_shipdate) > o_orderdate, so
+    the lineitem side collapses to a per-orderkey max BEFORE its exchange
+    — map-side partial agg ships one narrow (orderkey, max_ship) row per
+    key per partition where the old left-semi shuffled the full lineitem
+    detail. The semi join then runs between two order-sized tables with
+    the inequality as its residual. Identical result: max>d iff some
+    row>d. Measured interleaved min-of-3 at x10: 3.14 -> 2.10 s."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
     late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        last_ship,
+        (orders.o_orderkey == last_ship.l_orderkey)
+        & (last_ship.max_ship > orders.o_orderdate),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
@@ -4149,25 +4171,41 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse-CDF definition). percentile_approx-style sketches are
     engine-specific; the order-statistic form is bit-identical on any
     engine because the value at a rank is a property of the sorted
-    multiset (row_number tiebreaks between equal qty rows cannot change
-    it). One exchange: rank + count ride the same returnflag partition."""
+    multiset.
+
+    r13 wave-3 rewrite (guide §2.5): the old row_number() window
+    partitioned by l_returnflag (3 values) sorted the ENTIRE fact table
+    on 3 tasks — the exact single-hot-partition shape the window audit
+    exists to catch, and a fixed ~2.8 s at x10 that would become hours at
+    100 TB. qty is integer-valued, so the value at rank r is recoverable
+    from the (flag, qty) frequency census: it is the unique qty with
+    cum_before < r <= cum over the ascending cumulative counts. The fact
+    table now collapses via one map-side-partial census agg; the windows
+    run over |flags| x |distinct qty| rows only. Identical output by the
+    multiset-rank argument (row_number tiebreaks between equal qty rows
+    cannot change the value at a rank). Measured interleaved min-of-3 at
+    x10: 2.78 -> 0.60 s."""
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_returnflag", F.floor("l_quantity").cast("bigint").alias("qty")
+    census = (
+        li.select("l_returnflag", F.floor("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("cnt"))
     )
     w = Window.partitionBy("l_returnflag").orderBy("qty")
     wn = Window.partitionBy("l_returnflag")
-    ranked = base.select(
-        "l_returnflag",
-        "qty",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    cum = census.select(
+        "l_returnflag", "qty", "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    pick = lambda r: F.max(
+        F.when((F.col("cum_before") < r) & (r <= F.col("cum")), F.col("qty"))
     )
-    return ranked.groupBy("l_returnflag").agg(
+    return cum.groupBy("l_returnflag").agg(
         F.max("n").alias("n"),
-        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("qty"))).alias("q25_qty"),
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("qty"))).alias("q50_qty"),
-        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("qty"))).alias("q75_qty"),
+        pick(F.expr("(n + 3) div 4")).alias("q25_qty"),
+        pick(F.expr("(n + 1) div 2")).alias("q50_qty"),
+        pick(F.expr("(3 * n + 3) div 4")).alias("q75_qty"),
     )
 
 
@@ -7161,6 +7199,18 @@ RECERT_PENDING = [
     # r13 wave-2 text-family lazy cuts (tools/ab_text_lazy_r13.json —
     # the bm25 form was A/B-rejected and reverted; these two kept):
     "ngram_lm_score", "tfidf_topterms",
+    # r13 wave-3 rewrites (each hash-green vs its UNCHANGED oracle at
+    # sf0.001/0.01/0.1 before landing; interleaved min-of-3 x10 A/Bs in
+    # the docstrings): quantity_quartiles census order-statistics (the
+    # 3-task full-table window sort removed), priority_pending_orders
+    # max-rollup EXISTS, sql_shipping_priority per-orderkey revenue
+    # pre-agg, winnow_dups zip_with sketch folds:
+    "quantity_quartiles", "priority_pending_orders",
+    "sql_shipping_priority", "winnow_dups",
+    # r13 wave-3 _token_poly_hash fold (ascii inside the aggregate lambda,
+    # operators/dedup.py — identical values, expression-level plan change;
+    # winnow_dups above is the other consumer):
+    "simhash_neardup",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7176,8 +7226,13 @@ _R13_ROTATION = [
     "domain_mix_sample", "embedding_quantize", "excess_shipment_supplier",
     "forecast_revenue", "funnel_conversion", "hll_distinct",
     "idle_customer_balance", "label_centroids", "large_order_customers",
-    "lsh_multiprobe_topk", "min_cost_supplier", "nation_market_share",
-    "pq_adc_topk", "priority_pending_orders", "promo_revenue_monthly",
+    "lsh_multiprobe_topk",
+    # min_cost_supplier / nation_market_share / pq_adc_topk /
+    # promo_revenue_monthly rotated out (green r8/r9 rows intact, next in
+    # the r14 rotation) and priority_pending_orders moved to RECERT as
+    # the five wave-3 rewrites (quantity_quartiles /
+    # priority_pending_orders / sql_shipping_priority / winnow_dups /
+    # simhash_neardup) entered the window.
     # vocab_topk / stratified_sample / sql_shipping_priority (next in LRC
     # order) rotated out to keep the window at 50 as bpe_merges +
     # customer_rfm + clv_decile_migration entered RECERT; ngram_lm_score /

@@ -843,12 +843,19 @@ def test_topk_ties_rank_on_collapsed_rollup(spark):
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
-def test_quantity_quartiles_one_exchange_two_windows(spark):
-    """Both order-statistic windows (row_number + partition count) hash on
-    l_returnflag and share ONE exchange — the quantile never re-shuffles."""
+def test_quantity_quartiles_census_windows(spark):
+    """r13 wave 3: the order-statistic windows run over the (flag, qty)
+    frequency census, never the fact table — the fact table's only
+    exchange is the census partial/final agg, and the cumulative-count
+    windows share the one flag exchange of the census. The old shape
+    (row_number over the raw scan) sorted the whole fact table on
+    |flags| tasks."""
     plan = staged_plan_of(spark, "quantity_quartiles")
-    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "Exchange") == 2
     assert nodes(plan, "Window") == 2
+    # census agg (partial+final) sits BELOW the windows: 2 of the >=3
+    # HashAggregates are the census pair feeding the window exchange
+    assert nodes(plan, "HashAggregate") >= 3
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 

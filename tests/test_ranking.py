@@ -291,3 +291,51 @@ def test_rank_count_col_stamp(spark):
         assert sorted(r["rk"] for r in rows) == list(
             range(1, len(ROWS) + 1)
         ), env
+
+
+def test_census_order_statistics_match_bruteforce(spark):
+    """The (group, value) census cumulative-count device (r13 wave 3,
+    quantity_quartiles): the value at rank r recovered from cum_before <
+    r <= cum must equal indexing the sorted multiset directly, for random
+    tied data and all three quartile rank formulas."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(13)
+    rows = [
+        ("g%d" % (i % 3), rng.randint(0, 9)) for i in range(500)
+    ] + [("g3", 7)]  # single-row group: all quartiles are that row
+    df = spark.createDataFrame(rows, "g string, qty long")
+
+    census = df.groupBy("g", "qty").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("g").orderBy("qty")
+    wn = Window.partitionBy("g")
+    cum = census.select(
+        "g", "qty", "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    pick = lambda r: F.max(
+        F.when((F.col("cum_before") < r) & (r <= F.col("cum")), F.col("qty"))
+    )
+    got = {
+        r["g"]: (r["q25"], r["q50"], r["q75"])
+        for r in cum.groupBy("g").agg(
+            pick(F.expr("(n + 3) div 4")).alias("q25"),
+            pick(F.expr("(n + 1) div 2")).alias("q50"),
+            pick(F.expr("(3 * n + 3) div 4")).alias("q75"),
+        ).collect()
+    }
+
+    by_g = {}
+    for g, q in rows:
+        by_g.setdefault(g, []).append(q)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        want = tuple(
+            vals[r - 1]
+            for r in ((n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4)
+        )
+        assert got[g] == want, (g, got[g], want)
