@@ -412,11 +412,16 @@ def span_dedup(
         .select("doc", F.posexplode(spans_arr).alias("pos", "span"))
         .select("doc", "pos", F.xxhash64("span").alias("hs"))
     )
-    stats = hashed.groupBy("hs").agg(
-        F.count("*").alias("n_occ"), F.min("doc").alias("keeper")
-    )
+    # r13 wave 3 (guide §2.4): (n_occ, keeper) attach via a window over the
+    # SAME hs partitioning instead of groupBy(hs) + join-back — the agg and
+    # the SMJ ran on the same exchange but still paid the join machinery
+    # and a second sort; the window pays one sort on one exchange. Same
+    # survivor predicate, same values (count/min per hs partition).
+    # Measured interleaved min-of-3 at x10: 3.93 -> 3.34 s, 6 -> 5 jobs.
+    w_hs = Window.partitionBy("hs")
     kept_pos = (
-        hashed.join(stats, "hs")
+        hashed.withColumn("n_occ", F.count("*").over(w_hs))
+        .withColumn("keeper", F.min("doc").over(w_hs))
         .filter((F.col("n_occ") == 1) | (F.col("doc") == F.col("keeper")))
         .groupBy("doc")
         .agg(
