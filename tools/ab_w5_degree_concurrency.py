@@ -1,0 +1,216 @@
+"""Wave-5 interleaved x10 A/B: candidate rewrites vs the registered forms.
+
+Targets (found via plans/r13/*_before_w5.txt — both queries' unionByName
+branches re-evaluate their entire upstream subtree, the union-recompute
+disease):
+
+  degree_distribution: the symmetric union runs the cooccurrence pair
+    expansion TWICE (4 lineitem scans in the lazy plan). Candidates
+    symmetrize row-locally with explode(array(struct(u,v),struct(v,u)))
+    over ONE pair stream:
+      explode_cd:  groupBy(u).countDistinct(v)  (the registered fold)
+      explode_set: groupBy(u).size(collect_set(v))  (single exchange)
+  order_concurrency_peak: the +1/-1 event union runs the close-rollup
+    join TWICE. Candidate: one spans pass, events via explode, then the
+    (segment, day) census folds scalar-side (cusum/theilsen device —
+    calendar x enum bounded at ANY scale factor).
+
+Candidates are defined HERE, not in queries.py — code only changes if the
+A/B wins. Rows are compared across arms each round (sorted) so a candidate
+that diverges fails loudly before any timing is trusted.
+
+Arms are fully interleaved per round; each arm is a fresh subprocess;
+min-of-3 walls inside each subprocess, min over rounds reported.
+
+Usage: python tools/ab_w5_degree_concurrency.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "tools/ab_w5_result.json"
+ROUNDS = 3
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F, Window
+from numaflow_spark.queries import QUERIES
+from numaflow_spark.session import get_spark, load_table
+from numaflow_spark.operators.graph import cooccurrence_pairs, materialize_no_aqe
+
+sf = {sf!r}
+arm = {arm!r}
+spark = get_spark("ab_w5_" + arm, extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+for t in ("region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"):
+    load_table(spark, sf, t).count()
+
+
+def _sym_pairs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").select("u", "v")
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
+def degree_explode_cd(spark, sf_dir):
+    und = _sym_pairs(spark, sf_dir)
+    deg = und.groupBy("u").agg(F.countDistinct("v").alias("degree"))
+    out = (
+        deg.groupBy(
+            F.length(F.expr("bin(degree)")).cast("bigint").alias("degree_bucket")
+        )
+        .agg(F.count("*").alias("n_nodes"), F.sum("degree").alias("sum_degree"))
+    )
+    return materialize_no_aqe(out)
+
+
+def degree_explode_set(spark, sf_dir):
+    und = _sym_pairs(spark, sf_dir)
+    deg = und.groupBy("u").agg(
+        F.size(F.collect_set("v")).cast("bigint").alias("degree")
+    )
+    out = (
+        deg.groupBy(
+            F.length(F.expr("bin(degree)")).cast("bigint").alias("degree_bucket")
+        )
+        .agg(F.count("*").alias("n_nodes"), F.sum("degree").alias("sum_degree"))
+    )
+    return materialize_no_aqe(out)
+
+
+def concurrency_fold(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.expr("unix_micros(l_shipdate) div 86400000000")).alias("close_day")
+    )
+    spans = (
+        o.select(
+            "o_orderkey", "o_custkey",
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("open_day"),
+        )
+        .join(close, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "open_day", "close_day")
+    )
+    events = spans.select(
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                F.struct(F.col("open_day").alias("day"),
+                         F.lit(1).alias("delta")),
+                F.struct((F.col("close_day") + 1).alias("day"),
+                         F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("c_mktsegment", "e.day", "e.delta")
+    daily = events.groupBy("c_mktsegment", "day").agg(F.sum("delta").alias("net"))
+    rows = daily.collect()
+    assert len(rows) < 500000, "census bound blown"
+    by_seg = {{}}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append((r["day"], r["net"]))
+    out = []
+    for seg in sorted(by_seg):
+        cum = 0
+        peak = None
+        first_day = None
+        for dy, net in sorted(by_seg[seg]):
+            cum += net
+            if peak is None or cum > peak:
+                peak = cum
+                first_day = dy
+        out.append((seg, first_day, peak))
+    return spark.createDataFrame(
+        out, "c_mktsegment string, first_peak_day bigint, peak_open bigint"
+    )
+
+
+CANDS = {{
+    "degree_explode_cd": ("degree_distribution", degree_explode_cd),
+    "degree_explode_set": ("degree_distribution", degree_explode_set),
+    "degree_old": ("degree_distribution", None),
+    "conc_fold": ("order_concurrency_peak", concurrency_fold),
+    "conc_old": ("order_concurrency_peak", None),
+}}
+
+qname, fn = CANDS[arm]
+if fn is None:
+    fn = QUERIES[qname]
+rows = fn(spark, sf).collect()  # warm + row capture
+sig = sorted(tuple(str(v) for v in r) for r in rows)
+walls = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    fn(spark, sf).collect()
+    walls.append(time.perf_counter() - t0)
+print("RESULT::" + json.dumps({{"wall": round(min(walls), 3),
+                                "walls": [round(w, 3) for w in walls],
+                                "nrows": len(rows),
+                                "sig": sig[:200]}}))
+spark.stop()
+"""
+
+
+def run(arm: str) -> dict:
+    code = RUNNER.format(repo=REPO, sf=SF, arm=arm)
+    env = dict(os.environ, SPARK_GRAFT_CACHE_TABLES="1")  # bench suite mode
+    r = subprocess.run([PY, "-c", code], capture_output=True, text=True,
+                       timeout=3600, env=env)
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise RuntimeError(f"{arm} failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
+
+
+def main():
+    arms = ["degree_old", "degree_explode_cd", "degree_explode_set",
+            "conc_old", "conc_fold"]
+    acc = {a: [] for a in arms}
+    for rd in range(ROUNDS):
+        for a in arms:
+            out = run(a)
+            acc[a].append(out)
+            print(f"round{rd} {a}: {out['wall']}s walls={out['walls']}", flush=True)
+    for grp in (("degree_old", "degree_explode_cd", "degree_explode_set"),
+                ("conc_old", "conc_fold")):
+        base = acc[grp[0]][0]
+        for a in grp[1:]:
+            if acc[a][0]["sig"] != base["sig"] or acc[a][0]["nrows"] != base["nrows"]:
+                raise SystemExit(f"{a}: ROWS DIVERGE from {grp[0]} — candidate wrong")
+    res = {"_meta": {"sf": SF, "rounds": ROUNDS,
+                     "protocol": "fully interleaved per round, fresh subprocess "
+                                 "per arm-run, min-of-3 walls inside each, "
+                                 "rows compared across arms"}}
+    for a in arms:
+        res[a] = {"min": min(o["wall"] for o in acc[a]),
+                  "mins_per_round": [o["wall"] for o in acc[a]],
+                  "nrows": acc[a][0]["nrows"]}
+        print(f"== {a}: min={res[a]['min']} rounds={res[a]['mins_per_round']}")
+    with open(OUT, "w") as f:
+        json.dump(res, f, indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Regenerate the x10 weak list from the committed pair artifacts.
+
+Threshold (unchanged since r12): spark > 2x the bracketed twin-min AND
+spark wall >= 2 s. sf0.1 job counts attached from the FLOOR artifact;
+floor_attribution = "job-floor shape" when jobs*floor >= half the sf0.1
+wall, else "residual-dominated".
+
+Usage: python tools/make_weak_list.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "tools/weak_list_r13.json"
+
+
+def main() -> None:
+    bench = json.load(open("BENCH_LOCAL_r13_sf1_full.json"))
+    twin = json.load(open("BENCH_LOCAL_r13_sf1_duckdb_standalone.json"))
+    floor = json.load(open("FLOOR_sf01_r13.json"))
+    per_job = floor["per_job_floor_sec"]
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    weak = []
+    for q, s in sorted(bench["queries"].items()):
+        t = twin["queries"].get(q)
+        if t is None or s < 2.0 or s <= 2.0 * t:
+            continue
+        fq = floor["queries"].get(q, {})
+        jobs = fq.get("jobs")
+        attribution = "unknown"
+        if jobs is not None and fq.get("wall_sec"):
+            attribution = (
+                "job-floor shape"
+                if jobs * per_job >= 0.5 * fq["wall_sec"]
+                else "residual-dominated"
+            )
+        weak.append({
+            "query": q,
+            "spark_sec": round(s, 3),
+            "twin_sec": round(t, 3),
+            "ratio": round(s / t, 1),
+            "sf01_jobs": jobs,
+            "floor_attribution": attribution,
+        })
+    out = {
+        "_meta": {
+            "protocol": (
+                "canary-gated bracketed pair BENCH_LOCAL_r13_sf1_full vs "
+                "twin-min; threshold >2x twin and >=2s wall; sf0.1 jobs "
+                "from FLOOR_sf01_r13"
+            ),
+            "generated_from_git_head": head,
+            "count": len(weak),
+        },
+        "weak": weak,
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"{len(weak)} weak entries -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
