@@ -4541,6 +4541,30 @@ def q_nation_yoy_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sweep_peak(rows: list) -> list:
+    """Scalar-side sweep over a (segment, day, net-delta) census: cumulate
+    the per-day net into a running open count per segment (days ascending)
+    and return (segment, first day attaining the max, max) per segment,
+    segments sorted. The strictly-greater update keeps the FIRST peak day —
+    exactly the min(day)-where-open==peak semantics of the windowed form
+    this replaces (brute-force-tested in tests/test_ranking.py)."""
+    by_seg: dict = {}
+    for seg, day, net in rows:
+        by_seg.setdefault(seg, []).append((day, net))
+    out = []
+    for seg in sorted(by_seg):
+        cum = 0
+        peak = None
+        first_day = None
+        for day, net in sorted(by_seg[seg]):
+            cum += net
+            if peak is None or cum > peak:
+                peak = cum
+                first_day = day
+        out.append((seg, first_day, peak))
+    return out
+
+
 def q_order_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak number of simultaneously-open orders per market segment, via a
     sweep line: each order contributes +1 at its open day and -1 the day
@@ -4548,10 +4572,21 @@ def q_order_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     open-order count, and the peak plus its FIRST attainment day come off
     the tiny per-segment day series. The interval-overlap shape no other
     registered query exercises — counting concurrency without expanding
-    order×day rows (an order open 80 days costs 2 events, not 80). Fact
-    tables shuffle once each (orderkey close rollup, segment/day census);
-    the running-sum window sees ~|segments|×|days| rows only. All integer
-    (day numbers via unix_micros div 86400000000 on both engines)."""
+    order×day rows (an order open 80 days costs 2 events, not 80). All
+    integer (day numbers via unix_micros div 86400000000 on both engines).
+
+    r13 wave 5 (guide §2.4 + §8): the old unionByName event build
+    re-evaluated the whole spans subtree per branch — the lineitem close
+    rollup and both joins ran TWICE (plans/r13/
+    order_concurrency_peak_before_w5.txt). Now one spans pass emits both
+    events row-locally via explode(array(+1@open, −1@close+1)), and the
+    (segment, day) net census — bounded by |segments|×|calendar days|×2
+    (≲ 26 K rows at ANY scale factor, the written-bound collect class:
+    cusum/theilsen device) — folds scalar-side in _sweep_peak, replacing
+    the running-sum and peak windows. Interleaved ×10 A/B
+    (tools/ab_w5_result.json, min over 2 rounds of min-of-3, wall ranges
+    disjoint): 2.79 → 2.17 s. Hash-green vs the unchanged oracle at
+    sf0.001/0.01/0.1."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
@@ -4572,34 +4607,27 @@ def q_order_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "open_day", "close_day")
     )
     events = spans.select(
-        "c_mktsegment", F.col("open_day").alias("day"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select(
-            "c_mktsegment",
-            (F.col("close_day") + 1).alias("day"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("open_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("close_day") + 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("c_mktsegment", "e.day", "e.delta")
     daily = events.groupBy("c_mktsegment", "day").agg(
         F.sum("delta").alias("net")
     )
-    w_run = (
-        Window.partitionBy("c_mktsegment")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = daily.select(
-        "c_mktsegment", "day", F.sum("net").over(w_run).alias("open_orders")
-    )
-    w_seg = Window.partitionBy("c_mktsegment")
-    return (
-        run.withColumn("peak", F.max("open_orders").over(w_seg))
-        .filter(F.col("open_orders") == F.col("peak"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.min("day").alias("first_peak_day"),
-            F.max("peak").alias("peak_open"),
-        )
+    rows = [(r["c_mktsegment"], r["day"], r["net"]) for r in daily.collect()]
+    assert len(rows) < 500_000, "segment×day census bound blown"
+    return spark.createDataFrame(
+        _sweep_peak(rows),
+        "c_mktsegment string, first_peak_day bigint, peak_open bigint",
     )
 
 
@@ -7226,6 +7254,11 @@ RECERT_PENDING = [
     # (n_occ, keeper) attach via a window over the hs partitioning instead
     # of groupBy + join-back):
     "span_dedup",
+    # r13 wave-5 single-pass event build + bounded-census sweep fold
+    # (tools/ab_w5_result.json: 2.79 -> 2.17 s x10, disjoint wall ranges;
+    # the degree_distribution candidates from the same A/B were REJECTED —
+    # explode+countDistinct lost, explode+collect_set tied):
+    "order_concurrency_peak",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7240,7 +7273,10 @@ _R13_ROTATION = [
     "customer_order_distribution", "discounted_brand_revenue",
     "domain_mix_sample", "embedding_quantize", "excess_shipment_supplier",
     "forecast_revenue", "funnel_conversion", "hll_distinct",
-    "idle_customer_balance", "label_centroids",
+    "idle_customer_balance",
+    # label_centroids (green r8 row intact, next in the r14 rotation)
+    # rotated out as order_concurrency_peak re-entered via RECERT for the
+    # wave-5 rewrite.
     # large_order_customers / lsh_multiprobe_topk / min_cost_supplier /
     # nation_market_share / pq_adc_topk / promo_revenue_monthly rotated
     # out (green r8/r9 rows intact, next in the r14 rotation) and

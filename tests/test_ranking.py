@@ -232,6 +232,46 @@ def test_kendall_cd_matches_bruteforce():
         assert (c_got, d_got) == (c_want, d_want), (nq, ns)
 
 
+def test_sweep_peak_matches_day_expansion():
+    """The sweep-line scalar fold (queries._sweep_peak, the r13 wave-5
+    collapse of order_concurrency_peak) must equal the brute force that
+    expands every interval into per-day open counts and takes the first
+    day attaining the per-segment max — including ties in the peak (first
+    day wins), single-interval segments, and intervals sharing endpoints."""
+    import random
+
+    from numaflow_spark.queries import _sweep_peak
+
+    rng = random.Random(5)
+    for trial in range(20):
+        # random intervals per segment: (open_day, close_day), inclusive
+        intervals = [
+            ("s%d" % rng.randint(0, 3), (lambda o: (o, o + rng.randint(0, 9)))(
+                rng.randint(0, 30)
+            ))
+            for _ in range(rng.randint(1, 40))
+        ]
+        # brute force: count open intervals per (seg, day) over the full grid
+        want = []
+        for seg in sorted({s for s, _ in intervals}):
+            days = {}
+            for s, (o, c) in intervals:
+                if s != seg:
+                    continue
+                for d in range(o, c + 1):
+                    days[d] = days.get(d, 0) + 1
+            peak = max(days.values())
+            first = min(d for d, v in days.items() if v == peak)
+            want.append((seg, first, peak))
+        # the fold's input: the (seg, day, net) census the query collects
+        census = {}
+        for s, (o, c) in intervals:
+            census[(s, o)] = census.get((s, o), 0) + 1
+            census[(s, c + 1)] = census.get((s, c + 1), 0) - 1
+        got = _sweep_peak([(s, d, n) for (s, d), n in census.items()])
+        assert got == want, (trial, intervals)
+
+
 def test_running_sums_totals_and_count_stamp(spark):
     """totals_cols/count_col (r13 wave 2): the op-stamped grand totals and
     row count equal the separate aggregate they replace, in BOTH the

@@ -19,8 +19,17 @@ Candidates are defined HERE, not in queries.py — code only changes if the
 A/B wins. Rows are compared across arms each round (sorted) so a candidate
 that diverges fails loudly before any timing is trusted.
 
-Arms are fully interleaved per round; each arm is a fresh subprocess;
-min-of-3 walls inside each subprocess, min over rounds reported.
+Protocol (v2 — the v1 fresh-subprocess-per-arm numbers were GARBAGE and
+are superseded): this family's plan shape needs ~3 executions of JIT/
+codegen warm-up in a fresh JVM (measured convergence on the registered
+degree form at x10: 124.9 / 47.2 / 10.7 / 8.5 / 8.8 / 7.3 s), and
+bench.py's `del df; gc.collect()` between runs is load-bearing (without
+it the v1 runner plateaued at ~90 s — accumulated checkpoint/shuffle refs
+— instead of converging to the suite's committed 6.1 s). So: ONE warmed
+session per round runs ALL arms fully interleaved, two untimed warm
+passes first, then 3 timed passes, `del` + `gc.collect()` after every
+execution, materialization via toPandas (bench protocol). Rounds are
+fresh subprocesses; per-arm wall = min over rounds of min-of-3.
 
 Usage: python tools/ab_w5_degree_concurrency.py [sf_dir] [out.json]
 """
@@ -36,10 +45,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PY = sys.executable
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "tools/ab_w5_result.json"
-ROUNDS = 3
+ROUNDS = 2
 
 RUNNER = r"""
-import json, os, sys, time
+import gc, json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F, Window
 from numaflow_spark.queries import QUERIES
@@ -47,8 +56,7 @@ from numaflow_spark.session import get_spark, load_table
 from numaflow_spark.operators.graph import cooccurrence_pairs, materialize_no_aqe
 
 sf = {sf!r}
-arm = {arm!r}
-spark = get_spark("ab_w5_" + arm, extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark = get_spark("ab_w5", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 for t in ("region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"):
@@ -146,66 +154,84 @@ def concurrency_fold(spark, sf_dir):
     )
 
 
-CANDS = {{
-    "degree_explode_cd": ("degree_distribution", degree_explode_cd),
-    "degree_explode_set": ("degree_distribution", degree_explode_set),
-    "degree_old": ("degree_distribution", None),
-    "conc_fold": ("order_concurrency_peak", concurrency_fold),
-    "conc_old": ("order_concurrency_peak", None),
-}}
+ARMS = [
+    ("degree_old", "degree_distribution", None),
+    ("degree_explode_cd", "degree_distribution", degree_explode_cd),
+    ("degree_explode_set", "degree_distribution", degree_explode_set),
+    ("conc_old", "order_concurrency_peak", None),
+    ("conc_fold", "order_concurrency_peak", concurrency_fold),
+]
 
-qname, fn = CANDS[arm]
-if fn is None:
-    fn = QUERIES[qname]
-rows = fn(spark, sf).collect()  # warm + row capture
-sig = sorted(tuple(str(v) for v in r) for r in rows)
-walls = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    fn(spark, sf).collect()
-    walls.append(time.perf_counter() - t0)
-print("RESULT::" + json.dumps({{"wall": round(min(walls), 3),
-                                "walls": [round(w, 3) for w in walls],
-                                "nrows": len(rows),
-                                "sig": sig[:200]}}))
+
+def _exec(fn, qname):
+    df = fn(spark, sf) if fn is not None else QUERIES[qname](spark, sf)
+    pdf = df.toPandas()
+    rows = [tuple(str(v) for v in r) for r in pdf.itertuples(index=False)]
+    del df, pdf
+    gc.collect()
+    return sorted(rows)
+
+sigs = {{}}
+# warm pass 1 (captures row signatures) + warm pass 2 (JIT steady state)
+for name, qname, fn in ARMS:
+    sigs[name] = _exec(fn, qname)
+for name, qname, fn in ARMS:
+    _exec(fn, qname)
+
+walls = {{name: [] for name, _, _ in ARMS}}
+for rep in range(3):
+    for name, qname, fn in ARMS:
+        t0 = time.perf_counter()
+        _exec(fn, qname)
+        walls[name].append(round(time.perf_counter() - t0, 3))
+
+out = {{name: {{"wall": min(walls[name]), "walls": walls[name],
+               "nrows": len(sigs[name]), "sig": sigs[name][:200]}}
+       for name, _, _ in ARMS}}
+print("RESULT::" + json.dumps(out))
 spark.stop()
 """
 
 
-def run(arm: str) -> dict:
-    code = RUNNER.format(repo=REPO, sf=SF, arm=arm)
+def run_round() -> dict:
+    code = RUNNER.format(repo=REPO, sf=SF)
     env = dict(os.environ, SPARK_GRAFT_CACHE_TABLES="1")  # bench suite mode
     r = subprocess.run([PY, "-c", code], capture_output=True, text=True,
                        timeout=3600, env=env)
     for line in r.stdout.splitlines():
         if line.startswith("RESULT::"):
             return json.loads(line[len("RESULT::"):])
-    raise RuntimeError(f"{arm} failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
+    raise RuntimeError(f"round failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
 
 
 def main():
     arms = ["degree_old", "degree_explode_cd", "degree_explode_set",
             "conc_old", "conc_fold"]
-    acc = {a: [] for a in arms}
+    rounds = []
     for rd in range(ROUNDS):
+        out = run_round()
+        rounds.append(out)
         for a in arms:
-            out = run(a)
-            acc[a].append(out)
-            print(f"round{rd} {a}: {out['wall']}s walls={out['walls']}", flush=True)
+            print(f"round{rd} {a}: {out[a]['wall']}s walls={out[a]['walls']}",
+                  flush=True)
     for grp in (("degree_old", "degree_explode_cd", "degree_explode_set"),
                 ("conc_old", "conc_fold")):
-        base = acc[grp[0]][0]
+        base = rounds[0][grp[0]]
         for a in grp[1:]:
-            if acc[a][0]["sig"] != base["sig"] or acc[a][0]["nrows"] != base["nrows"]:
+            if (rounds[0][a]["sig"] != base["sig"]
+                    or rounds[0][a]["nrows"] != base["nrows"]):
                 raise SystemExit(f"{a}: ROWS DIVERGE from {grp[0]} — candidate wrong")
     res = {"_meta": {"sf": SF, "rounds": ROUNDS,
-                     "protocol": "fully interleaved per round, fresh subprocess "
-                                 "per arm-run, min-of-3 walls inside each, "
-                                 "rows compared across arms"}}
+                     "protocol": "v2: one warmed session per round, all arms "
+                                 "interleaved, 2 warm passes then 3 timed, "
+                                 "del+gc.collect() after every execution, "
+                                 "toPandas materialization; min over rounds "
+                                 "of min-of-3; rows compared across arms"}}
     for a in arms:
-        res[a] = {"min": min(o["wall"] for o in acc[a]),
-                  "mins_per_round": [o["wall"] for o in acc[a]],
-                  "nrows": acc[a][0]["nrows"]}
+        res[a] = {"min": min(r[a]["wall"] for r in rounds),
+                  "mins_per_round": [r[a]["wall"] for r in rounds],
+                  "walls_per_round": [r[a]["walls"] for r in rounds],
+                  "nrows": rounds[0][a]["nrows"]}
         print(f"== {a}: min={res[a]['min']} rounds={res[a]['mins_per_round']}")
     with open(OUT, "w") as f:
         json.dump(res, f, indent=1)
