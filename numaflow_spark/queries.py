@@ -2064,10 +2064,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum extended price (in exact cents) any order paid that
     supplier for that part. For every ECONOMY part of size <= 10 find the
     EUROPE supplier(s) achieving the region-wide minimum cost — the
-    correlated MIN subquery decorrelated to a per-part aggregate joined
-    back, TPC-H's canonical rewrite. Cost build: one shuffle on
-    (l_partkey, l_suppkey); region/nation/supplier/part all broadcast; the
-    min-per-part agg and its join share l_partkey partitioning. All
+    correlated MIN subquery computed as min() OVER (PARTITION BY
+    p_partkey) on the filtered cost rows (r13 wave-6 — the decorrelated
+    agg + join-back planned the cost subtree twice). Cost build: one
+    shuffle on (l_partkey, l_suppkey); region/nation/supplier/part all
+    broadcast; one part-keyed window exchange finishes it. All
     min-achieving suppliers are kept (ties included), so no ORDER BY /
     LIMIT nondeterminism crosses engines."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2088,9 +2089,17 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wanted = part.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
     cost = cost.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
-    min_cost = cost.groupBy("p_partkey").agg(F.min("cost_c").alias("min_cost_c"))
+    # r13 wave-6 (guide §2.4): the per-part MIN used to be a separate
+    # aggregate joined back — Catalyst planned the whole cost subtree
+    # TWICE (two lineitem rollup exchanges, eight broadcast builds) and
+    # finished with a SortMergeJoin. min() OVER (PARTITION BY p_partkey)
+    # computes the same per-part minimum in one pass over the already
+    # doubly-filtered cost rows (part-keyed, fine-grained partitioning —
+    # no skew, no single-partition window), so the second subtree and the
+    # self-join disappear. Same rows: every min-achieving supplier kept.
+    min_w = Window.partitionBy("p_partkey")
     return (
-        cost.join(min_cost, "p_partkey")
+        cost.withColumn("min_cost_c", F.min("cost_c").over(min_w))
         .filter(F.col("cost_c") == F.col("min_cost_c"))
         .select(
             _c100("s_acctbal").alias("s_acctbal_c"),
@@ -2868,13 +2877,13 @@ def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill with last-observation-carried-forward: daily
-    per-nation revenue joined onto each nation's full day calendar
-    (sequence() explode — no driver-side date loop), missing days filled
-    by last(ignorenulls) over the per-nation day order. The report shape
-    every monitoring pipeline needs before rates/rolling windows make
-    sense. is_gap marks synthesized rows. Scale: the calendar is
-    |nations| x |days| (tiny vs the fact table); the fill window rides the
-    same partitioning as the daily rollup."""
+    per-nation revenue, each observed day emitting itself plus the gap
+    days up to the next observation (lead() + sequence() explode — no
+    driver-side date loop, no calendar join; r13 wave-6). The report
+    shape every monitoring pipeline needs before rates/rolling windows
+    make sense. is_gap marks synthesized rows. Scale: the generated rows
+    are |nations| x |days| (tiny vs the fact table); the lead window
+    rides one nation-keyed exchange of the daily rollup."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -2885,18 +2894,33 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), day_no.alias("day_no"))
         .agg(F.sum(_cents(F.col("l_extendedprice").cast(DEC))).alias("day_rev_c"))
     )
-    cal = (
-        daily.groupBy("nation")
-        .agg(F.min("day_no").alias("lo"), F.max("day_no").alias("hi"))
-        .select("nation", F.explode(F.expr("sequence(lo, hi)")).alias("day_no"))
-    )
+    # r13 wave-6 (guide §2.4): the calendar + left-join + last(ignorenulls)
+    # form planned the daily rollup TWICE (once under the per-nation
+    # min/max calendar aggregate, once as the join probe side — different
+    # exchange keys, so no reuse) and paid a join plus a fill window.
+    # LOCF is generated directly instead: each observed day emits itself
+    # plus every missing day up to the next observation via
+    # explode(sequence(day_no, next_day - 1)), carrying its own revenue —
+    # the carried value IS the last observation by construction, and the
+    # calendar starts at each nation's min observed day exactly as the
+    # per-nation min/max sequence did (no leading-NULL rows exist in
+    # either form). One daily rollup, one nation-keyed window exchange,
+    # zero joins; identical (nation, day_no, rev, is_gap) rows.
     w = Window.partitionBy("nation").orderBy("day_no")
-    joined = cal.join(daily, ["nation", "day_no"], "left")
-    return joined.select(
+    nxt = daily.withColumn("next_day", F.lead("day_no").over(w))
+    filled = nxt.select(
+        "nation",
+        "day_rev_c",
+        F.col("day_no").alias("obs_day"),
+        F.explode(
+            F.expr("sequence(day_no, coalesce(next_day - 1, day_no))")
+        ).alias("day_no"),
+    )
+    return filled.select(
         "nation",
         "day_no",
-        F.last("day_rev_c", ignorenulls=True).over(w).alias("rev_filled_c"),
-        F.when(F.col("day_rev_c").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.col("day_rev_c").alias("rev_filled_c"),
+        F.when(F.col("day_no") == F.col("obs_day"), 0).otherwise(1).alias("is_gap"),
     )
 
 
@@ -7259,6 +7283,16 @@ RECERT_PENDING = [
     # the degree_distribution candidates from the same A/B were REJECTED —
     # explode+countDistinct lost, explode+collect_set tied):
     "order_concurrency_peak",
+    # r13 wave-6 duplicate-subtree removals (guide §2.4), each hash-green
+    # vs its UNCHANGED oracle at sf0.001/0.01/0.1 before landing:
+    # min_cost_supplier's per-part MIN as a window over the filtered cost
+    # rows (the decorrelated agg+join-back planned the cost subtree twice:
+    # 2 lineitem rollups + 8 broadcast builds + SMJ -> 1 rollup + 4
+    # broadcasts + 1 part-keyed window; 12 -> 7 cached-regime jobs), and
+    # gap_fill_locf's LOCF generated by lead()+sequence() explode (the
+    # calendar agg + left join + last(ignorenulls) planned the daily
+    # rollup twice; 9 -> 5 jobs, zero joins):
+    "min_cost_supplier", "gap_fill_locf",
 ]
 RECERT_SINCE_ROUND = 13
 _R13_PROMOTIONS = [
@@ -7272,8 +7306,10 @@ _R13_ROTATION = [
     # 20 least-recently-certified (r8-latest), registry order:
     "customer_order_distribution", "discounted_brand_revenue",
     "domain_mix_sample", "embedding_quantize", "excess_shipment_supplier",
-    "forecast_revenue", "funnel_conversion", "hll_distinct",
-    "idle_customer_balance",
+    "forecast_revenue", "funnel_conversion",
+    # hll_distinct / idle_customer_balance (green r8/r9 rows intact, next
+    # in the r14 rotation) rotated out as the two wave-6 rewrites
+    # (min_cost_supplier / gap_fill_locf) entered via RECERT.
     # label_centroids (green r8 row intact, next in the r14 rotation)
     # rotated out as order_concurrency_peak re-entered via RECERT for the
     # wave-5 rewrite.

@@ -548,6 +548,34 @@ def test_gap_fill_locf_no_python_no_cartesian(spark):
     assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
+def test_gap_fill_locf_single_rollup_no_calendar_join(spark):
+    """r13 wave-6: LOCF is generated by lead()+sequence() explode — the
+    calendar left-join is gone, so the daily rollup is planned ONCE (one
+    lineitem scan) and no join beyond the two dim broadcasts remains."""
+    plan = staged_plan_of(spark, "gap_fill_locf")
+    # exactly lineitem + the two dim scans — the rollup is not re-planned
+    assert nodes(plan, "Scan parquet") == 3
+    assert nodes(plan, "SortMergeJoin") == 0
+    assert nodes(plan, "ShuffledHashJoin") == 0
+    assert nodes(plan, "Generate") == 1  # the sequence() explode
+    assert nodes(plan, "Window") == 1  # the lead() pass
+
+
+def test_min_cost_supplier_single_cost_subtree(spark):
+    """r13 wave-6: the per-part MIN rides a window over the filtered cost
+    rows — the decorrelated agg + join-back that planned the whole cost
+    subtree twice (2 lineitem rollups, 8 broadcast builds, SMJ finish) is
+    gone: one lineitem scan, <= 4 broadcast builds, no shuffle join."""
+    plan = plan_of(spark, "min_cost_supplier")
+    li_scans = len(re.findall(r"Scan parquet [^\n]*lineitem", plan)) or plan.count(
+        "lineitem"
+    )
+    assert li_scans <= 2  # scan node + its details section entry
+    assert nodes(plan, "BroadcastExchange") <= 4
+    assert nodes(plan, "SortMergeJoin") == 0
+    assert nodes(plan, "Window") == 1
+
+
 def test_event_transitions_single_exchange(spark):
     """lag window + 5x5 transition groupBy: the window's user_id hash
     partitioning is the only exchange before the tiny final agg gather."""
