@@ -1595,15 +1595,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != "src0")
 
-    # 1. exact dedup: keep the minimum doc_id per normalized-text
-    # fingerprint — one window shuffle, no self-join
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    dedup = (
-        corpus.withColumn("fp", fingerprint_md5(F.col("text")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("fp", "rn")
-    )
+    # Stages 1+2 COMMUTED (r13 wave 7, guide §2.2 shuffle-fewer-bytes):
+    # the quality gate runs BELOW the dedup window. Valid because
+    # fp = md5(text) determines text, so every fp-group's members share one
+    # gate outcome (the gate reads only text) — groups pass or fail
+    # atomically and min(doc_id) within a surviving group is unchanged.
+    # The fp exchange — the query's only full-text shuffle — now carries
+    # just the gate's survivors (measured sf0.1: 2,603 of 4,750 corpus
+    # docs, a 45% byte cut that holds at every scale). sf0.1 probe
+    # 2.16 → 1.48 s; ×10 walls within this host's noise band
+    # (tools/ab_w7_result.json) — the claim is bytes-structural.
 
     # 2. quality gate (same signals as doc_quality_gopher's `passes`)
     toks = tokens(F.col("text"))
@@ -1612,8 +1613,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(toks),
         4,
     )
-    qual = (
-        dedup.withColumn("n_words", F.size(toks).cast("bigint"))
+    gated = (
+        corpus.withColumn("n_words", F.size(toks).cast("bigint"))
         .withColumn("mean_wlen", mean_wlen)
         .filter(
             (F.col("n_words") >= 50)
@@ -1621,6 +1622,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mean_wlen") >= 2)
             & (F.col("mean_wlen") <= 10)
         )
+    )
+
+    # 1. exact dedup: keep the minimum doc_id per normalized-text
+    # fingerprint — one window shuffle (over gate survivors only), no
+    # self-join
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    qual = (
+        gated.withColumn("fp", fingerprint_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("fp", "rn")
     )
 
     # The survivor set feeds TWO consumers — the shingle probe below and
@@ -5073,14 +5085,26 @@ def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         per, "yr", [F.col("rev_c").desc(), F.col("o_custkey")], "decile",
         10, primary="rev_c", descending=True, materialize=False,
     )
-    a = deciled.filter(F.col("yr") == F.col("y0")).select(
-        "o_custkey", F.col("decile").alias("decile_from")
-    )
-    b = deciled.filter(F.col("yr") == F.col("y0") + 1).select(
-        "o_custkey", F.col("decile").alias("decile_to")
+    # (from, to) census in ONE pass over the deciled stream (r13 wave 7,
+    # guide §2.4): the former a ⋈ b self-join on o_custkey evaluated the
+    # whole rank-attach pipeline once per branch and paid the join's
+    # exchanges. Each customer has ≤ 1 row per year (the rollup is keyed
+    # (cust, yr)), so max(when(yr = …)) IS that year's decile and the
+    # both-non-null filter IS the inner join. Interleaved ×10 A/B
+    # (tools/ab_w7_result.json): wins all 3 rounds, min 2.19 vs 2.73 s;
+    # sf0.1 probe 2.87 → 1.36 s.
+    pair = deciled.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("yr") == F.col("y0"), F.col("decile"))).alias(
+            "decile_from"
+        ),
+        F.max(F.when(F.col("yr") == F.col("y0") + 1, F.col("decile"))).alias(
+            "decile_to"
+        ),
     )
     return (
-        a.join(b, "o_custkey")
+        pair.filter(
+            F.col("decile_from").isNotNull() & F.col("decile_to").isNotNull()
+        )
         .groupBy("decile_from", "decile_to")
         .agg(F.count("*").alias("n_customers"))
     )
@@ -5908,24 +5932,34 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Symmetry collapse (r12): over the both-ways edge set the x and y
     # marginals are identical, so n = Σd, sx = sy = Σd², sxx = syy = Σd³
     # come from the DEGREE TABLE alone — no edge join. Only the cross
-    # moment needs the graph: sxy = Σ_u d(u)·s(u) with s(u) = Σ_{v∈Γ(u)}
-    # d(v), ONE edge⋈degree hash join + one node-sized join instead of the
-    # textbook two edge-table joins. All sums are exact integers
-    # (DECIMAL(38,0)), so the regrouped summation order cannot perturb the
-    # final double chain — bit-identical to the oracle's edge-join form.
+    # moment needs the graph (wave-7 form below). All sums are exact
+    # integers (DECIMAL(38,0)), so the regrouped summation order cannot
+    # perturb the final double chain — bit-identical to the oracle's
+    # edge-join form.
     m1 = deg.agg(
         F.sum("d").cast("bigint").alias("n"),
         F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sx"),
         F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d * d")).alias("sxx"),
     )
-    dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("dv"))
-    su = (
-        und.join(dv, und.v == dv.ev)
-        .groupBy("u")
-        .agg(F.sum("dv").alias("s"))
-    )
-    sxy = su.join(deg, "u").agg(
-        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * s")).alias("sxy")
+    # Cross moment without the 2|E|-row join chain (r13 wave 7): over the
+    # both-ways edge set, sxy = Σ_directed d(src)·d(dst) = 2·Σ_{u,v ∈ E}
+    # d(u)·d(v) — attach d to BOTH endpoints of the DISTINCT pair stream
+    # (half the rows of `und`) with two part-keyed equi-joins and fold one
+    # aggregate. No broadcast hint: AQE picks broadcast-hash at local sizes
+    # (deg is |V| ≤ |part| rows) and falls back to a shuffled join at
+    # cluster scale. Replaces und(2|E|) ⋈ deg + groupBy(u) + ⋈ deg (s(u)
+    # never materializes). Exact-integer regrouping in DECIMAL(38,0) under
+    # commutative adds — bit-identical final double chain. Interleaved ×10
+    # A/B (tools/ab_w7_result.json, tmpfs-shuffle regime): min 9.22 vs
+    # 9.99 s, 2/3 rounds; sf0.1 jobs 13 → 11.
+    du = deg.select(F.col("u").alias("ku"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("kv"), F.col("d").alias("dv"))
+    sxy = (
+        pairs.join(du, pairs.u == du.ku)
+        .join(dv, pairs.v == dv.kv)
+        .agg(
+            F.sum(F.expr("2 * CAST(du AS DECIMAL(38,0)) * dv")).alias("sxy")
+        )
     )
     m = m1.crossJoin(F.broadcast(sxy))
     num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx)"

@@ -1,0 +1,312 @@
+"""Wave-7 interleaved x10 A/B: three candidate rewrites vs registered forms.
+
+Targets (weak-list residue after waves 1-6):
+
+  graph_assortativity (13 jobs, ~6.1 s x10): the cross moment currently
+    pays und(2|E|) JOIN deg + groupBy(u) + JOIN deg. Candidate: over the
+    both-ways edge set, sxy = SUM over directed edges d(src)*d(dst)
+    = 2 * SUM over undirected pairs d(u)*d(v) — attach d to BOTH endpoints
+    of the distinct-pair stream with two part-sized equi-joins (AQE picks
+    broadcast at this size, SMJ at cluster scale — no hint) and fold one
+    DECIMAL(38,0) aggregate. Exact-integer regrouping; identical moments.
+
+  corpus_curation (6 jobs, ~4.4 s x10): the dedup window shuffles FULL
+    TEXT for the whole corpus, then the quality gate drops 45% of rows
+    (measured sf0.1: 2603/4750 pass). fp = md5(text) determines text, so
+    every fp-group passes or fails the gate atomically and min(doc_id)
+    within a surviving group is unchanged: the gate commutes below the
+    window. Candidate filters BEFORE the fp window — ~45% fewer text
+    bytes through the exchange at every scale.
+
+  clv_decile_migration (9 jobs, ~2.1 s x10): the (from, to) census joins
+    two filtered branches of the SAME deciled stream on o_custkey — the
+    rank-attach machinery evaluates once per branch and the join adds two
+    exchanges. Candidate: one groupBy(o_custkey) with conditional
+    max(when(yr = y0/y0+1, decile)) — each customer has <= 1 row per year
+    (the rollup is keyed (cust, yr)), so max() IS the value and the
+    both-non-null filter IS the inner join.
+
+Candidates are defined HERE, not in queries.py — code only changes if the
+A/B wins. Rows are compared across arms each round (sorted) so a candidate
+that diverges fails loudly before any timing is trusted.
+
+Protocol: v2 (tools/ab_w5_degree_concurrency.py) — one warmed session per
+round runs ALL arms fully interleaved, two untimed warm passes, then 3
+timed passes, del + gc.collect() after every execution, toPandas
+materialization; rounds are fresh subprocesses; per-arm wall = min over
+rounds of min-of-3.
+
+Usage: python tools/ab_w7.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "tools/ab_w7_result.json"
+ROUNDS = int(os.environ.get("AB_W7_ROUNDS", "3"))
+
+# The 2026-08-18 box suffers multi-minute sequential-write degradation
+# bursts (tools/host_canary.py write256m probe: ~50-75 MB/s inside a burst
+# vs 340-470 healthy) that poison disk-shuffle walls at the 5-10x level.
+# All three wave-7 candidates strictly REDUCE shuffle volume, so a
+# CPU-bound regime (shuffle dirs on tmpfs) is the CONSERVATIVE comparison:
+# if a candidate wins with cheap shuffle, slower shuffle media only widen
+# its win. Set AB_W7_TMPFS=0 to measure on the real disk.
+TMPFS = os.environ.get("AB_W7_TMPFS", "1") not in ("0", "false")
+
+RUNNER = r"""
+import gc, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import Window, functions as F
+from numaflow_spark.queries import QUERIES, load_table, _cents, DEC
+from numaflow_spark.session import get_spark
+
+sf = {sf!r}
+extra = {{"spark.ui.showConsoleProgress": "false"}}
+if os.environ.get("AB_W7_TMPFS_DIR"):
+    extra["spark.local.dir"] = os.environ["AB_W7_TMPFS_DIR"]
+spark = get_spark("ab_w7", extra_conf=extra)
+spark.sparkContext.setLogLevel("ERROR")
+for t in ("region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"):
+    load_table(spark, sf, t).count()
+
+
+def assort_bcast(spark, sf_dir):
+    from numaflow_spark.operators.graph import cooccurrence_pairs, cut_lineage
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("u", "v")
+        .distinct()
+    )
+    pairs = cut_lineage(pairs, eager=True)
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    m1 = deg.agg(
+        F.sum("d").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sx"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d * d")).alias("sxx"),
+    )
+    du = deg.select(F.col("u").alias("ku"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("kv"), F.col("d").alias("dv"))
+    sxy = (
+        pairs.join(du, pairs.u == du.ku)
+        .join(dv, pairs.v == dv.kv)
+        .agg(
+            F.sum(
+                F.expr("2 * CAST(du AS DECIMAL(38,0)) * dv")
+            ).alias("sxy")
+        )
+    )
+    m = m1.crossJoin(F.broadcast(sxy))
+    num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vx = "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            f"round(CAST({{num}} AS DOUBLE) / "
+            f"sqrt(CAST({{vx}} AS DOUBLE) * CAST({{vx}} AS DOUBLE)), 6)"
+        ).alias("assortativity"),
+    )
+
+
+def curation_gatepush(spark, sf_dir):
+    from numaflow_spark.operators.dedup import fingerprint_md5, shingle_hashes
+    from numaflow_spark.operators.graph import cut_lineage
+    from numaflow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+
+    toks = tokens(F.col("text"))
+    mean_wlen = F.round(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / F.size(toks),
+        4,
+    )
+    gated = (
+        corpus.withColumn("n_words", F.size(toks).cast("bigint"))
+        .withColumn("mean_wlen", mean_wlen)
+        .filter(
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (F.col("mean_wlen") >= 2)
+            & (F.col("mean_wlen") <= 10)
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    qual = (
+        gated.withColumn("fp", fingerprint_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_words")
+    )
+    qual = cut_lineage(qual, eager=False)
+
+    bench_sh = (
+        shingle_hashes(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
+        .select("h")
+        .distinct()
+    )
+    flagged = (
+        shingle_hashes(qual.select("doc_id", "text"), "doc_id", "text", 5)
+        .join(F.broadcast(bench_sh), "h")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+    )
+    clean = qual.join(flagged, "doc_id", "left_anti")
+    h = F.pmod((F.col("doc_id") * F.lit(2654435761)).cast("bigint"), F.lit(4294967296))
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit(1 << 31))
+        .when(F.col("lang") == "de", F.lit(1 << 30))
+        .when(F.col("lang") == "fr", F.lit(1 << 29))
+        .otherwise(F.lit(1 << 28))
+    )
+    return clean.filter(h < thresh).select("doc_id", "lang", "source", "n_words")
+
+
+def migr_onepass(spark, sf_dir):
+    from numaflow_spark.operators.ranking import (
+        add_grouped_global_ntile,
+        materialize_ranking_input,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            _cents(F.col("o_totalprice").cast(DEC)).alias("p_c"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("p_c").alias("rev_c"))
+    )
+    y0 = orders.agg(F.min(F.year("o_orderdate")).alias("y0"))
+    per = per.crossJoin(F.broadcast(y0)).filter(
+        (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y0") + 1)
+    )
+    per = materialize_ranking_input(per, eager=False)
+    deciled = add_grouped_global_ntile(
+        per, "yr", [F.col("rev_c").desc(), F.col("o_custkey")], "decile",
+        10, primary="rev_c", descending=True, materialize=False,
+    )
+    pair = deciled.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("yr") == F.col("y0"), F.col("decile"))).alias(
+            "decile_from"
+        ),
+        F.max(F.when(F.col("yr") == F.col("y0") + 1, F.col("decile"))).alias(
+            "decile_to"
+        ),
+    )
+    return (
+        pair.filter(
+            F.col("decile_from").isNotNull() & F.col("decile_to").isNotNull()
+        )
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ARMS = [
+    ("assort_old", "graph_assortativity", None),
+    ("assort_bcast", "graph_assortativity", assort_bcast),
+    ("cur_old", "corpus_curation", None),
+    ("cur_gatepush", "corpus_curation", curation_gatepush),
+    ("migr_old", "clv_decile_migration", None),
+    ("migr_onepass", "clv_decile_migration", migr_onepass),
+]
+
+
+def _exec(fn, qname):
+    df = fn(spark, sf) if fn is not None else QUERIES[qname](spark, sf)
+    pdf = df.toPandas()
+    rows = [tuple(str(v) for v in r) for r in pdf.itertuples(index=False)]
+    del df, pdf
+    gc.collect()
+    return sorted(rows)
+
+sigs = {{}}
+for name, qname, fn in ARMS:
+    sigs[name] = _exec(fn, qname)
+for name, qname, fn in ARMS:
+    _exec(fn, qname)
+
+walls = {{name: [] for name, _, _ in ARMS}}
+for rep in range(3):
+    for name, qname, fn in ARMS:
+        t0 = time.perf_counter()
+        _exec(fn, qname)
+        walls[name].append(round(time.perf_counter() - t0, 3))
+
+out = {{name: {{"wall": min(walls[name]), "walls": walls[name],
+               "nrows": len(sigs[name]), "sig": sigs[name][:200]}}
+       for name, _, _ in ARMS}}
+print("RESULT::" + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_round() -> dict:
+    code = RUNNER.format(repo=REPO, sf=SF)
+    env = dict(os.environ, SPARK_GRAFT_CACHE_TABLES="1")
+    if TMPFS:
+        d = "/dev/shm/ab_w7_shuffle"
+        os.makedirs(d, exist_ok=True)
+        env["AB_W7_TMPFS_DIR"] = d
+    r = subprocess.run([PY, "-c", code], capture_output=True, text=True,
+                       timeout=3600, env=env)
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise RuntimeError(f"round failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
+
+
+def main():
+    arms = [a for a, _, _ in [
+        ("assort_old", None, None), ("assort_bcast", None, None),
+        ("cur_old", None, None), ("cur_gatepush", None, None),
+        ("migr_old", None, None), ("migr_onepass", None, None)]]
+    rounds = []
+    for rd in range(ROUNDS):
+        out = run_round()
+        rounds.append(out)
+        for a in arms:
+            print(f"round{rd} {a}: {out[a]['wall']}s walls={out[a]['walls']}",
+                  flush=True)
+    for grp in (("assort_old", "assort_bcast"),
+                ("cur_old", "cur_gatepush"),
+                ("migr_old", "migr_onepass")):
+        base = rounds[0][grp[0]]
+        for a in grp[1:]:
+            if (rounds[0][a]["sig"] != base["sig"]
+                    or rounds[0][a]["nrows"] != base["nrows"]):
+                raise SystemExit(f"{a}: ROWS DIVERGE from {grp[0]} — candidate wrong")
+    res = {"_meta": {"sf": SF, "rounds": ROUNDS,
+                     "protocol": "v2 (ab_w5): one warmed session per round, all "
+                                 "arms interleaved, 2 warm passes then 3 timed, "
+                                 "del+gc after every execution, toPandas; min "
+                                 "over rounds of min-of-3; rows compared"}}
+    for a in arms:
+        res[a] = {"min": min(r[a]["wall"] for r in rounds),
+                  "mins_per_round": [r[a]["wall"] for r in rounds],
+                  "walls_per_round": [r[a]["walls"] for r in rounds],
+                  "nrows": rounds[0][a]["nrows"]}
+        print(f"== {a}: min={res[a]['min']} rounds={res[a]['mins_per_round']}")
+    with open(OUT, "w") as f:
+        json.dump(res, f, indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,15 @@ import tempfile
 import time
 
 # Healthy references measured on this box idle (2026-08-16): single-core
-# burn ~1.2-1.8 s, 16-par ~0.9-1.3 s, 64 fsyncs ~0.1-0.5 s.
-REF = {"single_burn_s": 1.8, "par16_burn_s": 1.3, "fsync64_s": 0.5}
+# burn ~1.2-1.8 s, 16-par ~0.9-1.3 s, 64 fsyncs ~0.1-0.5 s. Write
+# THROUGHPUT added 2026-08-18 (r13 wave 7): the box suffers multi-minute
+# windows where sequential writes fall to ~50-75 MB/s (healthy: 340-470)
+# while CPU and fsync LATENCY stay normal — exactly the burst that crushes
+# x10 shuffle-heavy queries (graph_assortativity probed 6 s committed vs
+# 27-50 s inside a burst) without tripping the original three probes.
+# 256 MiB direct-write, healthy >= ~2.5 s/GB equivalent; threshold 2x.
+REF = {"single_burn_s": 1.8, "par16_burn_s": 1.3, "fsync64_s": 0.5,
+       "write256m_s": 1.6}
 
 
 def _burn(_=None) -> int:
@@ -58,10 +65,28 @@ def main() -> int:
         os.close(fd)
         os.unlink(path)
 
+    # sequential write THROUGHPUT (256 MiB buffered + one fsync) on the same
+    # filesystem Spark's shuffle/local dirs live on — the fsync makes the
+    # timer see the device, not just the page cache
+    fd, path = tempfile.mkstemp(dir="/tmp")
+    os.close(fd)
+    try:
+        block = b"x" * (1024 * 1024)
+        with open(path, "wb") as f:
+            t0 = time.perf_counter()
+            for _ in range(256):
+                f.write(block)
+            f.flush()
+            os.fsync(f.fileno())
+            write256m = time.perf_counter() - t0
+    finally:
+        os.unlink(path)
+
     got = {
         "single_burn_s": round(single, 3),
         "par16_burn_s": round(par16, 3),
         "fsync64_s": round(fsync64, 3),
+        "write256m_s": round(write256m, 3),
     }
     degraded = [k for k, v in got.items() if v > 2 * REF[k]]
     verdict = {
