@@ -357,7 +357,7 @@ def _streaming_throughput(
     n_batches: int = 20,
     rows_per_batch: int = 50_000,
     key_count: int = 8,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> float:
     """Drain generator -> map -> keyed tumbling agg -> update-mode memory
     sink and report end-to-end events/s (BASELINE.md streaming target:
@@ -376,7 +376,15 @@ def _streaming_throughput(
     # state partitions below scan width (cores/2); with 8 distinct keys the
     # useful parallelism is the key cardinality itself. At 32 partitions
     # per-micro-batch task+state-store overhead dominates: measured 57K
-    # ev/s @32 vs 133K @8 on this harness.
+    # ev/s @32 vs 133K @8 on this harness. r13 re-sizing
+    # (tools/ab_stream_partitions_result.json, interleaved in-session):
+    # the per-batch state-store commit cost still dominates at 8 — 4
+    # partitions wins all 5 interleaved rounds with disjoint ranges
+    # (median 160.8K vs 137.0K ev/s, +17%); 2-3 partitions plateau with 4
+    # and leave less headroom against hash imbalance of the 8 keys, so 4
+    # is the chosen point. RocksDB at this state size loses (~20%) to the
+    # default provider — state is ~8 rows/partition, commit cost is pure
+    # overhead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     ckpt = tempfile.mkdtemp(prefix="bench_stream_")

@@ -1,0 +1,119 @@
+"""Interleaved probe of the bench streaming stage's sizing levers
+(OPTIMIZATION_r13 carry item 2: "state-store commit per batch dominates
+below ~8 partitions; unexamined beyond the r12 sizing note").
+
+Arms reuse bench.py's _streaming_throughput VERBATIM (same generator ->
+map -> keyed tumbling agg -> update-mode memory sink, same 20x50K event
+budget) with only the sizing/provider knobs varied:
+
+  p4 / p8 / p16      : spark.sql.shuffle.partitions for the stateful agg
+  p8-rocksdb         : 8 partitions on the RocksDB state store provider
+
+Protocol: one warmed session; one untimed warm-up pass (bench.py's own
+codegen/JIT note), then R interleaved rounds over all arms. Reported per
+arm: every reading + max (throughput is a rate: host stalls only ever
+LOWER it, so max is the noise-robust statistic, mirroring min for walls).
+
+This is an evidence probe, not a bench change: bench.py's methodology is
+untouched; the result informs whether round 2 should touch the sizing.
+
+Usage: python tools/ab_stream_partitions.py [rounds]
+Writes tools/ab_stream_partitions_result.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from numaflow_spark.session import get_spark
+
+    import bench
+
+    spark = get_spark("ab_stream_partitions")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rocks = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
+
+    def run(parts: int, conf: dict | None = None) -> float:
+        prev = {}
+        for k, v in (conf or {}).items():
+            try:
+                prev[k] = spark.conf.get(k)
+            except Exception:
+                prev[k] = None
+            spark.conf.set(k, v)
+        try:
+            return bench._streaming_throughput(spark, state_partitions=parts)
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    arms: dict[str, tuple[int, dict | None]] = {
+        "p4": (4, None),
+        "p8": (8, None),
+        "p16": (16, None),
+        "p8-rocksdb": (8, rocks),
+    }
+
+    # warm-up pass (untimed): first streaming query pays codegen/JIT
+    run(8)
+
+    results: dict[str, list[float]] = {k: [] for k in arms}
+    for r in range(rounds):
+        for name, (parts, conf) in arms.items():
+            rps = run(parts, conf)
+            results[name].append(rps)
+            print(f"round {r} {name}: {rps} ev/s", flush=True)
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+        timeout=10, cwd=REPO,
+    ).stdout.strip()
+    out = {
+        "_meta": {
+            "generated_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "git_head": head,
+            "protocol": (
+                "one warmed session, 1 untimed warm-up, then rounds x all "
+                "arms interleaved; statistic = max (rate metric: stalls "
+                "only lower it); harness = bench._streaming_throughput "
+                "verbatim, only sizing/provider varied"
+            ),
+            "rounds": rounds,
+        },
+        "arms": {
+            k: {"runs": v, "max": max(v), "median": sorted(v)[len(v) // 2]}
+            for k, v in results.items()
+        },
+    }
+    path = os.path.join(REPO, "tools", "ab_stream_partitions_result.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out["arms"][k]["max"] for k in arms}))
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
