@@ -70,13 +70,13 @@ def train_bpe(
     durable at cluster scale (operators/graph.py::cut_lineage)."""
     from numaflow_spark.operators.graph import aqe_off, cut_lineage
 
-    # LAZY checkpoints throughout (the r13 CC probe-fusion device,
-    # graph.py::connected_components): each round's argmax collect is the
-    # action that materializes the previous round's merged syms — its map
-    # stages compute every partition, so the local checkpoint persists as
-    # a side effect of the SAME job and probe + materialize = 1 job per
-    # round instead of 2 (measured sf0.1: bpe_merges 19 -> 11 jobs,
-    # identical merges).
+    # EAGER checkpoints (r14 revert of the r13 lazy probe-fusion variant):
+    # lazy rounds saved ~8 jobs/query on an idle host, but the driver
+    # measured bpe_merges 1.9 -> 4.2 s at 32 cores with a 0.38 scaling
+    # ratio (faster at 8 cores than 32) — the same contended-host
+    # anti-scaling family as the CC loops. Eager is the r12 form the
+    # driver measured healthy; adjudicated cold (tools/coldq_device_revert
+    # .json).
     syms = cut_lineage(
         vocab.select(
             word_col,
@@ -85,7 +85,7 @@ def train_bpe(
             # the lookahead keeps Spark's trailing-empty split artifact out
         ),
         checkpoint_dir,
-        eager=False,
+        eager=True,
     )
     merges: list[tuple[str, str]] = []
     # The merge rounds are the iterative-loop AQE regime (graph.py::aqe_off
@@ -119,7 +119,7 @@ def train_bpe(
             syms = cut_lineage(
                 syms.withColumn("syms", F.expr(_merge_expr("syms", a, b))),
                 checkpoint_dir,
-                eager=False,
+                eager=True,
             )
     return merges, syms
 

@@ -222,8 +222,15 @@ def connected_components(
     # Materialize the canonical edge set before iterating: round 1's plan
     # references it from several union/join branches, so leaving the
     # (possibly expensive — e.g. a full LSH pipeline) upstream lazy would
-    # re-evaluate it per branch. LAZY checkpoint + count: the count is the
-    # materializing action (one job for both, vs eager-cut + count = two).
+    # re-evaluate it per branch. EAGER checkpoints (r14): the r13 lazy
+    # probe-fusion variant (rounds checkpoint lazily, the star-forest
+    # probe materializes them as a side effect, 1 job/round instead of 2)
+    # saved ~7 jobs/query on an idle host but the driver measured the
+    # whole CC family ~2x slower at 32 cores under host contention
+    # (neardup_clusters 4.7 -> 9.1 s, embedding_clusters 4.4 -> 12.2 s,
+    # scaling ratios 0.43-0.58) — a cold-JVM load-16 A/B
+    # (tools/coldq_device_revert.json) adjudicated the revert; eager was
+    # the r11/r12 form the driver measured healthy twice.
     # NOTE on AQE in the rounds: the r10 aqe_off experiment (blanket AND
     # loop-scoped) made CC *slower* here — embedding_clusters 4.87 -> 8.0 s,
     # neardup_clusters 5.1 -> 6.0 s at sf0.1 — because each round is a
@@ -234,18 +241,13 @@ def connected_components(
     e = cut_lineage(
         _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))),
         checkpoint_dir,
-        eager=False,
+        eager=True,
     )
-    # The count sizes the whole loop (sized_loop_conf): with AQE off and
-    # right-sized shuffle partitions each round is ONE job. r13 fusion:
-    # rounds checkpoint LAZILY and the star-forest probe (converged iff no
-    # node appears as BOTH a source and a target — one union + one
-    # groupBy) is the action that materializes them. The probe's map
-    # stages compute every partition of the round output, so the local
-    # checkpoint persists as a side effect of the SAME job and lineage is
-    # truncated when the job completes — probe + materialize = 1 job per
-    # round instead of 2 (r12: ~2/round; measured r13 at sf0.1:
-    # neardup_clusters 22 -> 15 jobs, same output).
+    # One count over the just-checkpointed blocks sizes the whole loop
+    # (sized_loop_conf): with AQE off and right-sized shuffle partitions
+    # each round's eager materialization is ONE job, and the star-forest
+    # probe (converged iff no node appears as BOTH a source and a target
+    # — one union + one groupBy) reads materialized blocks only.
     n0 = e.count()
     with sized_loop_conf(e.sparkSession, n0):
         for _ in range(max_iter):
@@ -259,7 +261,7 @@ def connected_components(
             )
             if flags.filter((F.col("o") == 1) & (F.col("i") == 1)).isEmpty():
                 break
-            e = cut_lineage(_round(e), checkpoint_dir, eager=False)
+            e = cut_lineage(_round(e), checkpoint_dir, eager=True)
         else:  # pragma: no cover - max_iter tuned far above O(log² n) bound
             raise RuntimeError(
                 f"connected_components: no convergence in {max_iter} rounds"
@@ -523,10 +525,14 @@ def pagerank(
         eager=True,
     )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    # The rounds run under aqe_off with EAGER round checkpoints — lazy
-    # rounds re-planned under AQE measured 53 jobs / 7.97 s for the
-    # 5-iteration bipartite query vs 5 jobs / ~5 s without.
+    # The rounds run under sized_loop_conf with EAGER round checkpoints —
+    # lazy rounds re-planned under AQE measured 53 jobs / 7.97 s for the
+    # 5-iteration bipartite query vs 5 jobs / ~5 s without; r14 adds the
+    # data-sized loop width (was: aqe_off at session width — 32-wide task
+    # storms per round, part of the driver-measured contended-host
+    # anti-scaling family, pagerank_bipartite scaling ratio 0.63).
     e = cut_lineage(edges.join(deg, src), checkpoint_dir, eager=True)
+    n_e = e.count()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -540,7 +546,7 @@ def pagerank(
         "node", "n", F.expr(f"cast({scale} as bigint) div n").alias("rank")
     )
     base = f"(15 * cast({scale} as bigint) div 100) div n"
-    with aqe_off(edges.sparkSession):
+    with sized_loop_conf(edges.sparkSession, n_e):
         for _ in range(iters):
             inflow = (
                 e.join(ranks, e[src] == ranks.node)
@@ -584,17 +590,24 @@ def k_hop_distances(
     cut per round (the CC/pagerank discipline). Returns (node, dist)."""
     # Materialize the edge list ONCE under AQE (it may be a real pipeline
     # — khop_trade_graph's is a lineitem-orders join + distinct), then run
-    # the rounds with eager checkpoints under aqe_off: per-round inputs
-    # are tiny known RDDs where adaptive re-planning is pure job floor
-    # (25 -> 8 jobs at sf0.1, wall unchanged).
+    # the rounds with eager checkpoints under sized_loop_conf: per-round
+    # inputs are tiny known RDDs where adaptive re-planning is pure job
+    # floor (25 -> 8 jobs at sf0.1, wall unchanged). r14: the r13 form ran
+    # the rounds aqe_off at SESSION shuffle width — 32-wide task storms
+    # per round that the driver measured anti-scaling under host
+    # contention (khop_trade_graph 28.8 s at 32 cores vs 2.6 s at 8, the
+    # worst ratio of the round). sized_loop_conf derives the width from
+    # the measured edge count instead (the CC loop's contract: capped at
+    # the session width, so a 10^10-edge graph keeps full scale-out).
     e = cut_lineage(edges, checkpoint_dir, eager=True)
+    n0 = e.count()
     dist = cut_lineage(
         seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("dist")).distinct(),
         checkpoint_dir,
         eager=True,
     )
     frontier = dist
-    with aqe_off(edges.sparkSession):
+    with sized_loop_conf(edges.sparkSession, n0):
         for h in range(1, k + 1):
             nxt = (
                 e.join(frontier, e[src] == frontier.node)
