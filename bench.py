@@ -54,9 +54,14 @@ def main() -> None:
     # the streaming engine's codegen/JIT (measured: the identical stage
     # reports 45K cold vs 107K warm on this harness), then the full run
     # measures the plan. Both raw numbers go to stderr.
+    from numaflow_spark.scale import streaming_state_partitions
+
+    stream_parts = streaming_state_partitions(
+        8, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
     stream_runs = [
-        _streaming_throughput(spark, n_batches=6),
-        _streaming_throughput(spark),
+        _streaming_throughput(spark, n_batches=6, state_partitions=stream_parts),
+        _streaming_throughput(spark, state_partitions=stream_parts),
     ]
     # The headline is the second (post-warmup, FULL) run — the one that
     # measures the plan. A lucky short warmup must not define the number
@@ -168,6 +173,10 @@ def main() -> None:
             "queries": {k: round(v, ndigits) for k, v in q.items()},
             "sf": sf,
             "streaming_events_per_sec": streaming_rps,
+            # metric basis (r13 verdict #6): the stateful stage's width,
+            # derived by scale.py::streaming_state_partitions — the
+            # engine's rule — so cross-round comparability is checkable
+            "stream_parts": stream_parts,
         }
         if omitted:
             result["queries_omitted"] = omitted
@@ -208,7 +217,7 @@ def main() -> None:
     # disable with =0).
     _write_full_map(
         timings, total, sf, streaming_rps, duck_wall, duck_timings,
-        sorted(skip_names),
+        sorted(skip_names), stream_parts,
     )
 
     sys.stderr.flush()
@@ -224,6 +233,7 @@ def _write_full_map(
     duck_wall: float | None = None,
     duck_timings: dict[str, float] | None = None,
     skipped: list[str] | None = None,
+    stream_parts: int | None = None,
 ) -> None:
     """Persist every per-query steady-state wall (no truncation) next to the
     driver's BENCH artifacts. Best-effort: a bench run must never fail on a
@@ -270,6 +280,8 @@ def _write_full_map(
             "sf": sf,
             "streaming_events_per_sec": streaming_rps,
         }
+        if stream_parts is not None:
+            payload["stream_parts"] = stream_parts
         if duck_wall is not None:
             payload["duckdb_suite_wall_sec"] = round(duck_wall, 1)
             from numaflow_spark.session import cache_tables_enabled
@@ -357,7 +369,7 @@ def _streaming_throughput(
     n_batches: int = 20,
     rows_per_batch: int = 50_000,
     key_count: int = 8,
-    state_partitions: int = 4,
+    state_partitions: int | None = None,
 ) -> float:
     """Drain generator -> map -> keyed tumbling agg -> update-mode memory
     sink and report end-to-end events/s (BASELINE.md streaming target:
@@ -372,19 +384,22 @@ def _streaming_throughput(
     from numaflow_spark.message import drop_filter
     from numaflow_spark.sources.generator import generator_stream
 
-    # Stateful-stream sizing: scale.py's streaming preset already sizes
-    # state partitions below scan width (cores/2); with 8 distinct keys the
-    # useful parallelism is the key cardinality itself. At 32 partitions
-    # per-micro-batch task+state-store overhead dominates: measured 57K
-    # ev/s @32 vs 133K @8 on this harness. r13 re-sizing
-    # (tools/ab_stream_partitions_result.json, interleaved in-session):
-    # the per-batch state-store commit cost still dominates at 8 — 4
-    # partitions wins all 5 interleaved rounds with disjoint ranges
-    # (median 160.8K vs 137.0K ev/s, +17%); 2-3 partitions plateau with 4
-    # and leave less headroom against hash imbalance of the 8 keys, so 4
-    # is the chosen point. RocksDB at this state size loses (~20%) to the
-    # default provider — state is ~8 rows/partition, commit cost is pure
-    # overhead.
+    # Stateful-stream sizing is the ENGINE's rule, not the harness's
+    # (r13 verdict #6: the wave-8 in-bench retune 8 -> 4 broke the
+    # metric's round-over-round comparability): scale.py::
+    # streaming_state_partitions(min(cores/2, ~keys/2), floor 2) encodes
+    # the r13 measurements (8 keys: 57K ev/s at 32 partitions, 133K at 8,
+    # 161K at 4 — tools/ab_stream_partitions_result.json) and yields the
+    # same width (4) at both of the driver's core counts, so the basis is
+    # stable and recorded in the artifact. RocksDB at this state size
+    # loses (~20%) to the default provider — state is ~8 rows/partition,
+    # commit cost is pure overhead.
+    if state_partitions is None:
+        from numaflow_spark.scale import streaming_state_partitions
+
+        state_partitions = streaming_state_partitions(
+            key_count, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     ckpt = tempfile.mkdtemp(prefix="bench_stream_")

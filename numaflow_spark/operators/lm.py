@@ -66,30 +66,15 @@ def bigram_tables(df: DataFrame, id_col: str, text_col: str):
         .select("doc", F.explode(pairs).alias("p"))
         .select("doc", F.col("p.h1").alias("h1"), F.col("p.h12").alias("h12"))
     )
-    # r13 wave 2: lazily cut the two shared subtrees so the tokenize +
-    # explode pass runs ONCE per occurrence table instead of once per
-    # consumer (bi_occ feeds the bigram count table AND the scoring
-    # probe; uni feeds the vocab-size aggregate AND the scoring join —
-    # 4 tokenizations lazily, 2 with the cuts). Lazy (the CC probe-fusion
-    # device): the first consumer's own job materializes the blocks, so
-    # no standalone checkpoint job is paid. Env-gated like every other
-    # materialization so plan audits see the real structure.
-    import os
-
-    if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
-        "0", "false",
-    ):
-        from numaflow_spark.operators.graph import cut_lineage
-
-        bi_occ = cut_lineage(bi_occ, eager=False)
+    # r14: REVERTED the r13 wave-2 lazy cuts of bi_occ/uni (verdict #3 —
+    # the driver measured ngram_lm_score 0.70 -> 1.17 s @32 / 0.96 @8,
+    # and the cold min-of-3 A/B (tools/coldq_wave23_vs_r12.json) read the
+    # uncut r12 form at or below the cut form in 2 of 3 rounds). Catalyst
+    # reuses the shared occurrence exchanges between consumers (the same
+    # finding that rejected the bm25 cut in r13), so the checkpoint only
+    # broke pipelining.
     uni = uni_occ.groupBy("h1").agg(F.count("*").alias("c1"))
     bi = bi_occ.groupBy("h12").agg(F.count("*").alias("c2"))
-    if os.environ.get("SPARK_GRAFT_NO_AQE_MATERIALIZE", "1") not in (
-        "0", "false",
-    ):
-        from numaflow_spark.operators.graph import cut_lineage
-
-        uni = cut_lineage(uni, eager=False)
     vocab = uni.agg(F.count("*").alias("v"))
     return bi_occ, uni, bi, vocab
 

@@ -1306,39 +1306,35 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping-priority query, entered through the SQL
     façade (the reference has no SQL layer at all — SURVEY §0; here the
     full ANSI surface rides on Catalyst): top-10 undelivered orders by
-    revenue. Revenue is exact decimal summed then emitted as integer cents.
+    revenue. Joins are dim-filtered before the fact join so AQE broadcasts
+    them; revenue is exact decimal summed then emitted as integer cents.
 
-    r13 wave-3 rewrite (guide §2.3, aggregate before you shuffle): revenue
-    is pre-aggregated per l_orderkey INSIDE lineitem before the orders
-    join — o_orderdate and o_orderpriority are functionally dependent on
-    the key, so the old GROUP BY (l_orderkey, o_orderdate,
-    o_orderpriority) over the three-way join result is identical to a
-    per-key rollup joined back. The orderkey exchange now carries one
-    partially-aggregated row per key instead of the joined detail, and
-    AQE broadcast-joins the dim-filtered orders⋈customer side onto the
-    rollup. Same rows, same ORDER BY, same LIMIT. Measured interleaved
-    min-of-3 at x10: 3.55 -> 1.50 s."""
+    r14: REVERTED the r13 wave-3 pre-aggregate-revenue-per-orderkey form
+    (verdict #3 — the driver measured it slower at both core counts,
+    0.59 -> 1.23 s @32 / 0.96 @8, and the cold min-of-3 A/B
+    (tools/coldq_wave23_vs_r12.json) confirmed the r12 form wins every
+    round, 1.06 vs 1.28 s). The algebra favors this shape at ANY scale:
+    the broadcast of the dim-filtered customer⋈orders side semi-filters
+    lineitem ~20x BEFORE the aggregation exchange, so the groupBy
+    exchanges only matched rows, where the pre-agg form exchanged every
+    shipdate-surviving orderkey group first."""
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
     return spark.sql(
         """
         SELECT l_orderkey,
-               CAST(rev * 10000 AS BIGINT) AS revenue_c4,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS revenue_c4,
                CAST(date_format(o_orderdate, 'yyyyMMdd') AS BIGINT) AS odate,
                o_orderpriority
-        FROM (
-            SELECT l_orderkey,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(18,2))
-                          - CAST(l_discount AS DECIMAL(18,2)))) AS rev
-            FROM lineitem_sql
-            WHERE l_shipdate > TIMESTAMP '1995-03-15'
-            GROUP BY l_orderkey
-        ) r
-        JOIN orders_sql ON l_orderkey = o_orderkey
-        JOIN customer_sql ON c_custkey = o_custkey
+        FROM customer_sql JOIN orders_sql ON c_custkey = o_custkey
+                          JOIN lineitem_sql ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue_c4 DESC, l_orderkey
         LIMIT 10
         """

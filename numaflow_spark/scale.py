@@ -97,6 +97,25 @@ def cluster_conf(
     return conf
 
 
+def streaming_state_partitions(key_cardinality: int, cores: int) -> int:
+    """Shuffle width for a stateful streaming stage, owned by the ENGINE
+    (r13 verdict: the bench harness re-sized its own measured stage 8 -> 4,
+    which broke the metric's round-over-round comparability — the sizing
+    rule belongs here, versioned with the engine).
+
+    Two ceilings, take the smaller: (a) one state partition per 2 cores
+    keeps stores mem-resident and amortizes per-batch commit cost
+    (cluster_conf's streaming preset rule); (b) the grouping-key
+    cardinality itself — partitions beyond ~ceil(keys/2) hold 0-1 groups
+    and pay pure state-store commit overhead per micro-batch (measured on
+    the bench stage, 8 distinct keys: 57K ev/s at 32 partitions, 133K at
+    8, 161K at 4; 2-3 plateau with 4 but leave no headroom against hash
+    imbalance). Floor of 2 keeps the multi-partition contract. At cluster
+    scale a high-cardinality key keeps the cores/2 width — the clamp only
+    bites when keys are few, exactly when extra width is pure overhead."""
+    return max(2, min(max(cores, 2) // 2, (key_cardinality + 1) // 2))
+
+
 def partitions_for(input_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024) -> int:
     """Partition count for a given input volume at the advisory size —
     the number the repartition/bucketing call sites should use instead of

@@ -40,3 +40,17 @@ def test_preset_keys_accepted_by_builder(spark):
               "spark.sql.files.maxPartitionBytes"):
         assert k in conf
         spark.conf.get(k, conf[k])  # resolvable without error
+
+
+def test_streaming_state_partitions_rule():
+    from numaflow_spark.scale import streaming_state_partitions
+
+    # the bench stage: 8 keys — same width (4) at BOTH driver core counts,
+    # so the metric basis is stable across the scaling run
+    assert streaming_state_partitions(8, 32) == 4
+    assert streaming_state_partitions(8, 8) == 4
+    # key-cardinality clamp only bites when keys are few
+    assert streaming_state_partitions(10_000, 32) == 16
+    # floor 2 keeps the multi-partition contract even on tiny hosts
+    assert streaming_state_partitions(1, 2) == 2
+    assert streaming_state_partitions(8, 1) == 2
