@@ -3030,18 +3030,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cooccurrence_pairs (one orderkey shuffle + row-local pair expansion —
     r7 rewrite of the orderkey self-join that shuffled lineitem twice).
     Materialized via materialize_no_aqe: 13.3 -> 4.9 s (sf0.1) /
-    32.1 -> 18.7 s (x10), same-session min-of-2, identical count."""
+    32.1 -> 18.7 s (x10), same-session min-of-2, identical count.
+
+    r14: the query-level ``.distinct()`` on the pair stream is GONE —
+    triangle_count's entry canonicalization (greatest/least + distinct)
+    dedups the raw pair stream anyway. NOT claimed as a perf win: the
+    optimized physical plans are byte-identical (Catalyst's
+    RemoveRedundantAggregates already elided the lower aggregate —
+    checked at sf0.01 and sf1,
+    plans/r14/triangle_count_edgebuild_sf1_{before,after}.txt); an
+    in-session A/B that first suggested a 1.4x win was a warming-order
+    artifact (run walls decreased monotonically regardless of arm — the
+    cautionary counterexample for same-session A/Bs this round). The edit
+    only makes the redundancy explicit in code. Count identical
+    (1884488 sf0.1 / 18844880 x10)."""
     from numaflow_spark.operators.graph import (
         cooccurrence_pairs,
         triangle_count,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
-        .select("u", "v")
-        .distinct()
-    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey").select("u", "v")
     return triangle_count(edges)
 
 
@@ -5592,7 +5601,17 @@ def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group). Overflow audit: x<=5e3, y<=2e7 cents; n*syy at SF1k ~ 6e9
     * (6e9*4e14) -> exceeds 38 digits only past ~SF10k; variance terms are
     cast to DOUBLE before the final product to keep the denominator in
-    IEEE range."""
+    IEEE range.
+
+    r14 (guide §2.3 narrower types, verdict #5 weak-list item): the
+    per-row moment products run in BIGINT — x*x <= 2.5e7, y*y <= 4e14,
+    x*y <= 1e11, all per-row bounds that hold at ANY scale factor, far
+    inside int64 — and only the SUM accumulates in DECIMAL(38,0) (the
+    accumulator is what overflows int64, the row products never do). Same
+    integers; one 64-bit multiply replaces an Int128 multiply per row.
+    Measured small at x10 (~0.93 -> ~0.89 s warm on the moment aggregate,
+    inside the host band — the honest claim is "strictly fewer decimal
+    ops, never slower", not a headline number)."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
@@ -5604,9 +5623,9 @@ def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
-        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
     )
     num = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
     vx = "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
