@@ -441,13 +441,28 @@ def triangle_count(
     groupBy + two degree joins + adjacency groupBy + two |E|-row keyed
     joins; the intersect is row-local codegen, the wedge set is never
     materialized. Returns one row (n_triangles BIGINT)."""
-    e = (
+    # r14: every multiply-referenced subtree is EAGERLY cut (e: 3 branches,
+    # deg: 2 join probes, adj below: 2 joins), the discipline `oriented`
+    # already had. The r12/r13 form relied on Catalyst ReuseExchange to
+    # collapse the repeated edge build — which held under the ckpt table
+    # memo but NOT under the r14 persist() default (InMemoryRelation
+    # leaves break exchange canonical-equality): the r12 x10 A/B measured
+    # exactly this query as the persist casualty, 21.9 s vs 9.9 s
+    # (tools/ab_cachemode_sf1.json). The cuts cost three tiny
+    # materialization jobs and make the operator memo-agnostic: each
+    # fact-scale subtree is computed exactly once under ANY cache mode —
+    # verified interleaved at x10 (tools/ab_triangle_cuts_sf1.json).
+    e = cut_lineage(
         edges.select(F.greatest(src, dst).alias("a"), F.least(src, dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
+        eager=True,
     )
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "n")
+    deg = cut_lineage(
+        und.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "n"),
+        eager=True,
+    )
     ranked = (
         e.join(deg.withColumnRenamed("deg", "deg_a"), e.a == F.col("n"))
         .drop("n")
@@ -475,7 +490,10 @@ def triangle_count(
     # out-degree), and the intersect itself is row-local inside codegen.
     # Measured on the sf0.1 co-purchase graph: full query 16.9s -> 8.3s
     # (the remaining cost is the edge BUILD, not this count).
-    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
+    adj = cut_lineage(
+        oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs")),
+        eager=True,  # referenced by both closing joins below
+    )
     with_u = oriented.join(adj, on="s").select(
         F.col("d").alias("v"), F.col("nbrs").alias("nbrs_u")
     )
