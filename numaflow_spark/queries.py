@@ -7393,3 +7393,59 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }
 assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
+
+# ---------------------------------------------------------------------------
+# r14 (optimization round 2) window. The full r13 RECERT queue (32 names)
+# DRAINED on its fresh r13 driver rows (CORRECTNESS_r13.json — every queue
+# name green, 50/50). New queue: this round's plan changes only — the
+# anti-scaling device reverts (eager CC/BPE checkpoints, sized khop/
+# pagerank loops), the triangle_count eager subtree cuts, the
+# brand_qty_price_corr bigint row products, and the two wave-2/3 reverts
+# (sql_shipping_priority r12 SQL, ngram_lm_score uncut lm tables). Each was
+# re-verified hash-green vs its UNCHANGED oracle at sf0.01 (full sweep) and
+# in the ×10 sweep (CORRECTNESS_LOCAL_r14_sf1.json) before landing.
+# Slots 12-50: the 39 least-recently-certified names (r8/r9-latest,
+# computed from CORRECTNESS_r01-r13, registry order within a round) —
+# hll_distinct/idle_customer_balance/label_centroids and the other r13
+# rotation-note carryovers head the list, exactly as those notes promised.
+# Tail order (51+) untouched; no query leaves the registry.
+# ---------------------------------------------------------------------------
+RECERT_PENDING = [
+    # CC loop eager round checkpoints (operators/graph.py, wave 1):
+    "neardup_clusters", "neardup_survivors",
+    "embedding_clusters", "embedding_dedup_survivors",
+    # BPE trainer eager checkpoints (operators/bpe.py, wave 1):
+    "bpe_merges",
+    # sized_loop_conf loop widths (k_hop_distances / pagerank, wave 1):
+    "khop_trade_graph", "pagerank_bipartite",
+    # memo-agnostic eager subtree cuts (triangle_count, wave 5):
+    "triangle_count",
+    # bigint row products in the moment aggregate (wave 4):
+    "brand_qty_price_corr",
+    # reverts to the r12 forms (wave 2 — driver + cold A/B adjudicated):
+    "sql_shipping_priority", "ngram_lm_score",
+]
+RECERT_SINCE_ROUND = 14
+_R14_ROTATION = [
+    "hll_distinct", "idle_customer_balance", "label_centroids",
+    "large_order_customers", "lsh_multiprobe_topk", "nation_market_share",
+    "pq_adc_topk", "promo_revenue_monthly", "quality_quantile_filter",
+    "scd2_history", "set_except",
+    "nation_yoy_order_growth", "nation_seat_apportionment",
+    "event_type_daily_share", "repeat_purchase_rate", "dup_ngram_frac",
+    "decontaminate", "cms_heavy_bigrams", "sequence_packing", "vocab_topk",
+    "stratified_sample", "train_shard_order", "top_revenue_supplier",
+    "volume_shipping", "uniform_k_sample", "json_props_agg",
+    "product_type_profit", "important_part_value", "hourly_channel_matrix",
+    "revenue_rolling_30d", "cdc_orders_apply", "grouped_hll_users",
+    "editdist_part_names", "yoy_nation_revenue", "part_return_ratio",
+    "repeat_customer_years", "supplier_concentration_hhi", "corpus_rollup",
+    "minhash_neardup",
+]
+_R14_WINDOW = RECERT_PENDING + _R14_ROTATION
+assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R14_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
+}
+assert set(RECERT_PENDING) <= set(list(QUERIES)[:50])
